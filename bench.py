@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract; BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], wall-clock per
+query (result fully materialized via a count-collect), and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family that dominates BASELINE.md
+HEADLINE = [
+    "q1_groupby_agg",
+    "join_inner",
+    "join_left",
+    "join_multi_star",
+    "merge_asof_backward",
+    "topk_orders",
+    "dedup_keep_first",
+    "window_cumsum",
+    "rolling_time_mean",
+    "resample_1h",
+    "string_ops",
+    "value_counts",
+    "query_dialect",
+    "pivot_sum",
+    "melt_unpivot",
+]
+
+
+def main() -> None:
+    from pandas_spark import get_spark
+    from pandas_spark import suite
+
+    spark = get_spark("bench")
+    qs = suite.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE
+    ]
+    # warmup: JVM/codegen/shuffle paths on the flagship query
+    qs["q1_groupby_agg"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        # noop sink materializes every column (count() would let Catalyst
+        # prune the projections and under-report)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

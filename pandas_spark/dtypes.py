@@ -1,0 +1,75 @@
+"""Dtype bridge: pandas dtype names ↔ Spark Catalyst types.
+
+SURVEY.md §1.3 table. Policy: nullable everywhere (Spark's model IS
+pandas' masked model), NaN→NULL at the boundary, ns→µs timestamps,
+categorical→string (Parquet dictionary pages recover the encoding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+_PANDAS_TO_SPARK: dict[str, T.DataType] = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "int": T.LongType(),
+    "Int8": T.ByteType(),
+    "Int16": T.ShortType(),
+    "Int32": T.IntegerType(),
+    "Int64": T.LongType(),
+    "uint8": T.ShortType(),     # widen: Spark has no unsigned
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.DecimalType(20, 0),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "float": T.DoubleType(),
+    "Float32": T.FloatType(),
+    "Float64": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "str": T.StringType(),
+    "string": T.StringType(),
+    "object": T.StringType(),
+    "category": T.StringType(),
+    "datetime64[ns]": T.TimestampType(),
+    "datetime64[us]": T.TimestampType(),
+    "datetime64[ms]": T.TimestampType(),
+    "datetime64[s]": T.TimestampType(),
+    "datetime64": T.TimestampType(),
+    "timedelta64[ns]": T.DayTimeIntervalType(),
+    "timedelta64": T.DayTimeIntervalType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+
+def to_spark_type(dtype: str | T.DataType) -> T.DataType:
+    """Resolve a pandas dtype string (or Spark type / DDL string) to Catalyst."""
+    if isinstance(dtype, T.DataType):
+        return dtype
+    key = str(dtype)
+    if key in _PANDAS_TO_SPARK:
+        return _PANDAS_TO_SPARK[key]
+    # fall through to Spark DDL ("decimal(10,2)", "array<double>", ...)
+    return T._parse_datatype_string(key)  # type: ignore[attr-defined]
+
+
+def to_pandas_dtype(spark_type: T.DataType) -> str:
+    mapping = {
+        T.ByteType: "Int8",
+        T.ShortType: "Int16",
+        T.IntegerType: "Int32",
+        T.LongType: "Int64",
+        T.FloatType: "float32",
+        T.DoubleType: "float64",
+        T.BooleanType: "boolean",
+        T.StringType: "string",
+        T.TimestampType: "datetime64[us]",
+        T.TimestampNTZType: "datetime64[us]",
+        T.DateType: "datetime64[us]",
+        T.BinaryType: "object",
+    }
+    return mapping.get(type(spark_type), "object")

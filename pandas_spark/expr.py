@@ -1,0 +1,214 @@
+"""Deferred column expressions — the engine's primary idiom.
+
+pandas 3.x grew ``pd.col`` (reference: pandas/core/col.py:370), a
+deferred expression tree — exactly Spark's ``F.col`` model. ``Expr``
+wraps a ``pyspark.sql.Column`` and adds the pandas accessor surface
+(``.str``, ``.dt``) plus pandas arithmetic semantics (floor division /
+modulo follow Python's floor convention, division by zero yields
+±inf — reference: pandas/core/ops/array_ops.py:242).
+
+Everything here compiles to built-in Catalyst expressions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _unwrap(v: Any) -> Any:
+    return v._col if isinstance(v, Expr) else v
+
+
+def _wrap(c: Column) -> "Expr":
+    return Expr(c)
+
+
+class Expr:
+    """A deferred column expression (pandas ``pd.col`` ≙ Spark ``F.col``)."""
+
+    __slots__ = ("_col",)
+
+    def __init__(self, col: Column):
+        self._col = col
+
+    # -- conversion ---------------------------------------------------
+    @property
+    def spark(self) -> Column:
+        return self._col
+
+    def alias(self, name: str) -> "Expr":
+        return _wrap(self._col.alias(name))
+
+    # -- arithmetic (pandas semantics) ---------------------------------
+    def __add__(self, o):  return _wrap(self._col + _unwrap(o))
+    def __radd__(self, o): return _wrap(_unwrap(o) + self._col)
+    def __sub__(self, o):  return _wrap(self._col - _unwrap(o))
+    def __rsub__(self, o): return _wrap(_unwrap(o) - self._col)
+    def __mul__(self, o):  return _wrap(self._col * _unwrap(o))
+    def __rmul__(self, o): return _wrap(_unwrap(o) * self._col)
+
+    def __truediv__(self, o):
+        # pandas: 1/0 = inf, -1/0 = -inf, 0/0 = NaN; Spark: NULL.
+        num, den = self._col, F.lit(_unwrap(o)) if not isinstance(_unwrap(o), Column) else _unwrap(o)
+        return _wrap(true_div(num, den))
+
+    def __rtruediv__(self, o):
+        num = F.lit(_unwrap(o)) if not isinstance(_unwrap(o), Column) else _unwrap(o)
+        return _wrap(true_div(num, self._col))
+
+    def __floordiv__(self, o):
+        return _wrap(floor_div(self._col, _lit_col(o)))
+
+    def __rfloordiv__(self, o):
+        return _wrap(floor_div(_lit_col(o), self._col))
+
+    def __mod__(self, o):
+        return _wrap(py_mod(self._col, _lit_col(o)))
+
+    def __rmod__(self, o):
+        return _wrap(py_mod(_lit_col(o), self._col))
+
+    def __pow__(self, o):  return _wrap(self._col ** _unwrap(o))
+    def __rpow__(self, o): return _wrap(_lit_col(o) ** self._col)
+    def __neg__(self):     return _wrap(-self._col)
+    def __abs__(self):     return _wrap(F.abs(self._col))
+
+    # -- comparison ----------------------------------------------------
+    def __eq__(self, o):  return _wrap(self._col == _unwrap(o))  # type: ignore[override]
+    def __ne__(self, o):  return _wrap(self._col != _unwrap(o))  # type: ignore[override]
+    def __lt__(self, o):  return _wrap(self._col < _unwrap(o))
+    def __le__(self, o):  return _wrap(self._col <= _unwrap(o))
+    def __gt__(self, o):  return _wrap(self._col > _unwrap(o))
+    def __ge__(self, o):  return _wrap(self._col >= _unwrap(o))
+
+    # -- boolean -------------------------------------------------------
+    def __and__(self, o):  return _wrap(self._col & _unwrap(o))
+    def __rand__(self, o): return _wrap(_unwrap(o) & self._col)
+    def __or__(self, o):   return _wrap(self._col | _unwrap(o))
+    def __ror__(self, o):  return _wrap(_unwrap(o) | self._col)
+    def __invert__(self):  return _wrap(~self._col)
+
+    # -- pandas generic methods ------------------------------------------
+    def isin(self, values) -> "Expr":
+        return _wrap(self._col.isin(list(values)))
+
+    def isna(self) -> "Expr":
+        # pandas treats NaN and NULL uniformly (dtypes/missing.py:99)
+        return _wrap(self._col.isNull() | F.isnan(self._col.cast("double")))
+
+    def notna(self) -> "Expr":
+        return _wrap(~(self._col.isNull() | F.isnan(self._col.cast("double"))))
+
+    def isnull(self) -> "Expr":
+        return self.isna()
+
+    def fillna(self, value) -> "Expr":
+        return _wrap(F.coalesce(self._col, _lit_col(value)))
+
+    def between(self, left, right, inclusive: str = "both") -> "Expr":
+        lo, hi = _lit_col(left), _lit_col(right)
+        ops = {
+            "both": (self._col >= lo) & (self._col <= hi),
+            "neither": (self._col > lo) & (self._col < hi),
+            "left": (self._col >= lo) & (self._col < hi),
+            "right": (self._col > lo) & (self._col <= hi),
+        }
+        return _wrap(ops[inclusive])
+
+    def clip(self, lower=None, upper=None) -> "Expr":
+        c = self._col
+        if lower is not None:
+            c = F.greatest(c, _lit_col(lower))
+        if upper is not None:
+            c = F.least(c, _lit_col(upper))
+        return _wrap(c)
+
+    def astype(self, dtype: str) -> "Expr":
+        from pandas_spark.dtypes import to_spark_type
+
+        return _wrap(self._col.cast(to_spark_type(dtype)))
+
+    def where(self, cond, other=None) -> "Expr":
+        return _wrap(
+            F.when(_unwrap(cond), self._col).otherwise(_lit_col(other))
+        )
+
+    def mask(self, cond, other=None) -> "Expr":
+        return _wrap(
+            F.when(_unwrap(cond), _lit_col(other)).otherwise(self._col)
+        )
+
+    def round(self, decimals: int = 0) -> "Expr":
+        # pandas rounds half-even — Spark's bround matches
+        return _wrap(F.bround(self._col, decimals))
+
+    def abs(self) -> "Expr":
+        return _wrap(F.abs(self._col))
+
+    # -- accessors -------------------------------------------------------
+    @property
+    def str(self):
+        from pandas_spark.functions.strings import StringMethods
+
+        return StringMethods(self._col)
+
+    @property
+    def dt(self):
+        from pandas_spark.functions.datetimes import DatetimeMethods
+
+        return DatetimeMethods(self._col)
+
+    def __repr__(self) -> str:
+        return f"Expr({self._col})"
+
+
+def _lit_col(v: Any) -> Column:
+    v = _unwrap(v)
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def col(name: str) -> Expr:
+    """Deferred reference to a column (pandas ``pd.col``, core/col.py:370)."""
+    return Expr(F.col(name))
+
+
+def lit(value: Any) -> Expr:
+    return Expr(F.lit(value))
+
+
+# ---------------------------------------------------------------------------
+# pandas arithmetic semantics as Catalyst expression templates
+# ---------------------------------------------------------------------------
+
+def true_div(a: Column, b: Column) -> Column:
+    """pandas ``/``: x/0 → ±inf, 0/0 → NaN (numpy rules); Spark gives NULL."""
+    a_d, b_d = a.cast("double"), b.cast("double")
+    return (
+        F.when(b_d != 0, a_d / b_d)
+        .when(a_d > 0, F.lit(float("inf")))
+        .when(a_d < 0, F.lit(float("-inf")))
+        .when(a_d == 0, F.lit(float("nan")))  # 0/0
+        .otherwise(F.lit(None))               # NULL operand
+    )
+
+
+def floor_div(a: Column, b: Column) -> Column:
+    """Python floor-division semantics (pandas); Spark's ``div`` truncates."""
+    q = F.floor(a.cast("double") / b.cast("double"))
+    return (
+        F.when(b != 0, q)
+        .when(a > 0, F.lit(float("inf")))
+        .when(a < 0, F.lit(float("-inf")))
+        .when(a == 0, F.lit(float("nan")))
+        .otherwise(F.lit(None))
+    )
+
+
+def py_mod(a: Column, b: Column) -> Column:
+    """Python modulo: result takes the sign of the divisor; Spark follows C."""
+    m = ((a % b) + b) % b
+    return F.when(b != 0, m).otherwise(F.lit(float("nan")))

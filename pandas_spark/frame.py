@@ -1,0 +1,506 @@
+"""Engine DataFrame: pandas' query surface compiled onto Spark plans.
+
+A thin, immutable wrapper around ``pyspark.sql.DataFrame`` plus two
+pieces of metadata (SURVEY.md §7.0):
+
+  * ``index_cols`` — named columns acting as the pandas index for
+    set_index/reset_index/join-on-index. No implicit index: at 100 TB
+    a materialized global row-label is an anti-feature.
+  * ``order_col`` — the designated order key. Spark has no row order;
+    pandas semantics (head, shift, cumsum, dedup keep='first', ...)
+    are order-sensitive. Order-sensitive ops lazily materialize
+    ``__ord__`` (monotonically_increasing_id → source/partition order)
+    unless an explicit sort established one. Ops that destroy order
+    (groupBy, join) drop it, matching pandas' own documented rules
+    (reference: pandas/core/reshape/merge.py:190-204).
+
+Every method is a plan transformation — nothing executes until an
+action (``collect``/``to_pandas``/writes), so Catalyst sees whole
+pipelines and can push filters into the parquet scan, prune columns,
+and pick join strategies with AQE runtime stats.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame as SparkDF, Window as W
+from pyspark.sql import functions as F
+
+from pandas_spark.expr import Expr, _lit_col, _unwrap
+from pandas_spark.dtypes import to_spark_type
+
+ORDER_COL = "__ord__"
+
+
+def _cond(c) -> Column:
+    """Accept Expr | Column | SQL string as a boolean condition."""
+    if isinstance(c, Expr):
+        return c.spark
+    if isinstance(c, Column):
+        return c
+    if isinstance(c, str):
+        return F.expr(c)
+    raise TypeError(f"cannot use {type(c).__name__} as a condition")
+
+
+class DataFrame:
+    """Distributed, lazy DataFrame with pandas' operator surface."""
+
+    def __init__(
+        self,
+        sdf: SparkDF,
+        order_col: str | None = None,
+        index_cols: tuple[str, ...] = (),
+    ):
+        self._sdf = sdf
+        self._order_col = order_col
+        self._index_cols = tuple(index_cols)
+
+    # -- plumbing --------------------------------------------------------
+    def _with(self, sdf: SparkDF, order_col: str | None = "keep") -> "DataFrame":
+        oc = self._order_col if order_col == "keep" else order_col
+        if oc is not None and oc not in sdf.columns:
+            oc = None
+        return DataFrame(sdf, order_col=oc, index_cols=tuple(c for c in self._index_cols if c in sdf.columns))
+
+    def _ensure_order(self) -> "DataFrame":
+        """Materialize an order key if none exists (source order)."""
+        if self._order_col:
+            return self
+        return DataFrame(
+            self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
+            order_col=ORDER_COL,
+            index_cols=self._index_cols,
+        )
+
+    def _drop_internal(self, sdf: SparkDF) -> SparkDF:
+        return sdf.drop(ORDER_COL) if ORDER_COL in sdf.columns else sdf
+
+    @property
+    def spark(self) -> SparkDF:
+        return self._drop_internal(self._sdf)
+
+    def to_spark(self) -> SparkDF:
+        return self.spark
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._sdf.columns if c != ORDER_COL]
+
+    @property
+    def dtypes(self) -> list[tuple[str, str]]:
+        return [(n, t) for n, t in self._sdf.dtypes if n != ORDER_COL]
+
+    @property
+    def schema(self):
+        return self.spark.schema
+
+    def __repr__(self) -> str:
+        return f"pandas_spark.DataFrame[{', '.join(self.columns)}]"
+
+    # -- expression resolution -------------------------------------------
+    def _to_col(self, v: Any) -> Column:
+        if isinstance(v, Expr):
+            return v.spark
+        if isinstance(v, Column):
+            return v
+        if isinstance(v, str):
+            return F.col(v)
+        return F.lit(v)
+
+    # -- selection / projection (SURVEY §2.2) ------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return Expr(F.col(key))
+        if isinstance(key, (Expr, Column)):
+            return self.filter(key)
+        if isinstance(key, (list, tuple)):
+            return self.select(list(key))
+        raise TypeError(f"cannot index with {type(key).__name__}")
+
+    def select(self, cols: Sequence) -> "DataFrame":
+        exprs = [self._to_col(c) for c in cols]
+        if self._order_col:
+            exprs = exprs + [F.col(self._order_col)]
+        return self._with(self._sdf.select(*exprs))
+
+    def filter(self, cond) -> "DataFrame":
+        return self._with(self._sdf.filter(_cond(cond)))
+
+    where = filter
+
+    def query(self, expr: str, **scope) -> "DataFrame":
+        """pandas query dialect (``and``/``&``, ``@var``, chained cmp) → Spark SQL."""
+        from pandas_spark.computation.eval import translate_query
+
+        return self._with(self._sdf.filter(F.expr(translate_query(expr, scope))))
+
+    def assign(self, **kwargs) -> "DataFrame":
+        cols = {}
+        for name, v in kwargs.items():
+            if callable(v) and not isinstance(v, (Expr, Column)):
+                v = v(self)
+            cols[name] = self._to_col(v)
+        return self._with(self._sdf.withColumns(cols))
+
+    def withColumn(self, name: str, value) -> "DataFrame":
+        return self.assign(**{name: value})
+
+    def eval(self, expr: str, **scope) -> "DataFrame":
+        from pandas_spark.computation.eval import translate_assign
+
+        name, sql = translate_assign(expr, scope)
+        return self._with(self._sdf.withColumn(name, F.expr(sql)))
+
+    def drop(self, cols: str | Sequence[str]) -> "DataFrame":
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        return self._with(self._sdf.drop(*cols))
+
+    def rename(self, columns: Mapping[str, str]) -> "DataFrame":
+        return self._with(self._sdf.withColumnsRenamed(dict(columns)))
+
+    def add_prefix(self, prefix: str) -> "DataFrame":
+        return self.rename({c: prefix + c for c in self.columns})
+
+    def add_suffix(self, suffix: str) -> "DataFrame":
+        return self.rename({c: c + suffix for c in self.columns})
+
+    def select_dtypes(self, include: str | Sequence[str]) -> "DataFrame":
+        include = [include] if isinstance(include, str) else list(include)
+        fams = {
+            "number": {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"},
+            "integer": {"tinyint", "smallint", "int", "bigint"},
+            "float": {"float", "double"},
+            "string": {"string"},
+            "datetime": {"timestamp", "timestamp_ntz", "date"},
+            "bool": {"boolean"},
+        }
+        want = set()
+        for i in include:
+            want |= fams.get(i, {i})
+        keep = [n for n, t in self.dtypes if t.split("(")[0] in want]
+        return self.select(keep)
+
+    def astype(self, dtype) -> "DataFrame":
+        if isinstance(dtype, Mapping):
+            casts = {c: F.col(c).cast(to_spark_type(t)) for c, t in dtype.items()}
+        else:
+            casts = {c: F.col(c).cast(to_spark_type(dtype)) for c in self.columns}
+        return self._with(self._sdf.withColumns(casts))
+
+    # -- missing data (SURVEY §2.2, §2.8) ----------------------------------
+    def isna(self) -> "DataFrame":
+        return self._with(
+            self._sdf.select(
+                *[F.col(self._order_col)] if self._order_col else [],
+                *[
+                    (F.col(c).isNull() | (F.isnan(c) if t in ("float", "double") else F.lit(False))).alias(c)
+                    for c, t in self.dtypes
+                ],
+            )
+        )
+
+    def dropna(
+        self,
+        how: str = "any",
+        thresh: int | None = None,
+        subset: Sequence[str] | None = None,
+    ) -> "DataFrame":
+        return self._with(self._sdf.na.drop(how=how, thresh=thresh, subset=subset))
+
+    def fillna(self, value) -> "DataFrame":
+        if isinstance(value, Mapping):
+            return self._with(self._sdf.na.fill(dict(value)))
+        return self._with(self._sdf.na.fill(value))
+
+    def replace(self, to_replace, value=None, subset=None) -> "DataFrame":
+        return self._with(self._sdf.replace(to_replace, value, subset))
+
+    def ffill(self, subset: Sequence[str] | None = None) -> "DataFrame":
+        this = self._ensure_order()
+        w = W.orderBy(this._order_col).rowsBetween(W.unboundedPreceding, 0)
+        cols = subset or this.columns
+        filled = {c: F.last(c, ignorenulls=True).over(w) for c in cols}
+        return this._with(this._sdf.withColumns(filled))
+
+    def bfill(self, subset: Sequence[str] | None = None) -> "DataFrame":
+        this = self._ensure_order()
+        w = W.orderBy(this._order_col).rowsBetween(0, W.unboundedFollowing)
+        cols = subset or this.columns
+        filled = {c: F.first(c, ignorenulls=True).over(w) for c in cols}
+        return this._with(this._sdf.withColumns(filled))
+
+    # -- dedup (SURVEY §2.2: duplicated/drop_duplicates) --------------------
+    def drop_duplicates(
+        self, subset: Sequence[str] | None = None, keep: str | bool = "first"
+    ) -> "DataFrame":
+        subset = list(subset) if subset is not None else self.columns
+        if keep == "any":
+            # order-free fast path: plain shuffle dedup, no window
+            return self._with(self._sdf.dropDuplicates(subset), order_col=None)
+        this = self._ensure_order()
+        part = W.partitionBy(*subset)
+        if keep == "first":
+            w = part.orderBy(F.col(this._order_col).asc())
+            marked = this._sdf.withColumn("__rn__", F.row_number().over(w))
+            out = marked.filter(F.col("__rn__") == 1).drop("__rn__")
+        elif keep == "last":
+            w = part.orderBy(F.col(this._order_col).desc())
+            marked = this._sdf.withColumn("__rn__", F.row_number().over(w))
+            out = marked.filter(F.col("__rn__") == 1).drop("__rn__")
+        elif keep is False:
+            marked = this._sdf.withColumn("__cnt__", F.count("*").over(part))
+            out = marked.filter(F.col("__cnt__") == 1).drop("__cnt__")
+        else:
+            raise ValueError(f"keep must be 'first'|'last'|False|'any', got {keep!r}")
+        return this._with(out)
+
+    def duplicated(self, subset: Sequence[str] | None = None, keep: str | bool = "first") -> "DataFrame":
+        subset = list(subset) if subset is not None else self.columns
+        this = self._ensure_order()
+        part = W.partitionBy(*subset)
+        if keep == "first":
+            flag = F.row_number().over(part.orderBy(F.col(this._order_col).asc())) > 1
+        elif keep == "last":
+            flag = F.row_number().over(part.orderBy(F.col(this._order_col).desc())) > 1
+        else:
+            flag = F.count("*").over(part) > 1
+        return this._with(this._sdf.withColumn("duplicated", flag))
+
+    def distinct(self) -> "DataFrame":
+        return self._with(self.spark.distinct(), order_col=None)
+
+    def unique(self, col: str) -> "DataFrame":
+        return self._with(self.spark.select(col).distinct(), order_col=None)
+
+    def nunique(self) -> "DataFrame":
+        return self._with(
+            self.spark.agg(
+                *[F.countDistinct(c).alias(c) for c in self.columns]
+            ),
+            order_col=None,
+        )
+
+    # -- sorting / top-k (SURVEY §2.6) --------------------------------------
+    def sort_values(
+        self,
+        by: str | Sequence[str],
+        ascending: bool | Sequence[bool] = True,
+        na_position: str = "last",
+    ) -> "DataFrame":
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        keys = [_sort_key(F.col(c), a, na_position) for c, a in zip(by, asc)]
+        out = self._sdf.orderBy(*keys)
+        # the explicit sort becomes the frame's order
+        res = self._with(out)
+        if res._order_col is None and ORDER_COL not in out.columns:
+            # record order implicitly through the sort itself; downstream
+            # order-sensitive ops re-key via _ensure_order on sorted output
+            pass
+        return res
+
+    def sort_index(self, ascending: bool = True) -> "DataFrame":
+        if not self._index_cols:
+            return self
+        return self.sort_values(list(self._index_cols), ascending=ascending)
+
+    def nlargest(self, n: int, columns: str | Sequence[str], keep: str = "first") -> "DataFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        keys = [F.col(c).desc_nulls_last() for c in cols]
+        if keep == "all":
+            w = W.orderBy(*keys)
+            marked = self._sdf.withColumn("__rk__", F.rank().over(w))
+            return self._with(marked.filter(F.col("__rk__") <= n).drop("__rk__"))
+        # orderBy().limit() → Catalyst TakeOrderedAndProject (no full sort)
+        return self._with(self._sdf.orderBy(*keys).limit(n))
+
+    def nsmallest(self, n: int, columns: str | Sequence[str], keep: str = "first") -> "DataFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        keys = [F.col(c).asc_nulls_last() for c in cols]
+        if keep == "all":
+            w = W.orderBy(*keys)
+            marked = self._sdf.withColumn("__rk__", F.rank().over(w))
+            return self._with(marked.filter(F.col("__rk__") <= n).drop("__rk__"))
+        return self._with(self._sdf.orderBy(*keys).limit(n))
+
+    def head(self, n: int = 5) -> "DataFrame":
+        return self._with(self._sdf.limit(n))
+
+    def limit(self, n: int) -> "DataFrame":
+        return self._with(self._sdf.limit(n))
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        this = self._ensure_order()
+        w = W.orderBy(F.col(this._order_col).desc())
+        out = (
+            this._sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n)
+            .drop("__rn__")
+        )
+        return this._with(out)
+
+    def sample(self, frac: float | None = None, n: int | None = None, seed: int | None = None) -> "DataFrame":
+        if frac is not None:
+            return self._with(self._sdf.sample(fraction=frac, seed=seed or 0))
+        if n is not None:
+            return self._with(self._sdf.orderBy(F.rand(seed or 0)).limit(n))
+        raise ValueError("sample requires frac or n")
+
+    # -- groupby (SURVEY §2.4) -----------------------------------------------
+    def groupby(self, by: str | Sequence[str], dropna: bool = True) -> "GroupBy":
+        from pandas_spark.groupby import GroupBy
+
+        keys = [by] if isinstance(by, str) else list(by)
+        return GroupBy(self, keys, dropna=dropna)
+
+    def value_counts(
+        self,
+        subset: str | Sequence[str] | None = None,
+        normalize: bool = False,
+        sort: bool = True,
+        ascending: bool = False,
+        dropna: bool = True,
+    ) -> "DataFrame":
+        cols = [subset] if isinstance(subset, str) else list(subset or self.columns)
+        sdf = self.spark
+        if dropna:
+            sdf = sdf.na.drop(subset=cols)
+        out = sdf.groupBy(*cols).agg(F.count("*").alias("count"))
+        if normalize:
+            total = W.partitionBy()
+            out = out.withColumn(
+                "proportion", F.col("count") / F.sum("count").over(total)
+            ).drop("count")
+        if sort:
+            target = "proportion" if normalize else "count"
+            out = out.orderBy(
+                F.col(target).asc() if ascending else F.col(target).desc(), *cols
+            )
+        return DataFrame(out)
+
+    # -- joins / set ops (SURVEY §2.3, §2.7) ----------------------------------
+    def merge(self, right: "DataFrame", **kwargs) -> "DataFrame":
+        from pandas_spark.operators.joins import merge
+
+        return merge(self, right, **kwargs)
+
+    def join(self, right: "DataFrame", on=None, how: str = "left", lsuffix: str = "", rsuffix: str = "") -> "DataFrame":
+        from pandas_spark.operators.joins import merge
+
+        return merge(
+            self,
+            right,
+            on=on,
+            how=how,
+            suffixes=(lsuffix or "_x", rsuffix or "_y"),
+        )
+
+    def union(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(self.spark.unionByName(other.spark, allowMissingColumns=True))
+
+    # -- reshape (SURVEY §2.9) --------------------------------------------------
+    def melt(self, id_vars=None, value_vars=None, var_name="variable", value_name="value") -> "DataFrame":
+        from pandas_spark.operators.reshape import melt
+
+        return melt(self, id_vars, value_vars, var_name, value_name)
+
+    def pivot_table(self, **kwargs) -> "DataFrame":
+        from pandas_spark.operators.reshape import pivot_table
+
+        return pivot_table(self, **kwargs)
+
+    def explode(self, column: str, outer: bool = True) -> "DataFrame":
+        fn = F.explode_outer if outer else F.explode
+        others = [c for c in self._sdf.columns if c != column]
+        return self._with(self._sdf.select(*others, fn(column).alias(column)))
+
+    # -- index convention ---------------------------------------------------
+    def set_index(self, keys: str | Sequence[str]) -> "DataFrame":
+        keys = (keys,) if isinstance(keys, str) else tuple(keys)
+        return DataFrame(self._sdf, order_col=self._order_col, index_cols=keys)
+
+    def reset_index(self) -> "DataFrame":
+        return DataFrame(self._sdf, order_col=self._order_col, index_cols=())
+
+    # -- window conveniences (frame-level; SURVEY §2.5) -----------------------
+    def rolling(self, window, on: str | None = None, min_periods: int | None = None, center: bool = False):
+        from pandas_spark.window import Rolling
+
+        return Rolling(self, window, on=on, min_periods=min_periods, center=center)
+
+    def expanding(self, min_periods: int = 1, on: str | None = None):
+        from pandas_spark.window import Expanding
+
+        return Expanding(self, on=on, min_periods=min_periods)
+
+    def resample(self, rule: str, on: str):
+        from pandas_spark.window import Resampler
+
+        return Resampler(self, rule, on)
+
+    def shift(self, periods: int = 1, columns: Sequence[str] | None = None) -> "DataFrame":
+        this = self._ensure_order()
+        w = W.orderBy(this._order_col)
+        cols = columns or [c for c in this.columns]
+        shifted = {c: F.lag(c, periods).over(w) for c in cols}
+        return this._with(this._sdf.withColumns(shifted))
+
+    def diff(self, periods: int = 1, columns: Sequence[str] | None = None) -> "DataFrame":
+        this = self._ensure_order()
+        w = W.orderBy(this._order_col)
+        cols = columns or [n for n, t in this.dtypes if t in ("int", "bigint", "float", "double", "smallint", "tinyint")]
+        out = {c: F.col(c) - F.lag(c, periods).over(w) for c in cols}
+        return this._with(this._sdf.withColumns(out))
+
+    # -- UDF surface (SURVEY §2.11) ---------------------------------------------
+    def map_in_pandas(self, fn, schema) -> "DataFrame":
+        return DataFrame(self.spark.mapInPandas(fn, schema))
+
+    def pipe(self, fn: Callable, *args, **kwargs):
+        return fn(self, *args, **kwargs)
+
+    # -- actions ------------------------------------------------------------
+    def collect(self):
+        return self.spark.collect()
+
+    def to_pandas(self):
+        return self.spark.toPandas()
+
+    def count(self) -> int:
+        return self._sdf.count()
+
+    def show(self, n: int = 20, truncate: bool = True) -> None:
+        self.spark.show(n, truncate)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._sdf.explain(mode)
+
+    def cache(self) -> "DataFrame":
+        return self._with(self._sdf.cache())
+
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] | None = None) -> None:
+        w = self.spark.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self.spark.write.mode(mode).option("header", header).csv(path)
+
+    def to_json(self, path: str, mode: str = "overwrite") -> None:
+        self.spark.write.mode(mode).json(path)
+
+    def to_orc(self, path: str, mode: str = "overwrite") -> None:
+        self.spark.write.mode(mode).orc(path)
+
+    def createOrReplaceTempView(self, name: str) -> None:
+        self.spark.createOrReplaceTempView(name)
+
+
+def _sort_key(c: Column, ascending: bool, na_position: str) -> Column:
+    # pandas puts NaN last by default EVEN when descending (frame.py:8454)
+    if ascending:
+        return c.asc_nulls_last() if na_position == "last" else c.asc_nulls_first()
+    return c.desc_nulls_last() if na_position == "last" else c.desc_nulls_first()

@@ -1,0 +1,193 @@
+"""Datetime accessor + constructors: pandas ``.dt`` / to_datetime on Catalyst.
+
+Reference: pandas/core/indexes/accessors.py:271 (DatetimeProperties),
+pandas/core/tools/datetimes.py:767 (to_datetime), tools/numeric.py:51
+(to_numeric), indexes/datetimes.py:1521 (date_range). Fields map to
+built-in Catalyst datetime expressions; ``errors='coerce'`` maps to
+``try_to_timestamp``/``try_cast`` (NULL on failure, like pandas NaT).
+Timestamps are µs-precision session-TZ (ns→µs is the documented
+divergence, SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+class DatetimeMethods:
+    __slots__ = ("_c",)
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    def _wrap(self, c: Column):
+        from pandas_spark.expr import Expr
+
+        return Expr(c)
+
+    # -- fields ------------------------------------------------------------
+    @property
+    def year(self):         return self._wrap(F.year(self._c))
+    @property
+    def month(self):        return self._wrap(F.month(self._c))
+    @property
+    def day(self):          return self._wrap(F.dayofmonth(self._c))
+    @property
+    def hour(self):         return self._wrap(F.hour(self._c))
+    @property
+    def minute(self):       return self._wrap(F.minute(self._c))
+    @property
+    def second(self):       return self._wrap(F.second(self._c))
+    @property
+    def microsecond(self):
+        return self._wrap((F.unix_micros(self._c) % 1_000_000).cast("int"))
+    @property
+    def dayofweek(self):
+        # pandas: Monday=0; Spark dayofweek: Sunday=1
+        return self._wrap(((F.dayofweek(self._c) + 5) % 7).cast("int"))
+    weekday = dayofweek
+    @property
+    def dayofyear(self):    return self._wrap(F.dayofyear(self._c))
+    @property
+    def quarter(self):      return self._wrap(F.quarter(self._c))
+    @property
+    def week(self):         return self._wrap(F.weekofyear(self._c))
+    weekofyear = week
+    @property
+    def days_in_month(self):
+        return self._wrap(F.dayofmonth(F.last_day(self._c)))
+    daysinmonth = days_in_month
+    @property
+    def date(self):         return self._wrap(F.to_date(self._c))
+    @property
+    def time(self):
+        return self._wrap(F.date_format(self._c, "HH:mm:ss"))
+    @property
+    def is_month_start(self):
+        return self._wrap(F.dayofmonth(self._c) == 1)
+    @property
+    def is_month_end(self):
+        return self._wrap(F.to_date(self._c) == F.last_day(self._c))
+    @property
+    def is_quarter_start(self):
+        return self._wrap((F.dayofmonth(self._c) == 1) & F.month(self._c).isin([1, 4, 7, 10]))
+    @property
+    def is_quarter_end(self):
+        return self._wrap(
+            (F.to_date(self._c) == F.last_day(self._c)) & F.month(self._c).isin([3, 6, 9, 12])
+        )
+    @property
+    def is_year_start(self):
+        return self._wrap((F.dayofyear(self._c) == 1))
+    @property
+    def is_year_end(self):
+        return self._wrap((F.month(self._c) == 12) & (F.dayofmonth(self._c) == 31))
+    @property
+    def is_leap_year(self):
+        y = F.year(self._c)
+        return self._wrap(((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0))
+
+    def isocalendar_week(self):
+        return self._wrap(F.weekofyear(self._c))
+
+    # -- ops -----------------------------------------------------------------
+    _TRUNC_ALIAS = {
+        "D": "day", "day": "day", "h": "hour", "H": "hour", "hour": "hour",
+        "min": "minute", "T": "minute", "minute": "minute",
+        "s": "second", "S": "second", "second": "second",
+        "W": "week", "ME": "month", "M": "month", "MS": "month", "month": "month",
+        "QE": "quarter", "Q": "quarter", "quarter": "quarter",
+        "YE": "year", "Y": "year", "YS": "year", "year": "year",
+    }
+
+    def floor(self, freq: str):
+        unit = self._TRUNC_ALIAS.get(freq, freq)
+        return self._wrap(F.date_trunc(unit, self._c))
+
+    def ceil(self, freq: str):
+        unit = self._TRUNC_ALIAS.get(freq, freq)
+        floored = F.date_trunc(unit, self._c)
+        step = {"day": "1 day", "hour": "1 hour", "minute": "1 minute", "second": "1 second"}[unit]
+        bumped = floored + F.expr(f"INTERVAL {step}")
+        return self._wrap(F.when(self._c == floored, floored).otherwise(bumped))
+
+    def round(self, freq: str):
+        unit = self._TRUNC_ALIAS.get(freq, freq)
+        secs = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
+        epoch = F.unix_timestamp(self._c)
+        rounded = F.bround(epoch / secs) * secs
+        return self._wrap(F.timestamp_seconds(rounded.cast("long")))
+
+    def normalize(self):
+        return self._wrap(F.date_trunc("day", self._c))
+
+    def strftime(self, fmt: str):
+        # translate common C-strftime directives to JVM SimpleDateFormat
+        trans = {
+            "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+            "%S": "ss", "%y": "yy", "%B": "MMMM", "%b": "MMM", "%A": "EEEE",
+            "%a": "EEE", "%j": "DDD", "%U": "ww", "%p": "a",
+        }
+        out = fmt
+        for k, v in trans.items():
+            out = out.replace(k, v)
+        return self._wrap(F.date_format(self._c, out))
+
+    def tz_localize(self, tz: str):
+        return self._wrap(F.to_utc_timestamp(self._c, tz))
+
+    def tz_convert(self, tz: str):
+        return self._wrap(F.from_utc_timestamp(self._c, tz))
+
+    def total_seconds(self):
+        return self._wrap(self._c.cast("double"))
+
+
+# -- constructors -------------------------------------------------------------
+
+def to_datetime(col, fmt: str | None = None, errors: str = "raise"):
+    """``pd.to_datetime`` on a column: errors='coerce' → try_to_timestamp."""
+    from pandas_spark.expr import Expr, _unwrap
+
+    c = _unwrap(col)
+    if not isinstance(c, Column):
+        c = F.lit(c)
+    if errors == "coerce":
+        out = F.try_to_timestamp(c, F.lit(fmt)) if fmt else F.try_to_timestamp(c)
+    else:
+        out = F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c)
+    return Expr(out)
+
+
+def to_numeric(col, errors: str = "raise", downcast: str | None = None):
+    from pandas_spark.expr import Expr, _unwrap
+
+    c = _unwrap(col)
+    target = {"integer": "long", "signed": "long", "unsigned": "long", "float": "double"}.get(
+        downcast or "", "double"
+    )
+    out = c.try_cast(target) if errors == "coerce" else c.cast(target)
+    return Expr(out)
+
+
+def date_range(spark: SparkSession, start: str, end: str, freq: str = "D"):
+    """``pd.date_range`` → ``sequence()`` + explode — distributed generation."""
+    from pandas_spark.frame import DataFrame
+
+    step = {
+        "D": "interval 1 day", "h": "interval 1 hour", "H": "interval 1 hour",
+        "min": "interval 1 minute", "T": "interval 1 minute",
+        "s": "interval 1 second", "W": "interval 7 days", "ME": "interval 1 month",
+        "M": "interval 1 month", "YE": "interval 1 year",
+    }.get(freq, f"interval {freq}")
+    sdf = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("timestamp"),
+                F.lit(end).cast("timestamp"),
+                F.expr(step),
+            )
+        ).alias("ts")
+    )
+    return DataFrame(sdf)

@@ -1,0 +1,207 @@
+"""String accessor: pandas ``Series.str`` on Catalyst string functions.
+
+Reference: pandas/core/strings/accessor.py:150 (StringMethods, ~60
+methods; the Arrow-backed fast path in arrays/string_arrow.py:89
+dispatches to pyarrow.compute — the same "vectorized kernel" role
+Catalyst's string expressions play here). Every method below is a
+built-in JVM expression (whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class StringMethods:
+    __slots__ = ("_c",)
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    def _wrap(self, c: Column):
+        from pandas_spark.expr import Expr
+
+        return Expr(c)
+
+    # -- predicates -----------------------------------------------------
+    def contains(self, pat: str, regex: bool = True, case: bool = True):
+        if regex:
+            pat2 = pat if case else f"(?i){pat}"
+            return self._wrap(self._c.rlike(pat2))
+        if not case:
+            return self._wrap(F.lower(self._c).contains(pat.lower()))
+        return self._wrap(self._c.contains(pat))
+
+    def startswith(self, pat: str):
+        return self._wrap(self._c.startswith(pat))
+
+    def endswith(self, pat: str):
+        return self._wrap(self._c.endswith(pat))
+
+    def match(self, pat: str):
+        return self._wrap(self._c.rlike(f"^(?:{pat})"))
+
+    def fullmatch(self, pat: str):
+        return self._wrap(self._c.rlike(f"^(?:{pat})$"))
+
+    def isalnum(self):   return self._wrap(self._c.rlike(r"^[a-zA-Z0-9]+$"))
+    def isalpha(self):   return self._wrap(self._c.rlike(r"^[a-zA-Z]+$"))
+    def isdigit(self):   return self._wrap(self._c.rlike(r"^[0-9]+$"))
+    def isnumeric(self): return self._wrap(self._c.rlike(r"^[0-9]+$"))
+    def isspace(self):   return self._wrap(self._c.rlike(r"^\s+$"))
+    def islower(self):   return self._wrap((self._c == F.lower(self._c)) & self._c.rlike("[a-zA-Z]"))
+    def isupper(self):   return self._wrap((self._c == F.upper(self._c)) & self._c.rlike("[a-zA-Z]"))
+
+    # -- transforms ------------------------------------------------------
+    def lower(self):      return self._wrap(F.lower(self._c))
+    def upper(self):      return self._wrap(F.upper(self._c))
+    def title(self):      return self._wrap(F.initcap(self._c))
+    def capitalize(self):
+        return self._wrap(
+            F.concat(F.upper(F.substring(self._c, 1, 1)), F.lower(F.expr(f"substring({_sql(self._c)}, 2)")))
+        )
+
+    def swapcase(self):
+        # no builtin; char-level transform via HOF (still JVM-side)
+        return self._wrap(
+            F.array_join(
+                F.transform(
+                    F.split(self._c, ""),
+                    lambda ch: F.when(ch == F.lower(ch), F.upper(ch)).otherwise(F.lower(ch)),
+                ),
+                "",
+            )
+        )
+
+    def len(self):        return self._wrap(F.length(self._c))
+    def strip(self, to_strip: str | None = None):
+        return self._wrap(F.trim(self._c) if to_strip is None else F.expr(f"trim(BOTH '{to_strip}' FROM {_sql(self._c)})"))
+
+    def lstrip(self, to_strip: str | None = None):
+        return self._wrap(F.ltrim(self._c) if to_strip is None else F.expr(f"trim(LEADING '{to_strip}' FROM {_sql(self._c)})"))
+
+    def rstrip(self, to_strip: str | None = None):
+        return self._wrap(F.rtrim(self._c) if to_strip is None else F.expr(f"trim(TRAILING '{to_strip}' FROM {_sql(self._c)})"))
+
+    def replace(self, pat: str, repl: str, regex: bool = True):
+        if regex:
+            return self._wrap(F.regexp_replace(self._c, pat, repl))
+        return self._wrap(F.replace(self._c, F.lit(pat), F.lit(repl)))
+
+    def repeat(self, n: int):
+        return self._wrap(F.repeat(self._c, n))
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        if side == "left":
+            return self._wrap(F.lpad(self._c, width, fillchar))
+        if side == "right":
+            return self._wrap(F.rpad(self._c, width, fillchar))
+        # both: lpad to center
+        total = F.lit(width) - F.length(self._c)
+        lpad_w = F.length(self._c) + F.floor(total / 2).cast("int")
+        return self._wrap(F.rpad(F.lpad(self._c, lpad_w.cast("int"), fillchar), width, fillchar))
+
+    def center(self, width: int, fillchar: str = " "):
+        return self.pad(width, "both", fillchar)
+
+    def ljust(self, width: int, fillchar: str = " "):
+        return self._wrap(F.rpad(self._c, width, fillchar))
+
+    def rjust(self, width: int, fillchar: str = " "):
+        return self._wrap(F.lpad(self._c, width, fillchar))
+
+    def zfill(self, width: int):
+        return self._wrap(F.lpad(self._c, width, "0"))
+
+    def slice(self, start: int = 0, stop: int | None = None, step: int = 1):
+        if step != 1:
+            raise NotImplementedError("str.slice step != 1")
+        if stop is None:
+            return self._wrap(F.expr(f"substring({_sql(self._c)}, {start + 1})"))
+        return self._wrap(F.substring(self._c, start + 1, stop - start))
+
+    def get(self, i: int):
+        return self._wrap(F.substring(self._c, i + 1, 1))
+
+    def removeprefix(self, prefix: str):
+        return self._wrap(
+            F.when(self._c.startswith(prefix), F.expr(f"substring({_sql(self._c)}, {len(prefix) + 1})")).otherwise(self._c)
+        )
+
+    def removesuffix(self, suffix: str):
+        return self._wrap(
+            F.when(self._c.endswith(suffix),
+                   F.substring(self._c, 1, F.length(self._c) - len(suffix))).otherwise(self._c)
+        )
+
+    def translate(self, table: dict):
+        src = "".join(chr(k) for k in table)
+        dst = "".join(v if isinstance(v, str) else chr(v) for v in table.values())
+        return self._wrap(F.translate(self._c, src, dst))
+
+    def normalize(self, form: str = "NFC"):
+        raise NotImplementedError("unicode normalization requires a UDF; out of hot path")
+
+    # -- split / extract ---------------------------------------------------
+    def split(self, pat: str = r"\s+", n: int = -1, regex: bool = True):
+        p = pat if regex else _re_escape(pat)
+        return self._wrap(F.split(self._c, p, n if n > 0 else -1))
+
+    def join(self, sep: str):
+        return self._wrap(F.array_join(self._c, sep))
+
+    def cat(self, other: Column, sep: str = ""):
+        from pandas_spark.expr import _unwrap
+
+        return self._wrap(F.concat_ws(sep, self._c, _unwrap(other)))
+
+    def extract(self, pat: str, group: int = 1):
+        return self._wrap(F.regexp_extract(self._c, pat, group))
+
+    def findall(self, pat: str):
+        return self._wrap(F.regexp_extract_all(self._c, F.lit(pat)))
+
+    def count(self, pat: str):
+        return self._wrap(F.regexp_count(self._c, F.lit(pat)))
+
+    def find(self, sub: str):
+        return self._wrap(F.locate(sub, self._c) - 1)
+
+    def index(self, sub: str):
+        return self.find(sub)
+
+    def partition(self, sep: str):
+        pos = F.locate(sep, self._c)
+        return self._wrap(
+            F.when(
+                pos > 0,
+                F.struct(
+                    F.substring(self._c, 1, pos - 1).alias("head"),
+                    F.lit(sep).alias("sep"),
+                    F.expr(f"substring({_sql(self._c)}, locate('{sep}', {_sql(self._c)}) + {len(sep)})").alias("tail"),
+                ),
+            ).otherwise(F.struct(self._c.alias("head"), F.lit("").alias("sep"), F.lit("").alias("tail")))
+        )
+
+    def wrap(self, width: int):
+        raise NotImplementedError("str.wrap is a formatting op; driver-side")
+
+    def decode(self, encoding: str = "utf-8"):
+        return self._wrap(F.decode(self._c, encoding))
+
+    def encode(self, encoding: str = "utf-8"):
+        return self._wrap(F.encode(self._c, encoding))
+
+
+def _sql(c: Column) -> str:
+    # best-effort SQL name for simple column refs used inside F.expr
+    s = str(c)
+    # Column<'name'> → name
+    return s.split("'")[1] if "'" in s else s
+
+
+def _re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)

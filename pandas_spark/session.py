@@ -1,0 +1,65 @@
+"""SparkSession bootstrap tuned for the engine.
+
+Local testing runs on ``local[N]`` (one JVM); the configs below are the
+ones that also matter on a real cluster: AQE for runtime re-planning
+(skew joins, partition coalescing), Arrow for every Python<->JVM data
+exchange, UTC session time so results are oracle-comparable, and a
+shuffle-partition default sized for the local core count (clusters
+override via ``spark.sql.shuffle.partitions`` / AQE advisory size).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: runtime stats beat static planning — coalesce tiny shuffle
+    # partitions, convert to broadcast when a side turns out small,
+    # split skewed partitions. Essential at the 100 TB design point.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow on every pandas<->Spark boundary (pandas_udf, toPandas,
+    # createDataFrame) — batch columnar transfer, not per-row pickle.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Deterministic, oracle-comparable timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: pandas semantics are non-ANSI (1/0 -> inf handled at
+    # our expression layer, overflow wraps are shimmed per-op).
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "pandas_spark", **extra: str) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``);
+    shuffle partitions default to the local core count so tiny local
+    runs don't pay 200-way shuffles, while cluster deployments pass
+    their own value via ``extra``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(_shuffle_partitions(cpus)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in {**_DEFAULTS, **extra}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _shuffle_partitions(cpus: str) -> int:
+    if cpus == "*":
+        return max(os.cpu_count() or 8, 8)
+    try:
+        return max(int(cpus), 8)
+    except ValueError:
+        return 32

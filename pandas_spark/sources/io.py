@@ -1,0 +1,137 @@
+"""Readers/writers: pandas' IO surface on Spark datasources.
+
+pandas readers (reference: pandas/io/parsers/readers.py:1045 read_csv,
+io/parquet.py:548 read_parquet, io/json/_json.py:524 read_json) are
+format libraries returning eager frames; here each maps to the native
+Spark datasource — distributed scan, schema inference, predicate
+pushdown and column pruning via Catalyst, partition pruning on
+directory layouts. Option names follow pandas where a 1:1 mapping
+exists (sep, header, names, usecols, dtype, nrows, ...).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import SparkSession
+
+from pandas_spark.frame import DataFrame
+from pandas_spark.dtypes import to_spark_type
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — a driver-side footer
+    read only (no data). Spark has no ns timestamp type (µs is the
+    engine precision, SURVEY §1.3); these are read as long and converted."""
+    try:
+        import pyarrow.dataset as pads
+        import pyarrow as pa
+
+        schema = pads.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+    filters: str | None = None,
+) -> DataFrame:
+    """``pd.read_parquet`` — columns= prunes, filters= pushes into the scan.
+
+    ns-precision timestamps (pandas' default unit) are transparently
+    truncated to µs: the scan reads them as long (nanosAsLong) and a
+    projection converts — stays distributed, pushdown-friendly.
+    """
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = spark.read.parquet(path)
+    if ns_cols:
+        from pyspark.sql import functions as F
+
+        sdf = sdf.withColumns(
+            {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
+        )
+    if filters:
+        sdf = sdf.filter(filters)
+    if columns:
+        sdf = sdf.select(*columns)
+    return DataFrame(sdf)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool | int = 0,
+    names: Sequence[str] | None = None,
+    dtype: Mapping[str, str] | None = None,
+    usecols: Sequence[str] | None = None,
+    nrows: int | None = None,
+    na_values: str | Sequence[str] | None = None,
+    comment: str | None = None,
+    quotechar: str = '"',
+    escapechar: str | None = None,
+    date_format: str | None = None,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """``pd.read_csv`` option surface → Spark csv datasource options."""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", header is not False and header is not None)
+        .option("quote", quotechar)
+        .option("inferSchema", infer_schema and dtype is None)
+    )
+    if escapechar:
+        reader = reader.option("escape", escapechar)
+    if comment:
+        reader = reader.option("comment", comment)
+    if na_values:
+        nv = na_values if isinstance(na_values, str) else list(na_values)[0]
+        reader = reader.option("nullValue", nv)
+    if date_format:
+        reader = reader.option("timestampFormat", date_format)
+    sdf = reader.csv(path)
+    if names:
+        sdf = sdf.toDF(*names)
+    if dtype:
+        for c, t in dtype.items():
+            sdf = sdf.withColumn(c, sdf[c].cast(to_spark_type(t)))
+    if usecols:
+        sdf = sdf.select(*usecols)
+    if nrows:
+        sdf = sdf.limit(nrows)
+    return DataFrame(sdf)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    lines: bool = True,
+    schema: str | None = None,
+) -> DataFrame:
+    """``pd.read_json(lines=True)`` — NDJSON is Spark's native json format."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    if not lines:
+        reader = reader.option("multiLine", True)
+    return DataFrame(reader.json(path))
+
+
+def read_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    sdf = spark.read.orc(path)
+    if columns:
+        sdf = sdf.select(*columns)
+    return DataFrame(sdf)
+
+
+def table(spark: SparkSession, name: str) -> DataFrame:
+    return DataFrame(spark.table(name))

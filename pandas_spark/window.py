@@ -1,0 +1,273 @@
+"""Sliding windows: pandas rolling/expanding/ewm/resample on Spark frames.
+
+pandas computes per-row [start,end) bounds then runs O(n) kernels
+(reference: pandas/core/indexers/objects.py FixedWindowIndexer:108 /
+VariableWindowIndexer:158; kernels _libs/window/aggregations.pyx).
+Spark's window frames are the same model declared declaratively:
+
+  rolling(n)        → rowsBetween(-(n-1), 0)
+  rolling('10s')    → rangeBetween(-10s_µs, 0) over orderBy(ts µs)
+  expanding()       → rowsBetween(unboundedPreceding, 0)
+  groupby rolling   → + partitionBy(keys)
+
+``min_periods`` guards with a count-over-frame when(). ``ewm`` is
+recursive — inexpressible as a frame aggregate — so it runs as an
+Arrow-batched ``applyInPandas`` per group (SURVEY §2.5 plan (a));
+the un-keyed variant documents its single-partition constraint.
+
+resample(freq) is a tumbling event-time window: groupBy(window(ts)).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, Window as W
+from pyspark.sql import functions as F
+
+from pandas_spark.frame import DataFrame
+
+_AGGS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "median": F.median,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+}
+
+_FREQ_SECONDS = {
+    "s": 1, "min": 60, "T": 60, "h": 3600, "H": 3600, "D": 86400, "W": 604800,
+}
+
+
+def parse_offset_seconds(freq: str) -> int:
+    """'10s' / '5min' / '1h' / '2D' → seconds."""
+    import re
+
+    m = re.fullmatch(r"(\d+)?\s*([a-zA-Z]+)", freq.strip())
+    if not m:
+        raise ValueError(f"cannot parse frequency {freq!r}")
+    n = int(m.group(1) or 1)
+    unit = m.group(2)
+    if unit not in _FREQ_SECONDS:
+        raise ValueError(f"unsupported frequency unit {unit!r}")
+    return n * _FREQ_SECONDS[unit]
+
+
+class Rolling:
+    def __init__(
+        self,
+        frame: DataFrame,
+        window,
+        on: str | None = None,
+        by: Sequence[str] | None = None,
+        min_periods: int | None = None,
+        center: bool = False,
+    ):
+        self._frame = frame
+        self._window = window
+        self._on = on
+        self._by = list(by or [])
+        self._center = center
+        if isinstance(window, int):
+            self._min_periods = min_periods if min_periods is not None else window
+        else:
+            self._min_periods = min_periods if min_periods is not None else 1
+
+    def _spec(self, frame: DataFrame):
+        if isinstance(self._window, int):
+            n = self._window
+            if self._center:
+                lo, hi = -(n // 2), n - 1 - n // 2
+            else:
+                lo, hi = -(n - 1), 0
+            key = self._on or frame._order_col
+            base = W.partitionBy(*self._by) if self._by else W.partitionBy()
+            return base.orderBy(F.col(key).asc()).rowsBetween(lo, hi)
+        # time-offset window over the timestamp in microseconds
+        if not self._on:
+            raise ValueError("time-based rolling requires on=<timestamp col>")
+        span = parse_offset_seconds(self._window) * 1_000_000
+        base = W.partitionBy(*self._by) if self._by else W.partitionBy()
+        return base.orderBy(F.unix_micros(F.col(self._on))).rangeBetween(-span + 1, 0)
+
+    def _apply(self, func: str, col: str, alias: str | None):
+        frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
+        w = self._spec(frame)
+        expr = _AGGS[func](F.col(col))
+        name = alias or f"{col}_{func}"
+        val = expr.over(w)
+        if self._min_periods and self._min_periods > 1:
+            cnt = F.count(F.col(col)).over(w)
+            val = F.when(cnt >= self._min_periods, val)
+        return frame._with(frame._sdf.withColumn(name, val))
+
+    def sum(self, col: str, alias: str | None = None):    return self._apply("sum", col, alias)
+    def mean(self, col: str, alias: str | None = None):   return self._apply("mean", col, alias)
+    def min(self, col: str, alias: str | None = None):    return self._apply("min", col, alias)
+    def max(self, col: str, alias: str | None = None):    return self._apply("max", col, alias)
+    def count(self, col: str, alias: str | None = None):  return self._apply("count", col, alias)
+    def median(self, col: str, alias: str | None = None): return self._apply("median", col, alias)
+    def std(self, col: str, alias: str | None = None):    return self._apply("std", col, alias)
+    def var(self, col: str, alias: str | None = None):    return self._apply("var", col, alias)
+
+
+class Expanding(Rolling):
+    def __init__(self, frame: DataFrame, on: str | None = None, by: Sequence[str] | None = None, min_periods: int = 1):
+        super().__init__(frame, window=0, on=on, by=by, min_periods=min_periods)
+
+    def _spec(self, frame: DataFrame):
+        key = self._on or frame._order_col
+        base = W.partitionBy(*self._by) if self._by else W.partitionBy()
+        return base.orderBy(F.col(key).asc()).rowsBetween(W.unboundedPreceding, 0)
+
+    def _apply(self, func: str, col: str, alias: str | None):
+        frame = self._frame if self._on else self._frame._ensure_order()
+        w = self._spec(frame)
+        name = alias or f"{col}_{func}"
+        val = _AGGS[func](F.col(col)).over(w)
+        if self._min_periods and self._min_periods > 1:
+            cnt = F.count(F.col(col)).over(w)
+            val = F.when(cnt >= self._min_periods, val)
+        return frame._with(frame._sdf.withColumn(name, val))
+
+
+class Resampler:
+    """Tumbling event-time bucketing (pandas resample → F.window).
+
+    Reference: pandas/core/resample.py:119; the same groupBy(window())
+    plan runs under Structured Streaming with a watermark
+    (pandas_spark/streaming) — batch and stream share semantics.
+    """
+
+    def __init__(self, frame: DataFrame, rule: str, on: str, by: Sequence[str] | None = None):
+        self._frame = frame
+        self._rule = rule
+        self._on = on
+        self._by = list(by or [])
+
+    def _bucketed(self):
+        secs = parse_offset_seconds(self._rule)
+        win = F.window(F.col(self._on), f"{secs} seconds")
+        return self._frame.spark.groupBy(*self._by, win.alias("__win__"))
+
+    def agg(self, spec) -> DataFrame:
+        from pandas_spark.groupby import resolve_agg
+
+        exprs = []
+        if isinstance(spec, dict):
+            for col, funcs in spec.items():
+                if isinstance(funcs, str):
+                    exprs.append(resolve_agg(funcs, col).alias(col))
+                else:
+                    for fn in funcs:
+                        exprs.append(resolve_agg(fn, col).alias(f"{col}_{fn}"))
+        elif isinstance(spec, str):
+            num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+            for c, t in self._frame.dtypes:
+                if c != self._on and c not in self._by and t in num:
+                    exprs.append(resolve_agg(spec, c).alias(c))
+        out = self._bucketed().agg(*exprs)
+        out = out.select(
+            *self._by,
+            F.col("__win__.start").alias(self._on),
+            *[c for c in out.columns if c not in (*self._by, "__win__")],
+        )
+        return DataFrame(out)
+
+    def sum(self):   return self.agg("sum")
+    def mean(self):  return self.agg("mean")
+    def count(self): return self.agg("count")
+    def min(self):   return self.agg("min")
+    def max(self):   return self.agg("max")
+
+    def ohlc(self, col: str) -> DataFrame:
+        secs = parse_offset_seconds(self._rule)
+        w = (
+            W.partitionBy(*self._by, F.window(F.col(self._on), f"{secs} seconds"))
+            .orderBy(F.col(self._on).asc())
+        )
+        sdf = (
+            self._frame.spark
+            .withColumn("__first__", F.first(col).over(w))
+            .withColumn("__last__", F.last(col).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        )
+        out = (
+            sdf.groupBy(*self._by, F.window(F.col(self._on), f"{secs} seconds").alias("__win__"))
+            .agg(
+                F.first("__first__").alias("open"),
+                F.max(col).alias("high"),
+                F.min(col).alias("low"),
+                F.first("__last__").alias("close"),
+            )
+            .select(*self._by, F.col("__win__.start").alias(self._on), "open", "high", "low", "close")
+        )
+        return DataFrame(out)
+
+    def asfreq_spine(self) -> DataFrame:
+        """Dense time spine for upsampling (F.sequence + explode)."""
+        secs = parse_offset_seconds(self._rule)
+        bounds = self._frame.spark.agg(
+            F.date_trunc("second", F.min(self._on)).alias("lo"),
+            F.date_trunc("second", F.max(self._on)).alias("hi"),
+        )
+        spine = bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {secs} seconds"))).alias(self._on)
+        )
+        return DataFrame(spine)
+
+
+def ewm_mean(
+    frame: DataFrame,
+    col: str,
+    alpha: float | None = None,
+    span: float | None = None,
+    by: Sequence[str] | None = None,
+    order_by: str | None = None,
+    alias: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted mean (pandas ewm.mean, window/ewm.py:127).
+
+    Recursive — computed per group with an Arrow-batched applyInPandas.
+    Without ``by`` the whole series lands in one task (documented pandas
+    -parity constraint; use a key for scale).
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    if alpha is None:
+        if span is None:
+            raise ValueError("need alpha or span")
+        alpha = 2.0 / (span + 1.0)
+    keys = list(by or [])
+    name = alias or f"{col}_ewm"
+    sdf = frame.spark
+    if not keys:
+        sdf = sdf.withColumn("__g__", F.lit(0))
+        keys_eff = ["__g__"]
+    else:
+        keys_eff = keys
+    order = order_by or frame._order_col
+    if order is None:
+        frame2 = frame._ensure_order()
+        sdf = frame2._sdf if not keys else frame2._sdf
+        if not keys:
+            sdf = sdf.withColumn("__g__", F.lit(0))
+        order = frame2._order_col
+
+    out_fields = sdf.schema.fields
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields) + f", `{name}` double"
+    a = alpha
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order)
+        pdf[name] = pdf[col].ewm(alpha=a, adjust=True).mean()
+        return pdf
+
+    out = sdf.groupBy(*keys_eff).applyInPandas(fn, schema)
+    drop = [c for c in ("__g__", "__ord__") if c in out.columns and c not in frame.columns]
+    return DataFrame(out.drop(*drop))
