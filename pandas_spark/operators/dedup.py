@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The training-data-pipeline workhorses (not in the pandas reference).
+Design for 100 TB:
+
+* **exact** — content-hash groupBy; one shuffle on a 64/128-bit key.
+* **MinHash+LSH** — per-doc signature is map-only (k=band*rows hash
+  mins over shingles, all Catalyst HOFs); banding explodes to
+  (band_id, band_hash) keys; the only shuffle is the bucket
+  self-join, whose size is controlled by band width. Candidates are
+  then *exactly* verified with Jaccard on shingle sets, so the output
+  is deterministic (LSH affects recall only, tuned by bands/rows).
+* **SimHash** — 64-bit signature via bit-majority over token hashes,
+  expressed with array HOFs (no UDF); Hamming-distance pairs via
+  band-rotation buckets.
+* **n-gram Jaccard** — exact pairwise within blocking buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from pandas_spark.frame import DataFrame
+from pandas_spark.operators.text import normalize_expr, shingles_expr, tokens_expr
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Keep one row per distinct content (min id wins — deterministic).
+
+    Hash first so the shuffle key is 32 bytes, not the document text.
+    """
+    t = normalize_expr(F.col(text_col)) if normalized else F.col(text_col)
+    sdf = frame.spark.withColumn("__h__", F.md5(t))
+    keep = sdf.groupBy("__h__").agg(F.min(id_col).alias(id_col))
+    out = sdf.join(keep, [id_col, "__h__"], "inner").drop("__h__")
+    return DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    sdf: SparkDF,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+    out_col: str = "minhash",
+) -> SparkDF:
+    """k-permutation MinHash over word shingles — map-only, built-ins.
+
+    hash_i(s) = xxhash64(s, i); signature[i] = min over shingles.
+
+    NB: the seed must be bound via a real closure — a two-parameter
+    lambda in ``F.transform`` receives (element, array_index), which
+    would silently shadow the seed.
+    """
+    sh = shingles_expr(F.col(text_col), shingle_n)
+
+    def component(seed: int):
+        return F.array_min(
+            F.transform(F.col("__sh__"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    sig = F.array(*[component(i) for i in range(num_hashes)])
+    return (
+        sdf.withColumn("__sh__", sh)
+        .withColumn(out_col, sig)
+        .drop("__sh__")
+    )
+
+
+def lsh_candidate_pairs(
+    sdf: SparkDF,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 32,
+    rows: int = 2,
+) -> SparkDF:
+    """Band the signatures and self-join on (band, band-hash) buckets.
+
+    P(candidate | jaccard=j) = 1-(1-j^rows)^bands; with (32,2) a 0.8-
+    similar pair is missed with probability < 1e-14. The bucket join is
+    the only shuffle; keys are (band_id, 64-bit hash).
+    """
+    banded = sdf.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col(sig_col), b * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: SparkDF,
+    docs: SparkDF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> SparkDF:
+    """Exact Jaccard on shingle *sets* for candidate pairs."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
+    )
+    j = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id1", "__s__": "__s1__"}), "id1")
+        .join(sh.withColumnsRenamed({id_col: "id2", "__s__": "__s2__"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__s1__", "__s2__"))
+            / F.size(F.array_union("__s1__", "__s2__")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return j
+
+
+def minhash_dedup_pairs(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    rows: int = 2,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """End-to-end near-duplicate pairs: MinHash → LSH buckets → exact
+    Jaccard verification at ``threshold``. Deterministic output."""
+    sdf = frame.spark
+    sigs = minhash_signature(sdf, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows)
+    return DataFrame(jaccard_verify(cands, sdf, id_col, text_col, shingle_n, threshold))
+
+
+def ngram_jaccard_pairs(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs (within optional
+    blocking key to bound the quadratic term at scale)."""
+    sdf = frame.spark
+    sh = sdf.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col),
+        F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
+    )
+    l, r = sh.alias("l"), sh.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if block_col:
+        cond = (F.col(f"l.{block_col}") == F.col(f"r.{block_col}")) & cond
+    out = (
+        l.join(r, cond)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("l.__s__", "r.__s__"))
+            / F.size(F.array_union("l.__s__", "r.__s__")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+            "jaccard",
+        )
+    )
+    return DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_expr(text: Column, bits: int = 64) -> Column:
+    """SimHash: per-token 64-bit hash; signature bit b = majority of
+    token-hash bit b. Pure array HOFs (aggregate over tokens) — no UDF.
+    """
+    toks = F.array_distinct(tokens_expr(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    # for each bit: sum(+1 if set else -1) > 0; bind b via closure.
+    # Bit 63 of a signed long is the sign bit: its mask is LONG_MIN,
+    # not 1<<63 (which overflows the py4j long literal).
+    def bit_col(b: int):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        return (
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+            )
+            > 0
+        ).cast("long") * F.lit(mask)
+
+    bit_cols = [bit_col(b) for b in range(bits)]
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_buckets(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash signatures + 4 rotation-band bucket keys: two docs within
+    Hamming distance 3 share at least one 16-bit band (pigeonhole) —
+    the standard scalable near-dup blocking for SimHash."""
+    sig = simhash_expr(F.col(text_col))
+    sdf = frame.spark.withColumn("simhash", sig)
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    out = sdf.select(
+        id_col,
+        "simhash",
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    return DataFrame(out)

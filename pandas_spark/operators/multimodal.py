@@ -1,0 +1,133 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested: binary payload columns,
+a metadata struct (modality, codec, dims, duration), Arrow-batched
+``mapInPandas`` feature extraction with explicit schemas and bounded
+batch sizes. The actual media *decode* (JPEG/PNG/ffmpeg) is stubbed —
+the decode libraries aren't in this container — behind
+``NotImplementedError`` with a deterministic fake available for tests,
+so pipelines exercise partitioning/batching/schema exactly as they
+would with a real codec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pandas_spark.frame import DataFrame
+
+METADATA_SCHEMA = (
+    "struct<modality:string,codec:string,width:int,height:int,"
+    "duration_ms:int,sample_rate:int>"
+)
+
+
+def attach_binary_payload(
+    frame: DataFrame,
+    source_col: str,
+    modality: str = "image",
+    codec: str = "raw",
+    duration_ms=None,
+) -> DataFrame:
+    """Materialize a binary payload column + metadata struct.
+
+    In production the payload comes off object storage; here it is
+    derived from an existing column so the downstream plumbing
+    (binary type, metadata pruning, batch shapes) is identical.
+    ``duration_ms`` (a Column) populates the metadata for time-based
+    media so frame-sampling plans have a real horizon.
+    """
+    dur = F.lit(None).cast("int") if duration_ms is None else duration_ms.cast("int")
+    sdf = frame.spark.withColumns(
+        {
+            "payload": F.encode(F.col(source_col).cast("string"), "utf-8"),
+            "media_meta": F.struct(
+                F.lit(modality).alias("modality"),
+                F.lit(codec).alias("codec"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                dur.alias("duration_ms"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ),
+        }
+    )
+    return DataFrame(sdf)
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB: real implementation decodes JPEG/PNG → HxWxC array.
+
+    The container has no imaging libraries; a cluster deployment plugs
+    PIL/libjpeg-turbo here. Until then this raises, and pipelines use
+    ``fake_decode_features`` for deterministic tests.
+    """
+    raise NotImplementedError(
+        "image decode requires an imaging library (PIL/opencv) — "
+        "not available in this environment; use fake_decode_features"
+    )
+
+
+def fake_decode_features(payload: bytes) -> dict:
+    """Deterministic stand-in for decode+feature-extract: stable
+    pseudo-dimensions and a content digest, derived only from bytes."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "byte_len": len(payload),
+        "digest": h.hex()[:16],
+        "pseudo_width": 64 + h[0] % 64,
+        "pseudo_height": 64 + h[1] % 64,
+    }
+
+
+FEATURE_SCHEMA = (
+    "id long, byte_len int, digest string, pseudo_width int, pseudo_height int"
+)
+
+
+def extract_features(
+    frame: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """Arrow-batched per-partition feature extraction (mapInPandas).
+
+    Only (id, payload) flow into Python — column pruning keeps the rest
+    JVM-side. Swap ``fake_decode_features`` for a real decoder without
+    touching the plan shape.
+    """
+    src = frame.spark.select(F.col(id_col).alias("id"), F.col(payload_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode_features(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "id", pdf["id"].values)
+            yield out
+
+    return DataFrame(src.mapInPandas(run, FEATURE_SCHEMA))
+
+
+def frame_sample_plan(
+    frame: DataFrame,
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (sequence+explode — distributed row generation); the frame decode
+    itself is the stubbed step."""
+    sdf = frame.spark.withColumn(
+        "sample_ts_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(F.col("media_meta.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
+        ),
+    ).select(id_col, "sample_ts_ms")
+    return DataFrame(sdf)

@@ -647,3 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# Registers the training-data-pipeline entries (text / dedup /
+# similarity / multimodal) into QUERIES/ORACLES. Bottom import: the
+# module needs the @query decorator defined above.
+import pandas_spark.suite_datapipe  # noqa: E402,F401

@@ -1,0 +1,282 @@
+"""Suite entries for the training-data-pipeline operators.
+
+Beyond the pandas reference (SURVEY.md §7.2 phase 10): text analysis,
+exact + fuzzy deduplication, embedding similarity search, multimodal
+column plumbing — each over the driver's ``documents`` /
+``embeddings`` tables with a DuckDB oracle wherever the semantics are
+SQL-expressible (xxhash64-based signatures get rows-only checks; the
+*verification* stages around them are exact and oracled).
+
+DuckDB oracle SQL for token/shingle logic is generated from the same
+``STOPWORDS`` constants the Spark expressions use, so the two sides
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_spark import read_parquet
+from pandas_spark.frame import DataFrame
+from pandas_spark.operators import dedup, multimodal, similarity, text
+from pandas_spark.suite import query
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (kept in lockstep with the Spark exprs)
+# ---------------------------------------------------------------------------
+
+# text.tokens_expr equivalent
+_TOKS = (
+    r"string_split_regex(trim(regexp_replace(lower(text),"
+    r" '[^\p{L}\p{N}]+', ' ', 'g')), ' ')"
+)
+
+
+def _shingle_sql(n: int) -> str:
+    """text.shingles_expr equivalent over a ``toks`` column (distinct set)."""
+    return (
+        f"list_distinct(CASE WHEN len(toks) >= {n} "
+        f"THEN list_transform(range(1, len(toks)-{n - 2}), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END)"
+    )
+
+
+def _sw_score_sql(lang: str) -> str:
+    """text.lang_scores_expr component for one language."""
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (
+        f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+        f" / greatest(len(toks), 1)"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return DataFrame(f.spark.withColumn("embedding", F.col("embedding").cast("array<double>")))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_LANGS_BY_TIEBREAK = sorted(text.STOPWORDS, reverse=True)  # struct-max tie → max lang
+_SCORES = ", ".join(f"{_sw_score_sql(lang)} AS s_{lang}" for lang in text.STOPWORDS)
+_SMAX = "greatest(" + ", ".join(f"s_{lang}" for lang in text.STOPWORDS) + ")"
+_LANG_CASE = (
+    f"CASE WHEN {_SMAX} = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = {_SMAX} THEN '{lang}'" for lang in _LANGS_BY_TIEBREAK)
+    + " END"
+)
+
+_TEXT_STATS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, text, {_TOKS} AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, text, toks,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           {_SCORES}
+    FROM t
+)
+SELECT doc_id,
+       n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       s_en AS stopword_ratio,
+       {_LANG_CASE} AS lang_pred,
+       (
+         (n_tokens BETWEEN 10 AND 100000)::INT * 0.25
+         + (n_chars / greatest(n_tokens, 1) BETWEEN 3 AND 12)::INT * 0.25
+         + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(n_chars, 1) * 0.5, 0.25) * 2
+         + least(s_en * 2.5, 0.25)
+       )::DOUBLE AS quality
+FROM s
+"""
+
+
+@query("text_stats", oracle=_TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    docs = _docs(spark, sf_dir)
+    return (
+        text.add_text_stats(docs)
+        .select(["doc_id", "n_tokens", "n_tokens_bpe", "stopword_ratio", "lang_pred", "quality"])
+        .to_spark()
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .withColumn("n_tokens_bpe", F.col("n_tokens_bpe").cast("long"))
+    )
+
+
+@query("text_fingerprint_simhash")  # rows-only: xxhash64 has no DuckDB analog
+def text_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
+    docs = _docs(spark, sf_dir)
+    with_fp = DataFrame(docs.spark.withColumn("fingerprint", text.fingerprint_expr(F.col("text"))))
+    return dedup.simhash_buckets(with_fp, "text", "doc_id").to_spark()
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> SparkDF:
+    docs = _docs(spark, sf_dir)
+    return dedup.exact_dedup(docs, "text", "doc_id").select(["doc_id", "n_chars"]).to_spark()
+
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql(5)} AS s
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+SELECT l.doc_id AS id1, r.doc_id AS id2,
+       len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) AS jaccard
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.8
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """MinHash→LSH candidates→exact-Jaccard verify; with (bands=32,
+    rows=2) a 0.8-similar pair is missed w.p. < 1e-14, so the output
+    equals the exact pairwise oracle."""
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.8, num_hashes=64, bands=32, rows=2, shingle_n=5
+    ).to_spark()
+
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, lang, {_shingle_sql(3)} AS s
+    FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+)
+SELECT l.doc_id AS id1, r.doc_id AS id2,
+       len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) AS jaccard
+FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id < r.doc_id
+WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> SparkDF:
+    docs = _docs(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, shingle_n=3, block_col="lang"
+    ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_topk_cosine",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    s AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM s
+    ) WHERE rank <= 10
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> SparkDF:
+    emb = _emb(spark, sf_dir)
+    queries = DataFrame(
+        emb.spark.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    out = similarity.cosine_topk(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
+    return out.to_spark().withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "sim_neardup_blocked",
+    oracle="""
+    SELECT l.vec_id AS id1, r.vec_id AS id2,
+           list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cosine
+    FROM embeddings l
+    JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def sim_neardup_blocked(spark: SparkSession, sf_dir: str) -> SparkDF:
+    emb = _emb(spark, sf_dir)
+    return similarity.blocked_neardup_pairs(
+        emb, block_col="label", id_col="vec_id", vec_col="embedding", threshold=0.4
+    ).to_spark()
+
+
+@query("sim_neardup_lsh")  # rows-only: LSH recall < 1 by design (scale path)
+def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
+    emb = _emb(spark, sf_dir)
+    return similarity.embedding_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, dim=64, bits=6
+    ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS id,
+           octet_length(text::BLOB) AS byte_len,
+           substr(sha256(text), 1, 16) AS digest
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> SparkDF:
+    docs = _docs(spark, sf_dir)
+    with_payload = multimodal.attach_binary_payload(docs, "text")
+    feats = multimodal.extract_features(with_payload, id_col="doc_id")
+    return (
+        feats.select(["id", "byte_len", "digest"])
+        .to_spark()
+        .withColumn("byte_len", F.col("byte_len").cast("long"))
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(generate_series(0, n_chars * 10, 1000)) AS sample_ts_ms
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    docs = _docs(spark, sf_dir)
+    with_payload = multimodal.attach_binary_payload(
+        docs, "text", modality="video", codec="fake",
+        duration_ms=F.col("n_chars") * 10,
+    )
+    return (
+        multimodal.frame_sample_plan(with_payload, id_col="doc_id", every_ms=1000)
+        .to_spark()
+        .withColumn("sample_ts_ms", F.col("sample_ts_ms").cast("long"))
+    )
