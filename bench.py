@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# headline set: one per operator family that dominates BASELINE.md
+# headline set: one per operator family that dominates BASELINE.md,
+# plus the training-data-pipeline ops (text/dedup/similarity)
 HEADLINE = [
     "q1_groupby_agg",
     "join_inner",
@@ -35,6 +36,11 @@ HEADLINE = [
     "query_dialect",
     "pivot_sum",
     "melt_unpivot",
+    "groupby_skew_kurt",
+    "ewm_mean",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
 ]
 
 
@@ -44,11 +50,15 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = suite.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n not in HEADLINE
-    ]
-    # warmup: JVM/codegen/shuffle paths on the flagship query
+    names = [n for n in HEADLINE if n in qs]
+    # Warmup: first-touch costs that are per-process, not per-query —
+    # JVM JIT + whole-stage codegen, the regex runtime, and the Arrow
+    # Python-worker pool (pandas_udf paths fork workers lazily).
     qs["q1_groupby_agg"](spark, SF_DIR).collect()
+    qs["string_ops"](spark, SF_DIR).limit(1).collect()
+    spark.range(64).selectExpr("id", "cast(id as double) v").groupBy(
+        "id"
+    ).applyInPandas(lambda pdf: pdf, "id long, v double").collect()
 
     timings: dict[str, float] = {}
     for name in names:

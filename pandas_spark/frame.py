@@ -348,6 +348,25 @@ class DataFrame:
             return self._with(self._sdf.orderBy(F.rand(seed or 0)).limit(n))
         raise ValueError("sample requires frac or n")
 
+    def agg(self, spec=None, **named) -> "DataFrame":
+        """Global (ungrouped) reductions — the DataFrame-level mirror of
+        the groupby agg table (frame.py:16195-18889 reductions, all
+        backed by core/nanops.py skipna kernels). Same spec language as
+        ``groupby().agg``: ``{col: func|[funcs]}`` or ``name=(col,
+        func)``; one-row output, single Tungsten partial+final agg."""
+        from pandas_spark.groupby import resolve_agg
+
+        exprs = []
+        if spec:
+            for c, fns in dict(spec).items():
+                for fn in [fns] if isinstance(fns, str) else list(fns):
+                    exprs.append(resolve_agg(fn, c).alias(f"{c}_{fn}"))
+        for out_name, (c, fn) in named.items():
+            exprs.append(resolve_agg(fn, c).alias(out_name))
+        if not exprs:
+            raise ValueError("agg requires a spec")
+        return DataFrame(self._sdf.agg(*exprs))
+
     # -- groupby (SURVEY §2.4) -----------------------------------------------
     def groupby(self, by: str | Sequence[str], dropna: bool = True) -> "GroupBy":
         from pandas_spark.groupby import GroupBy

@@ -64,6 +64,9 @@ class DatetimeMethods:
     def time(self):
         return self._wrap(F.date_format(self._c, "HH:mm:ss"))
     @property
+    def month_end(self):
+        return self._wrap(F.last_day(self._c))
+    @property
     def is_month_start(self):
         return self._wrap(F.dayofmonth(self._c) == 1)
     @property

@@ -92,6 +92,9 @@ class StringMethods:
     def repeat(self, n: int):
         return self._wrap(F.repeat(self._c, n))
 
+    def reverse(self):
+        return self._wrap(F.reverse(self._c))
+
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
         if side == "left":
             return self._wrap(F.lpad(self._c, width, fillchar))

@@ -653,3 +653,4 @@ def oracle_sql() -> dict[str, str]:
 # similarity / multimodal) into QUERIES/ORACLES. Bottom import: the
 # module needs the @query decorator defined above.
 import pandas_spark.suite_datapipe  # noqa: E402,F401
+import pandas_spark.suite_ext  # noqa: E402,F401

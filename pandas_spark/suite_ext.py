@@ -1,0 +1,555 @@
+"""Extended suite: wider SURVEY.md §2 coverage, one oracle per operator.
+
+Covers the operator families v0.1's suite left unchecked: statistical
+shims (skew/kurt/sem — pandas G1/G2 formulas, groupby.pyx:1069/1139),
+quantile, idxmin/idxmax (min_by/max_by), nth, rank(average/pct),
+cumcount/ngroup, transform+filter, per-group ffill, row-window rolling,
+expanding, ewm (recursive, applyInPandas), global reductions, crosstab,
+get_dummies, qcut, explode, combine_first, compare, floordiv/mod Python
+semantics, extra string/datetime functions, and CSV/JSON round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame as SparkDF, SparkSession
+from pyspark.sql import functions as F
+
+import pandas_spark as ps
+from pandas_spark import col
+from pandas_spark.frame import DataFrame
+from pandas_spark.suite import query
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return ps.read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 groupby: statistical shims + positional + rank family
+# ---------------------------------------------------------------------------
+
+@query(
+    "groupby_skew_kurt",
+    oracle="""
+    SELECT l_returnflag,
+           skewness(l_extendedprice) AS skew_price,
+           kurtosis(l_extendedprice) AS kurt_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def groupby_skew_kurt(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pandas G1/G2 bias-adjusted moments (groupby.pyx:1069,1139) as
+    composite one-pass agg expressions — DuckDB's skewness/kurtosis use
+    the same sample-adjusted formulas."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupby("l_returnflag")
+        .agg(skew_price=("l_extendedprice", "skew"), kurt_price=("l_extendedprice", "kurt"))
+        .to_spark()
+    )
+
+
+@query(
+    "groupby_quantile",
+    oracle="""
+    SELECT o_orderpriority, quantile_cont(o_totalprice, 0.25) AS q25
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def groupby_quantile(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders").select(["o_orderpriority", "o_totalprice"])
+    return orders.groupby("o_orderpriority").quantile(0.25).rename({"o_totalprice": "q25"}).to_spark()
+
+
+@query(
+    "groupby_idxminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_min(o_orderkey, o_totalprice) AS idxmin_o_totalprice,
+           arg_max(o_orderkey, o_totalprice) AS idxmax_o_totalprice
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def groupby_idxminmax(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    lo = orders.groupby("o_orderpriority").idxmin("o_totalprice", "o_orderkey")
+    hi = orders.groupby("o_orderpriority").idxmax("o_totalprice", "o_orderkey")
+    return ps.merge(lo, hi, on="o_orderpriority", how="inner").to_spark()
+
+
+@query(
+    "groupby_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 3
+    """,
+)
+def groupby_nth(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders").select(["o_custkey", "o_orderkey", "o_totalprice"])
+    return orders.groupby("o_custkey").nth(2, order_by="o_orderkey").to_spark()
+
+
+@query(
+    "groupby_rank_avg_pct",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           rank() OVER w + (count(*) OVER (PARTITION BY l_suppkey, l_quantity) - 1) / 2.0
+               AS qty_rank,
+           (rank() OVER w + (count(*) OVER (PARTITION BY l_suppkey, l_quantity) - 1) / 2.0)
+               / count(*) OVER (PARTITION BY l_suppkey) AS qty_pct
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)
+    """,
+)
+def groupby_rank_avg_pct(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    out = (
+        lineitem.groupby("l_suppkey")
+        .rank("l_quantity", method="average", alias="qty_rank")
+        .groupby("l_suppkey")
+        .rank("l_quantity", method="average", pct=True, alias="qty_pct")
+    )
+    return out.select(["l_orderkey", "l_linenumber", "qty_rank", "qty_pct"]).to_spark()
+
+
+@query(
+    "groupby_cumcount_ngroup",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS cumcount,
+           dense_rank() OVER (ORDER BY o_custkey) - 1 AS ngroup
+    FROM orders
+    """,
+)
+def groupby_cumcount_ngroup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupby("o_custkey")
+        .cumcount(order_by="o_orderkey")
+        .groupby("o_custkey")
+        .ngroup()
+    )
+    return (
+        out.select(["o_orderkey", "cumcount", "ngroup"])
+        .to_spark()
+        .withColumn("cumcount", F.col("cumcount").cast("long"))
+        .withColumn("ngroup", F.col("ngroup").cast("long"))
+    )
+
+
+@query(
+    "groupby_transform_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+    FROM orders
+    QUALIFY count(*) OVER (PARTITION BY o_custkey) > 20
+    """,
+)
+def groupby_transform_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """transform = window-agg broadcast back (no shuffle-back join);
+    filter-groups = window count predicate (generic.py:817)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupby("o_custkey")
+        .transform("mean", "o_totalprice", alias="cust_avg")
+        .groupby("o_custkey")
+        .filter("cnt > 20", {"cnt": F.count(F.lit(1))})
+    )
+    return out.select(["o_orderkey", "o_custkey", "o_totalprice", "cust_avg"]).to_spark()
+
+
+@query(
+    "groupby_ffill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_filled
+    FROM (SELECT event_id, user_id,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM events)
+    """,
+)
+def groupby_ffill(spark: SparkSession, sf_dir: str) -> SparkDF:
+    events = _t(spark, sf_dir, "events")
+    # carry the last purchase value forward per user (group ffill,
+    # groupby.pyx:545 group_fillna_indexer → last(ignorenulls) window)
+    sparse = DataFrame(
+        events.spark.withColumn(
+            "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+        )
+    )
+    out = sparse.groupby("user_id").ffill("pv", alias="pv_filled", order_by="event_id")
+    return out.select(["event_id", "user_id", "pv_filled"]).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows: row rolling / expanding / ewm
+# ---------------------------------------------------------------------------
+
+@query(
+    "rolling_rows_mean",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS value_roll5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_rows_mean(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 5, on="event_id", by=["user_id"])
+    return r.mean("value", alias="value_roll5").select(
+        ["event_id", "user_id", "value_roll5"]
+    ).to_spark()
+
+
+@query(
+    "expanding_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_expanding
+    FROM events
+    """,
+)
+def expanding_sum(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from pandas_spark.window import Expanding
+
+    events = _t(spark, sf_dir, "events")
+    e = Expanding(events, on="event_id", by=["user_id"])
+    return e.sum("value", alias="value_expanding").select(
+        ["event_id", "user_id", "value_expanding"]
+    ).to_spark()
+
+
+@query(
+    "ewm_mean",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lst
+        FROM events
+    )
+    SELECT event_id, user_id,
+           list_sum(list_transform(range(1, len(lst)+1), i -> lst[i] * 0.7 ** (len(lst)-i)))
+           / list_sum(list_transform(range(1, len(lst)+1), i -> 0.7 ** (len(lst)-i)))
+               AS value_ewm
+    FROM l
+    """,
+)
+def ewm_mean(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Recursive EWM (window/ewm.py:127) per key via Arrow-batched
+    applyInPandas; oracle is the closed-form adjust=True weighted sum."""
+    from pandas_spark.window import ewm_mean as ewm
+
+    events = _t(spark, sf_dir, "events")
+    out = ewm(events, "value", alpha=0.3, by=["user_id"], order_by="event_id", alias="value_ewm")
+    return out.select(["event_id", "user_id", "value_ewm"]).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# global reductions / scalar shims
+# ---------------------------------------------------------------------------
+
+@query(
+    "global_reductions",
+    oracle="""
+    SELECT sum(l_quantity)                        AS total_qty,
+           avg(l_extendedprice)                   AS avg_price,
+           stddev_samp(l_extendedprice)           AS std_price,
+           median(l_discount)                     AS median_disc,
+           count(l_orderkey)::BIGINT              AS n,
+           count(DISTINCT l_suppkey)::BIGINT      AS n_supp,
+           skewness(l_tax)                        AS skew_tax
+    FROM lineitem
+    """,
+)
+def global_reductions(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        total_qty=("l_quantity", "sum"),
+        avg_price=("l_extendedprice", "mean"),
+        std_price=("l_extendedprice", "std"),
+        median_disc=("l_discount", "median"),
+        n=("l_orderkey", "count"),
+        n_supp=("l_suppkey", "nunique"),
+        skew_tax=("l_tax", "skew"),
+    ).to_spark()
+
+
+@query(
+    "python_div_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_quantity - 25) / 7)                      AS fdiv,
+           ((l_quantity - 25) % 7 + 7) % 7                   AS pmod,
+           CASE WHEN l_tax = 0 AND l_discount = 0 THEN 'nan'::DOUBLE
+                WHEN l_tax = 0 THEN 'infinity'::DOUBLE
+                ELSE l_discount / l_tax END                  AS ratio
+    FROM lineitem
+    """,
+)
+def python_div_semantics(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pandas floordiv/mod follow Python floor semantics and 1/0=inf
+    (ops/array_ops.py:242) — Spark follows C and NULL; the Expr layer
+    shims both (SURVEY §2.8)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.assign(
+            fdiv=(col("l_quantity") - 25) // 7,
+            pmod=(col("l_quantity") - 25) % 7,
+            ratio=col("l_discount") / col("l_tax"),
+        )
+        .select(["l_orderkey", "l_linenumber", "fdiv", "pmod", "ratio"])
+        .to_spark()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 reshape extras
+# ---------------------------------------------------------------------------
+
+@query(
+    "crosstab_freq",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS F,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS O,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def crosstab_freq(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    return ps.crosstab(orders, "o_orderpriority", "o_orderstatus").to_spark()
+
+
+@query(
+    "get_dummies_onehot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_returnflag = 'A')::INT AS "l_returnflag_A",
+           (l_returnflag = 'N')::INT AS "l_returnflag_N",
+           (l_returnflag = 'R')::INT AS "l_returnflag_R"
+    FROM lineitem
+    """,
+)
+def get_dummies_onehot(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        ["l_orderkey", "l_linenumber", "l_returnflag"]
+    )
+    return ps.get_dummies(
+        lineitem, ["l_returnflag"], categories={"l_returnflag": ["A", "N", "R"]}
+    ).to_spark()
+
+
+@query(
+    "qcut_quartiles",
+    oracle="""
+    SELECT qbin, count(*)::BIGINT AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM (SELECT o_totalprice,
+                 ntile(4) OVER (ORDER BY o_totalprice) - 1 AS qbin
+          FROM orders)
+    GROUP BY qbin
+    """,
+)
+def qcut_quartiles(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    out = ps.qcut(orders, "o_totalprice", 4, alias="qbin")
+    return (
+        out.groupby("qbin")
+        .agg(n=("o_orderkey", "size"), lo=("o_totalprice", "min"), hi=("o_totalprice", "max"))
+        .to_spark()
+        .withColumn("qbin", F.col("qbin").cast("long"))
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle=r"""
+    SELECT tok, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+                 '[^\p{L}\p{N}]+', ' ', 'g')), ' ')) AS tok
+          FROM documents)
+    GROUP BY tok
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from pandas_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = DataFrame(docs.spark.withColumn("tok", tokens_expr(F.col("text"))))
+    return (
+        toks.explode("tok")
+        .groupby("tok")
+        .agg(n=("tok", "size"))
+        .to_spark()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops: combine_first / compare
+# ---------------------------------------------------------------------------
+
+@query(
+    "combine_first_overlay",
+    oracle="""
+    SELECT o_orderkey, coalesce(
+        CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, -1.0) AS val
+    FROM orders
+    """,
+)
+def combine_first_overlay(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from pandas_spark.operators.setops import combine_first
+
+    orders = _t(spark, sf_dir, "orders")
+    left = DataFrame(
+        orders.spark.select(
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).alias("val"),
+        )
+    ).set_index("o_orderkey")
+    right = DataFrame(
+        orders.spark.select("o_orderkey", F.lit(-1.0).alias("val"))
+    ).set_index("o_orderkey")
+    return combine_first(left, right).to_spark()
+
+
+@query(
+    "compare_frames",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice          AS val_self,
+           o_totalprice + 1.0    AS val_other
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def compare_frames(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from pandas_spark.operators.setops import compare
+
+    orders = _t(spark, sf_dir, "orders")
+    left = DataFrame(
+        orders.spark.select("o_orderkey", F.col("o_totalprice").alias("val"))
+    ).set_index("o_orderkey")
+    right = DataFrame(
+        orders.spark.select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderstatus") == "F", F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("val"),
+        )
+    ).set_index("o_orderkey")
+    return compare(left, right).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 more string / datetime functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "string_ops2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*')                    AS brand_pad,
+           trim(p_name)                              AS name_trim,
+           regexp_extract(p_type, '^(\S+)', 1)       AS type_head,
+           reverse(p_brand)                          AS brand_rev,
+           repeat(p_size::VARCHAR, 2)                AS size2,
+           strpos(p_name, 'a') - 1                   AS find_a
+    FROM part
+    """,
+)
+def string_ops2(spark: SparkSession, sf_dir: str) -> SparkDF:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.assign(
+            brand_pad=col("p_brand").str.pad(12, side="left", fillchar="*"),
+            name_trim=col("p_name").str.strip(),
+            type_head=col("p_type").str.extract(r"^(\S+)"),
+            brand_rev=col("p_brand").str.reverse(),
+            size2=col("p_size").astype("string").str.repeat(2),
+            find_a=col("p_name").str.find("a"),
+        )
+        .select(
+            ["p_partkey", "brand_pad", "name_trim", "type_head", "brand_rev", "size2", "find_a"]
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "datetime_ops2",
+    oracle="""
+    SELECT o_orderkey,
+           dayofyear(o_orderdate)                  AS doy,
+           quarter(o_orderdate)                    AS qtr,
+           weekofyear(o_orderdate)                 AS iso_week,
+           last_day(o_orderdate)::DATE             AS month_end,
+           strftime(o_orderdate, '%Y-%m')          AS ym
+    FROM orders
+    """,
+)
+def datetime_ops2(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.assign(
+            doy=col("o_orderdate").dt.dayofyear,
+            qtr=col("o_orderdate").dt.quarter,
+            iso_week=col("o_orderdate").dt.week,
+            month_end=col("o_orderdate").dt.month_end,
+            ym=col("o_orderdate").dt.strftime("yyyy-MM"),
+        )
+        .select(["o_orderkey", "doy", "qtr", "iso_week", "month_end", "ym"])
+        .to_spark()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 IO round-trips (CSV / JSON sources+sinks through the engine)
+# ---------------------------------------------------------------------------
+
+@query(
+    "io_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*)::BIGINT AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = f"{_SCRATCH}/csv_rt"
+    lineitem = _t(spark, sf_dir, "lineitem").select(["l_returnflag", "l_quantity"])
+    lineitem.to_csv(path)
+    back = ps.read_csv(spark, path, header=True)
+    return back.groupby("l_returnflag").agg(
+        sum_qty=("l_quantity", "sum"), n=("l_quantity", "size")
+    ).to_spark()
+
+
+@query(
+    "io_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, sum(o_totalprice) AS total, count(*)::BIGINT AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = f"{_SCRATCH}/json_rt"
+    orders = _t(spark, sf_dir, "orders").select(["o_orderstatus", "o_totalprice"])
+    orders.to_json(path)
+    back = ps.read_json(spark, path)
+    return back.groupby("o_orderstatus").agg(
+        total=("o_totalprice", "sum"), n=("o_totalprice", "size")
+    ).to_spark()
