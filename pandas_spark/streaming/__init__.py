@@ -1,0 +1,21 @@
+from pandas_spark.streaming.core import (
+    read_stream_parquet,
+    read_stream_json,
+    resample_stream,
+    sliding_window_stream,
+    session_window_stream,
+    dedup_stream,
+    exact_dedup_stream,
+    run_to_memory,
+)
+
+__all__ = [
+    "dedup_stream",
+    "exact_dedup_stream",
+    "read_stream_json",
+    "read_stream_parquet",
+    "resample_stream",
+    "run_to_memory",
+    "session_window_stream",
+    "sliding_window_stream",
+]

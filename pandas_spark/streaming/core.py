@@ -1,0 +1,187 @@
+"""Structured-Streaming operators (SURVEY.md §2.10 — net-new scope).
+
+pandas is batch-only; the streaming analogs of its time-bucketing ops
+(`resample` → tumbling window agg, overlapping `rolling` → sliding
+window, dedup → state-TTL dedup) are designed here so the SAME
+aggregation spec a batch `Resampler` takes also runs incrementally
+under `readStream` with watermarks. No reference guidance exists for
+late-data policy (SURVEY §7.3 item 7) — we follow Structured Streaming
+norms: event-time watermark bounds state, late rows beyond it drop.
+
+Everything is a plain transformation on a (possibly streaming) Spark
+DataFrame, so Catalyst plans incremental partial/final aggregation and
+the state store exactly as it would on a 1000-executor cluster; the
+tests drive file-source → memory-sink with `availableNow` triggers.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame as SparkDF, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_spark.groupby import resolve_agg
+from pandas_spark.window import parse_offset_seconds
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema=None) -> SparkDF:
+    """File-source stream over a parquet directory (micro-batch ingest —
+    the streaming analog of chunked ``read_csv(chunksize=)``,
+    readers.py:2399). Schema is required by streaming file sources; pass
+    one or let us steal it from a batch peek. ns-precision timestamps
+    convert to µs exactly as the batch reader does (sources/io.py)."""
+    from pandas_spark.sources.io import _nanos_timestamp_cols
+
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # streaming file sources accept directories or globs, not bare
+        # files — turn the file path into an exact-match glob
+        path = f"{path[:-1]}[{path[-1]}]"
+    sdf = spark.readStream.schema(schema).parquet(path)
+    if ns_cols:
+        sdf = sdf.withColumns(
+            {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
+        )
+    return sdf
+
+
+def read_stream_json(spark: SparkSession, path: str, schema=None) -> SparkDF:
+    if schema is None:
+        schema = spark.read.json(path).schema
+    return spark.readStream.schema(schema).json(path)
+
+
+def _agg_exprs(spec: Mapping[str, object]) -> list[Column]:
+    exprs: list[Column] = []
+    for col, fns in dict(spec).items():
+        for fn in [fns] if isinstance(fns, str) else list(fns):
+            exprs.append(resolve_agg(fn, col).alias(f"{col}_{fn}"))
+    return exprs
+
+
+def resample_stream(
+    sdf: SparkDF,
+    rule: str,
+    on: str,
+    spec: Mapping[str, object],
+    by: Sequence[str] | None = None,
+    watermark: str = "1 hour",
+) -> SparkDF:
+    """Streaming ``resample(rule).agg(spec)``: tumbling event-time
+    window + watermark. Identical results to the batch Resampler when
+    no rows arrive later than the watermark."""
+    secs = parse_offset_seconds(rule)
+    src = sdf.withWatermark(on, watermark) if sdf.isStreaming else sdf
+    exprs = _agg_exprs(spec)
+    grouped = src.groupBy(
+        *(by or []), F.window(F.col(on), f"{secs} seconds").alias("__win__")
+    ).agg(*exprs)
+    agg_names = [c for c in grouped.columns if c not in set(by or []) | {"__win__"}]
+    return grouped.select(
+        *(by or []), F.col("__win__.start").alias(on), *agg_names
+    )
+
+
+def sliding_window_stream(
+    sdf: SparkDF,
+    size: str,
+    slide: str,
+    on: str,
+    spec: Mapping[str, object],
+    by: Sequence[str] | None = None,
+    watermark: str = "1 hour",
+) -> SparkDF:
+    """Overlapping windows (the streaming analog of time-based
+    ``rolling``): each row lands in size/slide windows."""
+    src = sdf.withWatermark(on, watermark) if sdf.isStreaming else sdf
+    w = F.window(
+        F.col(on),
+        f"{parse_offset_seconds(size)} seconds",
+        f"{parse_offset_seconds(slide)} seconds",
+    )
+    grouped = src.groupBy(*(by or []), w.alias("__win__")).agg(*_agg_exprs(spec))
+    agg_names = [c for c in grouped.columns if c not in set(by or []) | {"__win__"}]
+    return grouped.select(
+        *(by or []),
+        F.col("__win__.start").alias("window_start"),
+        F.col("__win__.end").alias("window_end"),
+        *agg_names,
+    )
+
+
+def session_window_stream(
+    sdf: SparkDF,
+    gap: str,
+    on: str,
+    spec: Mapping[str, object],
+    by: Sequence[str] | None = None,
+    watermark: str = "1 hour",
+) -> SparkDF:
+    """Session windows (gap-based) — pandas has no analog (SURVEY
+    §2.10 'free extra'); sessionization is core to event pipelines."""
+    src = sdf.withWatermark(on, watermark) if sdf.isStreaming else sdf
+    w = F.session_window(F.col(on), f"{parse_offset_seconds(gap)} seconds")
+    grouped = src.groupBy(*(by or []), w.alias("__win__")).agg(*_agg_exprs(spec))
+    agg_names = [c for c in grouped.columns if c not in set(by or []) | {"__win__"}]
+    return grouped.select(
+        *(by or []),
+        F.col("__win__.start").alias("session_start"),
+        F.col("__win__.end").alias("session_end"),
+        *agg_names,
+    )
+
+
+def dedup_stream(
+    sdf: SparkDF,
+    subset: Sequence[str],
+    on: str | None = None,
+    watermark: str = "1 hour",
+) -> SparkDF:
+    """Streaming ``drop_duplicates(subset)``. With an event-time column
+    the watermark bounds dedup state (state TTL — keys older than the
+    watermark are evicted); without one, state grows unboundedly and is
+    only suitable for bounded key domains."""
+    if sdf.isStreaming and on is not None:
+        return sdf.withWatermark(on, watermark).dropDuplicatesWithinWatermark(list(subset))
+    return sdf.dropDuplicates(list(subset))
+
+
+def exact_dedup_stream(
+    sdf: SparkDF,
+    text_col: str = "text",
+    on: str | None = None,
+    watermark: str = "24 hours",
+) -> SparkDF:
+    """Streaming exact content dedup: hash the payload (32-byte state
+    key, not the document) then keep the first arrival per hash."""
+    hashed = sdf.withColumn("__h__", F.md5(F.col(text_col)))
+    return dedup_stream(hashed, ["__h__"], on=on, watermark=watermark).drop("__h__")
+
+
+def run_to_memory(
+    stream: SparkDF,
+    name: str,
+    output_mode: str = "append",
+    timeout: int = 120,
+) -> None:
+    """Drive a streaming plan to completion over currently-available
+    input (`availableNow` trigger) into an in-memory table — the test /
+    backfill harness. Production sinks swap in kafka/parquet/delta
+    writeStream with the same plan."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {name} did not finish in {timeout}s")

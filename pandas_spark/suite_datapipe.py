@@ -239,6 +239,44 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 # ---------------------------------------------------------------------------
+# streaming (§2.10): the same plans run incrementally under readStream
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_resample_1h",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS ts,
+           sum(value)           AS value_sum,
+           count(value)::BIGINT AS value_count
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_resample_1h(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Tumbling-window agg executed THROUGH Structured Streaming
+    (file source → availableNow → memory sink) and checked against the
+    batch SQL oracle — proving the resample plan is identical in both
+    modes (SURVEY §2.10)."""
+    from pandas_spark import streaming as pss
+
+    stream = pss.read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    out = pss.resample_stream(stream, "1h", on="ts", spec={"value": ["sum", "count"]})
+    pss.run_to_memory(out, "suite_stream_resample", output_mode="complete")
+    return spark.table("suite_stream_resample")
+
+
+@query("streaming_session_windows")  # rows-only: sessionization has no SQL analog here
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from pandas_spark import streaming as pss
+
+    stream = pss.read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    out = pss.session_window_stream(
+        stream, gap="30min", on="ts", spec={"value": ["count", "sum"]}, by=["user_id"]
+    )
+    pss.run_to_memory(out, "suite_stream_sessions", output_mode="complete")
+    return spark.table("suite_stream_sessions")
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 

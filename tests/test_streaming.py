@@ -1,0 +1,90 @@
+"""Structured-Streaming operators: file source → memory sink, compared
+against the equivalent batch computation (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conftest import SF_DIR  # noqa: E402
+
+from pandas_spark import streaming as pss  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return pss.read_stream_parquet(spark, f"{SF_DIR}/events.parquet")
+
+
+def test_resample_stream_matches_batch(spark, events_stream):
+    out = pss.resample_stream(
+        events_stream, "1h", on="ts", spec={"value": ["sum", "count"]}
+    )
+    assert out.isStreaming
+    pss.run_to_memory(out, "t_resample", output_mode="complete")
+    got = {
+        r["ts"]: (round(r["value_sum"], 6), r["value_count"])
+        for r in spark.table("t_resample").collect()
+    }
+
+    from pandas_spark import read_parquet
+
+    batch = (
+        read_parquet(spark, f"{SF_DIR}/events.parquet")
+        .resample("1h", on="ts")
+        .agg({"value": ["sum", "count"]})
+        .to_spark()
+        .collect()
+    )
+    want = {r["ts"]: (round(r["value_sum"], 6), r["value_count"]) for r in batch}
+    assert got == want
+
+
+def test_sliding_window_stream(spark, events_stream):
+    out = pss.sliding_window_stream(
+        events_stream, size="2h", slide="1h", on="ts", spec={"value": "count"}
+    )
+    pss.run_to_memory(out, "t_slide", output_mode="complete")
+    rows = spark.table("t_slide").collect()
+    assert rows
+    # every event lands in exactly 2 overlapping windows
+    total = sum(r["value_count"] for r in rows)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert total == 2 * n_events
+
+
+def test_session_window_stream(spark, events_stream):
+    out = pss.session_window_stream(
+        events_stream, gap="30min", on="ts", spec={"value": "count"}, by=["user_id"]
+    )
+    pss.run_to_memory(out, "t_sess", output_mode="complete")
+    rows = spark.table("t_sess").collect()
+    assert rows
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+
+
+def test_dedup_stream(spark, events_stream):
+    out = pss.dedup_stream(events_stream, ["user_id"], on="ts", watermark="10 days")
+    pss.run_to_memory(out, "t_dedup", output_mode="append")
+    got = spark.table("t_dedup").count()
+    want = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert got == want
+
+
+def test_exact_dedup_stream_on_documents(spark):
+    docs = pss.read_stream_parquet(spark, f"{SF_DIR}/documents.parquet")
+    out = pss.exact_dedup_stream(docs, "text")
+    assert "__h__" not in out.columns
+    pss.run_to_memory(out, "t_docdedup", output_mode="append")
+    got = spark.table("t_docdedup").count()
+    want = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text").distinct().count()
+    assert got == want
