@@ -51,14 +51,18 @@ def main() -> None:
     spark = get_spark("bench")
     qs = suite.queries()
     names = [n for n in HEADLINE if n in qs]
-    # Warmup: first-touch costs that are per-process, not per-query —
-    # JVM JIT + whole-stage codegen, the regex runtime, and the Arrow
-    # Python-worker pool (pandas_udf paths fork workers lazily).
-    qs["q1_groupby_agg"](spark, SF_DIR).collect()
-    qs["string_ops"](spark, SF_DIR).limit(1).collect()
-    spark.range(64).selectExpr("id", "cast(id as double) v").groupBy(
-        "id"
-    ).applyInPandas(lambda pdf: pdf, "id long, v double").collect()
+    # Warmup (BASELINE.md protocol: 1 warmup before timed runs): one
+    # pass of every headline query at the smallest sf compiles the
+    # whole-stage-codegen classes, starts broadcast/shuffle machinery
+    # and the Arrow python-worker pool — per-PROCESS costs that a
+    # long-lived cluster amortizes away and that would otherwise be
+    # misattributed to whichever query hits them first.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            qs[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:

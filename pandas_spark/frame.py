@@ -52,21 +52,35 @@ class DataFrame:
         sdf: SparkDF,
         order_col: str | None = None,
         index_cols: tuple[str, ...] = (),
+        sort_spec: tuple = (),
     ):
         self._sdf = sdf
         self._order_col = order_col
         self._index_cols = tuple(index_cols)
+        # (col, ascending, na_position) keys of the last explicit sort —
+        # a VALUE-based order definition that order-sensitive ops can
+        # window on directly, with no materialized row-id and no global
+        # sort in their plans (SURVEY §7.0 ordering layer)
+        self._sort_spec = tuple(sort_spec)
 
     # -- plumbing --------------------------------------------------------
     def _with(self, sdf: SparkDF, order_col: str | None = "keep") -> "DataFrame":
         oc = self._order_col if order_col == "keep" else order_col
         if oc is not None and oc not in sdf.columns:
             oc = None
-        return DataFrame(sdf, order_col=oc, index_cols=tuple(c for c in self._index_cols if c in sdf.columns))
+        spec = self._sort_spec if order_col == "keep" else ()
+        if any(c not in sdf.columns for c, _, _ in spec):
+            spec = ()
+        return DataFrame(
+            sdf,
+            order_col=oc,
+            index_cols=tuple(c for c in self._index_cols if c in sdf.columns),
+            sort_spec=spec,
+        )
 
     def _ensure_order(self) -> "DataFrame":
-        """Materialize an order key if none exists (source order)."""
-        if self._order_col:
+        """Materialize an order key if no order definition exists."""
+        if self._order_col or self._sort_spec:
             return self
         return DataFrame(
             self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
@@ -74,12 +88,46 @@ class DataFrame:
             index_cols=self._index_cols,
         )
 
+    def _ordered(self, desc: bool = False) -> tuple["DataFrame", list[Column]]:
+        """(frame, order-expressions) defining the current row order.
+
+        Prefers the value-based sort keys of the last explicit sort (no
+        extra shuffle, no synthetic column); falls back to a
+        materialized monotonically-increasing id for raw source order.
+        ``desc=True`` returns the exact reverse order (nulls flip too).
+        """
+        if self._sort_spec:
+            exprs = []
+            for c, a, napos in self._sort_spec:
+                a2, p2 = (not a, "first" if napos == "last" else "last") if desc else (a, napos)
+                exprs.append(_sort_key(F.col(c), a2, p2))
+            return self, exprs
+        this = self if self._order_col else DataFrame(
+            self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
+            order_col=ORDER_COL,
+            index_cols=self._index_cols,
+        )
+        k = F.col(this._order_col)
+        return this, [k.desc() if desc else k.asc()]
+
     def _drop_internal(self, sdf: SparkDF) -> SparkDF:
         return sdf.drop(ORDER_COL) if ORDER_COL in sdf.columns else sdf
 
+    def _presented(self) -> SparkDF:
+        """The plan with presentation order applied (pandas shows sorted
+        results after sort_values). The physical orderBy lives ONLY
+        here, at the consumption boundary: window-based ops consume the
+        recorded sort keys directly, so a sort_values feeding a window
+        never executes a global range-partition sort, and Catalyst's
+        EliminateSorts prunes this node under joins/aggregations."""
+        if self._sort_spec:
+            _, exprs = self._ordered()
+            return self._sdf.orderBy(*exprs)
+        return self._sdf
+
     @property
     def spark(self) -> SparkDF:
-        return self._drop_internal(self._sdf)
+        return self._drop_internal(self._presented())
 
     def to_spark(self) -> SparkDF:
         return self.spark
@@ -218,15 +266,15 @@ class DataFrame:
         return self._with(self._sdf.replace(to_replace, value, subset))
 
     def ffill(self, subset: Sequence[str] | None = None) -> "DataFrame":
-        this = self._ensure_order()
-        w = W.orderBy(this._order_col).rowsBetween(W.unboundedPreceding, 0)
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs).rowsBetween(W.unboundedPreceding, 0)
         cols = subset or this.columns
         filled = {c: F.last(c, ignorenulls=True).over(w) for c in cols}
         return this._with(this._sdf.withColumns(filled))
 
     def bfill(self, subset: Sequence[str] | None = None) -> "DataFrame":
-        this = self._ensure_order()
-        w = W.orderBy(this._order_col).rowsBetween(0, W.unboundedFollowing)
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs).rowsBetween(0, W.unboundedFollowing)
         cols = subset or this.columns
         filled = {c: F.first(c, ignorenulls=True).over(w) for c in cols}
         return this._with(this._sdf.withColumns(filled))
@@ -239,14 +287,10 @@ class DataFrame:
         if keep == "any":
             # order-free fast path: plain shuffle dedup, no window
             return self._with(self._sdf.dropDuplicates(subset), order_col=None)
-        this = self._ensure_order()
+        this, order_exprs = self._ordered(desc=(keep == "last"))
         part = W.partitionBy(*subset)
-        if keep == "first":
-            w = part.orderBy(F.col(this._order_col).asc())
-            marked = this._sdf.withColumn("__rn__", F.row_number().over(w))
-            out = marked.filter(F.col("__rn__") == 1).drop("__rn__")
-        elif keep == "last":
-            w = part.orderBy(F.col(this._order_col).desc())
+        if keep in ("first", "last"):
+            w = part.orderBy(*order_exprs)
             marked = this._sdf.withColumn("__rn__", F.row_number().over(w))
             out = marked.filter(F.col("__rn__") == 1).drop("__rn__")
         elif keep is False:
@@ -258,12 +302,10 @@ class DataFrame:
 
     def duplicated(self, subset: Sequence[str] | None = None, keep: str | bool = "first") -> "DataFrame":
         subset = list(subset) if subset is not None else self.columns
-        this = self._ensure_order()
+        this, order_exprs = self._ordered(desc=(keep == "last"))
         part = W.partitionBy(*subset)
-        if keep == "first":
-            flag = F.row_number().over(part.orderBy(F.col(this._order_col).asc())) > 1
-        elif keep == "last":
-            flag = F.row_number().over(part.orderBy(F.col(this._order_col).desc())) > 1
+        if keep in ("first", "last"):
+            flag = F.row_number().over(part.orderBy(*order_exprs)) > 1
         else:
             flag = F.count("*").over(part) > 1
         return this._with(this._sdf.withColumn("duplicated", flag))
@@ -291,15 +333,17 @@ class DataFrame:
     ) -> "DataFrame":
         by = [by] if isinstance(by, str) else list(by)
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
-        keys = [_sort_key(F.col(c), a, na_position) for c, a in zip(by, asc)]
-        out = self._sdf.orderBy(*keys)
-        # the explicit sort becomes the frame's order
-        res = self._with(out)
-        if res._order_col is None and ORDER_COL not in out.columns:
-            # record order implicitly through the sort itself; downstream
-            # order-sensitive ops re-key via _ensure_order on sorted output
-            pass
-        return res
+        # LAZY sort: record the value-based keys as the frame's order
+        # definition; the physical orderBy is applied only at
+        # presentation boundaries (_presented). Order-sensitive ops
+        # window on the keys directly — a sort_values feeding dedup/
+        # cumsum/shift plans NO global sort at all.
+        return DataFrame(
+            self._sdf,
+            order_col=None,
+            index_cols=self._index_cols,
+            sort_spec=tuple((c, a, na_position) for c, a in zip(by, asc)),
+        )
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
         if not self._index_cols:
@@ -326,14 +370,16 @@ class DataFrame:
         return self._with(self._sdf.orderBy(*keys).limit(n))
 
     def head(self, n: int = 5) -> "DataFrame":
-        return self._with(self._sdf.limit(n))
+        # after sort_values this is top-k: orderBy+limit fuses into
+        # TakeOrderedAndProject (no full sort materialization)
+        return self._with(self._presented().limit(n))
 
     def limit(self, n: int) -> "DataFrame":
-        return self._with(self._sdf.limit(n))
+        return self._with(self._presented().limit(n))
 
     def tail(self, n: int = 5) -> "DataFrame":
-        this = self._ensure_order()
-        w = W.orderBy(F.col(this._order_col).desc())
+        this, order_exprs = self._ordered(desc=True)
+        w = W.orderBy(*order_exprs)
         out = (
             this._sdf.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= n)
@@ -460,15 +506,15 @@ class DataFrame:
         return Resampler(self, rule, on)
 
     def shift(self, periods: int = 1, columns: Sequence[str] | None = None) -> "DataFrame":
-        this = self._ensure_order()
-        w = W.orderBy(this._order_col)
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs)
         cols = columns or [c for c in this.columns]
         shifted = {c: F.lag(c, periods).over(w) for c in cols}
         return this._with(this._sdf.withColumns(shifted))
 
     def diff(self, periods: int = 1, columns: Sequence[str] | None = None) -> "DataFrame":
-        this = self._ensure_order()
-        w = W.orderBy(this._order_col)
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs)
         cols = columns or [n for n, t in this.dtypes if t in ("int", "bigint", "float", "double", "smallint", "tinyint")]
         out = {c: F.col(c) - F.lag(c, periods).over(w) for c in cols}
         return this._with(this._sdf.withColumns(out))

@@ -187,13 +187,15 @@ class GroupBy:
         return self._nth_like(order_by, desc=True)
 
     def _nth_like(self, order_by: str | None, desc: bool):
-        frame = self._frame if order_by else self._frame._ensure_order()
-        key = order_by or frame._order_col
+        if order_by:
+            frame = self._frame
+            order_exprs = [F.col(order_by).desc() if desc else F.col(order_by).asc()]
+        else:
+            frame, order_exprs = self._frame._ordered(desc=desc)
         sdf = frame._sdf
         if self._dropna:
             sdf = sdf.na.drop(subset=self._keys)
-        ocol = F.col(key).desc() if desc else F.col(key).asc()
-        w = W.partitionBy(*self._keys).orderBy(ocol)
+        w = W.partitionBy(*self._keys).orderBy(*order_exprs)
         out = (
             sdf.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1)
@@ -204,12 +206,14 @@ class GroupBy:
         return self._result(out.drop(ORDER_COL) if ORDER_COL in out.columns else out)
 
     def nth(self, n: int, order_by: str | None = None):
-        frame = self._frame if order_by else self._frame._ensure_order()
-        key = order_by or frame._order_col
+        if order_by:
+            frame, order_exprs = self._frame, [F.col(order_by).asc()]
+        else:
+            frame, order_exprs = self._frame._ordered()
         sdf = frame._sdf
         if self._dropna:
             sdf = sdf.na.drop(subset=self._keys)
-        w = W.partitionBy(*self._keys).orderBy(F.col(key).asc())
+        w = W.partitionBy(*self._keys).orderBy(*order_exprs)
         out = (
             sdf.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == n + 1)
@@ -275,9 +279,10 @@ class GroupBy:
         return W.partitionBy(*self._keys)
 
     def _ordered_part(self, order_by: str | None = None):
-        frame = self._frame if order_by else self._frame._ensure_order()
-        key = order_by or frame._order_col
-        return frame, W.partitionBy(*self._keys).orderBy(F.col(key).asc())
+        if order_by:
+            return self._frame, W.partitionBy(*self._keys).orderBy(F.col(order_by).asc())
+        frame, order_exprs = self._frame._ordered()
+        return frame, W.partitionBy(*self._keys).orderBy(*order_exprs)
 
     def transform(self, func: str, col: str, alias: str | None = None):
         """Broadcast an aggregate back to rows — a partition window, not a join."""
@@ -387,9 +392,11 @@ class GroupBy:
         return frame._with(out)
 
     def tail(self, n: int = 5, order_by: str | None = None):
-        frame = self._frame if order_by else self._frame._ensure_order()
-        key = order_by or frame._order_col
-        w = W.partitionBy(*self._keys).orderBy(F.col(key).desc())
+        if order_by:
+            frame, order_exprs = self._frame, [F.col(order_by).desc()]
+        else:
+            frame, order_exprs = self._frame._ordered(desc=True)
+        w = W.partitionBy(*self._keys).orderBy(*order_exprs)
         out = (
             frame._sdf.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= n)

@@ -31,6 +31,20 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def spread(sdf, min_parallelism: int | None = None):
+    """Repartition iff the scan produced fewer partitions than cores.
+
+    Small single-file inputs arrive as one partition, serializing every
+    map-heavy text expression onto one core; a round-robin repartition
+    costs one cheap shuffle of the raw rows. At production scale (many
+    files / splits) this is a no-op.
+    """
+    target = min_parallelism or sdf.sparkSession.sparkContext.defaultParallelism
+    if sdf.rdd.getNumPartitions() < target:
+        return sdf.repartition(target)
+    return sdf
+
+
 def normalize_expr(text: Column) -> Column:
     """Lowercase + collapse non-alphanumerics to single spaces."""
     return F.trim(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}]+", " "))
@@ -125,7 +139,7 @@ def add_text_stats(frame: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-analysis columns in one map-only projection."""
     t = F.col(text_col)
     return frame._with(
-        frame._sdf.withColumns(
+        spread(frame._sdf).withColumns(
             {
                 "n_tokens": token_count_expr(t),
                 "n_tokens_bpe": bpe_ish_token_count_expr(t),

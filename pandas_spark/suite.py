@@ -289,7 +289,6 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> SparkDF:
     # deterministic "first": establish the order explicitly, then dedup
     return (
         lineitem.sort_values(["l_orderkey", "l_linenumber"])
-        ._ensure_order()
         .drop_duplicates(subset=["l_suppkey"], keep="first")
         .to_spark()
     )
@@ -431,7 +430,6 @@ def window_lag_diff(spark: SparkSession, sf_dir: str) -> SparkDF:
     # stable order: orderdate with orderkey tiebreak
     out = (
         orders.sort_values(["o_orderdate", "o_orderkey"])
-        ._ensure_order()
         .groupby("o_custkey")
         .diff("o_totalprice", alias="price_diff")
     )
@@ -452,7 +450,6 @@ def window_cumsum(spark: SparkSession, sf_dir: str) -> SparkDF:
     orders = _t(spark, sf_dir, "orders")
     out = (
         orders.sort_values(["o_orderdate", "o_orderkey"])
-        ._ensure_order()
         .groupby("o_custkey")
         .cumsum("o_totalprice", alias="running_total")
     )

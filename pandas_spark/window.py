@@ -86,9 +86,11 @@ class Rolling:
                 lo, hi = -(n // 2), n - 1 - n // 2
             else:
                 lo, hi = -(n - 1), 0
-            key = self._on or frame._order_col
             base = W.partitionBy(*self._by) if self._by else W.partitionBy()
-            return base.orderBy(F.col(key).asc()).rowsBetween(lo, hi)
+            if self._on:
+                return base.orderBy(F.col(self._on).asc()).rowsBetween(lo, hi)
+            _, order_exprs = frame._ordered()
+            return base.orderBy(*order_exprs).rowsBetween(lo, hi)
         # time-offset window over the timestamp in microseconds
         if not self._on:
             raise ValueError("time-based rolling requires on=<timestamp col>")
@@ -122,9 +124,11 @@ class Expanding(Rolling):
         super().__init__(frame, window=0, on=on, by=by, min_periods=min_periods)
 
     def _spec(self, frame: DataFrame):
-        key = self._on or frame._order_col
         base = W.partitionBy(*self._by) if self._by else W.partitionBy()
-        return base.orderBy(F.col(key).asc()).rowsBetween(W.unboundedPreceding, 0)
+        if self._on:
+            return base.orderBy(F.col(self._on).asc()).rowsBetween(W.unboundedPreceding, 0)
+        _, order_exprs = frame._ordered()
+        return base.orderBy(*order_exprs).rowsBetween(W.unboundedPreceding, 0)
 
     def _apply(self, func: str, col: str, alias: str | None):
         frame = self._frame if self._on else self._frame._ensure_order()
@@ -251,20 +255,24 @@ def ewm_mean(
         keys_eff = ["__g__"]
     else:
         keys_eff = keys
-    order = order_by or frame._order_col
-    if order is None:
+    if order_by:
+        sort_cols, sort_asc = [order_by], [True]
+    elif frame._sort_spec:
+        sort_cols = [c for c, _, _ in frame._sort_spec]
+        sort_asc = [a for _, a, _ in frame._sort_spec]
+    else:
         frame2 = frame._ensure_order()
-        sdf = frame2._sdf if not keys else frame2._sdf
+        sdf = frame2._sdf
         if not keys:
             sdf = sdf.withColumn("__g__", F.lit(0))
-        order = frame2._order_col
+        sort_cols, sort_asc = [frame2._order_col], [True]
 
     out_fields = sdf.schema.fields
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields) + f", `{name}` double"
     a = alpha
 
     def fn(pdf):
-        pdf = pdf.sort_values(order)
+        pdf = pdf.sort_values(sort_cols, ascending=sort_asc, kind="stable")
         pdf[name] = pdf[col].ewm(alpha=a, adjust=True).mean()
         return pdf
 
