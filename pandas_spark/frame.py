@@ -394,6 +394,25 @@ class DataFrame:
             return self._with(self._sdf.orderBy(F.rand(seed or 0)).limit(n))
         raise ValueError("sample requires frac or n")
 
+    def rank(
+        self,
+        col: str,
+        method: str = "average",
+        ascending: bool = True,
+        pct: bool = False,
+        alias: str | None = None,
+    ) -> "DataFrame":
+        """Frame-wide rank (generic.py:9690) — the unpartitioned window
+        family. NB: a global rank is a single ordered partition; at
+        scale prefer ``groupby(...).rank`` which parallelizes by key."""
+        from pandas_spark.groupby import GroupBy
+
+        marked = self._with(self._sdf.withColumn("__g0__", F.lit(0)))
+        out = GroupBy(marked, ["__g0__"], dropna=False).rank(
+            col, method=method, ascending=ascending, pct=pct, alias=alias
+        )
+        return out.drop("__g0__")
+
     def agg(self, spec=None, **named) -> "DataFrame":
         """Global (ungrouped) reductions — the DataFrame-level mirror of
         the groupby agg table (frame.py:16195-18889 reductions, all

@@ -68,17 +68,25 @@ def pivot_table(
     piv = sdf.groupBy(*idx).pivot(columns, list(column_values) if column_values else None)
     out = piv.agg(*agg_exprs())
     if margins:
-        # subtotals via rollup on the index keys + an all-columns total col
-        col_total = sdf.groupBy(*idx).agg(
-            *[resolve_agg(aggfunc, v).alias(v if len(vals) > 1 else _only_data_col(out, idx)) for v in vals]
+        if len(vals) != 1:
+            raise NotImplementedError("margins supports a single values column")
+        v = vals[0]
+        # margin column: per-index-row total over all pivot values
+        col_total = sdf.groupBy(*idx).agg(resolve_agg(aggfunc, v).alias(margins_name))
+        out = out.join(col_total, idx, "left")
+        # margin row: per-pivot-value total + the grand total cell
+        row_piv = (
+            sdf.groupBy()
+            .pivot(columns, list(column_values) if column_values else None)
+            .agg(*agg_exprs())
         )
-        # row margin: aggregate over everything per pivot value
-        row_piv = sdf.groupBy().pivot(columns, list(column_values) if column_values else None).agg(*agg_exprs())
-        row_piv = row_piv.select(
+        grand = sdf.groupBy().agg(resolve_agg(aggfunc, v).alias(margins_name))
+        row = row_piv.crossJoin(grand).select(
             *[F.lit(margins_name).alias(c) for c in idx],
             *[F.col(c) for c in row_piv.columns],
+            F.col(margins_name),
         )
-        out = out.unionByName(row_piv, allowMissingColumns=True)
+        out = out.unionByName(row, allowMissingColumns=True)
     if fill_value is not None:
         data_cols = [c for c in out.columns if c not in idx]
         out = out.na.fill(fill_value, subset=data_cols)

@@ -553,3 +553,267 @@ def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
     return back.groupby("o_orderstatus").agg(
         total=("o_totalprice", "sum"), n=("o_totalprice", "size")
     ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 3: merge_ordered, pivot margins, upsample+ffill, UDF surface,
+# scalar misc, frame rank, concat axis=1, describe, parse round-trips
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_ordered_ffill",
+    oracle="""
+    WITH l AS (
+        SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT date_trunc('day', l_shipdate)::TIMESTAMP AS day,
+               sum(l_quantity) AS qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(l.day, r.day) AS day,
+           last_value(l.n_orders IGNORE NULLS) OVER (
+               ORDER BY coalesce(l.day, r.day)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_orders,
+           last_value(r.qty IGNORE NULLS) OVER (
+               ORDER BY coalesce(l.day, r.day)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qty
+    FROM l FULL JOIN r ON l.day = r.day
+    """,
+)
+def merge_ordered_ffill(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """merge_ordered (merge.py:500): ordered outer join + group ffill."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    left = (
+        orders.assign(day=col("o_orderdate").dt.floor("day"))
+        .groupby("day")
+        .agg(n_orders=("o_orderkey", "size"))
+    )
+    right = (
+        lineitem.assign(day=col("l_shipdate").dt.floor("day"))
+        .groupby("day")
+        .agg(qty=("l_quantity", "sum"))
+    )
+    return ps.merge_ordered(left, right, on="day", fill_method="ffill").to_spark()
+
+
+@query(
+    "pivot_margins",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O,
+           sum(l_quantity) AS "All"
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'All',
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END),
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END),
+           sum(l_quantity)
+    FROM lineitem
+    """,
+)
+def pivot_margins(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return ps.pivot_table(
+        lineitem,
+        values="l_quantity",
+        index="l_returnflag",
+        columns="l_linestatus",
+        aggfunc="sum",
+        margins=True,
+        column_values=["F", "O"],
+    ).to_spark()
+
+
+@query(
+    "upsample_ffill",
+    oracle="""
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts, sum(value) AS value_sum
+        FROM events GROUP BY 1
+    ),
+    bounds AS (
+        SELECT to_timestamp(floor(epoch(min(ts)) / 900) * 900) AS lo,
+               to_timestamp(floor(epoch(max(ts)) / 900) * 900) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS ts FROM bounds
+    )
+    SELECT spine.ts::TIMESTAMP AS ts,
+           last_value(agg.value_sum IGNORE NULLS) OVER (
+               ORDER BY spine.ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
+    FROM spine LEFT JOIN agg ON spine.ts = agg.ts
+    """,
+)
+def upsample_ffill(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Upsample to a dense 15-min spine + forward fill (resample
+    asfreq/ffill, resample.py:612): sequence+explode spine, left join,
+    last(ignorenulls) window."""
+    events = _t(spark, sf_dir, "events")
+    r = events.resample("15min", on="ts")
+    agg = r.agg({"value": ["sum"]})
+    spine = r.asfreq_spine()
+    dense = ps.merge(spine, agg, on="ts", how="left")
+    return dense.sort_values("ts").ffill(subset=["value_sum"]).to_spark()
+
+
+@query(
+    "groupby_apply_pandas",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 2
+    """,
+)
+def groupby_apply_pandas(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """groupby.apply as Arrow-batched applyInPandas (SURVEY §2.11 —
+    'exact model match'): arbitrary per-group pandas code, schema out."""
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+
+    def top2(pdf):
+        return pdf.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True],
+        ).head(2)
+
+    return (
+        lineitem.groupby("l_returnflag")
+        .apply_in_pandas(
+            top2,
+            "l_returnflag string, l_orderkey long, l_linenumber int, l_extendedprice double",
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "scalar_misc",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority IN ('1-URGENT', '2-HIGH')            AS is_urgent,
+           greatest(least(o_totalprice, 200000.0), 50000.0)     AS price_clip,
+           CASE WHEN o_orderstatus = 'F' THEN NULL
+                ELSE o_totalprice END                           AS price_masked,
+           CASE o_orderstatus WHEN 'F' THEN 'FINISHED'
+                WHEN 'O' THEN 'OPEN' ELSE o_orderstatus END     AS status_long
+    FROM orders
+    """,
+)
+def scalar_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.assign(
+            is_urgent=col("o_orderpriority").isin(["1-URGENT", "2-HIGH"]),
+            price_clip=col("o_totalprice").clip(50000.0, 200000.0),
+            price_masked=col("o_totalprice").mask(col("o_orderstatus") == "F"),
+        )
+        .replace({"F": "FINISHED", "O": "OPEN"}, subset=["o_orderstatus"])
+        .rename({"o_orderstatus": "status_long"})
+    )
+    return out.select(
+        ["o_orderkey", "is_urgent", "price_clip", "price_masked", "status_long"]
+    ).to_spark()
+
+
+@query(
+    "frame_rank_pct",
+    oracle="""
+    SELECT o_orderkey,
+           (rank() OVER (ORDER BY o_totalprice)
+            + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0)
+           / count(*) OVER () AS price_pct
+    FROM orders
+    """,
+)
+def frame_rank_pct(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rank("o_totalprice", method="average", pct=True, alias="price_pct")
+        .select(["o_orderkey", "price_pct"])
+        .to_spark()
+    )
+
+
+@query(
+    "concat_axis1",
+    oracle="""
+    WITH a AS (SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders GROUP BY 1),
+         b AS (SELECT o_custkey, sum(o_totalprice) AS total
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey, a.n_orders, b.total
+    FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def concat_axis1(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """concat(axis=1) = outer join on the explicit index (SURVEY §2.7)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.groupby("o_custkey").agg(n_orders=("o_orderkey", "size")).set_index("o_custkey")
+    b = (
+        orders.filter(col("o_orderstatus") == "F")
+        .groupby("o_custkey")
+        .agg(total=("o_totalprice", "sum"))
+        .set_index("o_custkey")
+    )
+    return ps.concat([a, b], axis=1).to_spark()
+
+
+@query(
+    "groupby_describe",
+    oracle="""
+    SELECT o_orderpriority,
+           count(o_totalprice)::BIGINT        AS count,
+           avg(o_totalprice)                  AS mean,
+           stddev_samp(o_totalprice)          AS std,
+           min(o_totalprice)                  AS min,
+           quantile_cont(o_totalprice, 0.25)  AS p25,
+           quantile_cont(o_totalprice, 0.5)   AS p50,
+           quantile_cont(o_totalprice, 0.75)  AS p75,
+           max(o_totalprice)                  AS max
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def groupby_describe(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupby("o_orderpriority").describe("o_totalprice").to_spark()
+
+
+@query(
+    "parse_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate::TIMESTAMP AS parsed_date,
+           o_orderkey::DOUBLE     AS parsed_num,
+           NULL::DOUBLE           AS bad_num
+    FROM orders
+    """,
+)
+def parse_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """to_datetime / to_numeric parsing (tools/datetimes.py:767,
+    tools/numeric.py:51): format strings back to typed values;
+    errors='coerce' yields NULL (try_cast), not an exception."""
+    orders = _t(spark, sf_dir, "orders")
+    out = orders.assign(
+        date_str=col("o_orderdate").dt.strftime("yyyy-MM-dd HH:mm:ss"),
+        num_str=col("o_orderkey").astype("string"),
+    ).assign(
+        parsed_date=lambda df: ps.to_datetime(df["date_str"]),
+        parsed_num=lambda df: ps.to_numeric(df["num_str"]),
+        bad_num=lambda df: ps.to_numeric(df["o_orderpriority"], errors="coerce"),
+    )
+    return out.select(["o_orderkey", "parsed_date", "parsed_num", "bad_num"]).to_spark()
+
+
+@query("sample_frac")  # rows-only: RNG streams differ across engines by design
+def sample_frac(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.sample(frac=0.1, seed=42).select(["o_orderkey", "o_totalprice"]).to_spark()

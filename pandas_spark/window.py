@@ -214,11 +214,21 @@ class Resampler:
         return DataFrame(out)
 
     def asfreq_spine(self) -> DataFrame:
-        """Dense time spine for upsampling (F.sequence + explode)."""
+        """Dense time spine for upsampling (F.sequence + explode).
+
+        Bounds floor to the bucket grid (epoch-aligned, like
+        ``F.window``/``date_trunc`` buckets) so spine keys join exactly
+        against resampled aggregates."""
         secs = parse_offset_seconds(self._rule)
+
+        def bucket(c):
+            return F.timestamp_seconds(
+                F.floor(F.unix_timestamp(c) / secs).cast("long") * secs
+            )
+
         bounds = self._frame.spark.agg(
-            F.date_trunc("second", F.min(self._on)).alias("lo"),
-            F.date_trunc("second", F.max(self._on)).alias("hi"),
+            bucket(F.min(self._on)).alias("lo"),
+            bucket(F.max(self._on)).alias("hi"),
         )
         spine = bounds.select(
             F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {secs} seconds"))).alias(self._on)
