@@ -280,6 +280,41 @@ class DataFrame:
         return this._with(this._sdf.withColumns(filled))
 
     # -- dedup (SURVEY §2.2: duplicated/drop_duplicates) --------------------
+    def interpolate(
+        self,
+        subset: Sequence[str] | None = None,
+        method: str = "linear",
+        by: Sequence[str] | None = None,
+    ) -> "DataFrame":
+        """Linear interpolation of interior NULLs (generic.py:8113,
+        default limit_direction='forward': leading NULLs stay, trailing
+        NULLs carry the last valid value). Pure window expressions —
+        prev/next valid value + row position — no UDF, parallel per
+        ``by`` group."""
+        if method != "linear":
+            raise NotImplementedError("only method='linear' (scipy methods are UDF territory)")
+        this, order_exprs = self._ordered()
+        part = W.partitionBy(*by) if by else W.partitionBy()
+        rn = F.row_number().over(part.orderBy(*order_exprs))
+        sdf = this._sdf.withColumn("__rn__", rn)
+        cols = list(subset) if subset else [
+            n for n, t in this.dtypes if t in ("double", "float", "int", "bigint")
+        ]
+        w_prev = part.orderBy("__rn__").rowsBetween(W.unboundedPreceding, 0)
+        w_next = part.orderBy("__rn__").rowsBetween(0, W.unboundedFollowing)
+        out = {}
+        for c in cols:
+            v = F.col(c)
+            pv = F.last(v, ignorenulls=True).over(w_prev)
+            nv = F.first(v, ignorenulls=True).over(w_next)
+            pr = F.last(F.when(v.isNotNull(), F.col("__rn__")), ignorenulls=True).over(w_prev)
+            nr = F.first(F.when(v.isNotNull(), F.col("__rn__")), ignorenulls=True).over(w_next)
+            interior = pv + (nv - pv) * (F.col("__rn__") - pr) / (nr - pr)
+            out[c] = F.when(v.isNotNull(), v).otherwise(
+                F.when(pv.isNotNull() & nv.isNotNull(), interior).otherwise(pv)
+            )
+        return this._with(sdf.withColumns(out).drop("__rn__"))
+
     def drop_duplicates(
         self, subset: Sequence[str] | None = None, keep: str | bool = "first"
     ) -> "DataFrame":

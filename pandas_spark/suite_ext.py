@@ -817,3 +817,170 @@ def parse_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
 def sample_frac(spark: SparkSession, sf_dir: str) -> SparkDF:
     orders = _t(spark, sf_dir, "orders")
     return orders.sample(frac=0.1, seed=42).select(["o_orderkey", "o_totalprice"]).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 4: interpolate, ohlc, corr/cov, mode, row-set ops, tz
+# ---------------------------------------------------------------------------
+
+@query(
+    "interpolate_linear",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               last_value(pv IGNORE NULLS) OVER wp AS prev_v,
+               first_value(pv IGNORE NULLS) OVER wn AS next_v,
+               last_value(CASE WHEN pv IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS prev_r,
+               first_value(CASE WHEN pv IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS next_r
+        FROM s
+        WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN pv IS NOT NULL THEN pv
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                     THEN prev_v + (next_v - prev_v) * (rn - prev_r) / (next_r - prev_r)
+                ELSE prev_v END AS pv
+    FROM m
+    """,
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Linear interpolate of interior NULLs per user (generic.py:8113) —
+    prev/next window expressions, no UDF."""
+    events = _t(spark, sf_dir, "events")
+    sparse = DataFrame(
+        events.spark.withColumn(
+            "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+        )
+    ).sort_values("event_id")
+    out = sparse.interpolate(subset=["pv"], by=["user_id"])
+    return out.select(["event_id", "user_id", "pv"]).to_spark()
+
+
+@query(
+    "groupby_ohlc",
+    oracle="""
+    SELECT user_id,
+           arg_min(value, event_id) AS open,
+           max(value)               AS high,
+           min(value)               AS low,
+           arg_max(value, event_id) AS close
+    FROM events GROUP BY user_id
+    """,
+)
+def groupby_ohlc(spark: SparkSession, sf_dir: str) -> SparkDF:
+    events = _t(spark, sf_dir, "events")
+    return events.groupby("user_id").ohlc("value", order_by="event_id").to_spark()
+
+
+@query(
+    "groupby_corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           corr(l_quantity, l_extendedprice)       AS corr,
+           covar_samp(l_quantity, l_extendedprice) AS cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def groupby_corr_cov(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    c1 = lineitem.groupby("l_returnflag").corr("l_quantity", "l_extendedprice")
+    c2 = lineitem.groupby("l_returnflag").cov("l_quantity", "l_extendedprice")
+    return ps.merge(c1, c2, on="l_returnflag", how="inner").to_spark()
+
+
+@query(
+    "mode_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           min(m) AS mode_qty
+    FROM (
+        SELECT o_orderpriority, l_quantity AS m,
+               count(*) AS c,
+               max(count(*)) OVER (PARTITION BY o_orderpriority) AS mx
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority, l_quantity
+    )
+    WHERE c = mx
+    GROUP BY o_orderpriority
+    """,
+)
+def mode_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """mode (algorithms.py:1149): most frequent value, ties -> smallest
+    (count+max-tie window, not Spark's nondeterministic F.mode)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    j = orders.merge(lineitem, left_on="o_orderkey", right_on="l_orderkey")
+    counted = (
+        j.groupby(["o_orderpriority", "l_quantity"])
+        .agg(c=("l_quantity", "size"))
+    )
+    from pyspark.sql import Window as W
+
+    w = F.max("c").over(W.partitionBy("o_orderpriority"))
+    out = (
+        counted.to_spark()
+        .withColumn("mx", w)
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("l_quantity").alias("mode_qty"))
+    )
+    return out
+
+
+@query(
+    "setops_rows",
+    oracle="""
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+         f  AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'intersect' AS op, count(*)::BIGINT AS n
+    FROM (SELECT DISTINCT o_custkey FROM hi INTERSECT SELECT DISTINCT o_custkey FROM f)
+    UNION ALL
+    SELECT 'except', count(*)::BIGINT
+    FROM (SELECT DISTINCT o_custkey FROM hi EXCEPT SELECT DISTINCT o_custkey FROM f)
+    UNION ALL
+    SELECT 'union', count(*)::BIGINT
+    FROM (SELECT o_custkey FROM hi UNION SELECT o_custkey FROM f)
+    """,
+)
+def setops_rows(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Index set algebra (indexes/base.py:3150): union/intersection/
+    difference on key frames via Spark's native set operators."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(col("o_totalprice") > 150000).select(["o_custkey"]).to_spark()
+    f = orders.filter(col("o_orderstatus") == "F").select(["o_custkey"]).to_spark()
+    rows = [
+        ("intersect", hi.distinct().intersect(f.distinct()).count()),
+        ("except", hi.distinct().exceptAll(f.distinct()).count()),
+        ("union", hi.union(f).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n long")
+
+
+@query(
+    "tz_convert",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS ny_time,
+           hour(o_orderdate AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS ny_hour
+    FROM orders
+    """,
+)
+def tz_convert(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """tz_localize('UTC').tz_convert('America/New_York')
+    (generic.py:11263,11161) -> from_utc_timestamp."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.assign(ny_time=col("o_orderdate").dt.tz_convert("America/New_York"))
+        .assign(ny_hour=lambda df: df["ny_time"].dt.hour)
+        .select(["o_orderkey", "ny_time", "ny_hour"])
+        .to_spark()
+    )
