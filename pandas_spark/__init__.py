@@ -18,6 +18,7 @@ from pandas_spark.session import get_spark
 from pandas_spark.expr import col, lit
 from pandas_spark.frame import DataFrame
 from pandas_spark.sources.io import (
+    from_pandas,
     read_parquet,
     read_csv,
     read_json,
@@ -45,6 +46,7 @@ __all__ = [
     "crosstab",
     "cut",
     "date_range",
+    "from_pandas",
     "get_dummies",
     "get_spark",
     "melt",

@@ -185,30 +185,45 @@ def lit(value: Any) -> Expr:
 # ---------------------------------------------------------------------------
 
 def true_div(a: Column, b: Column) -> Column:
-    """pandas ``/``: x/0 → ±inf, 0/0 → NaN (numpy rules); Spark gives NULL."""
+    """pandas ``/``: x/0 → ±inf, 0/0 → NaN (numpy rules); Spark gives NULL.
+
+    The NULL-operand guard comes FIRST: ``NULL != 0`` is NULL (falsy),
+    so without it a NULL divisor would fall through to the sign checks.
+    """
     a_d, b_d = a.cast("double"), b.cast("double")
+    # IEEE signed zero: x/-0.0 flips the infinity's sign. Spark has no
+    # signbit(); the string form of -0.0 carries the sign.
+    neg_zero = b_d.cast("string").startswith("-")
+    pos_inf = ((a_d > 0) & ~neg_zero) | ((a_d < 0) & neg_zero)
     return (
-        F.when(b_d != 0, a_d / b_d)
-        .when(a_d > 0, F.lit(float("inf")))
-        .when(a_d < 0, F.lit(float("-inf")))
+        F.when(a_d.isNull() | b_d.isNull(), F.lit(None).cast("double"))
+        .when(b_d != 0, a_d / b_d)
         .when(a_d == 0, F.lit(float("nan")))  # 0/0
-        .otherwise(F.lit(None))               # NULL operand
+        .when(pos_inf, F.lit(float("inf")))
+        .otherwise(F.lit(float("-inf")))
     )
 
 
 def floor_div(a: Column, b: Column) -> Column:
     """Python floor-division semantics (pandas); Spark's ``div`` truncates."""
-    q = F.floor(a.cast("double") / b.cast("double"))
+    a_d, b_d = a.cast("double"), b.cast("double")
+    q = F.floor(a_d / b_d)
+    neg_zero = b_d.cast("string").startswith("-")
+    pos_inf = ((a_d > 0) & ~neg_zero) | ((a_d < 0) & neg_zero)
     return (
-        F.when(b != 0, q)
-        .when(a > 0, F.lit(float("inf")))
-        .when(a < 0, F.lit(float("-inf")))
-        .when(a == 0, F.lit(float("nan")))
-        .otherwise(F.lit(None))
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+        .when(b_d != 0, q)
+        .when(a_d == 0, F.lit(float("nan")))
+        .when(pos_inf, F.lit(float("inf")))
+        .otherwise(F.lit(float("-inf")))
     )
 
 
 def py_mod(a: Column, b: Column) -> Column:
     """Python modulo: result takes the sign of the divisor; Spark follows C."""
     m = ((a % b) + b) % b
-    return F.when(b != 0, m).otherwise(F.lit(float("nan")))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+        .when(b != 0, m)
+        .otherwise(F.lit(float("nan")))
+    )

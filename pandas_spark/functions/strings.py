@@ -95,11 +95,16 @@ class StringMethods:
     def reverse(self):
         return self._wrap(F.reverse(self._c))
 
+    def _no_truncate(self, padded, width: int):
+        # pandas pad/zfill never truncate longer strings; Spark's
+        # lpad/rpad do — keep the original when already >= width
+        return F.when(F.length(self._c) >= width, self._c).otherwise(padded)
+
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
         if side == "left":
-            return self._wrap(F.lpad(self._c, width, fillchar))
+            return self._wrap(self._no_truncate(F.lpad(self._c, width, fillchar), width))
         if side == "right":
-            return self._wrap(F.rpad(self._c, width, fillchar))
+            return self._wrap(self._no_truncate(F.rpad(self._c, width, fillchar), width))
         # both: lpad to center
         total = F.lit(width) - F.length(self._c)
         lpad_w = F.length(self._c) + F.floor(total / 2).cast("int")
@@ -109,13 +114,13 @@ class StringMethods:
         return self.pad(width, "both", fillchar)
 
     def ljust(self, width: int, fillchar: str = " "):
-        return self._wrap(F.rpad(self._c, width, fillchar))
+        return self.pad(width, "right", fillchar)
 
     def rjust(self, width: int, fillchar: str = " "):
-        return self._wrap(F.lpad(self._c, width, fillchar))
+        return self.pad(width, "left", fillchar)
 
     def zfill(self, width: int):
-        return self._wrap(F.lpad(self._c, width, "0"))
+        return self._wrap(self._no_truncate(F.lpad(self._c, width, "0"), width))
 
     def slice(self, start: int = 0, stop: int | None = None, step: int = 1):
         if step != 1:

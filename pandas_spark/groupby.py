@@ -294,17 +294,26 @@ class GroupBy:
     def cumsum(self, col: str, alias: str | None = None, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
         wf = w.rowsBetween(W.unboundedPreceding, 0)
-        return frame._with(frame._sdf.withColumn(alias or col, F.sum(col).over(wf)))
+        # pandas cum* leave NaN at missing rows while the running value
+        # skips them (nanops skipna) — mask the window result
+        val = F.when(F.col(col).isNotNull(), F.sum(col).over(wf))
+        return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def cummax(self, col: str, alias: str | None = None, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
         wf = w.rowsBetween(W.unboundedPreceding, 0)
-        return frame._with(frame._sdf.withColumn(alias or col, F.max(col).over(wf)))
+        # pandas cum* leave NaN at missing rows while the running value
+        # skips them (nanops skipna) — mask the window result
+        val = F.when(F.col(col).isNotNull(), F.max(col).over(wf))
+        return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def cummin(self, col: str, alias: str | None = None, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
         wf = w.rowsBetween(W.unboundedPreceding, 0)
-        return frame._with(frame._sdf.withColumn(alias or col, F.min(col).over(wf)))
+        # pandas cum* leave NaN at missing rows while the running value
+        # skips them (nanops skipna) — mask the window result
+        val = F.when(F.col(col).isNotNull(), F.min(col).over(wf))
+        return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def cumprod(self, col: str, alias: str | None = None, order_by: str | None = None):
         """exp(Σ log|x|) with sign/zero bookkeeping — no recursive expr needed."""
@@ -316,6 +325,7 @@ class GroupBy:
         negs = F.sum(F.when(c < 0, 1).otherwise(0)).over(wf)
         sign = F.when(negs % 2 == 0, 1.0).otherwise(-1.0)
         val = F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(logsum))
+        val = F.when(c.isNotNull(), val)
         return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def cumcount(self, alias: str = "cumcount", order_by: str | None = None):
@@ -359,8 +369,14 @@ class GroupBy:
 
     def rank(self, col: str, method: str = "average", ascending: bool = True,
              pct: bool = False, alias: str | None = None):
-        """pandas rank methods (groupby.pyx:1910 group_rank)."""
-        order = F.col(col).asc() if ascending else F.col(col).desc()
+        """pandas rank methods (groupby.pyx:1910 group_rank).
+
+        NULL/NaN keep a NULL rank and are excluded from both the rank
+        numbering and the pct denominator (pandas na_option='keep'):
+        nulls sort LAST in the window so non-null ranks are unaffected,
+        and the rank expression itself is NULL for null values.
+        """
+        order = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
         w = W.partitionBy(*self._keys).orderBy(order)
         part = W.partitionBy(*self._keys, col)
         if method == "min":
@@ -377,9 +393,10 @@ class GroupBy:
         else:
             raise ValueError(f"unknown rank method {method!r}")
         if pct:
-            n = F.count("*").over(W.partitionBy(*self._keys))
+            n = F.count(col).over(W.partitionBy(*self._keys))
             r = r / n
         name = alias or f"{col}_rank"
+        r = F.when(F.col(col).isNotNull(), r)
         return self._frame._with(self._frame._sdf.withColumn(name, r))
 
     def head(self, n: int = 5, order_by: str | None = None):

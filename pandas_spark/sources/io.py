@@ -135,3 +135,27 @@ def read_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = Non
 
 def table(spark: SparkSession, name: str) -> DataFrame:
     return DataFrame(spark.table(name))
+
+
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """pandas → engine frame across the Arrow boundary.
+
+    Applies the §7.0/§1.3 missing-value convention: pandas ``NaN``/
+    ``NaT``/``None`` all become Spark NULL (pandas conflates NaN with
+    missing — dtypes/missing.py:99; Spark distinguishes, so the
+    boundary normalizes). Column order and names are preserved; the
+    source row order is NOT implicitly an index (use sort_values or
+    set_index to establish order/labels).
+    """
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(pdf)
+    # Arrow keeps float NaN as Spark NaN (a value, not NULL); normalize
+    float_cols = {
+        f.name: F.when(~F.isnan(f.name), F.col(f.name))
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() in ("float", "double")
+    }
+    if float_cols:
+        sdf = sdf.withColumns(float_cols)
+    return DataFrame(sdf)

@@ -1,0 +1,231 @@
+"""Differential tests against pandas itself (SURVEY §5 strategy: the
+reference's own behavior is the spec). Small adversarial frames —
+NaN/None, negatives, zeros, ties, unicode — run through BOTH pandas and
+the engine; results must agree (NaN≡NULL at the boundary, float
+tolerance). Hypothesis drives the value matrices like pandas' own
+dtype-matrix fixtures (pandas/conftest.py:1362,1739)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import conftest  # noqa: E402,F401
+
+import pandas_spark as ps  # noqa: E402
+from pandas_spark import col  # noqa: E402
+
+
+def eq(a, b, tol=1e-9):
+    """NaN/None-aware scalar equality (NaN ≡ NULL at the boundary)."""
+    a_miss = a is None or (isinstance(a, float) and math.isnan(a))
+    b_miss = b is None or (isinstance(b, float) and math.isnan(b))
+    if a_miss or b_miss:
+        return a_miss and b_miss
+    if isinstance(a, float) or isinstance(b, float):
+        if math.isinf(a) or math.isinf(b):
+            return a == b
+        return math.isclose(a, b, rel_tol=tol, abs_tol=tol)
+    return a == b
+
+
+def assert_col_matches(engine_pdf, pandas_series, colname):
+    got = list(engine_pdf[colname])
+    want = list(pandas_series)
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        if isinstance(w, np.floating):
+            w = float(w)
+        if isinstance(w, np.integer):
+            w = int(w)
+        assert eq(g, w), f"{colname}[{i}]: engine={g!r} pandas={w!r}"
+
+
+floats = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.just(float("nan")),
+    st.just(0.0),
+    st.just(-0.0),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(floats, min_size=1, max_size=8),
+    b=st.lists(floats, min_size=1, max_size=8),
+)
+def test_float_arithmetic_matches_pandas(spark, a, b):
+    n = min(len(a), len(b))
+    pdf = pd.DataFrame({"i": range(n), "a": a[:n], "b": b[:n]})
+    want = pdf.assign(
+        add=pdf.a + pdf.b, sub=pdf.a - pdf.b, mul=pdf.a * pdf.b, div=pdf.a / pdf.b
+    ).sort_values("i")
+
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        f.assign(
+            add=col("a") + col("b"),
+            sub=col("a") - col("b"),
+            mul=col("a") * col("b"),
+            div=col("a") / col("b"),
+        )
+        .sort_values("i")
+        .to_pandas()
+    )
+    for c in ("add", "sub", "mul", "div"):
+        assert_col_matches(got, want[c], c)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=8),
+    d=st.integers(min_value=-7, max_value=7).filter(lambda x: x != 0),
+)
+def test_int_floordiv_mod_matches_pandas(spark, a, d):
+    pdf = pd.DataFrame({"i": range(len(a)), "a": a})
+    want = pdf.assign(fd=pdf.a // d, md=pdf.a % d).sort_values("i")
+    f = ps.from_pandas(spark, pdf)
+    got = f.assign(fd=col("a") // d, md=col("a") % d).sort_values("i").to_pandas()
+    assert_col_matches(got, want.fd, "fd")
+    assert_col_matches(got, want.md, "md")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    v=st.lists(st.one_of(floats, st.just(float("nan"))), min_size=2, max_size=10),
+    k=st.lists(st.integers(min_value=0, max_value=2), min_size=2, max_size=10),
+)
+def test_group_cumsum_shift_ffill_matches_pandas(spark, v, k):
+    n = min(len(v), len(k))
+    pdf = pd.DataFrame({"i": range(n), "k": k[:n], "v": v[:n]})
+    g = pdf.groupby("k")["v"]
+    want = pdf.assign(cs=g.cumsum(), sh=g.shift(1), ff=g.ffill()).sort_values("i")
+
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = (
+        f.groupby("k")
+        .cumsum("v", alias="cs")
+        .groupby("k")
+        .shift("v", alias="sh")
+        .groupby("k")
+        .ffill("v", alias="ff")
+        .sort_values("i")
+        .to_pandas()
+    )
+    for c in ("cs", "sh", "ff"):
+        assert_col_matches(got, want[c], c)
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max", "dense", "first"])
+@pytest.mark.parametrize("ascending", [True, False])
+def test_rank_matches_pandas(spark, method, ascending):
+    pdf = pd.DataFrame(
+        {
+            "i": range(10),
+            "k": [0, 0, 0, 0, 0, 1, 1, 1, 1, 1],
+            "v": [1.0, 2.0, 2.0, np.nan, 0.5, 3.0, 3.0, 3.0, np.nan, -1.0],
+        }
+    )
+    want = pdf.assign(
+        r=pdf.groupby("k")["v"].rank(method=method, ascending=ascending)
+    ).sort_values("i")
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = (
+        f.groupby("k")
+        .rank("v", method=method, ascending=ascending, alias="r")
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert_col_matches(got, want.r, "r")
+
+
+def test_rank_pct_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {"i": range(6), "k": [0] * 6, "v": [1.0, 2.0, 2.0, np.nan, 5.0, 0.0]}
+    )
+    want = pdf.assign(r=pdf.groupby("k")["v"].rank(pct=True)).sort_values("i")
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = f.groupby("k").rank("v", pct=True, alias="r").sort_values("i").to_pandas()
+    assert_col_matches(got, want.r, "r")
+
+
+@pytest.mark.parametrize("keep", ["first", "last"])
+def test_drop_duplicates_matches_pandas(spark, keep):
+    pdf = pd.DataFrame(
+        {
+            "i": range(8),
+            "k": ["a", "b", "a", "c", "b", "a", "c", "b"],
+            "v": [1, 2, 3, 4, 5, 6, 7, 8],
+        }
+    )
+    want = pdf.drop_duplicates(subset=["k"], keep=keep).sort_values("k")
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = f.drop_duplicates(subset=["k"], keep=keep).sort_values("k").to_pandas()
+    assert list(got["i"]) == list(want["i"])
+    assert list(got["v"]) == list(want["v"])
+
+
+def test_interpolate_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": range(8),
+            "v": [np.nan, 1.0, np.nan, np.nan, 4.0, np.nan, 10.0, np.nan],
+        }
+    )
+    want = pdf.assign(v=pdf.v.interpolate("linear")).sort_values("i")
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = f.interpolate(subset=["v"]).sort_values("i").to_pandas()
+    assert_col_matches(got, want.v, "v")
+
+
+def test_string_ops_match_pandas(spark):
+    s = ["  hello ", "", "Ünïcode", "a,b,c", "xyz", "42"]
+    pdf = pd.DataFrame({"i": range(len(s)), "s": s})
+    want = pdf.assign(
+        up=pdf.s.str.upper(),
+        ln=pdf.s.str.len(),
+        strip=pdf.s.str.strip(),
+        z=pdf.s.str.zfill(5),
+        sl=pdf.s.str.slice(1, 4),
+        rep=pdf.s.str.replace(",", ";", regex=False),
+    ).sort_values("i")
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = (
+        f.assign(
+            up=col("s").str.upper(),
+            ln=col("s").str.len(),
+            strip=col("s").str.strip(),
+            z=col("s").str.zfill(5),
+            sl=col("s").str.slice(1, 4),
+            rep=col("s").str.replace(",", ";", regex=False),
+        )
+        .sort_values("i")
+        .to_pandas()
+    )
+    for c in ("up", "ln", "strip", "z", "sl", "rep"):
+        assert_col_matches(got, want[c], c)
+
+
+def test_skew_kurt_sem_match_pandas(spark):
+    pdf = pd.DataFrame(
+        {"k": [0, 0, 0, 0, 1, 1, 1, 1, 1], "v": [1.0, 2.5, 2.5, 9.0, -3.0, 0.0, 1.0, 1.0, 8.5]}
+    )
+    want = pdf.groupby("k")["v"].agg(["skew", "sem"]).reset_index()
+    want["kurt"] = pdf.groupby("k")["v"].apply(pd.Series.kurt).values
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        f.groupby("k")
+        .agg(skew=("v", "skew"), sem=("v", "sem"), kurt=("v", "kurt"))
+        .sort_values("k")
+        .to_pandas()
+    )
+    for c in ("skew", "sem", "kurt"):
+        assert_col_matches(got, want[c], c)
