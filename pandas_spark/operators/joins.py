@@ -16,6 +16,8 @@ key, no range explosion) — SURVEY.md §2.3 strategy (a).
 
 from __future__ import annotations
 
+import os
+
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame as SparkDF, Window as W
@@ -299,3 +301,73 @@ def merge_ordered(
         fill_cols = [c for c in sdf.columns if c != on and c not in by]
         sdf = sdf.withColumns({c: F.last(c, ignorenulls=True).over(w) for c in fill_cols})
     return DataFrame(sdf)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resilient equi-join: replicate the small(er) side across
+    ``salt`` buckets and scatter the skewed side uniformly.
+
+    For heavy-hitter keys (one key owning a large share of rows) a
+    plain shuffled join lands the whole key on one task. Salting splits
+    each key's rows across ``salt`` tasks: the left (skewed, large)
+    side gets a uniform salt derived from a per-row hash — deterministic,
+    no RNG — and the right side is exploded ``salt``× so every
+    (key, salt) bucket finds its match. Result is row-identical to the
+    plain join. AQE's skew-join handles moderate skew automatically;
+    this is the explicit tool for extreme cases and for non-AQE sinks.
+    """
+    keys = _aslist(on)
+    lsdf, rsdf = left.spark, right.spark
+    l = lsdf.withColumn(
+        "__salt__",
+        F.pmod(F.xxhash64(*[F.col(c) for c in lsdf.columns]), F.lit(salt)).cast("int"),
+    )
+    r = rsdf.withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l.join(r, [*keys, "__salt__"], how).drop("__salt__")
+    return DataFrame(out)
+
+
+def bucketed_join(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    buckets: int = 8,
+    table_prefix: str = "ps_bucketed",
+) -> DataFrame:
+    """Co-located join via bucketed tables: both sides are written
+    bucketed+sorted on the join key, so the join plans with NO exchange
+    on either side (SortMergeJoin over pre-bucketed scans).
+
+    This is the 100 TB pattern for repeated fact-fact joins: pay the
+    bucketing shuffle once at write time, join shuffle-free forever
+    after. Locally materializes into the Spark warehouse dir.
+    """
+    import shutil
+
+    keys = _aslist(on)
+    lt, rt = f"{table_prefix}_l", f"{table_prefix}_r"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for name, f in ((lt, left), (rt, right)):
+        # a stale warehouse dir without a catalog entry (fresh session)
+        # blocks saveAsTable even in overwrite mode
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(
+            os.path.join(warehouse.removeprefix("file:"), name), ignore_errors=True
+        )
+        (
+            f.spark.write.mode("overwrite")
+            .bucketBy(buckets, *keys)
+            .sortBy(*keys)
+            .saveAsTable(name)
+        )
+    return DataFrame(spark.table(lt).join(spark.table(rt), keys, how))

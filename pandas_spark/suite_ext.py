@@ -984,3 +984,56 @@ def tz_convert(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["o_orderkey", "ny_time", "ny_hour"])
         .to_spark()
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 5: skew-resilient and co-located join strategies (SCALE.md)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n, sum(l_quantity) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Salted equi-join (explicit heavy-hitter defense) — row-identical
+    to the plain join, verified against the plain-join oracle."""
+    from pandas_spark.operators.joins import salted_join
+
+    lineitem = _t(spark, sf_dir, "lineitem").rename({"l_orderkey": "o_orderkey"})
+    orders = _t(spark, sf_dir, "orders")
+    j = salted_join(lineitem, orders, "o_orderkey", salt=8)
+    return (
+        j.groupby("o_orderpriority")
+        .agg(n=("o_orderkey", "size"), qty=("l_quantity", "sum"))
+        .to_spark()
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n, sum(l_quantity) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Co-located join over bucketed tables: the join itself plans with
+    no Exchange (pay the bucketing shuffle once at write time — the
+    repeated-join pattern at 100 TB)."""
+    from pandas_spark.operators.joins import bucketed_join
+
+    lineitem = _t(spark, sf_dir, "lineitem").rename({"l_orderkey": "o_orderkey"}).select(
+        ["o_orderkey", "l_quantity"]
+    )
+    orders = _t(spark, sf_dir, "orders").select(["o_orderkey", "o_orderpriority"])
+    j = bucketed_join(spark, lineitem, orders, "o_orderkey", buckets=8)
+    return (
+        j.groupby("o_orderpriority")
+        .agg(n=("o_orderkey", "size"), qty=("l_quantity", "sum"))
+        .to_spark()
+    )

@@ -1,0 +1,90 @@
+"""Physical-plan assertions (SCALE.md): the optimizations we rely on at
+100 TB must actually appear in the plans — pushdown, pruning, broadcast,
+shuffle-free bucketed joins, pre-shuffle top-k pruning. A regression
+here is a silent 10–100× slowdown at scale even when results stay
+correct."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conftest import SF_DIR  # noqa: E402
+
+import pandas_spark as ps  # noqa: E402
+from pandas_spark import col  # noqa: E402
+
+
+def plan_of(sdf) -> str:
+    return sdf._sc._jvm.PythonSQLUtils.explainString(
+        sdf._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    q = (
+        li.filter(col("l_quantity") < 10)
+        .select(["l_orderkey", "l_quantity"])
+        .to_spark()
+    )
+    plan = plan_of(q)
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity,10" in plan
+    # pruned read schema: only the two referenced columns are scanned
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_small_dimension_join_broadcasts(spark):
+    cust = ps.read_parquet(spark, f"{SF_DIR}/customer.parquet")
+    nat = ps.read_parquet(spark, f"{SF_DIR}/nation.parquet")
+    j = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey", broadcast="right")
+    plan = plan_of(j.to_spark())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from pandas_spark.operators.joins import bucketed_join
+
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet").rename(
+        {"l_orderkey": "o_orderkey"}
+    ).select(["o_orderkey", "l_quantity"])
+    orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet").select(
+        ["o_orderkey", "o_orderpriority"]
+    )
+    # disable broadcast so the planner actually uses the buckets (at
+    # real scale both sides are too big to broadcast anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, li, orders, "o_orderkey", buckets=4, table_prefix="t_plans")
+        plan = plan_of(j.to_spark())
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange hashpartitioning" not in plan, "bucketed join must not shuffle"
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+
+
+def test_sorted_dedup_prunes_before_shuffle(spark):
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet").select(
+        ["l_suppkey", "l_orderkey", "l_linenumber"]
+    )
+    q = (
+        li.sort_values(["l_orderkey", "l_linenumber"])
+        .drop_duplicates(subset=["l_suppkey"], keep="first")
+        .to_spark()
+    )
+    plan = plan_of(q)
+    # partial WindowGroupLimit = per-task top-1 pruning before the shuffle
+    assert "WindowGroupLimit" in plan
+    # the user's global sort must NOT execute against the input: no
+    # range partitioning below the window's hash partitioning
+    window_part = plan.split("Window")[0]
+    assert "rangepartitioning" not in window_part.lower()
+
+
+def test_sorted_head_is_top_k(spark):
+    orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    q = orders.sort_values("o_totalprice", ascending=False).head(10).to_spark()
+    assert "TakeOrderedAndProject" in plan_of(q)
