@@ -27,7 +27,10 @@ from pandas_spark.sources.io import (
 from pandas_spark.operators.joins import merge, merge_asof, merge_ordered
 from pandas_spark.operators.setops import concat
 from pandas_spark.operators.reshape import (
+    from_dummies,
+    json_normalize,
     melt,
+    wide_to_long,
     pivot_table,
     crosstab,
     get_dummies,
@@ -47,7 +50,9 @@ __all__ = [
     "cut",
     "date_range",
     "from_pandas",
+    "from_dummies",
     "get_dummies",
+    "json_normalize",
     "get_spark",
     "melt",
     "merge",
@@ -61,4 +66,5 @@ __all__ = [
     "read_parquet",
     "to_datetime",
     "to_numeric",
+    "wide_to_long",
 ]

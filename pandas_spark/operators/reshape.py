@@ -201,3 +201,69 @@ def qcut(
         name, F.when(F.col(col).isNotNull(), val)
     )
     return frame._with(out)
+
+
+def wide_to_long(
+    frame: DataFrame,
+    stubnames: Sequence[str],
+    i: str | Sequence[str],
+    j: str,
+    sep: str = "",
+) -> DataFrame:
+    """``pd.wide_to_long`` (melt.py:374): stub-prefixed wide columns →
+    long rows keyed by (i, j). Compiled to a single ``stack`` expression
+    — one pass, no joins."""
+    ids = [i] if isinstance(i, str) else list(i)
+    stubs = list(stubnames)
+    sdf = frame.spark
+    # suffixes present for the first stub define the j values
+    suffixes = sorted(
+        {c[len(stubs[0]) + len(sep):] for c in sdf.columns if c.startswith(stubs[0] + sep)}
+    )
+    pairs = []
+    for sfx in suffixes:
+        row = [F.lit(sfx)]
+        for stub in stubs:
+            colname = f"{stub}{sep}{sfx}"
+            row.append(F.col(colname) if colname in sdf.columns else F.lit(None))
+        pairs.append(F.struct(*[e.alias(f"_{k}") for k, e in enumerate(row)]))
+    exploded = sdf.select(*ids, F.explode(F.array(*pairs)).alias("__s__"))
+    out = exploded.select(
+        *ids,
+        F.col("__s__._0").alias(j),
+        *[F.col(f"__s__._{k+1}").alias(stub) for k, stub in enumerate(stubs)],
+    )
+    return DataFrame(out)
+
+
+def json_normalize(frame: DataFrame, column: str, prefix: str | None = None) -> DataFrame:
+    """Flatten a struct column into top-level columns (pandas
+    ``json_normalize`` on parsed records → ``select(col('s.*'))``)."""
+    sdf = frame.spark
+    fields = [f.name for f in sdf.schema[column].dataType.fields]
+    p = prefix if prefix is not None else f"{column}."
+    out = sdf.select(
+        *[c for c in sdf.columns if c != column],
+        *[F.col(f"{column}.{f}").alias(f"{p}{f}" if p else f) for f in fields],
+    )
+    return DataFrame(out)
+
+
+def from_dummies(
+    frame: DataFrame,
+    prefix: str,
+    prefix_sep: str = "_",
+    alias: str | None = None,
+) -> DataFrame:
+    """Inverse of get_dummies (encoding.py:409): indicator columns back
+    to one categorical column (greatest-of chained whens, no UDF)."""
+    sdf = frame.spark
+    dummy_cols = [c for c in sdf.columns if c.startswith(prefix + prefix_sep)]
+    if not dummy_cols:
+        raise ValueError(f"no columns with prefix {prefix!r}")
+    expr = F.lit(None).cast("string")
+    for c in reversed(dummy_cols):
+        val = c[len(prefix) + len(prefix_sep):]
+        expr = F.when(F.col(c) == 1, F.lit(val)).otherwise(expr)
+    keep = [c for c in sdf.columns if c not in set(dummy_cols)]
+    return DataFrame(sdf.select(*keep, expr.alias(alias or prefix)))

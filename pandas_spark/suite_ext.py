@@ -1037,3 +1037,118 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> SparkDF:
         .agg(n=("o_orderkey", "size"), qty=("l_quantity", "sum"))
         .to_spark()
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 6: sliding windows (batch==stream op), wide_to_long,
+# json_normalize, from_dummies, value_counts normalize, nlargest keep=all
+# ---------------------------------------------------------------------------
+
+@query(
+    "sliding_window_2h1h",
+    oracle="""
+    SELECT ws::TIMESTAMP AS window_start,
+           (ws + INTERVAL 2 hour)::TIMESTAMP AS window_end,
+           count(value)::BIGINT AS value_count,
+           sum(value) AS value_sum
+    FROM (
+        SELECT time_bucket(INTERVAL '1 hour', ts) - to_seconds(i * 3600) AS ws, value
+        FROM events, range(2) t(i)
+    )
+    GROUP BY ws
+    """,
+)
+def sliding_window_2h1h(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Overlapping 2h/1h windows — every event lands in 2 windows; the
+    SAME function runs under readStream with a watermark
+    (streaming/core.py, SURVEY §2.10)."""
+    from pandas_spark.streaming import sliding_window_stream
+
+    events = _t(spark, sf_dir, "events")
+    return sliding_window_stream(
+        events.spark, size="2h", slide="1h", on="ts", spec={"value": ["count", "sum"]}
+    )
+
+
+@query(
+    "wide_to_long_stubs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'base' AS kind, l_extendedprice AS price, l_quantity AS qty
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc',
+           l_extendedprice * (1 - l_discount), l_quantity
+    FROM lineitem
+    """,
+)
+def wide_to_long_stubs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    wide = lineitem.assign(
+        price_base=col("l_extendedprice"),
+        price_disc=col("l_extendedprice") * (1 - col("l_discount")),
+        qty_base=col("l_quantity"),
+        qty_disc=col("l_quantity"),
+    ).select(["l_orderkey", "l_linenumber", "price_base", "price_disc", "qty_base", "qty_disc"])
+    return ps.wide_to_long(
+        wide, ["price", "qty"], i=["l_orderkey", "l_linenumber"], j="kind", sep="_"
+    ).to_spark()
+
+
+@query(
+    "json_normalize_struct",
+    oracle="""
+    SELECT event_id, user_id AS "u.user_id", event_type AS "u.event_type"
+    FROM events
+    """,
+)
+def json_normalize_struct(spark: SparkSession, sf_dir: str) -> SparkDF:
+    events = _t(spark, sf_dir, "events")
+    nested = DataFrame(
+        events.spark.select(
+            "event_id", F.struct("user_id", "event_type").alias("u")
+        )
+    )
+    return ps.json_normalize(nested, "u").to_spark()
+
+
+@query(
+    "from_dummies_invert",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag AS flag
+    FROM lineitem
+    """,
+)
+def from_dummies_invert(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        ["l_orderkey", "l_linenumber", "l_returnflag"]
+    )
+    dummies = ps.get_dummies(
+        lineitem, ["l_returnflag"], prefix_sep="=", categories={"l_returnflag": ["A", "N", "R"]}
+    )
+    return ps.from_dummies(dummies, "l_returnflag", prefix_sep="=", alias="flag").to_spark()
+
+
+@query(
+    "value_counts_normalize",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) / (SELECT count(*) FROM orders)::DOUBLE AS proportion
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def value_counts_normalize(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.value_counts("o_orderpriority", normalize=True, sort=False).to_spark()
+
+
+@query(
+    "nlargest_keep_all",
+    oracle="""
+    SELECT l_suppkey, l_quantity
+    FROM lineitem
+    QUALIFY rank() OVER (ORDER BY l_quantity DESC) <= 5
+    """,
+)
+def nlargest_keep_all(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem").select(["l_suppkey", "l_quantity"])
+    return lineitem.nlargest(5, "l_quantity", keep="all").to_spark()
