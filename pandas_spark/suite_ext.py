@@ -253,7 +253,9 @@ def ewm_mean(spark: SparkSession, sf_dir: str) -> SparkDF:
     applyInPandas; oracle is the closed-form adjust=True weighted sum."""
     from pandas_spark.window import ewm_mean as ewm
 
-    events = _t(spark, sf_dir, "events")
+    # prune BEFORE the Python boundary: only (key, order, value) cross
+    # Arrow; the wide props column never leaves the JVM
+    events = _t(spark, sf_dir, "events").select(["event_id", "user_id", "value"])
     out = ewm(events, "value", alpha=0.3, by=["user_id"], order_by="event_id", alias="value_ewm")
     return out.select(["event_id", "user_id", "value_ewm"]).to_spark()
 

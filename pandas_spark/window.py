@@ -247,9 +247,14 @@ def ewm_mean(
 ) -> DataFrame:
     """Exponentially-weighted mean (pandas ewm.mean, window/ewm.py:127).
 
-    Recursive — computed per group with an Arrow-batched applyInPandas.
-    Without ``by`` the whole series lands in one task (documented pandas
-    -parity constraint; use a key for scale).
+    Recursive, so it crosses into Python — but via partition-level
+    ``mapInPandas`` over key-repartitioned, key-sorted data, NOT
+    per-group applyInPandas: one Arrow stream per partition instead of
+    one tiny batch per group, which matters when groups are small and
+    numerous (the common case). Each partition holds whole groups
+    (repartition on the key), so the per-partition pandas groupby is
+    exact. Without ``by`` the whole series lands in one task
+    (documented pandas-parity constraint; use a key for scale).
     """
     import pandas as pd  # noqa: F401 (worker-side)
 
@@ -265,6 +270,7 @@ def ewm_mean(
         keys_eff = ["__g__"]
     else:
         keys_eff = keys
+
     if order_by:
         sort_cols, sort_asc = [order_by], [True]
     elif frame._sort_spec:
@@ -280,12 +286,28 @@ def ewm_mean(
     out_fields = sdf.schema.fields
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields) + f", `{name}` double"
     a = alpha
+    order_spark = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, sort_asc)]
 
-    def fn(pdf):
-        pdf = pdf.sort_values(sort_cols, ascending=sort_asc, kind="stable")
-        pdf[name] = pdf[col].ewm(alpha=a, adjust=True).mean()
-        return pdf
+    def fn(batches):
+        # whole partition → one pandas frame (groups never span
+        # partitions thanks to the keyed repartition)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            yield pdf.assign(**{name: pd.Series(dtype="float64")})
+            return
+        pdf = pdf.sort_values(keys_eff + sort_cols,
+                              ascending=[True] * len(keys_eff) + list(sort_asc),
+                              kind="stable")
+        pdf[name] = (
+            pdf.groupby(keys_eff, sort=False)[col]
+            .transform(lambda s: s.ewm(alpha=a, adjust=True).mean())
+        )
+        yield pdf
 
-    out = sdf.groupBy(*keys_eff).applyInPandas(fn, schema)
+    out = (
+        sdf.repartition(*keys_eff)
+        .sortWithinPartitions(*[F.col(k) for k in keys_eff], *order_spark)
+        .mapInPandas(fn, schema)
+    )
     drop = [c for c in ("__g__", "__ord__") if c in out.columns and c not in frame.columns]
     return DataFrame(out.drop(*drop))
