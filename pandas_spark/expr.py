@@ -93,6 +93,20 @@ class Expr:
     def __invert__(self):  return _wrap(~self._col)
 
     # -- pandas generic methods ------------------------------------------
+    def map(self, mapping, default=None) -> "Expr":
+        """``Series.map`` with a dict (series.py:4889; kernel
+        algorithms.py:1868): compiles to ``element_at(create_map(...))``
+        — a literal JVM map lookup, no UDF. Unmapped values → NULL
+        (pandas) unless ``default`` is given."""
+        pairs = []
+        for k, v in dict(mapping).items():
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(v))
+        looked = F.element_at(F.create_map(*pairs), self._col)
+        if default is not None:
+            looked = F.coalesce(looked, F.lit(default))
+        return _wrap(looked)
+
     def isin(self, values) -> "Expr":
         return _wrap(self._col.isin(list(values)))
 

@@ -280,6 +280,15 @@ class DataFrame:
         return this._with(this._sdf.withColumns(filled))
 
     # -- dedup (SURVEY §2.2: duplicated/drop_duplicates) --------------------
+    def between_time(self, start: str, end: str, on: str) -> "DataFrame":
+        """Rows whose time-of-day falls in [start, end] (pandas
+        ``between_time`` on a DatetimeIndex; here ``on=`` names the
+        timestamp column per the explicit-index convention)."""
+        tod = F.date_format(F.col(on), "HH:mm:ss")
+        s = start if len(start) > 5 else start + ":00"
+        e = end if len(end) > 5 else end + ":00"
+        return self._with(self._sdf.filter((tod >= s) & (tod <= e)))
+
     def interpolate(
         self,
         subset: Sequence[str] | None = None,

@@ -1154,3 +1154,83 @@ def value_counts_normalize(spark: SparkSession, sf_dir: str) -> SparkDF:
 def nlargest_keep_all(spark: SparkSession, sf_dir: str) -> SparkDF:
     lineitem = _t(spark, sf_dir, "lineitem").select(["l_suppkey", "l_quantity"])
     return lineitem.nlargest(5, "l_quantity", keep="all").to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 7: dict map, between_time, per-group head, factorize
+# ---------------------------------------------------------------------------
+
+@query(
+    "map_dict",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'R' THEN 'returned' END
+               AS flag_label,
+           CASE l_linestatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open'
+                ELSE 'unknown' END AS status_label
+    FROM lineitem
+    """,
+)
+def map_dict(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Series.map(dict) → literal map lookup (no UDF); missing keys →
+    NULL, or ``default`` (pandas fillna-after-map idiom)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.assign(
+            flag_label=col("l_returnflag").map({"A": "accepted", "R": "returned"}),
+            status_label=col("l_linestatus").map(
+                {"F": "final", "O": "open"}, default="unknown"
+            ),
+        )
+        .select(["l_orderkey", "l_linenumber", "flag_label", "status_label"])
+        .to_spark()
+    )
+
+
+@query(
+    "between_time_filter",
+    oracle="""
+    SELECT event_id, ts, value FROM events
+    WHERE CAST(ts AS TIME) BETWEEN TIME '09:00:00' AND TIME '17:00:00'
+    """,
+)
+def between_time_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.between_time("09:00", "17:00", on="ts")
+        .select(["event_id", "ts", "value"])
+        .to_spark()
+    )
+
+
+@query(
+    "groupby_head",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) <= 3
+    """,
+)
+def groupby_head(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders").select(["o_custkey", "o_orderkey", "o_totalprice"])
+    return orders.groupby("o_custkey").head(3, order_by="o_orderkey").to_spark()
+
+
+@query(
+    "factorize_codes",
+    oracle="""
+    SELECT o_orderkey,
+           dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS priority_code
+    FROM orders
+    """,
+)
+def factorize_codes(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.factorize (algorithms.py:804): dense integer codes over the
+    sorted distinct values (dictionary encoding as an expression)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = orders.groupby("o_orderpriority").ngroup(alias="priority_code")
+    return (
+        out.select(["o_orderkey", "priority_code"])
+        .to_spark()
+        .withColumn("priority_code", F.col("priority_code").cast("long"))
+    )
