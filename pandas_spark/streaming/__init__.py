@@ -2,6 +2,7 @@ from pandas_spark.streaming.core import (
     read_stream_parquet,
     read_stream_json,
     resample_stream,
+    running_agg_stream,
     sliding_window_stream,
     session_window_stream,
     dedup_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "read_stream_json",
     "read_stream_parquet",
     "resample_stream",
+    "running_agg_stream",
     "run_to_memory",
     "session_window_stream",
     "sliding_window_stream",

@@ -185,3 +185,51 @@ def run_to_memory(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {name} did not finish in {timeout}s")
+
+
+def running_agg_stream(
+    sdf: SparkDF,
+    keys: Sequence[str],
+    value_col: str,
+    order_col: str,
+    timeout: str = "NoTimeout",
+) -> SparkDF:
+    """Streaming ``groupby().cumsum()/cumcount()`` — a custom stateful
+    operator via ``applyInPandasWithState`` (SURVEY §2.10: running
+    aggregates need per-key state that outlives a micro-batch).
+
+    State per key = (running_sum, running_count), carried across
+    micro-batches; within a batch rows are ordered by ``order_col``.
+    Emits every input row extended with ``running_sum``/``running_count``
+    (append mode). On a bounded source with one batch this equals the
+    batch ``cumsum`` exactly — the parity test in tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = [f for f in sdf.schema.fields if f.name in set(keys)]
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields)
+        + ", `running_sum` double, `running_count` bigint"
+    )
+    state_schema = "s double, c bigint"
+    in_cols = [f.name for f in sdf.schema.fields]
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            s, c = state.get
+        else:
+            s, c = 0.0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(order_col, kind="stable")
+        vals = pdf[value_col].fillna(0.0)
+        pdf["running_sum"] = vals.cumsum() + s
+        pdf["running_count"] = pdf[value_col].notna().cumsum().astype("int64") + c
+        state.update((float(pdf["running_sum"].iloc[-1]), int(pdf["running_count"].iloc[-1])))
+        yield pdf[in_cols + ["running_sum", "running_count"]]
+
+    timeout_conf = getattr(GroupStateTimeout, timeout)
+    return (
+        sdf.groupBy(*keys)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
+    )

@@ -1234,3 +1234,120 @@ def factorize_codes(spark: SparkSession, sf_dir: str) -> SparkDF:
         .to_spark()
         .withColumn("priority_code", F.col("priority_code").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 8: pct_change, cumprod, rolling std, grouped any/all, ordered
+# first/last
+# ---------------------------------------------------------------------------
+
+@query(
+    "groupby_pct_change",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / lag(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1
+               AS price_pct_change
+    FROM orders
+    """,
+)
+def groupby_pct_change(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders").sort_values(["o_orderdate", "o_orderkey"])
+    out = orders.groupby("o_custkey").pct_change("o_totalprice", alias="price_pct_change")
+    return out.select(["o_orderkey", "price_pct_change"]).to_spark()
+
+
+@query(
+    "groupby_cumprod",
+    oracle="""
+    SELECT event_id,
+           product(1.0 + value / 1000.0) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS growth
+    FROM events
+    """,
+)
+def groupby_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """cumprod via exp(Σ log|x|) with sign/zero bookkeeping — a
+    partial-aggregable expression, no recursive state."""
+    events = _t(spark, sf_dir, "events")
+    scaled = DataFrame(
+        events.spark.withColumn("growth", 1.0 + F.col("value") / 1000.0)
+    ).sort_values("event_id")
+    out = scaled.groupby("user_id").cumprod("growth")
+    return out.select(["event_id", "growth"]).to_spark()
+
+
+@query(
+    "rolling_std_minp",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w >= 3 THEN stddev_samp(value) OVER w END
+               AS value_std
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_std_minp(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 10, on="event_id", by=["user_id"], min_periods=3)
+    return r.std("value", alias="value_std").select(
+        ["event_id", "user_id", "value_std"]
+    ).to_spark()
+
+
+@query(
+    "groupby_any_all",
+    oracle="""
+    SELECT o_custkey,
+           bool_or(o_totalprice > 300000)  AS any_big,
+           bool_and(o_totalprice > 1000)   AS all_nontrivial
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def groupby_any_all(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    flagged = orders.assign(
+        any_big=col("o_totalprice") > 300000,
+        all_nontrivial=col("o_totalprice") > 1000,
+    ).select(["o_custkey", "any_big", "all_nontrivial"])
+    return flagged.groupby("o_custkey").agg(
+        any_big=("any_big", "any"), all_nontrivial=("all_nontrivial", "all")
+    ).to_spark()
+
+
+@query(
+    "groupby_first_last_ordered",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey, o_orderkey AS first_order
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+    ),
+    l AS (
+        SELECT o_custkey, o_orderkey AS last_order
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT f.o_custkey, f.first_order, l.last_order FROM f JOIN l USING (o_custkey)
+    """,
+)
+def groupby_first_last_ordered(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Order-deterministic first/last (pandas group_nth/group_last —
+    Spark's agg first() is order-nondeterministic, so these compile to
+    row_number windows over the declared order, SURVEY §2.4)."""
+    orders = _t(spark, sf_dir, "orders").sort_values(["o_orderdate", "o_orderkey"])
+    first = (
+        orders.groupby("o_custkey").first()
+        .select(["o_custkey", "o_orderkey"])
+        .rename({"o_orderkey": "first_order"})
+    )
+    last = (
+        orders.groupby("o_custkey").last()
+        .select(["o_custkey", "o_orderkey"])
+        .rename({"o_orderkey": "last_order"})
+    )
+    return ps.merge(first, last, on="o_custkey", how="inner").to_spark()

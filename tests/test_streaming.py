@@ -88,3 +88,30 @@ def test_exact_dedup_stream_on_documents(spark):
     got = spark.table("t_docdedup").count()
     want = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text").distinct().count()
     assert got == want
+
+
+def test_running_agg_stream_matches_batch_cumsum(spark, events_stream):
+    out = pss.running_agg_stream(
+        events_stream, keys=["user_id"], value_col="value", order_col="event_id"
+    )
+    assert out.isStreaming
+    pss.run_to_memory(out, "t_running", output_mode="append")
+    got = {
+        r["event_id"]: (round(r["running_sum"], 6), r["running_count"])
+        for r in spark.table("t_running").collect()
+    }
+
+    from pandas_spark import read_parquet
+
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet").sort_values("event_id")
+    batch = (
+        ev.groupby("user_id")
+        .cumsum("value", alias="rs")
+        .groupby("user_id")
+        .cumcount(alias="rc", order_by="event_id")
+        .select(["event_id", "rs", "rc"])
+        .to_spark()
+        .collect()
+    )
+    want = {r["event_id"]: (round(r["rs"], 6), r["rc"] + 1) for r in batch}
+    assert got == want
