@@ -1351,3 +1351,82 @@ def groupby_first_last_ordered(spark: SparkSession, sf_dir: str) -> SparkDF:
         .rename({"o_orderkey": "last_order"})
     )
     return ps.merge(first, last, on="o_custkey", how="inner").to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 9: dt ceil/round, string predicates/case ops, date_range spine,
+# LSH top-k (rows-only)
+# ---------------------------------------------------------------------------
+
+@query(
+    "datetime_ceil_round",
+    oracle="""
+    SELECT event_id,
+           date_trunc('hour', ts)::TIMESTAMP AS ts_floor,
+           CASE WHEN ts = date_trunc('hour', ts) THEN ts
+                ELSE date_trunc('hour', ts) + INTERVAL 1 hour END::TIMESTAMP AS ts_ceil
+    FROM events
+    """,
+)
+def datetime_ceil_round(spark: SparkSession, sf_dir: str) -> SparkDF:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.assign(
+            ts_floor=col("ts").dt.floor("h"),
+            ts_ceil=col("ts").dt.ceil("hour"),
+        )
+        .select(["event_id", "ts_floor", "ts_ceil"])
+        .to_spark()
+    )
+
+
+@query(
+    "string_predicates",
+    oracle="""
+    SELECT p_partkey,
+           regexp_matches(p_brand, '^[a-zA-Z0-9]+$')       AS alnum,
+           regexp_matches(p_name, '^[a-z ]+$')             AS lower_alpha,
+           upper(left(p_name, 1)) || substr(lower(p_name), 2) AS capitalized,
+           regexp_matches(p_type, '^STANDARD')             AS std_match
+    FROM part
+    """,
+)
+def string_predicates(spark: SparkSession, sf_dir: str) -> SparkDF:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.assign(
+            alnum=col("p_brand").str.isalnum(),
+            lower_alpha=col("p_name").str.contains(r"^[a-z ]+$"),
+            capitalized=col("p_name").str.capitalize(),
+            std_match=col("p_type").str.match("STANDARD"),
+        )
+        .select(["p_partkey", "alnum", "lower_alpha", "capitalized", "std_match"])
+        .to_spark()
+    )
+
+
+@query(
+    "date_range_spine",
+    oracle="""
+    SELECT unnest(generate_series(
+        TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-01', INTERVAL 1 day))::TIMESTAMP AS ts
+    """,
+)
+def date_range_spine(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return ps.date_range(spark, "1995-01-01", "1995-03-01", freq="D").to_spark()
+
+
+@query("sim_topk_lsh")  # rows-only: hyperplane LSH recall < 1 by design
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from pandas_spark.operators import similarity
+
+    emb = ps.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    emb = DataFrame(emb.spark.withColumn("embedding", F.col("embedding").cast("array<double>")))
+    queries = DataFrame(
+        emb.spark.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    return similarity.cosine_topk_lsh(
+        emb, queries, k=10, id_col="vec_id", vec_col="embedding", dim=64, bits=8
+    ).to_spark()
