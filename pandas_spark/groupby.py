@@ -138,6 +138,30 @@ class GroupBy:
 
     aggregate = agg
 
+    def rollup(self, spec=None, **named):
+        """Hierarchical subtotals (Spark-native superset of pandas'
+        ``pivot_table(margins=)`` — SURVEY §2.4 grouping sets): one
+        pass computes every prefix level of the keys; NULL key = the
+        subtotal row, exactly like SQL ROLLUP."""
+        return self._grouping_sets("rollup", spec, named)
+
+    def cube(self, spec=None, **named):
+        """All key-combination subtotals (SQL CUBE)."""
+        return self._grouping_sets("cube", spec, named)
+
+    def _grouping_sets(self, kind: str, spec, named):
+        exprs: list[Column] = []
+        for out_name, pair in (named or {}).items():
+            col, func = pair if isinstance(pair, tuple) else (pair, "sum")
+            exprs.append(resolve_agg(func, col).alias(out_name))
+        if spec:
+            for col, funcs in dict(spec).items():
+                for fn in [funcs] if isinstance(funcs, str) else list(funcs):
+                    exprs.append(resolve_agg(fn, col).alias(f"{col}_{fn}"))
+        src = self._source()
+        grouped = src.rollup(*self._keys) if kind == "rollup" else src.cube(*self._keys)
+        return self._result(grouped.agg(*exprs))
+
     # -- simple reductions -----------------------------------------------------
     def _simple(self, func: str, numeric_only: bool = True):
         cols = self._value_cols(numeric_only=numeric_only)

@@ -1430,3 +1430,64 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
     return similarity.cosine_topk_lsh(
         emb, queries, k=10, id_col="vec_id", vec_col="embedding", dim=64, bits=8
     ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 10: rollup/cube grouping sets, plain pivot
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_subtotals",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS l_quantity_sum,
+           count(l_quantity)::BIGINT AS l_quantity_count
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_subtotals(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SQL ROLLUP — the one-pass generalization of pivot_table margins
+    (SURVEY §2.4: Spark gives grouping sets for free)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupby(["l_returnflag", "l_linestatus"])
+        .rollup({"l_quantity": ["sum", "count"]})
+        .to_spark()
+    )
+
+
+@query(
+    "cube_subtotals",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_subtotals(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupby(["o_orderstatus", "o_orderpriority"])
+        .cube(total=("o_totalprice", "sum"))
+        .to_spark()
+    )
+
+
+@query(
+    "pivot_plain",
+    oracle="""
+    SELECT o_orderkey,
+           max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS F,
+           max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS O,
+           max(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS P
+    FROM orders GROUP BY o_orderkey
+    """,
+)
+def pivot_plain(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.pivot (spread, no aggregation — unique cells)."""
+    from pandas_spark.operators.reshape import pivot
+
+    orders = _t(spark, sf_dir, "orders")
+    return pivot(orders.select(["o_orderkey", "o_orderstatus", "o_totalprice"]),
+                 index="o_orderkey", columns="o_orderstatus", values="o_totalprice").to_spark()

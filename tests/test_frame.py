@@ -173,3 +173,40 @@ def test_cumprod(spark):
     sdf = spark.createDataFrame([Row(g=1, t=1, v=2.0), Row(g=1, t=2, v=-3.0), Row(g=1, t=3, v=0.0), Row(g=1, t=4, v=4.0)])
     out = DataFrame(sdf).groupby("g").cumprod("v", alias="cp", order_by="t").to_pandas().sort_values("t")
     assert list(out["cp"]) == [2.0, -6.0, 0.0, 0.0]
+
+
+def test_ops_on_empty_input(spark):
+    """Operators must survive empty frames (filter-everything inputs)."""
+    import pandas_spark as ps
+    from pandas_spark import col
+    from pandas_spark.operators import dedup, similarity
+    from conftest import SF_DIR
+
+    docs = ps.read_parquet(spark, f"{SF_DIR}/documents.parquet").filter(
+        col("doc_id") < 0
+    )
+    assert dedup.exact_dedup(docs).to_spark().count() == 0
+    assert dedup.minhash_dedup_pairs(docs).to_spark().count() == 0
+
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet").filter(
+        col("l_orderkey") < 0
+    )
+    assert li.sort_values("l_orderkey").drop_duplicates(subset=["l_suppkey"]).to_spark().count() == 0
+    assert li.groupby("l_returnflag").agg(n=("l_quantity", "size")).to_spark().count() == 0
+    assert li.nlargest(5, "l_quantity").to_spark().count() == 0
+
+
+def test_ewm_empty_and_single_row(spark):
+    from pandas_spark.window import ewm_mean
+    from pandas_spark import col
+    from conftest import SF_DIR
+    import pandas_spark as ps
+
+    ev = ps.read_parquet(spark, f"{SF_DIR}/events.parquet").select(
+        ["event_id", "user_id", "value"]
+    )
+    empty = ev.filter(col("event_id") < 0)
+    assert ewm_mean(empty, "value", alpha=0.5, by=["user_id"], order_by="event_id").to_spark().count() == 0
+    one = ev.limit(1)
+    rows = ewm_mean(one, "value", alpha=0.5, by=["user_id"], order_by="event_id").to_spark().collect()
+    assert len(rows) == 1 and abs(rows[0]["value_ewm"] - rows[0]["value"]) < 1e-9

@@ -88,3 +88,14 @@ def test_sorted_head_is_top_k(spark):
     orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet")
     q = orders.sort_values("o_totalprice", ascending=False).head(10).to_spark()
     assert "TakeOrderedAndProject" in plan_of(q)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_by_status")
+    orders.to_parquet(path, partition_by=["o_orderstatus"])
+    back = ps.read_parquet(spark, path).filter(col("o_orderstatus") == "F")
+    plan = plan_of(back.to_spark())
+    # the filter must prune at the file-index level, not scan+filter
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0]
