@@ -438,6 +438,42 @@ class DataFrame:
             return self._with(self._sdf.orderBy(F.rand(seed or 0)).limit(n))
         raise ValueError("sample requires frac or n")
 
+    def describe(self, subset: Sequence[str] | None = None) -> "DataFrame":
+        """Frame-level describe (frame.py:15662): one-row-per-column
+        summary — computed as a single global agg pass, then reshaped
+        driver-side (the result is O(columns), tiny by construction)."""
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        cols = list(subset) if subset else [n for n, t in self.dtypes if t in num]
+        exprs = []
+        for c in cols:
+            cc = F.col(c)
+            exprs += [
+                F.count(cc).alias(f"{c}__count"),
+                F.avg(cc).alias(f"{c}__mean"),
+                F.stddev_samp(cc).alias(f"{c}__std"),
+                F.min(cc).alias(f"{c}__min"),
+                F.percentile(cc, F.lit(0.25)).alias(f"{c}__p25"),
+                F.percentile(cc, F.lit(0.5)).alias(f"{c}__p50"),
+                F.percentile(cc, F.lit(0.75)).alias(f"{c}__p75"),
+                F.max(cc).alias(f"{c}__max"),
+            ]
+        row = self._sdf.agg(*exprs)
+        stats = ["count", "mean", "std", "min", "p25", "p50", "p75", "max"]
+        stacked = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            *[F.col(f"{c}__{s}").cast("double").alias(s) for s in stats],
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("d")
+        ).select("d.*")
+        return DataFrame(stacked)
+
     def rank(
         self,
         col: str,

@@ -1491,3 +1491,48 @@ def pivot_plain(spark: SparkSession, sf_dir: str) -> SparkDF:
     orders = _t(spark, sf_dir, "orders")
     return pivot(orders.select(["o_orderkey", "o_orderstatus", "o_totalprice"]),
                  index="o_orderkey", columns="o_orderstatus", values="o_totalprice").to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 11: frame describe, per-group resample
+# ---------------------------------------------------------------------------
+
+@query(
+    "frame_describe",
+    oracle="""
+    SELECT 'l_quantity' AS column,
+           count(l_quantity)::DOUBLE AS count, avg(l_quantity) AS mean,
+           stddev_samp(l_quantity) AS std, min(l_quantity)::DOUBLE AS min,
+           quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75, max(l_quantity)::DOUBLE AS max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           count(l_discount)::DOUBLE, avg(l_discount), stddev_samp(l_discount),
+           min(l_discount)::DOUBLE, quantile_cont(l_discount, 0.25),
+           quantile_cont(l_discount, 0.5), quantile_cont(l_discount, 0.75),
+           max(l_discount)::DOUBLE
+    FROM lineitem
+    """,
+)
+def frame_describe(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.describe(subset=["l_quantity", "l_discount"]).to_spark()
+
+
+@query(
+    "groupby_resample",
+    oracle="""
+    SELECT user_id, time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS ts,
+           sum(value) AS value_sum, count(value)::BIGINT AS value_count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def groupby_resample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pandas groupby(key).resample(freq) — pd.Grouper(freq=) time
+    buckets per group (resample.py TimeGrouper:2402)."""
+    from pandas_spark.window import Resampler
+
+    events = _t(spark, sf_dir, "events")
+    r = Resampler(events, "1h", on="ts", by=["user_id"])
+    return r.agg({"value": ["sum", "count"]}).to_spark()
