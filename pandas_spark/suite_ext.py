@@ -1536,3 +1536,110 @@ def groupby_resample(spark: SparkSession, sf_dir: str) -> SparkDF:
     events = _t(spark, sf_dir, "events")
     r = Resampler(events, "1h", on="ts", by=["user_id"])
     return r.agg({"value": ["sum", "count"]}).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 12: merge option surface (right/outer/indicator), dropna thresh,
+# fillna dict, concat join='inner'
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_right_outer_keys",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey,
+           c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_right_outer_keys(spark: SparkSession, sf_dir: str) -> SparkDF:
+    customer = _t(spark, sf_dir, "customer").select(["c_custkey", "c_mktsegment"])
+    orders = _t(spark, sf_dir, "orders").select(["o_custkey", "o_orderkey", "o_totalprice"])
+    out = ps.merge(customer, orders, left_on="c_custkey", right_on="o_custkey", how="right")
+    return out.select(["c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"]).to_spark()
+
+
+@query(
+    "merge_indicator",
+    oracle="""
+    SELECT _merge, count(*)::BIGINT AS n FROM (
+        SELECT CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'both'
+                    WHEN c.c_custkey IS NOT NULL THEN 'left_only'
+                    ELSE 'right_only' END AS _merge
+        FROM customer c
+        FULL JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000) o
+          ON c.c_custkey = o.o_custkey
+    ) GROUP BY _merge
+    """,
+)
+def merge_indicator(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """merge(indicator=True) — the _merge provenance column
+    (merge.py:149 indicator param)."""
+    customer = _t(spark, sf_dir, "customer").select(["c_custkey"])
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(col("o_totalprice") > 250000)
+        .select(["o_custkey"])
+        .drop_duplicates(subset=["o_custkey"], keep="any")
+    )
+    out = ps.merge(
+        customer, big, left_on="c_custkey", right_on="o_custkey", how="outer", indicator=True
+    )
+    return out.groupby("_merge").agg(n=("_merge", "size")).to_spark()
+
+
+@query(
+    "dropna_thresh_fillna",
+    oracle="""
+    WITH s AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN value END AS a,
+               CASE WHEN event_type = 'purchase' THEN value END AS b,
+               CASE WHEN value > 50 THEN value END AS c
+        FROM events
+    )
+    SELECT event_id,
+           coalesce(a, -1.0) AS a, coalesce(b, -2.0) AS b, c
+    FROM s
+    WHERE (a IS NOT NULL)::INT + (b IS NOT NULL)::INT + (c IS NOT NULL)::INT >= 2
+    """,
+)
+def dropna_thresh_fillna(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """dropna(thresh=) + fillna({col: val}) (frame.py:7974, generic
+    fillna with dict)."""
+    events = _t(spark, sf_dir, "events")
+    sparse = DataFrame(
+        events.spark.select(
+            "event_id",
+            F.when(F.col("event_type") == "click", F.col("value")).alias("a"),
+            F.when(F.col("event_type") == "purchase", F.col("value")).alias("b"),
+            F.when(F.col("value") > 50, F.col("value")).alias("c"),
+        )
+    )
+    out = sparse.dropna(thresh=2, subset=["a", "b", "c"]).fillna({"a": -1.0, "b": -2.0})
+    return out.to_spark()
+
+
+@query(
+    "concat_inner_cols",
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_extendedprice > 90000
+    """,
+)
+def concat_inner_cols(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """concat(join='inner') — only the shared columns survive
+    (concat.py:163 column alignment)."""
+    a = (
+        _t(spark, sf_dir, "orders")
+        .filter(col("o_totalprice") > 200000)
+        .select([col("o_orderkey").alias("k"), col("o_totalprice").alias("v")])
+        .assign(only_a=ps.lit(1))
+    )
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(col("l_extendedprice") > 90000)
+        .select([col("l_orderkey").alias("k"), col("l_extendedprice").alias("v")])
+        .assign(only_b=ps.lit(2))
+    )
+    return ps.concat([a, b], join="inner").to_spark()
