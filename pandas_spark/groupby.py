@@ -460,6 +460,18 @@ class GroupBy:
         return self._result(out)
 
     # -- UDF surface (SURVEY §2.11) ----------------------------------------------
+    def get_group(self, key):
+        """One group as a frame (groupby.py:549) — a key filter."""
+        vals = key if isinstance(key, (tuple, list)) else [key]
+        cond = None
+        for k, v in zip(self._keys, vals):
+            term = F.col(k).eqNullSafe(F.lit(v))
+            cond = term if cond is None else (cond & term)
+        return self._frame.filter(cond)
+
+    def pipe(self, fn: Callable, *args, **kwargs):
+        return fn(self, *args, **kwargs)
+
     def apply_in_pandas(self, fn: Callable, schema):
         """pandas ``groupby.apply`` ≙ Spark ``applyInPandas`` (exact model match)."""
         return self._result(self._grouped().applyInPandas(fn, schema))

@@ -1643,3 +1643,79 @@ def concat_inner_cols(spark: SparkSession, sf_dir: str) -> SparkDF:
         .assign(only_b=ps.lit(2))
     )
     return ps.concat([a, b], join="inner").to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 13: eval dialect, duplicated flags, isna counts, label selection
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_assign",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS total_cost
+    FROM lineitem
+    """,
+)
+def eval_assign(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """df.eval('name = expr') pandas dialect → Spark SQL expression
+    (computation/eval.py translator, SURVEY §3.3)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    out = lineitem.eval("total_cost = l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+    return out.select(["l_orderkey", "l_linenumber", "total_cost"]).to_spark()
+
+
+@query(
+    "duplicated_flags",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER (PARTITION BY l_suppkey, l_partkey
+                              ORDER BY l_orderkey, l_linenumber) > 1 AS duplicated
+    FROM lineitem
+    """,
+)
+def duplicated_flags(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem").sort_values(["l_orderkey", "l_linenumber"])
+    out = lineitem.duplicated(subset=["l_suppkey", "l_partkey"], keep="first")
+    return out.select(["l_orderkey", "l_linenumber", "duplicated"]).to_spark()
+
+
+@query(
+    "isna_counts",
+    oracle="""
+    SELECT sum((event_type IS DISTINCT FROM 'purchase')::INT)::BIGINT AS pv_missing,
+           count(*)::BIGINT AS total
+    FROM events
+    """,
+)
+def isna_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """isna() + column-sum — the missing-data census idiom."""
+    events = _t(spark, sf_dir, "events")
+    sparse = DataFrame(
+        events.spark.select(
+            F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv")
+        )
+    )
+    flags = sparse.isna().astype({"pv": "int"})
+    return flags.agg(
+        pv_missing=("pv", "sum"), total=("pv", "size")
+    ).to_spark().withColumn("pv_missing", F.col("pv_missing").cast("long"))
+
+
+@query(
+    "label_selection",
+    oracle="""
+    SELECT l_orderkey AS "li.l_orderkey", l_quantity AS "li.l_quantity",
+           l_extendedprice AS "li.l_extendedprice", l_discount AS "li.l_discount",
+           l_tax AS "li.l_tax"
+    FROM lineitem
+    """,
+)
+def label_selection(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """select_dtypes + filter(like=)-style label ops + add_prefix
+    (generic.py:5694,4890)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    numeric = lineitem.select_dtypes(include=["double", "bigint"])
+    keep = [c for c in numeric.columns
+            if c in ("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")]
+    return numeric.select(keep).add_prefix("li.").to_spark()
