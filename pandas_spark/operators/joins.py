@@ -242,7 +242,14 @@ def merge_asof(
         if tolerance is None:
             return sdf
         gap = F.abs(F.col(on).cast("double") - F.col("__m_ts__").cast("double"))
-        tol = tolerance.total_seconds() if hasattr(tolerance, "total_seconds") else tolerance
+        if hasattr(tolerance, "total_seconds"):
+            tol = tolerance.total_seconds()
+        elif isinstance(tolerance, str):
+            from pandas_spark.window import parse_offset_seconds
+
+            tol = parse_offset_seconds(tolerance)
+        else:
+            tol = tolerance
         cols = {}
         for c in payload:
             cols["__m_" + c] = F.when(gap <= tol, F.col("__m_" + c))

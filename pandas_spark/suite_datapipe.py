@@ -318,3 +318,122 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
         .to_spark()
         .withColumn("sample_ts_ms", F.col("sample_ts_ms").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# merge_asof variants (SURVEY §7.3 item 2): forward / nearest / tolerance
+# ---------------------------------------------------------------------------
+
+from pandas_spark.suite import _t as _table  # noqa: E402
+
+
+@query(
+    "merge_asof_forward",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.ts, c.event_id, p.value AS next_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def merge_asof_forward(spark: SparkSession, sf_dir: str) -> SparkDF:
+    import pandas_spark as ps
+    from pandas_spark import col
+
+    events = _table(spark, sf_dir, "events")
+    clicks = events.filter(col("event_type") == "click").select(["user_id", "ts", "event_id"])
+    purchases = events.filter(col("event_type") == "purchase").select(["user_id", "ts", "value"])
+    out = ps.merge_asof(clicks, purchases, on="ts", by="user_id", direction="forward")
+    return (
+        out.rename({"value": "next_purchase_value"})
+        .select(["user_id", "ts", "event_id", "next_purchase_value"])
+        .to_spark()
+    )
+
+
+@query(
+    "merge_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.ts, c.event_id,
+           CASE WHEN c.ts - p.ts <= INTERVAL 30 minutes THEN p.value END
+               AS recent_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def merge_asof_tolerance(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """backward as-of with tolerance: matches further than 30min back
+    are nulled (merge.py:644 tolerance param)."""
+    import pandas_spark as ps
+    from pandas_spark import col
+
+    events = _table(spark, sf_dir, "events")
+    clicks = events.filter(col("event_type") == "click").select(["user_id", "ts", "event_id"])
+    purchases = events.filter(col("event_type") == "purchase").select(["user_id", "ts", "value"])
+    out = ps.merge_asof(
+        clicks, purchases, on="ts", by="user_id", direction="backward", tolerance="30min"
+    )
+    return (
+        out.rename({"value": "recent_purchase_value"})
+        .select(["user_id", "ts", "event_id", "recent_purchase_value"])
+        .to_spark()
+    )
+
+
+@query(
+    "merge_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    bwd AS (
+        SELECT c.user_id, c.ts, c.event_id, p.ts AS bts, p.value AS bval
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    fwd AS (
+        SELECT c.user_id, c.ts, c.event_id, p.ts AS fts, p.value AS fval
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT b.user_id, b.ts, b.event_id,
+           CASE
+             WHEN b.bts IS NULL THEN f.fval
+             WHEN f.fts IS NULL THEN b.bval
+             WHEN (b.ts - b.bts) <= (f.fts - b.ts) THEN b.bval
+             ELSE f.fval
+           END AS nearest_purchase_value
+    FROM bwd b JOIN fwd f USING (user_id, ts, event_id)
+    """,
+)
+def merge_asof_nearest(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """nearest = min(|Δt|) of backward/forward candidates, ties →
+    backward (pandas join.pyx:900 asof_join_nearest)."""
+    import pandas_spark as ps
+    from pandas_spark import col
+
+    events = _table(spark, sf_dir, "events")
+    clicks = events.filter(col("event_type") == "click").select(["user_id", "ts", "event_id"])
+    purchases = events.filter(col("event_type") == "purchase").select(["user_id", "ts", "value"])
+    out = ps.merge_asof(clicks, purchases, on="ts", by="user_id", direction="nearest")
+    return (
+        out.rename({"value": "nearest_purchase_value"})
+        .select(["user_id", "ts", "event_id", "nearest_purchase_value"])
+        .to_spark()
+    )
