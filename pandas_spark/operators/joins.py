@@ -378,3 +378,33 @@ def bucketed_join(
             .saveAsTable(name)
         )
     return DataFrame(spark.table(lt).join(spark.table(rt), keys, how))
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    how: str = "inner",
+    closed: str = "left",
+) -> DataFrame:
+    """Point-in-interval join (pandas IntervalIndex.get_indexer lookups,
+    _libs/intervaltree — SURVEY §2.3 interval/range join).
+
+    The intervals side is broadcast (interval tables are small by
+    nature); the probe side streams through a broadcast nested-loop
+    with a range predicate — no shuffle of the big side. ``closed``
+    picks [lo,hi) / (lo,hi] / [lo,hi] like pd.cut's ``right=``.
+    """
+    p = F.col(f"__l__.{on}")
+    lo_c, hi_c = F.col(f"__r__.{lo}"), F.col(f"__r__.{hi}")
+    conds = {
+        "left": (p >= lo_c) & (p < hi_c),
+        "right": (p > lo_c) & (p <= hi_c),
+        "both": (p >= lo_c) & (p <= hi_c),
+    }
+    out = left.spark.alias("__l__").join(
+        F.broadcast(intervals.spark.alias("__r__")), conds[closed], how
+    )
+    return DataFrame(out.select("__l__.*", "__r__.*"))

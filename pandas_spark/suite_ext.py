@@ -1719,3 +1719,110 @@ def label_selection(spark: SparkSession, sf_dir: str) -> SparkDF:
     keep = [c for c in numeric.columns
             if c in ("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")]
     return numeric.select(keep).add_prefix("li.").to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 14: strict asof matches, interval join, NULL group keys
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_asof_strict",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.ts, c.event_id, p.value AS prev_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts > p.ts
+    """,
+)
+def merge_asof_strict(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """allow_exact_matches=False: strictly-preceding match only."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(col("event_type") == "click").select(["user_id", "ts", "event_id"])
+    purchases = events.filter(col("event_type") == "purchase").select(["user_id", "ts", "value"])
+    out = ps.merge_asof(
+        clicks, purchases, on="ts", by="user_id",
+        direction="backward", allow_exact_matches=False,
+    )
+    return (
+        out.rename({"value": "prev_value"})
+        .select(["user_id", "ts", "event_id", "prev_value"])
+        .to_spark()
+    )
+
+
+@query(
+    "interval_join_bands",
+    oracle="""
+    WITH bands AS (
+        SELECT i * 60000.0 AS lo, (i + 1) * 60000.0 AS hi,
+               'band' || i::VARCHAR AS band
+        FROM range(10) t(i)
+    )
+    SELECT o.o_orderkey, b.band, count(*)::BIGINT AS n
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY o.o_orderkey, b.band
+    """,
+)
+def interval_join_bands(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Point-in-interval broadcast range join (no shuffle of the fact
+    side — BroadcastNestedLoopJoin with a range predicate)."""
+    from pandas_spark.operators.joins import interval_join
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = DataFrame(
+        spark.range(10).select(
+            (F.col("id") * 60000.0).alias("lo"),
+            ((F.col("id") + 1) * 60000.0).alias("hi"),
+            F.concat(F.lit("band"), F.col("id").cast("string")).alias("band"),
+        )
+    )
+    j = interval_join(orders, bands, on="o_totalprice", lo="lo", hi="hi")
+    return j.groupby(["o_orderkey", "band"]).agg(n=("band", "size")).to_spark()
+
+
+@query(
+    "groupby_null_keys",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN value > 50 THEN event_type END AS k, value FROM events
+    )
+    SELECT k, count(*)::BIGINT AS n, sum(value) AS total
+    FROM s GROUP BY k
+    """,
+)
+def groupby_null_keys(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """dropna=False keeps the NULL group (pandas groupby dropna param,
+    frame.py:12936; default drops it — both paths suite-checked)."""
+    events = _t(spark, sf_dir, "events")
+    s = DataFrame(
+        events.spark.select(
+            F.when(F.col("value") > 50, F.col("event_type")).alias("k"), "value"
+        )
+    )
+    return s.groupby("k", dropna=False).agg(n=("value", "size"), total=("value", "sum")).to_spark()
+
+
+@query(
+    "groupby_dropna_default",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN value > 50 THEN event_type END AS k, value FROM events
+    )
+    SELECT k, count(*)::BIGINT AS n FROM s WHERE k IS NOT NULL GROUP BY k
+    """,
+)
+def groupby_dropna_default(spark: SparkSession, sf_dir: str) -> SparkDF:
+    events = _t(spark, sf_dir, "events")
+    s = DataFrame(
+        events.spark.select(
+            F.when(F.col("value") > 50, F.col("event_type")).alias("k"), "value"
+        )
+    )
+    return s.groupby("k").agg(n=("value", "size")).to_spark()
