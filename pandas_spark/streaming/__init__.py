@@ -5,6 +5,7 @@ from pandas_spark.streaming.core import (
     running_agg_stream,
     sliding_window_stream,
     session_window_stream,
+    tolerance_join_stream,
     dedup_stream,
     exact_dedup_stream,
     run_to_memory,
@@ -20,4 +21,5 @@ __all__ = [
     "run_to_memory",
     "session_window_stream",
     "sliding_window_stream",
+    "tolerance_join_stream",
 ]

@@ -233,3 +233,44 @@ def running_agg_stream(
         sdf.groupBy(*keys)
         .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
     )
+
+
+def tolerance_join_stream(
+    left: SparkDF,
+    right: SparkDF,
+    on: str,
+    by: Sequence[str],
+    tolerance: str = "30 minutes",
+    watermark: str = "1 hour",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> SparkDF:
+    """Stream-stream time-bounded join — the streaming analog of
+    ``merge_asof(tolerance=)`` (SURVEY §2.10: asof ↦ stream-stream join
+    with a time-range condition + watermarks).
+
+    Emits every right row within ``(left.ts - tolerance, left.ts]`` per
+    key (the full candidate set; an exact latest-only asof needs custom
+    state — ``running_agg_stream`` shows that pattern). Watermarks on
+    BOTH sides bound the join state so Spark can evict old rows.
+    """
+    secs = parse_offset_seconds(tolerance.replace(" ", ""))
+    lw = left.withWatermark(on, watermark) if left.isStreaming else left
+    rw = right.withWatermark(on, watermark) if right.isStreaming else right
+    overlap = (set(left.columns) & set(right.columns)) - set(by)
+    l = lw.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
+    # right side: rename EVERYTHING incl. keys so the equality predicate
+    # survives until after the join (stream-stream joins require it)
+    r = rw.withColumnsRenamed(
+        {**{c: c + suffixes[1] for c in overlap}, **{k: k + suffixes[1] for k in by}}
+    )
+    lts, rts = f"{on}{suffixes[0]}", f"{on}{suffixes[1]}"
+    cond = None
+    for k in by:
+        term = l[k] == r[k + suffixes[1]]
+        cond = term if cond is None else cond & term
+    cond = (
+        cond
+        & (r[rts] <= l[lts])
+        & (r[rts] > l[lts] - F.expr(f"INTERVAL {secs} seconds"))
+    )
+    return l.join(r, cond, "inner").drop(*[k + suffixes[1] for k in by])

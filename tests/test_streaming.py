@@ -115,3 +115,33 @@ def test_running_agg_stream_matches_batch_cumsum(spark, events_stream):
     )
     want = {r["event_id"]: (round(r["rs"], 6), r["rc"] + 1) for r in batch}
     assert got == want
+
+
+def test_tolerance_join_stream_matches_batch(spark):
+    ev = pss.read_stream_parquet(spark, f"{SF_DIR}/events.parquet")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = pss.tolerance_join_stream(
+        clicks, purchases, on="ts", by=["user_id"], tolerance="30min"
+    )
+    assert out.isStreaming
+    pss.run_to_memory(out, "t_toljoin", output_mode="append")
+    got = spark.table("t_toljoin").count()
+
+    from pandas_spark import read_parquet
+    from pyspark.sql import functions as F
+
+    batch = read_parquet(spark, f"{SF_DIR}/events.parquet").to_spark()
+    bc = batch.filter("event_type = 'click'").selectExpr(
+        "user_id", "ts AS ts_l", "event_id"
+    )
+    bp = batch.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS u2", "ts AS ts_r", "value"
+    )
+    want = bc.join(
+        bp,
+        (bc.user_id == bp.u2)
+        & (bp.ts_r <= bc.ts_l)
+        & (bp.ts_r > bc.ts_l - F.expr("INTERVAL 1800 seconds")),
+    ).count()
+    assert got == want
