@@ -1826,3 +1826,61 @@ def groupby_dropna_default(spark: SparkSession, sf_dir: str) -> SparkDF:
         )
     )
     return s.groupby("k").agg(n=("value", "size")).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 15: frame-level shift/diff, nsmallest, tail after sort, group sample
+# ---------------------------------------------------------------------------
+
+@query(
+    "frame_shift_diff",
+    oracle="""
+    SELECT o_orderkey,
+           lag(o_totalprice) OVER (ORDER BY o_orderkey)                 AS prev_price,
+           o_totalprice - lag(o_totalprice) OVER (ORDER BY o_orderkey)  AS price_diff
+    FROM orders
+    """,
+)
+def frame_shift_diff(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Frame-wide shift/diff over the declared sort order (frame.py:6907,
+    :14113) — single ordered window, documented scale caveat (use
+    groupby variants to parallelize by key)."""
+    orders = _t(spark, sf_dir, "orders").select(["o_orderkey", "o_totalprice"]).sort_values("o_orderkey")
+    shifted = orders.shift(1, columns=["o_totalprice"]).rename({"o_totalprice": "prev_price"})
+    merged = ps.merge(
+        orders, shifted, on="o_orderkey", how="inner"
+    ).assign(price_diff=col("o_totalprice") - col("prev_price"))
+    return merged.select(["o_orderkey", "prev_price", "price_diff"]).to_spark()
+
+
+@query(
+    "nsmallest_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 50
+    """,
+)
+def nsmallest_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders").select(["o_orderkey", "o_totalprice"])
+    return orders.nsmallest(50, ["o_totalprice", "o_orderkey"]).to_spark()
+
+
+@query(
+    "tail_after_sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    QUALIFY row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) <= 50
+    """,
+)
+def tail_after_sort(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """tail(n) = last n of the declared (descending) order — compiled
+    to a reverse-order row_number window, no full materialized sort."""
+    orders = _t(spark, sf_dir, "orders").select(["o_orderkey", "o_totalprice"])
+    return orders.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False]).tail(50).to_spark()
+
+
+@query("groupby_sample")  # rows-only: per-group RNG differs across engines
+def groupby_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders")
+    sampled = DataFrame(orders.spark.sampleBy("o_orderstatus", {"F": 0.1, "O": 0.1, "P": 0.5}, seed=42))
+    return sampled.select(["o_orderkey", "o_orderstatus"]).to_spark()
