@@ -438,6 +438,34 @@ class DataFrame:
             return self._with(self._sdf.orderBy(F.rand(seed or 0)).limit(n))
         raise ValueError("sample requires frac or n")
 
+    def corr(self, subset: Sequence[str] | None = None, method: str = "pearson") -> "DataFrame":
+        """Pairwise correlation matrix (frame.py:15791) in long form
+        (col1, col2, corr) — all n² pairs in ONE aggregation pass."""
+        if method != "pearson":
+            raise NotImplementedError("only pearson (spearman needs rank pre-pass)")
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        cols = list(subset) if subset else [n for n, t in self.dtypes if t in num]
+        exprs = [
+            F.corr(a, b).alias(f"{a}__{b}") for a in cols for b in cols
+        ]
+        row = self._sdf.agg(*exprs)
+        stacked = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("col1"),
+                            F.lit(b).alias("col2"),
+                            F.col(f"{a}__{b}").alias("corr"),
+                        )
+                        for a in cols
+                        for b in cols
+                    ]
+                )
+            ).alias("d")
+        ).select("d.*")
+        return DataFrame(stacked)
+
     def describe(self, subset: Sequence[str] | None = None) -> "DataFrame":
         """Frame-level describe (frame.py:15662): one-row-per-column
         summary — computed as a single global agg pass, then reshaped

@@ -1884,3 +1884,76 @@ def groupby_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
     orders = _t(spark, sf_dir, "orders")
     sampled = DataFrame(orders.spark.sampleBy("o_orderstatus", {"F": 0.1, "O": 0.1, "P": 0.5}, seed=42))
     return sampled.select(["o_orderkey", "o_orderstatus"]).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 16: streaming dedup (oracle on key set), corr matrix, rolling median
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_dedup_keys",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Watermarked streaming dedup (state-TTL) driven to completion;
+    the kept-key set is deterministic even though which row represents
+    each key is arrival-order (first seen)."""
+    from pandas_spark import streaming as pss
+
+    stream = pss.read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    out = pss.dedup_stream(stream, ["user_id"], on="ts", watermark="10 days")
+    pss.run_to_memory(out, "suite_stream_dedup", output_mode="append")
+    return spark.table("suite_stream_dedup").select("user_id")
+
+
+@query(
+    "corr_matrix",
+    oracle="""
+    WITH pairs(col1, col2) AS (
+        VALUES ('l_quantity','l_quantity'), ('l_quantity','l_extendedprice'),
+               ('l_quantity','l_discount'), ('l_extendedprice','l_quantity'),
+               ('l_extendedprice','l_extendedprice'), ('l_extendedprice','l_discount'),
+               ('l_discount','l_quantity'), ('l_discount','l_extendedprice'),
+               ('l_discount','l_discount')
+    )
+    SELECT p.col1, p.col2,
+           CASE p.col1 || '|' || p.col2
+             WHEN 'l_quantity|l_quantity' THEN corr(l_quantity, l_quantity)
+             WHEN 'l_quantity|l_extendedprice' THEN corr(l_quantity, l_extendedprice)
+             WHEN 'l_quantity|l_discount' THEN corr(l_quantity, l_discount)
+             WHEN 'l_extendedprice|l_quantity' THEN corr(l_extendedprice, l_quantity)
+             WHEN 'l_extendedprice|l_extendedprice' THEN corr(l_extendedprice, l_extendedprice)
+             WHEN 'l_extendedprice|l_discount' THEN corr(l_extendedprice, l_discount)
+             WHEN 'l_discount|l_quantity' THEN corr(l_discount, l_quantity)
+             WHEN 'l_discount|l_extendedprice' THEN corr(l_discount, l_extendedprice)
+             WHEN 'l_discount|l_discount' THEN corr(l_discount, l_discount)
+           END AS corr
+    FROM pairs p, lineitem
+    GROUP BY p.col1, p.col2
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> SparkDF:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.corr(subset=["l_quantity", "l_extendedprice", "l_discount"]).to_spark()
+
+
+@query(
+    "rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           median(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS value_med
+    FROM events
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Rolling median — pandas uses a skiplist kernel
+    (aggregations.pyx:1036); Spark evaluates the frame per row, an
+    acceptable O(w) cost documented in SURVEY §4."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 7, on="event_id", by=["user_id"], min_periods=1)
+    return r.median("value", alias="value_med").select(
+        ["event_id", "user_id", "value_med"]
+    ).to_spark()

@@ -101,9 +101,18 @@ class Rolling:
     def _apply(self, func: str, col: str, alias: str | None):
         frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
         w = self._spec(frame)
-        expr = _AGGS[func](F.col(col))
         name = alias or f"{col}_{func}"
-        val = expr.over(w)
+        if func == "median":
+            # median is not frame-legal in Spark windows; compose it
+            # from the sorted frame values (pandas skiplist kernel
+            # analog, O(w log w) per row — SURVEY §4 caveat)
+            arr = F.sort_array(F.collect_list(F.col(col)).over(w))
+            n = F.size(arr)
+            lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+            hi = F.element_at(arr, F.floor((n + 2) / 2).cast("int"))
+            val = F.when(n > 0, (lo + hi) / 2.0)
+        else:
+            val = _AGGS[func](F.col(col)).over(w)
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(F.col(col)).over(w)
             val = F.when(cnt >= self._min_periods, val)
