@@ -229,3 +229,80 @@ def test_skew_kurt_sem_match_pandas(spark):
     )
     for c in ("skew", "sem", "kurt"):
         assert_col_matches(got, want[c], c)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_merge_asof_matches_pandas(spark, direction):
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 20),
+            "ts": pd.to_datetime(rng.integers(0, 1000, 20), unit="s"),
+            "lid": range(20),
+        }
+    ).sort_values("ts", kind="stable")
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 15),
+            "ts": pd.to_datetime(rng.integers(0, 1000, 15), unit="s"),
+            "val": rng.normal(size=15).round(3),
+        }
+    ).sort_values("ts", kind="stable")
+    want = pd.merge_asof(left, right, on="ts", by="k", direction=direction)
+
+    lf = ps.from_pandas(spark, left)
+    rf = ps.from_pandas(spark, right)
+    got = (
+        ps.merge_asof(lf, rf, on="ts", by="k", direction=direction)
+        .sort_values("lid")
+        .to_pandas()
+    )
+    want = want.sort_values("lid")
+    assert_col_matches(got, want["val"], "val")
+
+
+def test_resample_matches_pandas(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(rng.integers(0, 86400, 300), unit="s"),
+            "v": rng.normal(size=300).round(4),
+        }
+    )
+    want = pdf.set_index("ts").resample("1h")["v"].agg(["sum", "count"])
+    want = want[want["count"] > 0]  # Spark emits no row for empty buckets
+
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        f.resample("1h", on="ts")
+        .agg({"v": ["sum", "count"]})
+        .sort_values("ts")
+        .to_pandas()
+    )
+    assert list(got["ts"]) == list(want.index)
+    for g, w in zip(got["v_sum"], want["sum"]):
+        assert eq(float(g), float(w), tol=1e-9)
+    assert list(got["v_count"]) == list(want["count"])
+
+
+def test_rolling_median_matches_pandas(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "i": range(40),
+            "k": rng.integers(0, 3, 40),
+            "v": rng.normal(size=40).round(3),
+        }
+    )
+    want = pdf.assign(
+        med=pdf.groupby("k")["v"].transform(
+            lambda s: s.rolling(5, min_periods=1).median()
+        )
+    ).sort_values("i")
+
+    from pandas_spark.window import Rolling
+
+    f = ps.from_pandas(spark, pdf)
+    r = Rolling(f, 5, on="i", by=["k"], min_periods=1)
+    got = r.median("v", alias="med").sort_values("i").to_pandas()
+    assert_col_matches(got, want["med"], "med")
