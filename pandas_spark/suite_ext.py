@@ -1957,3 +1957,49 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> SparkDF:
     return r.median("value", alias="value_med").select(
         ["event_id", "user_id", "value_med"]
     ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 17: grouped array collection; array/list functions on embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "groupby_collect_sorted",
+    oracle="""
+    SELECT o_custkey, list_sort(list(o_orderkey)) AS orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def groupby_collect_sorted(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """collect_list + sort_array — deterministic grouped arrays (the
+    lists-in-cells idiom, §2.8 array/nested)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = orders.groupby("o_custkey").agg(orders=("o_orderkey", "collect_list"))
+    return out.to_spark().withColumn("orders", F.sort_array(F.col("orders")))
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                         AS dim,
+           list_max(embedding)::DOUBLE            AS mx,
+           list_min(embedding)::DOUBLE            AS mn,
+           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS sq_norm,
+           embedding[1]::DOUBLE                   AS first_component
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Array HOFs over an embedding column — size/max/min/aggregate/
+    element_at, all JVM-side (ArrowDtype list ops, SURVEY §2.8)."""
+    emb = ps.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    e = F.col("embedding").cast("array<double>")
+    return emb.spark.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.array_max(e).alias("mx"),
+        F.array_min(e).alias("mn"),
+        F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x).alias("sq_norm"),
+        F.element_at(e, 1).alias("first_component"),
+    )
