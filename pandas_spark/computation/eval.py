@@ -128,8 +128,20 @@ def _resolve_at_vars(expr: str, scope: Mapping[str, Any]) -> str:
     """``@var`` → inline SQL literal from the caller's scope."""
     out = []
     i = 0
+    quote = None  # inside a string literal, @ is just a character
     while i < len(expr):
         ch = expr[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
         if ch == "@":
             j = i + 1
             while j < len(expr) and (expr[j].isalnum() or expr[j] == "_"):
