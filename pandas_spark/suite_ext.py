@@ -2003,3 +2003,36 @@ def array_functions(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x).alias("sq_norm"),
         F.element_at(e, 1).alias("first_component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 18: frame nunique, grouped product
+# ---------------------------------------------------------------------------
+
+@query(
+    "frame_nunique",
+    oracle="""
+    SELECT count(DISTINCT o_custkey)::BIGINT       AS o_custkey,
+           count(DISTINCT o_orderstatus)::BIGINT   AS o_orderstatus,
+           count(DISTINCT o_orderpriority)::BIGINT AS o_orderpriority
+    FROM orders
+    """,
+)
+def frame_nunique(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders").select(
+        ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+    return orders.nunique().to_spark()
+
+
+@query(
+    "groupby_prod",
+    oracle="""
+    SELECT user_id, product(1.0 + value / 1000.0) AS growth
+    FROM events GROUP BY user_id
+    """,
+)
+def groupby_prod(spark: SparkSession, sf_dir: str) -> SparkDF:
+    events = _t(spark, sf_dir, "events")
+    scaled = DataFrame(events.spark.withColumn("g", 1.0 + F.col("value") / 1000.0))
+    return scaled.groupby("user_id").agg(growth=("g", "prod")).to_spark()
