@@ -26,13 +26,26 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     try:
         import pyarrow.dataset as pads
         import pyarrow as pa
+        import pyarrow.parquet as pq
 
-        schema = pads.dataset(path, format="parquet").schema
-        return [
+        ds = pads.dataset(path, format="parquet")
+        schema = ds.schema
+        ns_cols = [
             f.name
             for f in schema
             if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
         ]
+        if not ns_cols:
+            return []
+        # INT96 timestamps (Spark's legacy default output) also surface
+        # as ns in Arrow but Spark reads them natively — only annotated
+        # int64 TIMESTAMP(NANOS) columns need the long+convert path
+        first = next(iter(ds.files), None)
+        if first is not None:
+            pf = pq.ParquetFile(first).schema
+            phys = {pf.column(i).name: pf.column(i).physical_type for i in range(len(pf))}
+            ns_cols = [c for c in ns_cols if phys.get(c) != "INT96"]
+        return ns_cols
     except Exception:
         return []
 

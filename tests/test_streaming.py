@@ -145,3 +145,59 @@ def test_tolerance_join_stream_matches_batch(spark):
         & (bp.ts_r > bc.ts_l - F.expr("INTERVAL 1800 seconds")),
     ).count()
     assert got == want
+
+
+def test_running_agg_state_across_micro_batches(spark, tmp_path):
+    """State must carry across micro-batches: 4 files, one per trigger
+    (contiguous event_id ranges = arrival order respects the order
+    column), result must equal the single-batch cumsum."""
+    import pandas_spark as ps
+
+    src_dir = str(tmp_path / "events_split")
+    ev_all = ps.read_parquet(spark, f"{SF_DIR}/events.parquet")
+    n = ev_all.to_spark().agg({"event_id": "max"}).collect()[0][0] + 1
+    q_sz = n // 4 + 1
+    for i in range(4):
+        (
+            ev_all.filter(f"event_id >= {i * q_sz} AND event_id < {(i + 1) * q_sz}")
+            .to_spark()
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = pss.running_agg_stream(
+        stream, keys=["user_id"], value_col="value", order_col="event_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    progress = q.recentProgress
+    n_batches = len([p for p in progress if p["numInputRows"] > 0])
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    got = {
+        r["event_id"]: round(r["running_sum"], 6)
+        for r in spark.table("t_multibatch").collect()
+    }
+    ev = ps.read_parquet(spark, f"{src_dir}").sort_values("event_id")
+    batch = (
+        ev.groupby("user_id")
+        .cumsum("value", alias="rs")
+        .select(["event_id", "rs"])
+        .to_spark()
+        .collect()
+    )
+    want = {r["event_id"]: round(r["rs"], 6) for r in batch}
+    assert got == want
