@@ -280,6 +280,34 @@ class DataFrame:
         return this._with(this._sdf.withColumns(filled))
 
     # -- dedup (SURVEY §2.2: duplicated/drop_duplicates) --------------------
+    def take(self, positions: Sequence[int]) -> "DataFrame":
+        """Positional row selection over the declared order
+        (generic.py:4132 take; the iloc list form, indexing.py:2092).
+        Compiles to a row_number filter — requires an order definition
+        (explicit sort or materialized source order)."""
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs)
+        marked = this._sdf.withColumn("__pos__", F.row_number().over(w) - 1)
+        out = marked.filter(F.col("__pos__").isin([int(p) for p in positions])).drop("__pos__")
+        return this._with(out)
+
+    def iloc_slice(self, start: int = 0, stop: int | None = None) -> "DataFrame":
+        """``df.iloc[start:stop]`` — contiguous positional slice over the
+        declared order (offset+limit semantics, distributed via a
+        row_number filter)."""
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs)
+        marked = this._sdf.withColumn("__pos__", F.row_number().over(w) - 1)
+        cond = F.col("__pos__") >= start
+        if stop is not None:
+            cond = cond & (F.col("__pos__") < stop)
+        return this._with(marked.filter(cond).drop("__pos__"))
+
+    def truncate(self, before: int = 0, after: int | None = None) -> "DataFrame":
+        """Rows between positions [before, after] inclusive
+        (generic.py:10979) over the declared order."""
+        return self.iloc_slice(before, None if after is None else after + 1)
+
     def between_time(self, start: str, end: str, on: str) -> "DataFrame":
         """Rows whose time-of-day falls in [start, end] (pandas
         ``between_time`` on a DatetimeIndex; here ``on=`` names the

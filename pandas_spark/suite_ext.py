@@ -2036,3 +2036,45 @@ def groupby_prod(spark: SparkSession, sf_dir: str) -> SparkDF:
     events = _t(spark, sf_dir, "events")
     scaled = DataFrame(events.spark.withColumn("g", 1.0 + F.col("value") / 1000.0))
     return scaled.groupby("user_id").agg(growth=("g", "prod")).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 19: positional selection (take / iloc slice / truncate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "take_positions",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS pos
+        FROM orders
+    ) WHERE pos IN (0, 9, 99, 999)
+    """,
+)
+def take_positions(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders").select(["o_orderkey", "o_totalprice"])
+    return (
+        orders.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .take([0, 9, 99, 999])
+        .to_spark()
+    )
+
+
+@query(
+    "iloc_slice_mid",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS pos
+        FROM orders
+    ) WHERE pos >= 100 AND pos < 150
+    """,
+)
+def iloc_slice_mid(spark: SparkSession, sf_dir: str) -> SparkDF:
+    orders = _t(spark, sf_dir, "orders").select(["o_orderkey", "o_totalprice"])
+    return (
+        orders.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .iloc_slice(100, 150)
+        .to_spark()
+    )
