@@ -164,6 +164,18 @@ class StringMethods:
 
         return self._wrap(F.concat_ws(sep, self._c, _unwrap(other)))
 
+    def get_dummies(self, sep: str = "|", categories=None):
+        """str.get_dummies (accessor.py:2977): delimiter-separated
+        labels → indicator expressions. Returns a dict of name→Expr
+        for ``assign(**...)``; pass ``categories`` at scale to skip
+        the driver-side discovery scan."""
+        if categories is None:
+            raise ValueError("pass categories= (a distinct scan is not implicit at scale)")
+        toks = F.split(self._c, _re_escape(sep))
+        return {
+            c: self._wrap(F.array_contains(toks, c).cast("int")) for c in categories
+        }
+
     def extract(self, pat: str, group: int = 1):
         return self._wrap(F.regexp_extract(self._c, pat, group))
 

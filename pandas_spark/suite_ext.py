@@ -2078,3 +2078,33 @@ def iloc_slice_mid(spark: SparkSession, sf_dir: str) -> SparkDF:
         .iloc_slice(100, 150)
         .to_spark()
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 20: str.get_dummies + str.cat
+# ---------------------------------------------------------------------------
+
+@query(
+    "str_dummies_cat",
+    oracle="""
+    SELECT p_partkey,
+           (p_type LIKE '%STANDARD%')::INT  AS has_standard,
+           (p_type LIKE '%PLATED%')::INT    AS has_plated,
+           p_brand || ':' || p_type         AS brand_type
+    FROM part
+    """,
+)
+def str_dummies_cat(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """str.get_dummies over space-separated labels + str.cat
+    (accessor.py:2977, :481)."""
+    part = _t(spark, sf_dir, "part")
+    dummies = col("p_type").str.get_dummies(sep=" ", categories=["STANDARD", "PLATED"])
+    return (
+        part.assign(
+            has_standard=dummies["STANDARD"],
+            has_plated=dummies["PLATED"],
+            brand_type=col("p_brand").str.cat(col("p_type").spark, sep=":"),
+        )
+        .select(["p_partkey", "has_standard", "has_plated", "brand_type"])
+        .to_spark()
+    )
