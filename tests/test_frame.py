@@ -4,6 +4,11 @@ merge options, expression accessors."""
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import math
 
 import pytest
