@@ -2108,3 +2108,35 @@ def str_dummies_cat(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["p_partkey", "has_standard", "has_plated", "brand_type"])
         .to_spark()
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 21: weighted rolling windows (win_type analog)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rolling_weighted_mean",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN len(arr) = 5 THEN
+               list_sum(list_transform(range(1, 6), i -> arr[i] * [1.0,2.0,3.0,2.0,1.0][i])) / 9.0
+           END AS value_wmean
+    FROM l
+    """,
+)
+def rolling_weighted_mean(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Triangular-weighted rolling mean (pandas win_type='triang'
+    analog; caller supplies the taper) — dot product via array HOFs."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 5, on="event_id", by=["user_id"])
+    return r.weighted_mean("value", [1.0, 2.0, 3.0, 2.0, 1.0], alias="value_wmean").select(
+        ["event_id", "user_id", "value_wmean"]
+    ).to_spark()

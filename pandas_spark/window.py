@@ -118,6 +118,29 @@ class Rolling:
             val = F.when(cnt >= self._min_periods, val)
         return frame._with(frame._sdf.withColumn(name, val))
 
+    def weighted_mean(self, col: str, weights, alias: str | None = None):
+        """Weighted rolling mean (pandas ``win_type`` windows,
+        window/rolling.py:862 — scipy supplies the weight shape there;
+        here the caller passes the weight vector explicitly, e.g. a
+        triangular or gaussian taper). Σw_i·x_i / Σw_i over FULL
+        windows only (pandas emits NaN until the frame fills) — a
+        dot-product via array HOFs over the collected frame, no UDF."""
+        if not isinstance(self._window, int) or len(list(weights)) != self._window:
+            raise ValueError("weighted_mean needs an int window matching len(weights)")
+        frame = self._frame if self._on else self._frame._ensure_order()
+        w = self._spec(frame)
+        name = alias or f"{col}_wmean"
+        warr = F.array(*[F.lit(float(x)) for x in weights])
+        arr = F.collect_list(F.col(col)).over(w)
+        dot = F.aggregate(
+            F.zip_with(arr, warr, lambda x, wt: x * wt),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        wsum = float(sum(weights))
+        val = F.when(F.size(arr) == self._window, dot / F.lit(wsum))
+        return frame._with(frame._sdf.withColumn(name, val))
+
     def sum(self, col: str, alias: str | None = None):    return self._apply("sum", col, alias)
     def mean(self, col: str, alias: str | None = None):   return self._apply("mean", col, alias)
     def min(self, col: str, alias: str | None = None):    return self._apply("min", col, alias)
