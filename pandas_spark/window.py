@@ -276,6 +276,7 @@ def ewm_mean(
     by: Sequence[str] | None = None,
     order_by: str | None = None,
     alias: str | None = None,
+    stat: str = "mean",
 ) -> DataFrame:
     """Exponentially-weighted mean (pandas ewm.mean, window/ewm.py:127).
 
@@ -320,6 +321,8 @@ def ewm_mean(
     a = alpha
     order_spark = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, sort_asc)]
 
+    stat_ = stat
+
     def fn(batches):
         # whole partition → one pandas frame (groups never span
         # partitions thanks to the keyed repartition)
@@ -332,7 +335,7 @@ def ewm_mean(
                               kind="stable")
         pdf[name] = (
             pdf.groupby(keys_eff, sort=False)[col]
-            .transform(lambda s: s.ewm(alpha=a, adjust=True).mean())
+            .transform(lambda s: getattr(s.ewm(alpha=a, adjust=True), stat_)())
         )
         yield pdf
 
@@ -343,3 +346,10 @@ def ewm_mean(
     )
     drop = [c for c in ("__g__", "__ord__") if c in out.columns and c not in frame.columns]
     return DataFrame(out.drop(*drop))
+
+
+def ewm_std(frame, col, alpha=None, span=None, by=None, order_by=None, alias=None):
+    """ewm.std (window/ewm.py bias-corrected) — same partition-level
+    mapInPandas path as ewm_mean."""
+    return ewm_mean(frame, col, alpha=alpha, span=span, by=by,
+                    order_by=order_by, alias=alias or f"{col}_ewm_std", stat="std")

@@ -306,3 +306,27 @@ def test_rolling_median_matches_pandas(spark):
     r = Rolling(f, 5, on="i", by=["k"], min_periods=1)
     got = r.median("v", alias="med").sort_values("i").to_pandas()
     assert_col_matches(got, want["med"], "med")
+
+
+def test_ewm_std_matches_pandas(spark):
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame(
+        {
+            "i": range(60),
+            "k": rng.integers(0, 3, 60),
+            "v": rng.normal(size=60).round(3),
+        }
+    )
+    want = pdf.assign(
+        s=pdf.groupby("k")["v"].transform(lambda s: s.ewm(alpha=0.4, adjust=True).std())
+    ).sort_values("i")
+
+    from pandas_spark.window import ewm_std
+
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        ewm_std(f, "v", alpha=0.4, by=["k"], order_by="i", alias="s")
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert_col_matches(got, want["s"], "s")
