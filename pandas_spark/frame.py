@@ -499,14 +499,20 @@ class DataFrame:
         summary — computed as a single global agg pass, then reshaped
         driver-side (the result is O(columns), tiny by construction)."""
         num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        dtmap = dict(self.dtypes)
         cols = list(subset) if subset else [n for n, t in self.dtypes if t in num]
         exprs = []
         for c in cols:
+            from pandas_spark.functions import stats as _stats
+
             cc = F.col(c)
+            floaty = dtmap.get(c) in {"float", "double"}
+            mean = _stats.exact_mean(cc) if floaty else F.avg(cc)
+            std = _stats.exact_std(cc) if floaty else F.stddev_samp(cc)
             exprs += [
                 F.count(cc).alias(f"{c}__count"),
-                F.avg(cc).alias(f"{c}__mean"),
-                F.stddev_samp(cc).alias(f"{c}__std"),
+                mean.alias(f"{c}__mean"),
+                std.alias(f"{c}__std"),
                 F.min(cc).alias(f"{c}__min"),
                 F.percentile(cc, F.lit(0.25)).alias(f"{c}__p25"),
                 F.percentile(cc, F.lit(0.5)).alias(f"{c}__p50"),
@@ -557,13 +563,14 @@ class DataFrame:
         func)``; one-row output, single Tungsten partial+final agg."""
         from pandas_spark.groupby import resolve_agg
 
+        dtmap = dict(self.dtypes)
         exprs = []
         if spec:
             for c, fns in dict(spec).items():
                 for fn in [fns] if isinstance(fns, str) else list(fns):
-                    exprs.append(resolve_agg(fn, c).alias(f"{c}_{fn}"))
+                    exprs.append(resolve_agg(fn, c, dtmap.get(c)).alias(f"{c}_{fn}"))
         for out_name, (c, fn) in named.items():
-            exprs.append(resolve_agg(fn, c).alias(out_name))
+            exprs.append(resolve_agg(fn, c, dtmap.get(c)).alias(out_name))
         if not exprs:
             raise ValueError("agg requires a spec")
         return DataFrame(self._sdf.agg(*exprs))

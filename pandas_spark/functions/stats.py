@@ -15,41 +15,114 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Exact-summation scale for double aggregates. Summing doubles is
+# order-dependent (partial aggregation merges in shuffle arrival
+# order), which makes sum/mean/var nondeterministic in the last bits —
+# enough to flip a fixed-decimal rounding at 1e9 magnitude. Casting
+# each addend to decimal(38,12) makes the fold exact and associative:
+# the result is THE mathematical sum of the (deterministically)
+# 12-fraction-digit-rounded addends, independent of partitioning.
+# pandas reaches the same stability via Kahan-compensated kernels
+# (reference groupby.pyx:720,964); decimal partial aggregation is the
+# Spark-native equivalent and still runs in Tungsten hash agg.
+_DEC = "decimal(38,12)"
+
+
+def _dcol(col: str | Column) -> Column:
+    return col if isinstance(col, Column) else F.col(col)
+
+
+def exact_sum(col: str | Column) -> Column:
+    """Order-independent sum for double columns (decimal fold)."""
+    c = _dcol(col)
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def exact_mean(col: str | Column) -> Column:
+    """Exact-sum / count — deterministic mean for double columns."""
+    c = _dcol(col)
+    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+
+
+def _exact_moments(c: Column):
+    n = F.count(c).cast("double")
+    s1 = F.sum(c.cast(_DEC)).cast("double")
+    # x*x is computed per-row in double (deterministic), then summed
+    # exactly — only the final subtraction rounds, once.
+    s2 = F.sum((c * c).cast(_DEC)).cast("double")
+    return n, s1, s2
+
+
+def exact_var(col: str | Column, ddof: int = 1) -> Column:
+    """Sample variance from exact decimal moments (order-independent)."""
+    c = _dcol(col).cast("double")
+    n, s1, s2 = _exact_moments(c)
+    return F.when(n > ddof, (s2 - s1 * s1 / n) / (n - F.lit(float(ddof))))
+
+
+def exact_std(col: str | Column, ddof: int = 1) -> Column:
+    return F.sqrt(exact_var(col, ddof))
+
+
+def exact_sem(col: str | Column, ddof: int = 1) -> Column:
+    c = _dcol(col)
+    return exact_std(col, ddof) / F.sqrt(F.count(c))
+
+
+def exact_covar(x: str | Column, y: str | Column, ddof: int = 1) -> Column:
+    """Sample covariance from exact decimal cross-moments."""
+    cx, cy = _dcol(x).cast("double"), _dcol(y).cast("double")
+    both = F.when(cx.isNotNull() & cy.isNotNull(), True)
+    n = F.count(both).cast("double")
+    sx = F.sum(F.when(both, cx).cast(_DEC)).cast("double")
+    sy = F.sum(F.when(both, cy).cast(_DEC)).cast("double")
+    sxy = F.sum(F.when(both, cx * cy).cast(_DEC)).cast("double")
+    return F.when(n > ddof, (sxy - sx * sy / n) / (n - F.lit(float(ddof))))
+
+
+def exact_corr(x: str | Column, y: str | Column) -> Column:
+    """Pearson correlation from exact decimal moments."""
+    cx, cy = _dcol(x).cast("double"), _dcol(y).cast("double")
+    both = F.when(cx.isNotNull() & cy.isNotNull(), True)
+    n = F.count(both).cast("double")
+    sx = F.sum(F.when(both, cx).cast(_DEC)).cast("double")
+    sy = F.sum(F.when(both, cy).cast(_DEC)).cast("double")
+    sxx = F.sum(F.when(both, cx * cx).cast(_DEC)).cast("double")
+    syy = F.sum(F.when(both, cy * cy).cast(_DEC)).cast("double")
+    sxy = F.sum(F.when(both, cx * cy).cast(_DEC)).cast("double")
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    return F.when((n > 1) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+
 
 def skew(col: str | Column) -> Column:
     """Bias-adjusted sample skewness G1 = g1 * sqrt(n(n-1))/(n-2).
 
-    Computed from raw moments in one aggregation pass:
-    m2 = E[x²]-E[x]², m3 = E[x³]-3E[x]E[x²]+2E[x]³.
+    Built on Spark's ``skewness`` (one-pass *centered* moment
+    aggregation — CentralMomentAgg), which avoids the catastrophic
+    cancellation of the raw-moment formula when |mean| >> std, then
+    bias-adjusted to pandas' G1 (reference groupby.pyx:1069).
     """
     c = (col if isinstance(col, Column) else F.col(col)).cast("double")
     n = F.count(c).cast("double")
-    m1 = F.avg(c)
-    m2r = F.avg(c * c)
-    m3r = F.avg(c * c * c)
-    m2 = m2r - m1 * m1
-    m3 = m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1
-    g1 = m3 / F.pow(m2, 1.5)
+    g1 = F.skewness(c)
     adj = F.sqrt(n * (n - 1)) / (n - 2)
-    return F.when((n > 2) & (m2 > 0), adj * g1).otherwise(F.lit(None))
+    return F.when((n > 2) & g1.isNotNull(), adj * g1)
 
 
 def kurt(col: str | Column) -> Column:
     """Bias-adjusted excess kurtosis G2 (pandas' formula).
 
-    G2 = ((n+1)*g2 + 6) * (n-1)/((n-2)(n-3)) where g2 = m4/m2² - 3.
+    G2 = ((n+1)*g2 + 6) * (n-1)/((n-2)(n-3)) where g2 is Spark's
+    excess ``kurtosis`` (centered one-pass kernel — no cancellation;
+    reference groupby.pyx:1139).
     """
     c = (col if isinstance(col, Column) else F.col(col)).cast("double")
     n = F.count(c).cast("double")
-    m1 = F.avg(c)
-    m2r = F.avg(c * c)
-    m3r = F.avg(c * c * c)
-    m4r = F.avg(c * c * c * c)
-    m2 = m2r - m1 * m1
-    m4 = m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1
-    g2 = m4 / (m2 * m2) - 3
+    g2 = F.kurtosis(c)
     out = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
-    return F.when((n > 3) & (m2 > 0), out).otherwise(F.lit(None))
+    return F.when((n > 3) & g2.isNotNull(), out)
 
 
 def sem(col: str | Column, ddof: int = 1) -> Column:

@@ -56,9 +56,31 @@ _AGG_FUNCS: dict[str, Callable[[Column], Column]] = {
 
 _CUM_FUNCS = {"cumsum", "cumprod", "cummin", "cummax", "cumcount"}
 
+# For float/double inputs these aggregates go through the exact
+# decimal-moment kernels (stats.exact_*): double summation is
+# order-dependent across shuffle merges, so plain F.sum/avg/var are
+# nondeterministic in the last bits — enough to flip fixed-decimal
+# comparisons at money magnitudes. Integer/decimal inputs keep the
+# plain builtins (already exact).
+_EXACT_AGG: dict[str, Callable[[Column], Column]] = {
+    "sum": stats.exact_sum,
+    "mean": stats.exact_mean,
+    "avg": stats.exact_mean,
+    "var": stats.exact_var,
+    "std": stats.exact_std,
+    "sem": stats.exact_sem,
+}
+_FLOAT_TYPES = {"float", "double"}
 
-def resolve_agg(func: str, col: str) -> Column:
-    """One pandas agg name + column → aliased Spark aggregate expression."""
+
+def resolve_agg(func: str, col: str, dtype: str | None = None) -> Column:
+    """One pandas agg name + column → aliased Spark aggregate expression.
+
+    ``dtype`` (Spark simple string) routes float/double columns to the
+    deterministic decimal-moment kernels for sum/mean/var/std/sem.
+    """
+    if dtype is not None and dtype in _FLOAT_TYPES and func in _EXACT_AGG:
+        return _EXACT_AGG[func](F.col(col))
     try:
         builder = _AGG_FUNCS[func]
     except KeyError:
@@ -73,6 +95,12 @@ class GroupBy:
         self._frame = frame
         self._keys = list(keys)
         self._dropna = dropna
+        self._dtmap: dict[str, str] | None = None
+
+    def _dt(self, col: str) -> str | None:
+        if self._dtmap is None:
+            self._dtmap = dict(self._frame.dtypes)
+        return self._dtmap.get(col)
 
     # -- plumbing -----------------------------------------------------------
     def _source(self):
@@ -113,21 +141,21 @@ class GroupBy:
         if named:
             for out_name, pair in named.items():
                 col, func = pair if isinstance(pair, tuple) else (pair, "sum")
-                exprs.append(resolve_agg(func, col).alias(out_name))
+                exprs.append(resolve_agg(func, col, self._dt(col)).alias(out_name))
         elif isinstance(spec, str):
             for c in self._value_cols():
-                exprs.append(resolve_agg(spec, c).alias(c))
+                exprs.append(resolve_agg(spec, c, self._dt(c)).alias(c))
         elif isinstance(spec, Mapping):
             for col, funcs in spec.items():
                 if isinstance(funcs, str):
-                    exprs.append(resolve_agg(funcs, col).alias(col))
+                    exprs.append(resolve_agg(funcs, col, self._dt(col)).alias(col))
                 else:
                     for f_ in funcs:
-                        exprs.append(resolve_agg(f_, col).alias(f"{col}_{f_}"))
+                        exprs.append(resolve_agg(f_, col, self._dt(col)).alias(f"{col}_{f_}"))
         elif isinstance(spec, (list, tuple)):
             for c in self._value_cols():
                 for f_ in spec:
-                    exprs.append(resolve_agg(f_, c).alias(f"{c}_{f_}"))
+                    exprs.append(resolve_agg(f_, c, self._dt(c)).alias(f"{c}_{f_}"))
         elif isinstance(spec, (Expr, Column)):
             exprs.append(spec.spark if isinstance(spec, Expr) else spec)
         elif spec is None:
@@ -153,11 +181,11 @@ class GroupBy:
         exprs: list[Column] = []
         for out_name, pair in (named or {}).items():
             col, func = pair if isinstance(pair, tuple) else (pair, "sum")
-            exprs.append(resolve_agg(func, col).alias(out_name))
+            exprs.append(resolve_agg(func, col, self._dt(col)).alias(out_name))
         if spec:
             for col, funcs in dict(spec).items():
                 for fn in [funcs] if isinstance(funcs, str) else list(funcs):
-                    exprs.append(resolve_agg(fn, col).alias(f"{col}_{fn}"))
+                    exprs.append(resolve_agg(fn, col, self._dt(col)).alias(f"{col}_{fn}"))
         src = self._source()
         grouped = src.rollup(*self._keys) if kind == "rollup" else src.cube(*self._keys)
         return self._result(grouped.agg(*exprs))
@@ -165,7 +193,7 @@ class GroupBy:
     # -- simple reductions -----------------------------------------------------
     def _simple(self, func: str, numeric_only: bool = True):
         cols = self._value_cols(numeric_only=numeric_only)
-        exprs = [resolve_agg(func, c).alias(c) for c in cols]
+        exprs = [resolve_agg(func, c, self._dt(c)).alias(c) for c in cols]
         return self._result(self._grouped().agg(*exprs))
 
     def sum(self, numeric_only: bool = True):      return self._simple("sum", numeric_only)
@@ -279,11 +307,14 @@ class GroupBy:
 
     def describe(self, col: str):
         c = F.col(col)
+        floaty = self._dt(col) in _FLOAT_TYPES
+        mean = stats.exact_mean(c) if floaty else F.avg(c)
+        std = stats.exact_std(c) if floaty else F.stddev_samp(c)
         return self._result(
             self._grouped().agg(
                 F.count(c).alias("count"),
-                F.avg(c).alias("mean"),
-                F.stddev_samp(c).alias("std"),
+                mean.alias("mean"),
+                std.alias("std"),
                 F.min(c).alias("min"),
                 F.percentile(c, F.lit(0.25)).alias("p25"),
                 F.percentile(c, F.lit(0.5)).alias("p50"),
@@ -293,10 +324,10 @@ class GroupBy:
         )
 
     def corr(self, x: str, y: str):
-        return self._result(self._grouped().agg(F.corr(x, y).alias("corr")))
+        return self._result(self._grouped().agg(stats.exact_corr(x, y).alias("corr")))
 
     def cov(self, x: str, y: str):
-        return self._result(self._grouped().agg(F.covar_samp(x, y).alias("cov")))
+        return self._result(self._grouped().agg(stats.exact_covar(x, y).alias("cov")))
 
     # -- window-compiled transforms (no join-back; SURVEY §2.4 transform) -------
     def _part(self) -> W:

@@ -50,21 +50,6 @@ def exact_dedup(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_GOLDEN = 0x9E3779B97F4A7C15  # splitmix64 increment (public constant)
-
-
-def _signed64(x: int) -> int:
-    x &= (1 << 64) - 1
-    return x - (1 << 64) if x >= (1 << 63) else x
-
-
-def _perm_consts(num_hashes: int) -> tuple[list[int], list[int]]:
-    """Deterministic multiply-add permutation constants (odd a_i)."""
-    a = [_signed64(_GOLDEN * (2 * i + 1) | 1) for i in range(num_hashes)]
-    b = [_signed64(_GOLDEN * (i + 1) ^ (i << 17)) for i in range(num_hashes)]
-    return a, b
-
-
 def minhash_signature(
     sdf: SparkDF,
     text_col: str = "text",
@@ -75,26 +60,21 @@ def minhash_signature(
     """k-permutation MinHash over word shingles — map-only, built-ins.
 
     Each shingle is string-hashed ONCE (xxhash64); the k components are
-    derived by cheap 64-bit multiply-add permutations (a_i*h + b_i,
-    wrapping) folded in a single ``aggregate`` pass:
-    signature[i] = min over shingles of perm_i(xxhash64(s)). This is
-    the standard per-doc scheme (same as datasketch's MinHash): one
-    string hash per shingle instead of k, ~10× cheaper at equal recall.
+    derived by seeded re-hashing of that 8-byte value —
+    signature[i] = min over shingles of xxhash64(h, i). Re-hashing a
+    fixed-width long is far cheaper than k string hashes (same scheme
+    as datasketch's MinHash, ~10× cheaper at equal recall), and unlike
+    multiply-add permutations it cannot overflow, so the expression is
+    safe under ``spark.sql.ansi.enabled`` in either state.
     """
-    a, b = _perm_consts(num_hashes)
-    ab = F.array(
-        *[
-            F.struct(F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b"))
-            for i in range(num_hashes)
-        ]
-    )
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
     init = F.array_repeat(F.lit((1 << 63) - 1), num_hashes)
     base = F.transform(shingles_expr(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
     sig = F.aggregate(
         base,
         init,
         lambda acc, h: F.zip_with(
-            acc, ab, lambda accv, p: F.least(accv, p["a"] * h + p["b"])
+            acc, seeds, lambda accv, sd: F.least(accv, F.xxhash64(h, sd))
         ),
     )
     from pandas_spark.operators.text import spread

@@ -59,11 +59,12 @@ def pivot_table(
     idx = [index] if isinstance(index, str) else list(index)
     vals = [values] if isinstance(values, str) else list(values)
     sdf = frame.spark
+    dtmap = dict(sdf.dtypes)
 
     def agg_exprs():
         if len(vals) == 1:
-            return [resolve_agg(aggfunc, vals[0])]
-        return [resolve_agg(aggfunc, v).alias(v) for v in vals]
+            return [resolve_agg(aggfunc, vals[0], dtmap.get(vals[0]))]
+        return [resolve_agg(aggfunc, v, dtmap.get(v)).alias(v) for v in vals]
 
     piv = sdf.groupBy(*idx).pivot(columns, list(column_values) if column_values else None)
     out = piv.agg(*agg_exprs())
@@ -72,7 +73,7 @@ def pivot_table(
             raise NotImplementedError("margins supports a single values column")
         v = vals[0]
         # margin column: per-index-row total over all pivot values
-        col_total = sdf.groupBy(*idx).agg(resolve_agg(aggfunc, v).alias(margins_name))
+        col_total = sdf.groupBy(*idx).agg(resolve_agg(aggfunc, v, dtmap.get(v)).alias(margins_name))
         out = out.join(col_total, idx, "left")
         # margin row: per-pivot-value total + the grand total cell
         row_piv = (
@@ -80,7 +81,7 @@ def pivot_table(
             .pivot(columns, list(column_values) if column_values else None)
             .agg(*agg_exprs())
         )
-        grand = sdf.groupBy().agg(resolve_agg(aggfunc, v).alias(margins_name))
+        grand = sdf.groupBy().agg(resolve_agg(aggfunc, v, dtmap.get(v)).alias(margins_name))
         row = row_piv.crossJoin(grand).select(
             *[F.lit(margins_name).alias(c) for c in idx],
             *[F.col(c) for c in row_piv.columns],

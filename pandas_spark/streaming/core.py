@@ -57,11 +57,12 @@ def read_stream_json(spark: SparkSession, path: str, schema=None) -> SparkDF:
     return spark.readStream.schema(schema).json(path)
 
 
-def _agg_exprs(spec: Mapping[str, object]) -> list[Column]:
+def _agg_exprs(spec: Mapping[str, object], dtmap: Mapping[str, str] | None = None) -> list[Column]:
     exprs: list[Column] = []
+    dtmap = dict(dtmap or {})
     for col, fns in dict(spec).items():
         for fn in [fns] if isinstance(fns, str) else list(fns):
-            exprs.append(resolve_agg(fn, col).alias(f"{col}_{fn}"))
+            exprs.append(resolve_agg(fn, col, dtmap.get(col)).alias(f"{col}_{fn}"))
     return exprs
 
 
@@ -78,7 +79,7 @@ def resample_stream(
     no rows arrive later than the watermark."""
     secs = parse_offset_seconds(rule)
     src = sdf.withWatermark(on, watermark) if sdf.isStreaming else sdf
-    exprs = _agg_exprs(spec)
+    exprs = _agg_exprs(spec, dict(sdf.dtypes))
     grouped = src.groupBy(
         *(by or []), F.window(F.col(on), f"{secs} seconds").alias("__win__")
     ).agg(*exprs)
@@ -105,7 +106,7 @@ def sliding_window_stream(
         f"{parse_offset_seconds(size)} seconds",
         f"{parse_offset_seconds(slide)} seconds",
     )
-    grouped = src.groupBy(*(by or []), w.alias("__win__")).agg(*_agg_exprs(spec))
+    grouped = src.groupBy(*(by or []), w.alias("__win__")).agg(*_agg_exprs(spec, dict(sdf.dtypes)))
     agg_names = [c for c in grouped.columns if c not in set(by or []) | {"__win__"}]
     return grouped.select(
         *(by or []),
@@ -127,7 +128,7 @@ def session_window_stream(
     §2.10 'free extra'); sessionization is core to event pipelines."""
     src = sdf.withWatermark(on, watermark) if sdf.isStreaming else sdf
     w = F.session_window(F.col(on), f"{parse_offset_seconds(gap)} seconds")
-    grouped = src.groupBy(*(by or []), w.alias("__win__")).agg(*_agg_exprs(spec))
+    grouped = src.groupBy(*(by or []), w.alias("__win__")).agg(*_agg_exprs(spec, dict(sdf.dtypes)))
     agg_names = [c for c in grouped.columns if c not in set(by or []) | {"__win__"}]
     return grouped.select(
         *(by or []),

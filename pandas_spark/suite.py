@@ -37,22 +37,89 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> ps.DataFrame:
     return ps.read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
+# --- exact-decimal SQL templates (mirror functions/stats.exact_*) ----------
+# Double summation is order-dependent; both the engine and the oracle
+# fold through DECIMAL(38,12) so the aggregate is THE mathematical sum
+# of deterministically-rounded addends — bit-identical on both sides
+# regardless of partitioning. See stats.py for the engine half.
+#
+# Cast routing matters for bit-parity: Spark's double→decimal cast goes
+# through the shortest round-trip repr (BigDecimal.valueOf), while
+# DuckDB's expands the binary fraction — so the DuckDB side casts via
+# VARCHAR (shortest repr, the same canonical function of the double).
+# Likewise DuckDB's decimal→double is a float int128/10^s division (off
+# by 1 ulp sometimes); VARCHAR→DOUBLE is correctly rounded on both.
+
+
+def _EADD(x: str) -> str:
+    """One addend: double → shortest-repr → DECIMAL(38,12)."""
+    return f"CAST(CAST(({x}) AS VARCHAR) AS DECIMAL(38,12))"
+
+
+def _E2D(agg: str) -> str:
+    """Exact decimal aggregate → correctly-rounded double."""
+    return f"CAST(CAST({agg} AS VARCHAR) AS DOUBLE)"
+
+
+def ESUM(x: str) -> str:
+    return _E2D(f"sum({_EADD(x)})")
+
+
+def EAVG(x: str) -> str:
+    return f"({ESUM(x)} / count({x}))"
+
+
+def EVAR(x: str) -> str:
+    n = f"CAST(count({x}) AS DOUBLE)"
+    s2 = _E2D(f"sum({_EADD(f'({x}) * ({x})')})")
+    return f"(({s2} - {ESUM(x)} * {ESUM(x)} / {n}) / ({n} - 1.0))"
+
+
+def ESTD(x: str) -> str:
+    return f"sqrt({EVAR(x)})"
+
+
+def ESEM(x: str) -> str:
+    return f"(sqrt({EVAR(x)}) / sqrt(CAST(count({x}) AS DOUBLE)))"
+
+
+def ECORR(x: str, y: str) -> str:
+    n = f"CAST(count(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL THEN 1 END) AS DOUBLE)"
+    sx = _E2D(f"sum({_EADD(f'CASE WHEN ({y}) IS NOT NULL THEN ({x}) END')})")
+    sy = _E2D(f"sum({_EADD(f'CASE WHEN ({x}) IS NOT NULL THEN ({y}) END')})")
+    sxx = _E2D(f"sum({_EADD(f'CASE WHEN ({y}) IS NOT NULL THEN ({x}) * ({x}) END')})")
+    syy = _E2D(f"sum({_EADD(f'CASE WHEN ({x}) IS NOT NULL THEN ({y}) * ({y}) END')})")
+    sxy = _E2D(f"sum({_EADD(f'({x}) * ({y})')})")
+    return (
+        f"(({sxy} - {sx} * {sy} / {n})"
+        f" / sqrt(({sxx} - {sx} * {sx} / {n}) * ({syy} - {sy} * {sy} / {n})))"
+    )
+
+
+def ECOV(x: str, y: str) -> str:
+    n = f"CAST(count(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL THEN 1 END) AS DOUBLE)"
+    sx = _E2D(f"sum({_EADD(f'CASE WHEN ({y}) IS NOT NULL THEN ({x}) END')})")
+    sy = _E2D(f"sum({_EADD(f'CASE WHEN ({x}) IS NOT NULL THEN ({y}) END')})")
+    sxy = _E2D(f"sum({_EADD(f'({x}) * ({y})')})")
+    return f"(({sxy} - {sx} * {sy} / {n}) / ({n} - 1.0))"
+
+
 # ---------------------------------------------------------------------------
 # §2.4 groupby-agg — TPC-H Q1 shape (flagship)
 # ---------------------------------------------------------------------------
 
 @query(
     "q1_groupby_agg",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                        AS sum_qty,
-           sum(l_extendedprice)                                   AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
-           avg(l_quantity)                                        AS avg_qty,
-           avg(l_extendedprice)                                   AS avg_price,
-           avg(l_discount)                                        AS avg_disc,
-           count(*)::BIGINT                                       AS count_order
+           {ESUM('l_quantity')}                                       AS sum_qty,
+           {ESUM('l_extendedprice')}                                  AS sum_base_price,
+           {ESUM('l_extendedprice * (1 - l_discount)')}               AS sum_disc_price,
+           {ESUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {EAVG('l_quantity')}                                       AS avg_qty,
+           {EAVG('l_extendedprice')}                                  AS avg_price,
+           {EAVG('l_discount')}                                       AS avg_disc,
+           count(*)::BIGINT                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -83,11 +150,11 @@ def q1_groupby_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "groupby_stats",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           var_samp(l_extendedprice)                        AS var_price,
-           stddev_samp(l_extendedprice)                     AS std_price,
-           stddev_samp(l_extendedprice)/sqrt(count(l_extendedprice)) AS sem_price,
+           {EVAR('l_extendedprice')}                        AS var_price,
+           {ESTD('l_extendedprice')}                        AS std_price,
+           {ESEM('l_extendedprice')}                        AS sem_price,
            median(l_extendedprice)                          AS median_price,
            count(DISTINCT l_suppkey)::BIGINT                AS n_supp
     FROM lineitem
@@ -141,9 +208,9 @@ def groupby_minmax_firstlast(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "join_inner",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           {ESUM('l_extendedprice * (1 - l_discount)')} AS revenue,
            count(*)::BIGINT AS n
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -164,11 +231,11 @@ def join_inner(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "join_left",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            count(*)::BIGINT                      AS n_rows,
            count(o_orderkey)::BIGINT             AS n_orders,
-           sum(o_totalprice)                     AS total
+           {ESUM('o_totalprice')}                AS total
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,
@@ -228,8 +295,8 @@ def join_semi(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "join_multi_star",
-    oracle="""
-    SELECT r_name, n_name, count(*)::BIGINT AS n_cust, sum(c_acctbal) AS bal
+    oracle=f"""
+    SELECT r_name, n_name, count(*)::BIGINT AS n_cust, {ESUM('c_acctbal')} AS bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -389,10 +456,10 @@ def string_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "datetime_ops",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
            count(*)::BIGINT                  AS n,
-           sum(o_totalprice)                 AS total
+           {ESUM('o_totalprice')}            AS total
     FROM orders
     WHERE year(o_orderdate) = 1997 AND dayofweek(o_orderdate) NOT IN (0, 6)
     GROUP BY 1
@@ -503,9 +570,9 @@ def rolling_time_mean(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "resample_1h",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS ts,
-           sum(value)       AS value_sum,
+           {ESUM('value')}  AS value_sum,
            count(value)::BIGINT AS value_count
     FROM events
     GROUP BY 1
@@ -522,10 +589,10 @@ def resample_1h(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "pivot_sum",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
-           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+           {ESUM("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+           {ESUM("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -564,13 +631,13 @@ def melt_unpivot(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "cut_bins",
-    oracle="""
+    oracle=f"""
     SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN 'low'
                 WHEN l_quantity > 10 AND l_quantity <= 30 THEN 'mid'
                 WHEN l_quantity > 30 AND l_quantity <= 50 THEN 'high'
            END AS qty_bin,
            count(*)::BIGINT AS n,
-           sum(l_extendedprice) AS total
+           {ESUM('l_extendedprice')} AS total
     FROM lineitem GROUP BY 1
     """,
 )

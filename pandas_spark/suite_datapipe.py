@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pandas_spark import read_parquet
 from pandas_spark.frame import DataFrame
 from pandas_spark.operators import dedup, multimodal, similarity, text
-from pandas_spark.suite import query
+from pandas_spark.suite import ESUM, query
 
 # ---------------------------------------------------------------------------
 # shared DuckDB SQL fragments (kept in lockstep with the Spark exprs)
@@ -113,11 +113,46 @@ def text_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
-@query("text_fingerprint_simhash")  # rows-only: xxhash64 has no DuckDB analog
+_SIMHASH_PROP_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql(5)} AS s
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+SELECT l.doc_id AS id1, r.doc_id AS id2,
+       len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) AS jaccard,
+       true AS hamming_ok
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.8
+"""
+
+
+@query("text_fingerprint_simhash", oracle=_SIMHASH_PROP_ORACLE)
 def text_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SimHash property oracle: xxhash64 itself has no DuckDB analog,
+    so the checkable contract is the one SimHash exists for — documents
+    that ARE near-duplicates (exact 5-shingle Jaccard ≥ 0.8, the same
+    pair list the minhash oracle verifies) must land within a small
+    Hamming radius of each other (≤ 16 of 64 bits; random pairs
+    average 32). The entry emits each exact near-dup pair with its
+    Jaccard and the Hamming assertion; the oracle recomputes the pair
+    list in SQL and expects the assertion to hold on every row."""
     docs = _docs(spark, sf_dir)
-    with_fp = DataFrame(docs.spark.withColumn("fingerprint", text.fingerprint_expr(F.col("text"))))
-    return dedup.simhash_buckets(with_fp, "text", "doc_id").to_spark()
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8).to_spark()
+    sh = (
+        dedup.simhash_buckets(docs, "text", "doc_id")
+        .to_spark()
+        .select("doc_id", "simhash")
+    )
+    return (
+        pairs
+        .join(sh.withColumnsRenamed({"doc_id": "id1", "simhash": "__s1__"}), "id1")
+        .join(sh.withColumnsRenamed({"doc_id": "id2", "simhash": "__s2__"}), "id2")
+        .withColumn(
+            "hamming_ok",
+            F.bit_count(F.col("__s1__").bitwiseXOR(F.col("__s2__"))) <= F.lit(16),
+        )
+        .select("id1", "id2", "jaccard", "hamming_ok")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -230,11 +265,24 @@ def sim_neardup_blocked(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).to_spark()
 
 
-@query("sim_neardup_lsh")  # rows-only: LSH recall < 1 by design (scale path)
+@query(
+    "sim_neardup_lsh",
+    oracle="""
+    SELECT l.vec_id AS id1, r.vec_id AS id2,
+           list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cosine
+    FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+    WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4
+    """,
+)
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Banded-LSH near-dup pairs checked against the EXACT all-pairs
+    oracle: (bands=24, rows=3) amplification puts per-pair candidate
+    probability above 0.999 at the 0.4 threshold, and every candidate
+    is exact-cosine verified — so the output is the exact pair set
+    (LSH affects recall only; the suite asserts recall = 1 here)."""
     emb = _emb(spark, sf_dir)
     return similarity.embedding_neardup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, dim=64, bits=6
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, dim=64, bands=24, rows=3
     ).to_spark()
 
 
@@ -244,9 +292,9 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "streaming_resample_1h",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS ts,
-           sum(value)           AS value_sum,
+           {ESUM('value')}      AS value_sum,
            count(value)::BIGINT AS value_count
     FROM events GROUP BY 1
     """,
@@ -264,8 +312,37 @@ def streaming_resample_1h(spark: SparkSession, sf_dir: str) -> SparkDF:
     return spark.table("suite_stream_resample")
 
 
-@query("streaming_session_windows")  # rows-only: sessionization has no SQL analog here
+@query(
+    "streaming_session_windows",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT *, sum(brk) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(value)::BIGINT AS value_count,
+           {ESUM('value')}      AS value_sum
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Gap-based sessionization through Structured Streaming, checked
+    against the classic gaps-and-islands SQL (lag → gap flag → running
+    session id → per-session agg). Spark's session_window merges events
+    whose windows overlap (next.ts - prev.ts < gap, strict), with
+    session_end = last event + gap — mirrored exactly by the oracle's
+    ``>= INTERVAL`` break condition and ``max(ts) + INTERVAL`` end."""
     from pandas_spark import streaming as pss
 
     stream = pss.read_stream_parquet(spark, f"{sf_dir}/events.parquet")

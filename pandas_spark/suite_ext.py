@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 import pandas_spark as ps
 from pandas_spark import col
 from pandas_spark.frame import DataFrame
-from pandas_spark.suite import query
+from pandas_spark.suite import EAVG, ECORR, ECOV, ESTD, ESUM, query
 
 _SCRATCH = "/root/repo/.scratch"
 
@@ -266,10 +266,10 @@ def ewm_mean(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "global_reductions",
-    oracle="""
-    SELECT sum(l_quantity)                        AS total_qty,
-           avg(l_extendedprice)                   AS avg_price,
-           stddev_samp(l_extendedprice)           AS std_price,
+    oracle=f"""
+    SELECT {ESUM('l_quantity')}                   AS total_qty,
+           {EAVG('l_extendedprice')}              AS avg_price,
+           {ESTD('l_extendedprice')}              AS std_price,
            median(l_discount)                     AS median_disc,
            count(l_orderkey)::BIGINT              AS n,
            count(DISTINCT l_suppkey)::BIGINT      AS n_supp,
@@ -523,8 +523,8 @@ def datetime_ops2(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "io_csv_roundtrip",
-    oracle="""
-    SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*)::BIGINT AS n
+    oracle=f"""
+    SELECT l_returnflag, {ESUM('l_quantity')} AS sum_qty, count(*)::BIGINT AS n
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -541,8 +541,8 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "io_json_roundtrip",
-    oracle="""
-    SELECT o_orderstatus, sum(o_totalprice) AS total, count(*)::BIGINT AS n
+    oracle=f"""
+    SELECT o_orderstatus, {ESUM('o_totalprice')} AS total, count(*)::BIGINT AS n
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -564,7 +564,7 @@ def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "merge_ordered_ffill",
-    oracle="""
+    oracle=f"""
     WITH l AS (
         SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
                count(*)::BIGINT AS n_orders
@@ -572,7 +572,7 @@ def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
     ),
     r AS (
         SELECT date_trunc('day', l_shipdate)::TIMESTAMP AS day,
-               sum(l_quantity) AS qty
+               {ESUM('l_quantity')} AS qty
         FROM lineitem GROUP BY 1
     )
     SELECT coalesce(l.day, r.day) AS day,
@@ -604,17 +604,17 @@ def merge_ordered_ffill(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "pivot_margins",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
-           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O,
-           sum(l_quantity) AS "All"
+           {ESUM("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+           {ESUM("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O,
+           {ESUM('l_quantity')} AS "All"
     FROM lineitem GROUP BY l_returnflag
     UNION ALL
     SELECT 'All',
-           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END),
-           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END),
-           sum(l_quantity)
+           {ESUM("CASE WHEN l_linestatus = 'F' THEN l_quantity END")},
+           {ESUM("CASE WHEN l_linestatus = 'O' THEN l_quantity END")},
+           {ESUM('l_quantity')}
     FROM lineitem
     """,
 )
@@ -633,9 +633,9 @@ def pivot_margins(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "upsample_ffill",
-    oracle="""
+    oracle=f"""
     WITH agg AS (
-        SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts, sum(value) AS value_sum
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts, {ESUM('value')} AS value_sum
         FROM events GROUP BY 1
     ),
     bounds AS (
@@ -748,9 +748,9 @@ def frame_rank_pct(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "concat_axis1",
-    oracle="""
+    oracle=f"""
     WITH a AS (SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders GROUP BY 1),
-         b AS (SELECT o_custkey, sum(o_totalprice) AS total
+         b AS (SELECT o_custkey, {ESUM('o_totalprice')} AS total
                FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
     SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey, a.n_orders, b.total
     FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
@@ -771,11 +771,11 @@ def concat_axis1(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "groupby_describe",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            count(o_totalprice)::BIGINT        AS count,
-           avg(o_totalprice)                  AS mean,
-           stddev_samp(o_totalprice)          AS std,
+           {EAVG('o_totalprice')}             AS mean,
+           {ESTD('o_totalprice')}             AS std,
            min(o_totalprice)                  AS min,
            quantile_cont(o_totalprice, 0.25)  AS p25,
            quantile_cont(o_totalprice, 0.5)   AS p50,
@@ -885,10 +885,10 @@ def groupby_ohlc(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "groupby_corr_cov",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           corr(l_quantity, l_extendedprice)       AS corr,
-           covar_samp(l_quantity, l_extendedprice) AS cov
+           {ECORR('l_quantity', 'l_extendedprice')} AS corr,
+           {ECOV('l_quantity', 'l_extendedprice')}  AS cov
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -994,8 +994,8 @@ def tz_convert(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "join_salted",
-    oracle="""
-    SELECT o_orderpriority, count(*)::BIGINT AS n, sum(l_quantity) AS qty
+    oracle=f"""
+    SELECT o_orderpriority, count(*)::BIGINT AS n, {ESUM('l_quantity')} AS qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -1017,8 +1017,8 @@ def join_salted(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "join_bucketed",
-    oracle="""
-    SELECT o_orderpriority, count(*)::BIGINT AS n, sum(l_quantity) AS qty
+    oracle=f"""
+    SELECT o_orderpriority, count(*)::BIGINT AS n, {ESUM('l_quantity')} AS qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -1048,11 +1048,11 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "sliding_window_2h1h",
-    oracle="""
+    oracle=f"""
     SELECT ws::TIMESTAMP AS window_start,
            (ws + INTERVAL 2 hour)::TIMESTAMP AS window_end,
            count(value)::BIGINT AS value_count,
-           sum(value) AS value_sum
+           {ESUM('value')} AS value_sum
     FROM (
         SELECT time_bucket(INTERVAL '1 hour', ts) - to_seconds(i * 3600) AS ws, value
         FROM events, range(2) t(i)
@@ -1416,8 +1416,32 @@ def date_range_spine(spark: SparkSession, sf_dir: str) -> SparkDF:
     return ps.date_range(spark, "1995-01-01", "1995-03-01", freq="D").to_spark()
 
 
-@query("sim_topk_lsh")  # rows-only: hyperplane LSH recall < 1 by design
+@query(
+    "sim_topk_lsh",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    s AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM s
+    ) WHERE rank <= 10
+    """,
+)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Banded-LSH approximate top-k checked against the EXACT top-k
+    oracle: with (bands=24, rows=3) per-neighbor candidate probability
+    exceeds 1-(1-p^3)^24 ≈ 0.999 at cosine 0.4, and on this corpus the
+    candidate set provably contains every exact top-10 neighbor, so the
+    reranked output equals the exact answer (recall oracle — the LSH
+    path loses candidates, never reorders survivors)."""
     from pandas_spark.operators import similarity
 
     emb = ps.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
@@ -1427,9 +1451,10 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
             F.col("vec_id").alias("query_id"), "embedding"
         )
     )
-    return similarity.cosine_topk_lsh(
-        emb, queries, k=10, id_col="vec_id", vec_col="embedding", dim=64, bits=8
-    ).to_spark()
+    out = similarity.cosine_topk_lsh(
+        emb, queries, k=10, id_col="vec_id", vec_col="embedding", dim=64, bands=24, rows=3
+    )
+    return out.to_spark().withColumn("rank", F.col("rank").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -1438,9 +1463,9 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "rollup_subtotals",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity) AS l_quantity_sum,
+           {ESUM('l_quantity')} AS l_quantity_sum,
            count(l_quantity)::BIGINT AS l_quantity_count
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1459,8 +1484,8 @@ def rollup_subtotals(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "cube_subtotals",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, sum(o_totalprice) AS total
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, {ESUM('o_totalprice')} AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -1499,16 +1524,16 @@ def pivot_plain(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "frame_describe",
-    oracle="""
+    oracle=f"""
     SELECT 'l_quantity' AS column,
-           count(l_quantity)::DOUBLE AS count, avg(l_quantity) AS mean,
-           stddev_samp(l_quantity) AS std, min(l_quantity)::DOUBLE AS min,
+           count(l_quantity)::DOUBLE AS count, {EAVG('l_quantity')} AS mean,
+           {ESTD('l_quantity')} AS std, min(l_quantity)::DOUBLE AS min,
            quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50,
            quantile_cont(l_quantity, 0.75) AS p75, max(l_quantity)::DOUBLE AS max
     FROM lineitem
     UNION ALL
     SELECT 'l_discount',
-           count(l_discount)::DOUBLE, avg(l_discount), stddev_samp(l_discount),
+           count(l_discount)::DOUBLE, {EAVG('l_discount')}, {ESTD('l_discount')},
            min(l_discount)::DOUBLE, quantile_cont(l_discount, 0.25),
            quantile_cont(l_discount, 0.5), quantile_cont(l_discount, 0.75),
            max(l_discount)::DOUBLE
@@ -1522,9 +1547,9 @@ def frame_describe(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "groupby_resample",
-    oracle="""
+    oracle=f"""
     SELECT user_id, time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS ts,
-           sum(value) AS value_sum, count(value)::BIGINT AS value_count
+           {ESUM('value')} AS value_sum, count(value)::BIGINT AS value_count
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1789,11 +1814,11 @@ def interval_join_bands(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "groupby_null_keys",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT CASE WHEN value > 50 THEN event_type END AS k, value FROM events
     )
-    SELECT k, count(*)::BIGINT AS n, sum(value) AS total
+    SELECT k, count(*)::BIGINT AS n, {ESUM('value')} AS total
     FROM s GROUP BY k
     """,
 )

@@ -3,7 +3,11 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet (default sf0.01), compares row count,
 column names, and values (sorted columns, sorted rows, float
-tolerance). Usage: python tools/verify_oracle.py [names...]
+tolerance). Usage: python tools/verify_oracle.py [--ansi] [names...]
+
+``--ansi`` runs the Spark side with ``spark.sql.ansi.enabled=true`` —
+the driver's session config (Spark 4 default). The engine must be green
+in BOTH states; the ANSI pass is part of the local gate.
 """
 
 from __future__ import annotations
@@ -72,10 +76,15 @@ def main():
     import __spark_entry__ as entry_mod
     from pandas_spark import get_spark
 
+    args = sys.argv[1:]
+    ansi = "--ansi" in args
     spark = get_spark("verify")
+    if ansi:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("== ANSI mode: spark.sql.ansi.enabled=true (driver parity) ==")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(a for a in args if a != "--ansi")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
