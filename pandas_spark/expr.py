@@ -13,7 +13,7 @@ whole-stage-codegen'd) — no Python UDFs in this module.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Mapping
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -93,11 +93,24 @@ class Expr:
     def __invert__(self):  return _wrap(~self._col)
 
     # -- pandas generic methods ------------------------------------------
-    def map(self, mapping, default=None) -> "Expr":
-        """``Series.map`` with a dict (series.py:4889; kernel
-        algorithms.py:1868): compiles to ``element_at(create_map(...))``
-        — a literal JVM map lookup, no UDF. Unmapped values → NULL
-        (pandas) unless ``default`` is given."""
+    def map(self, mapping, default=None, dtype: str | None = None, na_action: str | None = None) -> "Expr":
+        """``Series.map`` (series.py:4889; kernel algorithms.py:1868).
+
+        With a dict: compiles to ``element_at(create_map(...))`` — a
+        literal JVM map lookup, no UDF; unmapped values → NULL (pandas)
+        unless ``default`` is given. With a *callable*: an Arrow-
+        vectorized scalar pandas_udf (``dtype`` names the result type —
+        required here because an unbound expression has no sample to
+        infer from; ``DataFrame.series_apply`` infers it for you)."""
+        if callable(mapping) and not isinstance(mapping, Mapping):
+            if dtype is None:
+                raise ValueError(
+                    "map(callable) on a bare expression needs dtype=; "
+                    "or use DataFrame.series_apply for inference"
+                )
+            from pandas_spark.functions import callables as C
+
+            return _wrap(C.elementwise_udf(mapping, dtype, na_action=na_action)(self._col))
         pairs = []
         for k, v in dict(mapping).items():
             pairs.append(F.lit(k))

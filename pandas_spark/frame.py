@@ -652,15 +652,15 @@ class DataFrame:
         return DataFrame(self._sdf, order_col=self._order_col, index_cols=())
 
     # -- window conveniences (frame-level; SURVEY §2.5) -----------------------
-    def rolling(self, window, on: str | None = None, min_periods: int | None = None, center: bool = False):
+    def rolling(self, window, on: str | None = None, by: Sequence[str] | None = None, min_periods: int | None = None, center: bool = False):
         from pandas_spark.window import Rolling
 
-        return Rolling(self, window, on=on, min_periods=min_periods, center=center)
+        return Rolling(self, window, on=on, by=by, min_periods=min_periods, center=center)
 
-    def expanding(self, min_periods: int = 1, on: str | None = None):
+    def expanding(self, min_periods: int = 1, on: str | None = None, by: Sequence[str] | None = None):
         from pandas_spark.window import Expanding
 
-        return Expanding(self, on=on, min_periods=min_periods)
+        return Expanding(self, on=on, by=by, min_periods=min_periods)
 
     def resample(self, rule: str, on: str):
         from pandas_spark.window import Resampler
@@ -687,6 +687,47 @@ class DataFrame:
 
     def pipe(self, fn: Callable, *args, **kwargs):
         return fn(self, *args, **kwargs)
+
+    def _infer_sample(self, n: int | None = None):
+        from pandas_spark.functions.callables import INFER_SAMPLE
+
+        return self._drop_internal(self._sdf).limit(n or INFER_SAMPLE).toPandas()
+
+    def apply(self, fn: Callable, axis: int = 1, alias: str = "result", dtype: str | None = None) -> "DataFrame":
+        """``DataFrame.apply(fn, axis=1)`` — arbitrary row-wise callable
+        (reference core/apply.py:915 FrameApply). Arrow-batched
+        ``mapInPandas``; every input column is kept and the result is
+        appended as ``alias``. ``dtype`` skips the one-off sample job
+        used for result-type inference. axis=0 (column reductions) is
+        ``agg``'s job — pass callables there."""
+        from pandas_spark.functions import callables as C
+
+        if axis != 1:
+            raise NotImplementedError("apply(axis=0): use agg(callable) instead")
+        if dtype is None:
+            dtype = C.infer_row_apply_dtype(fn, self._infer_sample())
+        out = C.row_apply(self._sdf, fn, alias, dtype)
+        return self._with(out)
+
+    def series_apply(
+        self,
+        col: str,
+        fn: Callable,
+        alias: str | None = None,
+        dtype: str | None = None,
+        na_action: str | None = None,
+    ) -> "DataFrame":
+        """``Series.apply`` / ``Series.map(callable)`` (reference
+        core/apply.py:1654 SeriesApply, series.py:4889): elementwise
+        callable over one column as a scalar pandas_udf — vectorized
+        Arrow transfer, ``fn`` runs per element inside the batch.
+        ``na_action='ignore'`` skips nulls exactly like Series.map."""
+        from pandas_spark.functions import callables as C
+
+        if dtype is None:
+            dtype = C.infer_series_dtype(fn, self._infer_sample()[col])
+        u = C.elementwise_udf(fn, dtype, na_action=na_action)
+        return self._with(self._sdf.withColumn(alias or col, u(F.col(col))))
 
     # -- actions ------------------------------------------------------------
     def collect(self):

@@ -56,6 +56,10 @@ _AGG_FUNCS: dict[str, Callable[[Column], Column]] = {
 
 _CUM_FUNCS = {"cumsum", "cumprod", "cummin", "cummax", "cumcount"}
 
+
+def _fname(f) -> str:
+    return f if isinstance(f, str) else getattr(f, "__name__", "udf")
+
 # For float/double inputs these aggregates go through the exact
 # decimal-moment kernels (stats.exact_*): double summation is
 # order-dependent across shuffle merges, so plain F.sum/avg/var are
@@ -102,6 +106,17 @@ class GroupBy:
             self._dtmap = dict(self._frame.dtypes)
         return self._dtmap.get(col)
 
+    def _resolve(self, func, col: str) -> Column:
+        """String agg name → builtin expression; callable → GROUPED_AGG
+        pandas_udf (Series → scalar, Arrow-batched; SURVEY §2.11
+        agg-UDAF; reference core/apply.py GroupByApply)."""
+        if callable(func) and not isinstance(func, str):
+            from pandas_spark.functions import callables as C
+
+            dtype = C.infer_scalar_dtype(func, self._frame._infer_sample()[col])
+            return C.grouped_agg_udf(func, dtype)(F.col(col))
+        return resolve_agg(func, col, self._dt(col))
+
     # -- plumbing -----------------------------------------------------------
     def _source(self):
         sdf = self._frame._sdf
@@ -141,21 +156,21 @@ class GroupBy:
         if named:
             for out_name, pair in named.items():
                 col, func = pair if isinstance(pair, tuple) else (pair, "sum")
-                exprs.append(resolve_agg(func, col, self._dt(col)).alias(out_name))
+                exprs.append(self._resolve(func, col).alias(out_name))
         elif isinstance(spec, str):
             for c in self._value_cols():
                 exprs.append(resolve_agg(spec, c, self._dt(c)).alias(c))
         elif isinstance(spec, Mapping):
             for col, funcs in spec.items():
-                if isinstance(funcs, str):
-                    exprs.append(resolve_agg(funcs, col, self._dt(col)).alias(col))
+                if isinstance(funcs, str) or callable(funcs):
+                    exprs.append(self._resolve(funcs, col).alias(col))
                 else:
                     for f_ in funcs:
-                        exprs.append(resolve_agg(f_, col, self._dt(col)).alias(f"{col}_{f_}"))
+                        exprs.append(self._resolve(f_, col).alias(f"{col}_{_fname(f_)}"))
         elif isinstance(spec, (list, tuple)):
             for c in self._value_cols():
                 for f_ in spec:
-                    exprs.append(resolve_agg(f_, c, self._dt(c)).alias(f"{c}_{f_}"))
+                    exprs.append(self._resolve(f_, c).alias(f"{c}_{_fname(f_)}"))
         elif isinstance(spec, (Expr, Column)):
             exprs.append(spec.spark if isinstance(spec, Expr) else spec)
         elif spec is None:
@@ -339,12 +354,61 @@ class GroupBy:
         frame, order_exprs = self._frame._ordered()
         return frame, W.partitionBy(*self._keys).orderBy(*order_exprs)
 
-    def transform(self, func: str, col: str, alias: str | None = None):
-        """Broadcast an aggregate back to rows — a partition window, not a join."""
+    def transform(self, func, col: str, alias: str | None = None, dtype: str | None = None):
+        """Broadcast an aggregate back to rows — a partition window, not
+        a join. With a *callable*, runs the pandas-shaped
+        ``transform(fn)`` (fn: Series → same-length Series or scalar)
+        as ``applyInPandas`` per group — the result lands back on the
+        group's own rows positionally, no join-back shuffle
+        (reference groupby/groupby.py transform dispatch)."""
         name = alias or col
+        if callable(func) and not isinstance(func, str):
+            return self._transform_callable(func, col, name, dtype)
         builder = _AGG_FUNCS[func]
         out = self._frame._sdf.withColumn(name, builder(F.col(col)).over(self._part()))
         return self._frame._with(out)
+
+    def _transform_callable(self, fn: Callable, col: str, name: str, dtype: str | None):
+        import pandas as pd
+
+        from pandas_spark.dtypes import to_spark_type
+        from pandas_spark.frame import ORDER_COL, DataFrame
+        from pandas_spark.functions import callables as C
+
+        if dtype is None:
+            sample = self._frame._infer_sample()[col]
+            res = fn(sample)
+            dtype = C._pandas_result_dtype(res if isinstance(res, pd.Series) else pd.Series([res]))
+        # keep per-group row order stable for order-sensitive callables
+        # (cumsum-like): sort each pandas batch by the frame's order
+        sort_spec = self._frame._sort_spec
+        frame = self._frame if sort_spec else self._frame._ensure_order()
+        sdf = frame._sdf
+        if self._dropna:
+            sdf = sdf.na.drop(subset=self._keys)
+        schema_fields = [
+            f for f in sdf.schema.fields if f.name != name
+        ]
+        from pyspark.sql import types as T
+
+        schema = T.StructType(schema_fields).add(name, to_spark_type(dtype))
+        keys = list(self._keys)
+
+        def g(pdf: pd.DataFrame) -> pd.DataFrame:
+            if sort_spec:
+                cols = [c for c, _, _ in sort_spec]
+                asc = [a for _, a, _ in sort_spec]
+                pdf = pdf.sort_values(cols, ascending=asc, na_position=sort_spec[0][2])
+            else:
+                pdf = pdf.sort_values(ORDER_COL)
+            out = pdf if name not in pdf.columns else pdf.drop(columns=[name])
+            out = out.copy()
+            out[name] = fn(pdf[col])
+            return out
+
+        out_sdf = sdf.groupBy(*keys).applyInPandas(g, schema)
+        res = DataFrame(out_sdf, order_col=frame._order_col, index_cols=frame._index_cols, sort_spec=sort_spec)
+        return res
 
     def cumsum(self, col: str, alias: str | None = None, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)

@@ -2165,3 +2165,101 @@ def rolling_weighted_mean(spark: SparkSession, sf_dir: str) -> SparkDF:
     return r.weighted_mean("value", [1.0, 2.0, 3.0, 2.0, 1.0], alias="value_wmean").select(
         ["event_id", "user_id", "value_wmean"]
     ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 22: the arbitrary-callable UDF surface (SURVEY §2.11) — every
+# pandas escape hatch, Arrow-vectorized, each with a SQL oracle that
+# restates the callable's semantics
+# ---------------------------------------------------------------------------
+
+@query(
+    "apply_axis1",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem
+    """,
+)
+def apply_axis1(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DataFrame.apply(fn, axis=1) — arbitrary row callable through
+    mapInPandas (reference core/apply.py:915 FrameApply)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]
+    )
+    out = li.apply(lambda row: row.l_extendedprice * (1.0 - row.l_discount), alias="net")
+    return out.select(["l_orderkey", "l_linenumber", "net"]).to_spark()
+
+
+@query(
+    "series_apply_map",
+    oracle="""
+    SELECT o_orderkey, CAST(split_part(o_orderpriority, '-', 1) AS BIGINT) AS prio
+    FROM orders
+    """,
+)
+def series_apply_map(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Series.apply / Series.map(callable) — elementwise Python through
+    a scalar pandas_udf with sampled dtype inference (core/apply.py:1654
+    SeriesApply; series.py:4889)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = orders.series_apply("o_orderpriority", lambda s: int(s.split("-")[0]), alias="prio")
+    return out.select(["o_orderkey", "prio"]).to_spark()
+
+
+@query(
+    "agg_udaf",
+    oracle="""
+    SELECT l_returnflag, max(l_quantity) - min(l_quantity) AS qty_range
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_udaf(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """groupby.agg(callable) — Series→scalar reducer as a GROUPED_AGG
+    pandas_udf (the pandas agg-UDAF path, core/apply.py GroupByApply)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupby("l_returnflag")
+        .agg(qty_range=("l_quantity", lambda s: float(s.max() - s.min())))
+        .to_spark()
+    )
+
+
+@query(
+    "transform_callable",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           l_quantity - max(l_quantity) OVER (PARTITION BY l_returnflag) AS q_demax
+    FROM lineitem
+    """,
+)
+def transform_callable(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """groupby.transform(callable) — per-group Series→Series callable
+    via applyInPandas, result landing back on the group's rows with no
+    join-back (groupby/groupby.py transform dispatch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.groupby("l_returnflag").transform(lambda s: s - s.max(), "l_quantity", alias="q_demax")
+    return out.select(["l_orderkey", "l_linenumber", "l_returnflag", "q_demax"]).to_spark()
+
+
+@query(
+    "rolling_apply",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w >= 5
+                THEN max(value) OVER w - min(value) OVER w END AS vrange
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_apply(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling.apply(fn) — the window frame stays in Catalyst
+    (collect_list over the same spec the builtin aggs use); one
+    vectorized pandas_udf maps fn over each row's window array
+    (aggregations.pyx:1696 roll_apply, raw=True contract)."""
+    events = _t(spark, sf_dir, "events")
+    out = events.rolling(5, on="event_id", by=["user_id"]).apply(
+        lambda a: float(a.max() - a.min()), "value", alias="vrange"
+    )
+    return out.select(["event_id", "user_id", "vrange"]).to_spark()

@@ -141,6 +141,37 @@ class Rolling:
         val = F.when(F.size(arr) == self._window, dot / F.lit(wsum))
         return frame._with(frame._sdf.withColumn(name, val))
 
+    def apply(self, fn, col: str, alias: str | None = None, dtype: str = "double", raw: bool = True):
+        """``rolling.apply(fn)`` — arbitrary callable over each window
+        (reference window/aggregations.pyx:1696 roll_apply; pandas
+        always returns float64, hence the ``double`` default).
+
+        The window machinery stays in Catalyst: ``collect_list`` over
+        the declared frame materializes each row's window array
+        JVM-side (rows/range frames, groups, min_periods all reuse the
+        same specs as the builtin aggs), then ONE vectorized pandas_udf
+        maps ``fn`` over the array column — Python sees an ndarray per
+        row (``raw=True``) or a Series (``raw=False``), exactly
+        pandas' contract. Nulls are absent from the array
+        (collect_list skips them — fillna first if ``fn`` must see
+        them); min_periods counts non-null, like pandas.
+
+        Scale note: cost is O(window) array per row — same asymptotics
+        as pandas' roll_apply; partitioning follows ``by=`` keys, so
+        the plan parallelizes per group exactly like the builtin path.
+        """
+        frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
+        w = self._spec(frame)
+        from pandas_spark.functions import callables as C
+
+        name = alias or f"{col}_apply"
+        arr = F.collect_list(F.col(col)).over(w)
+        val = C.window_array_udf(fn, dtype, raw)(arr)
+        if self._min_periods and self._min_periods > 1:
+            cnt = F.count(F.col(col)).over(w)
+            val = F.when(cnt >= self._min_periods, val)
+        return frame._with(frame._sdf.withColumn(name, val))
+
     def sum(self, col: str, alias: str | None = None):    return self._apply("sum", col, alias)
     def mean(self, col: str, alias: str | None = None):   return self._apply("mean", col, alias)
     def min(self, col: str, alias: str | None = None):    return self._apply("min", col, alias)
