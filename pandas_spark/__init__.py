@@ -37,7 +37,13 @@ from pandas_spark.operators.reshape import (
     cut,
     qcut,
 )
-from pandas_spark.functions.datetimes import to_datetime, to_numeric, date_range
+from pandas_spark.functions.datetimes import (
+    date_range,
+    timedelta_range,
+    to_datetime,
+    to_numeric,
+    to_timedelta,
+)
 
 __version__ = "0.1.0"
 
@@ -64,7 +70,9 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_parquet",
+    "timedelta_range",
     "to_datetime",
+    "to_timedelta",
     "to_numeric",
     "wide_to_long",
 ]

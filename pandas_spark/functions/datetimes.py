@@ -143,8 +143,34 @@ class DatetimeMethods:
     def tz_convert(self, tz: str):
         return self._wrap(F.from_utc_timestamp(self._c, tz))
 
+    # -- duration (DayTimeIntervalType) fields — pandas
+    #    TimedeltaProperties (accessors.py:446); same ``.dt`` surface.
+    #    Spark can't cast an ANSI interval straight to double, so total
+    #    seconds is rebuilt from its extracted components (SECOND keeps
+    #    the µs fraction); components are sign-consistent, so the sum
+    #    is negative-safe.
+    def _interval_seconds(self) -> Column:
+        c = self._c
+        return (
+            F.extract(F.lit("DAY"), c).cast("double") * F.lit(86400.0)
+            + F.extract(F.lit("HOUR"), c).cast("double") * F.lit(3600.0)
+            + F.extract(F.lit("MINUTE"), c).cast("double") * F.lit(60.0)
+            + F.extract(F.lit("SECOND"), c).cast("double")
+        )
+
     def total_seconds(self):
-        return self._wrap(self._c.cast("double"))
+        """pandas ``.dt.total_seconds()`` on a duration column."""
+        return self._wrap(self._interval_seconds())
+
+    def days(self):
+        """Floor days, pandas ``.dt.days`` (negative-safe floor)."""
+        return self._wrap(F.floor(self._interval_seconds() / F.lit(86400.0)).cast("long"))
+
+    def seconds(self):
+        """Seconds-within-day component in [0, 86400)."""
+        total = self._interval_seconds()
+        days = F.floor(total / F.lit(86400.0))
+        return self._wrap((total - days * F.lit(86400.0)).cast("long"))
 
 
 # -- constructors -------------------------------------------------------------
@@ -172,6 +198,67 @@ def to_numeric(col, errors: str = "raise", downcast: str | None = None):
     )
     out = c.try_cast(target) if errors == "coerce" else c.cast(target)
     return Expr(out)
+
+
+_TD_UNITS = {
+    # pandas unit aliases → seconds-per-unit (tools/timedeltas.py:54)
+    "w": 604800.0, "week": 604800.0, "weeks": 604800.0,
+    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+    "h": 3600.0, "hr": 3600.0, "hour": 3600.0, "hours": 3600.0,
+    "m": 60.0, "min": 60.0, "minute": 60.0, "minutes": 60.0, "t": 60.0,
+    "s": 1.0, "sec": 1.0, "second": 1.0, "seconds": 1.0,
+    "ms": 1e-3, "milli": 1e-3, "millis": 1e-3, "milliseconds": 1e-3, "l": 1e-3,
+    "us": 1e-6, "micro": 1e-6, "micros": 1e-6, "microseconds": 1e-6, "u": 1e-6,
+}
+
+
+def to_timedelta(value, unit: str = "s"):
+    """``pd.to_timedelta`` (tools/timedeltas.py:54) → a
+    ``DayTimeIntervalType`` expression — Spark's native duration type
+    (arrays/timedeltas.py:134 maps the same way in the dtype bridge).
+
+    * numeric column/Expr + ``unit`` → ``make_dt_interval`` seconds
+      (µs-exact for any sane span);
+    * a Python scalar (number or pandas-style string like
+      ``'1 days 02:30:00'`` / ``'90min'``) → an interval literal,
+      parsed driver-side by pandas itself.
+
+    Intervals then work with the engine's native arithmetic:
+    ``ts + td``, ``td * 2``, ``ts2 - ts1`` (already an interval),
+    ``td.dt.total_seconds()``.
+    """
+    from pandas_spark.expr import Expr, _unwrap
+
+    if isinstance(value, str):
+        import pandas as pd
+
+        td = pd.to_timedelta(value)
+        return Expr(F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(td.total_seconds())))
+    if isinstance(value, (int, float)):
+        secs = float(value) * _TD_UNITS[unit.lower()]
+        return Expr(F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(secs)))
+    c = _unwrap(value)
+    secs = c.cast("double") * F.lit(_TD_UNITS[unit.lower()])
+    return Expr(F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs))
+
+
+def timedelta_range(spark: SparkSession, start: str = "0s", periods: int = 10, freq: str = "1h"):
+    """``pd.timedelta_range`` (indexes/datetimes.py:422 analog):
+    distributed generation via ``spark.range`` — each row's ``td`` is
+    start + i*freq as a DayTimeIntervalType column."""
+    import pandas as pd
+
+    from pandas_spark.frame import DataFrame
+
+    start_s = pd.to_timedelta(start).total_seconds()
+    freq_s = pd.to_timedelta(freq).total_seconds()
+    sdf = spark.range(int(periods)).select(
+        F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0),
+            F.lit(start_s) + F.col("id").cast("double") * F.lit(freq_s),
+        ).alias("td")
+    )
+    return DataFrame(sdf)
 
 
 def date_range(spark: SparkSession, start: str, end: str, freq: str = "D"):

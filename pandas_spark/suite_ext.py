@@ -2263,3 +2263,148 @@ def rolling_apply(spark: SparkSession, sf_dir: str) -> SparkDF:
         lambda a: float(a.max() - a.min()), "value", alias="vrange"
     )
     return out.select(["event_id", "user_id", "vrange"]).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 23: timedelta family (SURVEY §2.8) — DayTimeIntervalType as the
+# duration dtype (reference tools/timedeltas.py:54, arrays/timedeltas.py:134)
+# ---------------------------------------------------------------------------
+
+@query(
+    "timedelta_ops",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch(ts - lag(ts) OVER w)                         AS gap_secs,
+           (ts - lag(ts) OVER w) > INTERVAL '10 minutes'      AS gap_gt_10min,
+           ts + INTERVAL '30 minutes'                         AS ts_plus_30m,
+           CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 86400.0)
+                AS BIGINT)                                    AS days_since_first
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def timedelta_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Duration arithmetic end-to-end: ts−ts → interval, interval
+    fields (total_seconds / floor-days), interval comparison, and
+    ts + to_timedelta — all native DayTimeIntervalType expressions
+    (DuckDB mirrors with epoch()/INTERVAL arithmetic)."""
+    ev = _t(spark, sf_dir, "events")
+    prev = ev.groupby("user_id").shift("ts", alias="prev_ts", order_by="event_id")
+    first = prev.groupby("user_id").transform("min", "ts", alias="first_ts")
+    gap = col("ts") - col("prev_ts")
+    since = col("ts") - col("first_ts")
+    out = first.assign(
+        gap_secs=gap.dt.total_seconds(),
+        gap_gt_10min=gap > ps.to_timedelta(10, "min"),
+        ts_plus_30m=col("ts") + ps.to_timedelta(30, "min"),
+        days_since_first=since.dt.days(),
+    )
+    return out.select(
+        ["event_id", "user_id", "gap_secs", "gap_gt_10min", "ts_plus_30m", "days_since_first"]
+    ).to_spark()
+
+
+@query(
+    "timedelta_range_spine",
+    oracle="""
+    SELECT i * 1800.0 AS td_secs,
+           TIMESTAMP '1990-01-01' + to_seconds(i * 1800) AS anchored
+    FROM range(20) t(i)
+    """,
+)
+def timedelta_range_spine(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.timedelta_range analog (indexes/datetimes.py:422):
+    distributed interval spine; anchored to a timestamp for
+    cross-engine value comparison."""
+    tdr = ps.timedelta_range(spark, "0s", periods=20, freq="30min")
+    out = tdr.assign(
+        td_secs=col("td").dt.total_seconds(),
+        anchored=ps.to_datetime("1990-01-01") + col("td"),
+    )
+    return out.select(["td_secs", "anchored"]).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 24: calendar DateOffset arithmetic (SURVEY §2.8) — BusinessDay via
+# broadcast calendar dim, anchored MonthEnd/QuarterEnd/Week as Catalyst exprs
+# (reference offsets.pyx:2633/:4680/:4231/:5192, indexes/datetimes.py:1810)
+# ---------------------------------------------------------------------------
+
+_CAL_SQL = """
+    SELECT d::DATE AS cal_date,
+           dayofweek(d) NOT IN (0, 6) AS is_bd,
+           sum(CASE WHEN dayofweek(d) NOT IN (0, 6) THEN 1 ELSE 0 END)
+             OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS bday_rank
+    FROM (SELECT unnest(generate_series(DATE '1990-01-01', DATE '2050-12-31',
+                                        INTERVAL 1 day)) AS d)
+"""
+
+
+@query(
+    "bday_shift",
+    oracle=f"""
+    WITH cal AS ({_CAL_SQL})
+    SELECT o_orderkey, c2.cal_date AS o_bshift
+    FROM orders
+    JOIN cal c1 ON c1.cal_date = o_orderdate::DATE
+    JOIN cal c2 ON c2.is_bd AND c2.bday_rank = c1.bday_rank + 3
+    """,
+)
+def bday_shift(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """ts + BusinessDay(3): two broadcast joins against a generated
+    calendar dimension (date → bday rank → date); the fact table never
+    shuffles. The oracle rebuilds the identical calendar in SQL."""
+    from pandas_spark.functions.offsets import bday_shift as _bshift
+
+    orders = _t(spark, sf_dir, "orders")
+    out = _bshift(orders, "o_orderdate", 3, alias="o_bshift")
+    return out.select(["o_orderkey", "o_bshift"]).to_spark()
+
+
+@query(
+    "bdate_range_spine",
+    oracle="""
+    SELECT d::DATE AS ts
+    FROM (SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-06-30',
+                                        INTERVAL 1 day)) AS d)
+    WHERE dayofweek(d) NOT IN (0, 6)
+    """,
+)
+def bdate_range_spine(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.bdate_range: weekday-only date spine."""
+    from pandas_spark.functions.offsets import bdate_range
+
+    return bdate_range(spark, "1997-01-01", "1997-06-30").to_spark()
+
+
+@query(
+    "offset_anchors",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderdate::DATE AS d,
+               last_day(make_date(year(o_orderdate)::INT,
+                                  (quarter(o_orderdate) * 3)::INT, 1)) AS qe
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN d = last_day(d) THEN last_day(d + INTERVAL 1 month)
+                ELSE last_day(d) END AS me1,
+           CASE WHEN d = qe THEN last_day(qe + INTERVAL 3 month) ELSE qe END AS qe1,
+           (d + to_days(CAST(CASE WHEN (8 - isodow(d)) % 7 = 0 THEN 7
+                                  ELSE (8 - isodow(d)) % 7 END AS INT)))::DATE AS next_mon
+    FROM base
+    """,
+)
+def offset_anchors(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Anchored offsets: MonthEnd(1), QuarterEnd(1), Week(weekday=Mon)
+    roll-forward — pure Catalyst (last_day / add_months / next_day)."""
+    from pandas_spark.functions.offsets import month_end, next_weekday, quarter_end
+
+    orders = _t(spark, sf_dir, "orders")
+    sdf = orders.spark.select(
+        "o_orderkey",
+        month_end(F.col("o_orderdate"), 1).alias("me1"),
+        quarter_end(F.col("o_orderdate"), 1).alias("qe1"),
+        next_weekday(F.col("o_orderdate"), "Mon").alias("next_mon"),
+    )
+    return sdf
