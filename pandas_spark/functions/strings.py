@@ -153,8 +153,10 @@ class StringMethods:
 
     # -- split / extract ---------------------------------------------------
     def split(self, pat: str = r"\s+", n: int = -1, regex: bool = True):
+        # pandas n = max number of SPLITS; Spark's limit = max number of
+        # PARTS — so n splits ⇒ n+1 parts ('a b c'.split(n=1) → ['a','b c'])
         p = pat if regex else _re_escape(pat)
-        return self._wrap(F.split(self._c, p, n if n > 0 else -1))
+        return self._wrap(F.split(self._c, p, n + 1 if n > 0 else -1))
 
     def join(self, sep: str):
         return self._wrap(F.array_join(self._c, sep))

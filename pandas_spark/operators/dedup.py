@@ -88,12 +88,22 @@ def lsh_candidate_pairs(
     sig_col: str = "minhash",
     bands: int = 32,
     rows: int = 2,
+    bucket_cap: int | None = 100_000,
 ) -> SparkDF:
     """Band the signatures and self-join on (band, band-hash) buckets.
 
     P(candidate | jaccard=j) = 1-(1-j^rows)^bands; with (32,2) a 0.8-
     similar pair is missed with probability < 1e-14. The bucket join is
     the only shuffle; keys are (band_id, 64-bit hash).
+
+    ``bucket_cap`` drops pathological buckets before the self-join: a
+    bucket of m members yields O(m²) pairs, and web-scale corpora have
+    boilerplate megaclusters (a viral page duplicated millions of
+    times) that would otherwise quadratically blow up one task. A
+    dropped bucket only loses recall for docs whose EVERY band is
+    oversubscribed — i.e. members of a giant duplicate cluster, which
+    exact dedup (or a cluster-representative pass) should collapse
+    first anyway.
     """
     banded = sdf.select(
         F.col(id_col),
@@ -117,6 +127,11 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz__"))
+        banded = banded.join(
+            sizes.filter(F.col("__bsz__") <= bucket_cap), ["band", "bucket"]
+        ).drop("__bsz__")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -255,6 +270,57 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
     for c in bit_cols[1:]:
         out = out + c
     return out
+
+
+def simhash_pairs(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    bucket_cap: int | None = 100_000,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs: self-join per rotation band,
+    Hamming-verified, bucket-capped (same megacluster defense as the
+    MinHash path — see ``lsh_candidate_pairs``)."""
+    sh = simhash_buckets(frame, text_col, id_col, band_bits).spark
+    bands = 64 // band_bits
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz__"))
+        banded = banded.join(
+            sizes.filter(F.col("__bsz__") <= bucket_cap), ["band", "bucket"]
+        ).drop("__bsz__")
+    l, r = banded.alias("l"), banded.alias("r")
+    out = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id1", "id2", "hamming")
+        .agg(F.count(F.lit(1)).alias("__nb__"))
+        .drop("__nb__")
+    )
+    return DataFrame(out)
 
 
 def simhash_buckets(

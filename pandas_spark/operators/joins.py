@@ -73,6 +73,14 @@ def merge(
         # join on shared index columns, else intersection of column names
         shared = [c for c in left.columns if c in set(right.columns)]
         lk = rk = (list(left._index_cols) if left._index_cols else shared)
+    if not lk:
+        # pandas raises MergeError here; silently passing empty keys to
+        # join() would produce a cartesian product
+        raise ValueError(
+            "no columns to merge on: no on/left_on/right_on, no index "
+            "columns, and no common column names (use how='cross' for a "
+            "cartesian product)"
+        )
     if len(lk) != len(rk):
         raise ValueError("left_on and right_on must be same length")
 
@@ -328,7 +336,17 @@ def salted_join(
     (key, salt) bucket finds its match. Result is row-identical to the
     plain join. AQE's skew-join handles moderate skew automatically;
     this is the explicit tool for extreme cases and for non-AQE sinks.
+
+    Only ``inner`` and ``left`` are supported: with the right side
+    replicated ``salt``×, an outer/right join would surface each
+    unmatched right row once per replica (phantom rows), so those hows
+    raise instead of silently corrupting the result.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     keys = _aslist(on)
     lsdf, rsdf = left.spark, right.spark
     l = lsdf.withColumn(

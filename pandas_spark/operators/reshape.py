@@ -188,11 +188,25 @@ def qcut(
     labels: Sequence[str] | None = None,
     alias: str | None = None,
 ) -> DataFrame:
-    """``pd.qcut`` (tile.py:298) → ``ntile(q)`` over the value order —
-    one pass, no percentile pre-computation."""
+    """``pd.qcut`` (tile.py:298) → equal-count tiling over the value
+    order — one pass, no percentile pre-computation.
+
+    NULLs are excluded from the binning (pandas drops NaN before
+    computing quantile edges): ordering puts nulls LAST and the tile is
+    computed from the row's rank among the ``count(col)`` NON-NULL rows
+    with ntile's split rule (first ``n % q`` tiles get the extra row) —
+    a plain ``ntile(q)`` would let null rows occupy the lowest slots
+    and shift every boundary."""
     name = alias or f"{col}_qbin"
-    w = W.orderBy(F.col(col))
-    tile = F.ntile(q).over(w)
+    w = W.orderBy(F.col(col).asc_nulls_last())
+    rn = F.row_number().over(w).cast("long")
+    n = F.count(F.col(col)).over(W.partitionBy())
+    s = F.floor(n / q)                      # base tile size
+    r = n % q                               # tiles carrying one extra row
+    boundary = r * (s + 1)
+    tile = F.when(rn <= boundary, F.ceil(rn / (s + 1))).otherwise(
+        r + F.ceil((rn - boundary) / s)
+    ).cast("int")
     if labels:
         mapping = F.array(*[F.lit(l) for l in labels])
         val = F.element_at(mapping, tile)

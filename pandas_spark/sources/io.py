@@ -106,12 +106,22 @@ def read_csv(
         reader = reader.option("escape", escapechar)
     if comment:
         reader = reader.option("comment", comment)
+    extra_na: list[str] = []
     if na_values:
-        nv = na_values if isinstance(na_values, str) else list(na_values)[0]
-        reader = reader.option("nullValue", nv)
+        sentinels = [na_values] if isinstance(na_values, str) else list(na_values)
+        # Spark's csv nullValue is single-valued: first sentinel goes
+        # there; the rest are nulled post-scan on string columns (a
+        # numeric column polluted by an extra sentinel infers as string
+        # anyway, so the replace reaches it before any dtype cast)
+        reader = reader.option("nullValue", sentinels[0])
+        extra_na = sentinels[1:]
     if date_format:
         reader = reader.option("timestampFormat", date_format)
     sdf = reader.csv(path)
+    if extra_na:
+        str_cols = [c for c, t in sdf.dtypes if t == "string"]
+        if str_cols:
+            sdf = sdf.replace(extra_na, None, subset=str_cols)
     if names:
         sdf = sdf.toDF(*names)
     if dtype:
