@@ -27,15 +27,17 @@ from pandas_spark.sources.io import (
 from pandas_spark.operators.joins import merge, merge_asof, merge_ordered
 from pandas_spark.operators.setops import concat
 from pandas_spark.operators.reshape import (
-    from_dummies,
-    json_normalize,
-    melt,
-    wide_to_long,
-    pivot_table,
+    cat_codes,
     crosstab,
-    get_dummies,
     cut,
+    from_dummies,
+    get_dummies,
+    json_normalize,
+    lreshape,
+    melt,
+    pivot_table,
     qcut,
+    wide_to_long,
 )
 from pandas_spark.functions.datetimes import (
     date_range,

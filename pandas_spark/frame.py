@@ -32,6 +32,27 @@ from pandas_spark.dtypes import to_spark_type
 
 ORDER_COL = "__ord__"
 
+_warned_unkeyed: set = set()
+
+
+def _warn_unkeyed_window(op: str) -> None:
+    """Frame-level order-sensitive ops (ffill/shift/take/rank/…) with
+    no partition key compile to a single ordered partition — correct at
+    any size, but one task executes it. Warn once per op so pipelines
+    reach for the keyed variants (``groupby(...).<op>``) before the
+    100× scale-up turns this into the bottleneck (SCALE.md)."""
+    if op in _warned_unkeyed:
+        return
+    _warned_unkeyed.add(op)
+    import warnings
+
+    warnings.warn(
+        f"{op}: unkeyed global window runs as a single ordered partition; "
+        f"use groupby(...).{op} (or pass a key) for parallel execution at scale",
+        ResourceWarning,
+        stacklevel=3,
+    )
+
 
 def _cond(c) -> Column:
     """Accept Expr | Column | SQL string as a boolean condition."""
@@ -266,6 +287,7 @@ class DataFrame:
         return self._with(self._sdf.replace(to_replace, value, subset))
 
     def ffill(self, subset: Sequence[str] | None = None) -> "DataFrame":
+        _warn_unkeyed_window("ffill")
         this, order_exprs = self._ordered()
         w = W.orderBy(*order_exprs).rowsBetween(W.unboundedPreceding, 0)
         cols = subset or this.columns
@@ -273,6 +295,7 @@ class DataFrame:
         return this._with(this._sdf.withColumns(filled))
 
     def bfill(self, subset: Sequence[str] | None = None) -> "DataFrame":
+        _warn_unkeyed_window("bfill")
         this, order_exprs = self._ordered()
         w = W.orderBy(*order_exprs).rowsBetween(0, W.unboundedFollowing)
         cols = subset or this.columns
@@ -285,6 +308,7 @@ class DataFrame:
         (generic.py:4132 take; the iloc list form, indexing.py:2092).
         Compiles to a row_number filter — requires an order definition
         (explicit sort or materialized source order)."""
+        _warn_unkeyed_window("take")
         this, order_exprs = self._ordered()
         w = W.orderBy(*order_exprs)
         marked = this._sdf.withColumn("__pos__", F.row_number().over(w) - 1)
@@ -295,6 +319,7 @@ class DataFrame:
         """``df.iloc[start:stop]`` — contiguous positional slice over the
         declared order (offset+limit semantics, distributed via a
         row_number filter)."""
+        _warn_unkeyed_window("iloc_slice")
         this, order_exprs = self._ordered()
         w = W.orderBy(*order_exprs)
         marked = this._sdf.withColumn("__pos__", F.row_number().over(w) - 1)
@@ -468,15 +493,30 @@ class DataFrame:
 
     def corr(self, subset: Sequence[str] | None = None, method: str = "pearson") -> "DataFrame":
         """Pairwise correlation matrix (frame.py:15791) in long form
-        (col1, col2, corr) — all n² pairs in ONE aggregation pass."""
-        if method != "pearson":
-            raise NotImplementedError("only pearson (spearman needs rank pre-pass)")
+        (col1, col2, corr) — all n² pairs in ONE aggregation pass.
+
+        ``method='spearman'`` adds a rank pre-pass (average ranks, the
+        pandas default tie rule) then computes Pearson on the ranks.
+        NB: the global average-rank windows are single-partition — at
+        scale, sample or rank within groups first."""
         num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
         cols = list(subset) if subset else [n for n, t in self.dtypes if t in num]
+        sdf = self._sdf
+        if method == "spearman":
+            ranked = {}
+            for c in cols:
+                w = W.orderBy(F.col(c).asc())
+                ties = F.count(F.lit(1)).over(W.partitionBy(F.col(c)))
+                ranked[c] = (
+                    F.rank().over(w).cast("double") + (ties.cast("double") - 1.0) / 2.0
+                )
+            sdf = sdf.select(*[ranked[c].alias(c) for c in cols])
+        elif method != "pearson":
+            raise NotImplementedError(f"corr method {method!r}")
         exprs = [
             F.corr(a, b).alias(f"{a}__{b}") for a in cols for b in cols
         ]
-        row = self._sdf.agg(*exprs)
+        row = sdf.agg(*exprs)
         stacked = row.select(
             F.explode(
                 F.array(
@@ -488,6 +528,97 @@ class DataFrame:
                         )
                         for a in cols
                         for b in cols
+                    ]
+                )
+            ).alias("d")
+        ).select("d.*")
+        return DataFrame(stacked)
+
+    def filter_labels(
+        self,
+        items: Sequence[str] | None = None,
+        like: str | None = None,
+        regex: str | None = None,
+    ) -> "DataFrame":
+        """``DataFrame.filter(items/like/regex)`` — label-based COLUMN
+        selection (generic.py:5694; renamed here because ``filter`` is
+        the boolean row filter, as in Spark)."""
+        import re as _re
+
+        if sum(x is not None for x in (items, like, regex)) != 1:
+            raise ValueError("pass exactly one of items=, like=, regex=")
+        if items is not None:
+            cols = [c for c in self.columns if c in set(items)]
+        elif like is not None:
+            cols = [c for c in self.columns if like in c]
+        else:
+            pat = _re.compile(regex)
+            cols = [c for c in self.columns if pat.search(c)]
+        return self.select(cols)
+
+    def insert(self, loc: int, name: str, value) -> "DataFrame":
+        """Positional column insert (frame.py:5820): new column lands at
+        index ``loc`` — a pure projection reorder, no data movement."""
+        if name in self.columns:
+            raise ValueError(f"column {name!r} already exists")
+        cols = list(self.columns)
+        cols.insert(loc, name)
+        sdf = self._sdf.withColumn(name, self._to_col(value))
+        exprs = [F.col(c) for c in cols]
+        if self._order_col:
+            exprs.append(F.col(self._order_col))
+        return self._with(sdf.select(*exprs))
+
+    def isin_frame(self, other: "DataFrame", on: str | Sequence[str]) -> "DataFrame":
+        """``DataFrame.isin(DataFrame)`` (frame.py:19265): aligned
+        membership — for every shared non-key column, TRUE where this
+        frame's value equals ``other``'s value on the same key row
+        (null-safe), FALSE elsewhere (including keys absent from
+        ``other``, matching pandas' aligned semantics). One left join
+        on the alignment key."""
+        keys = [on] if isinstance(on, str) else list(on)
+        shared = [c for c in self.columns if c in set(other.columns) and c not in keys]
+        if not shared:
+            raise ValueError("isin_frame: no shared value columns")
+        r = other._sdf.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in shared])
+        j = self._sdf.join(r, keys, "left")
+        out = j.select(
+            *keys,
+            *[F.col(c).eqNullSafe(F.col(f"__o_{c}")).alias(c) for c in shared],
+        )
+        return DataFrame(out)
+
+    def corrwith(self, other: "DataFrame", on: str | Sequence[str] | None = None) -> "DataFrame":
+        """``DataFrame.corrwith`` (frame.py:16047): column-wise Pearson
+        correlation between this frame and ``other``, pairing rows by
+        the explicit key (``on``, defaulting to shared index columns —
+        the engine's explicit-alignment rule, SURVEY §7.0). One equi-
+        join + one aggregation over every shared numeric column; the
+        correlations use the exact decimal-moment kernel, so the result
+        is order-independent. Output: (column, corr) long form."""
+        from pandas_spark.functions import stats as _stats
+
+        keys = [on] if isinstance(on, str) else list(on or self._index_cols)
+        if not keys:
+            raise ValueError("corrwith needs on= keys or index columns to align rows")
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        lnum = {n for n, t in self.dtypes if t in num} - set(keys)
+        rnum = {n for n, t in other.dtypes if t in num} - set(keys)
+        shared = sorted(lnum & rnum)
+        if not shared:
+            raise ValueError("corrwith: no shared numeric columns")
+        l = self._sdf.select(*keys, *[F.col(c).alias(f"__l_{c}") for c in shared])
+        r = other._sdf.select(*keys, *[F.col(c).alias(f"__r_{c}") for c in shared])
+        j = l.join(r, keys, "inner")
+        row = j.agg(
+            *[_stats.exact_corr(F.col(f"__l_{c}"), F.col(f"__r_{c}")).alias(c) for c in shared]
+        )
+        stacked = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("column"), F.col(c).alias("corr"))
+                        for c in shared
                     ]
                 )
             ).alias("d")

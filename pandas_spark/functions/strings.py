@@ -206,6 +206,56 @@ class StringMethods:
             ).otherwise(F.struct(self._c.alias("head"), F.lit("").alias("sep"), F.lit("").alias("tail")))
         )
 
+    def rfind(self, sub: str):
+        """Last-occurrence index, 0-based, -1 if absent
+        (accessor.py:3635). No rlocate in Spark — locate the reversed
+        needle in the reversed haystack and map the position back."""
+        p = F.locate(sub[::-1], F.reverse(self._c))
+        return self._wrap(
+            F.when(p > 0, F.length(self._c) - p - F.lit(len(sub)) + 1).otherwise(F.lit(-1))
+        )
+
+    def rindex(self, sub: str):
+        return self.rfind(sub)
+
+    def rpartition(self, sep: str):
+        """Split at the LAST separator (accessor.py:1163): struct
+        (head, sep, tail); ('', '', whole) when absent, like pandas."""
+        p = F.locate(sep[::-1], F.reverse(self._c))
+        pos = F.length(self._c) - p - F.lit(len(sep)) + 2  # 1-based sep start
+        return self._wrap(
+            F.when(
+                p > 0,
+                F.struct(
+                    F.substring(self._c, F.lit(1), pos - 1).alias("head"),
+                    F.lit(sep).alias("sep"),
+                    F.substring(
+                        self._c, pos + len(sep), F.length(self._c)
+                    ).alias("tail"),
+                ),
+            ).otherwise(
+                F.struct(F.lit("").alias("head"), F.lit("").alias("sep"), self._c.alias("tail"))
+            )
+        )
+
+    def rsplit(self, sep: str, n: int = -1):
+        """Right-anchored split (literal separator): split the reversed
+        string, then un-reverse parts and order."""
+        rev = F.split(F.reverse(self._c), _re_escape(sep[::-1]), n + 1 if n > 0 else -1)
+        return self._wrap(F.reverse(F.transform(rev, lambda x: F.reverse(x))))
+
+    def casefold(self):
+        """Aggressive lowercase for caseless matching (accessor.py:4251).
+        Spark exposes locale-insensitive ``lower`` only; full Unicode
+        casefolding (ß→ss etc.) differs on a handful of codepoints."""
+        return self._wrap(F.lower(self._c))
+
+    def extractall(self, pat: str, group: int = 1):
+        """All regex matches' ``group`` captures as an array
+        (accessor.py:3501) — explode for pandas' one-row-per-match
+        MultiIndex shape."""
+        return self._wrap(F.regexp_extract_all(self._c, F.lit(pat), F.lit(group)))
+
     def wrap(self, width: int):
         raise NotImplementedError("str.wrap is a formatting op; driver-side")
 

@@ -282,3 +282,47 @@ def from_dummies(
         expr = F.when(F.col(c) == 1, F.lit(val)).otherwise(expr)
     keep = [c for c in sdf.columns if c not in set(dummy_cols)]
     return DataFrame(sdf.select(*keep, expr.alias(alias or prefix)))
+
+
+def lreshape(
+    frame: DataFrame,
+    groups: "dict[str, Sequence[str]]",
+    dropna: bool = True,
+) -> DataFrame:
+    """``pd.lreshape`` (reshape/melt.py:287): stack position-aligned
+    column groups into long rows — the i-th source column of every
+    group feeds the i-th stacked slice. Compiled as a union of
+    projections (Catalyst collapses it into one scan per slice)."""
+    names = list(groups)
+    lists = [list(groups[k]) for k in names]
+    n = len(lists[0])
+    if any(len(l) != n for l in lists):
+        raise ValueError("all lreshape groups need the same number of columns")
+    stacked_sources = {c for l in lists for c in l}
+    keep = [c for c in frame.columns if c not in stacked_sources]
+    sdf = frame.spark
+    slices = [
+        sdf.select(
+            *keep, *[F.col(lists[j][i]).alias(names[j]) for j in range(len(names))]
+        )
+        for i in range(n)
+    ]
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    if dropna:
+        out = out.na.drop(subset=names)
+    return DataFrame(out)
+
+
+def cat_codes(col, categories: Sequence) -> "F.Column":
+    """Ordered-categorical codes (arrays/categorical.py:257): position
+    of the value in the declared category order, −1 for unlisted (the
+    pandas code for NaN/unknown). ``array_position`` over a literal
+    array — a JVM lookup, no join, no UDF; sort on the code column to
+    get ordered-categorical sort semantics (SURVEY §1.3 plan)."""
+    from pandas_spark.expr import _unwrap
+
+    c = _unwrap(col)
+    arr = F.array(*[F.lit(v) for v in categories])
+    return (F.array_position(arr, c) - 1).cast("int")

@@ -182,3 +182,74 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     if float_cols:
         sdf = sdf.withColumns(float_cols)
     return DataFrame(sdf)
+
+
+def read_feather(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    """``pd.read_feather`` (io/feather_format.py:83). Feather IS Arrow
+    IPC; Spark has no native IPC datasource, so the file is read with
+    pyarrow on the driver and shipped through the Arrow
+    ``createDataFrame`` fast path (one memcpy-ish hop, no pickling).
+
+    Scale note: a single .feather file is a single-machine artifact by
+    construction — driver-side ingest is the honest shape for it. Big
+    data belongs in parquet (``read_parquet``, fully distributed);
+    convert once with pyarrow if stuck with IPC at scale.
+    """
+    import pyarrow.feather as feather
+
+    table_ = feather.read_table(path, columns=list(columns) if columns else None)
+    return DataFrame(spark.createDataFrame(table_.to_pandas()))
+
+
+def to_feather(frame: DataFrame, path: str) -> None:
+    """``DataFrame.to_feather`` — driver-side collect → Arrow IPC file
+    (same single-machine caveat as ``read_feather``)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    feather.write_feather(pa.Table.from_pandas(frame.to_pandas()), path)
+
+
+def read_sql(
+    spark: SparkSession,
+    sql: str,
+    con: str,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """``pd.read_sql`` (io/sql.py:558) → the Spark JDBC datasource.
+
+    ``con`` is a JDBC url (``jdbc:postgresql://host/db?user=...``).
+    A bare table name or a SELECT both work (SELECTs wrap as a dbtable
+    subquery). Pass ``partition_column``/bounds/``num_partitions`` to
+    split the read into parallel range scans — the difference between
+    a 1-connection trickle and a cluster-wide ingest.
+    """
+    reader = spark.read.format("jdbc").option("url", con)
+    q = sql.strip()
+    if q.lower().startswith("select"):
+        reader = reader.option("dbtable", f"({q}) AS __src__")
+    else:
+        reader = reader.option("dbtable", q)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return DataFrame(reader.load())
+
+
+def to_sql(frame: DataFrame, name: str, con: str, if_exists: str = "fail", **options: str) -> None:
+    """``DataFrame.to_sql`` → JDBC write (mode map: fail/replace/append)."""
+    mode = {"fail": "errorifexists", "replace": "overwrite", "append": "append"}[if_exists]
+    writer = frame.spark.write.format("jdbc").option("url", con).option("dbtable", name).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

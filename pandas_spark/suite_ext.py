@@ -2408,3 +2408,182 @@ def offset_anchors(spark: SparkSession, sf_dir: str) -> SparkDF:
         next_weekday(F.col("o_orderdate"), "Mon").alias("next_mon"),
     )
     return sdf
+
+
+# ---------------------------------------------------------------------------
+# batch 25: string tail (rfind/rpartition/rsplit/casefold/extractall),
+# corrwith, Spearman — VERDICT "What's missing" items 4-5
+# (reference accessor.py:3635/:1163/:4251/:3501, frame.py:16047/:15791)
+# ---------------------------------------------------------------------------
+
+@query(
+    "string_ops3",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN strpos(reverse(c_name), '0') > 0
+                THEN len(c_name) - strpos(reverse(c_name), '0')
+                ELSE -1 END                                         AS rfind0,
+           CASE WHEN strpos(c_name, '#') > 0
+                THEN substr(c_name, 1, len(c_name) - strpos(reverse(c_name), '#'))
+                ELSE '' END                                         AS rpart_head,
+           CASE WHEN strpos(c_name, '#') > 0
+                THEN substr(c_name, len(c_name) - strpos(reverse(c_name), '#') + 2)
+                ELSE c_name END                                     AS rpart_tail,
+           lower(c_name)                                            AS folded,
+           regexp_extract_all(c_name, '[0-9]+')                     AS digit_runs,
+           CASE WHEN strpos(reverse(c_name), '0') > 0
+                THEN [substr(c_name, 1, len(c_name) - strpos(reverse(c_name), '0')),
+                      substr(c_name, len(c_name) - strpos(reverse(c_name), '0') + 2)]
+                ELSE [c_name] END                                   AS rsplit0
+    FROM customer
+    """,
+)
+def string_ops3(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Right-anchored string tail: rfind, rpartition, rsplit(n=1),
+    casefold, extractall — all reverse-trick Catalyst expressions, no
+    UDF; the oracle mirrors the same reverse arithmetic in SQL."""
+    cust = _t(spark, sf_dir, "customer")
+    out = cust.assign(
+        rfind0=col("c_name").str.rfind("0"),
+        rpart=col("c_name").str.rpartition("#"),
+        folded=col("c_name").str.casefold(),
+        digit_runs=col("c_name").str.extractall("[0-9]+", group=0),
+        rsplit0=col("c_name").str.rsplit("0", n=1),
+    )
+    sdf = out.to_spark().select(
+        "c_custkey",
+        "rfind0",
+        F.col("rpart.head").alias("rpart_head"),
+        F.col("rpart.tail").alias("rpart_tail"),
+        "folded",
+        "digit_runs",
+        "rsplit0",
+    )
+    return sdf
+
+
+@query(
+    "corrwith",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_orderkey AS o_orderkey, {ESUM('l_extendedprice')} AS amount
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_totalprice AS la, b.amount AS ra
+        FROM orders o JOIN b ON o.o_orderkey = b.o_orderkey
+    )
+    SELECT 'amount' AS "column", {ECORR('la', 'ra')} AS corr FROM j
+    """,
+)
+def corrwith(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """frame.corrwith: pair rows by explicit key, correlate each shared
+    numeric column — one join + one exact-moment aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = orders.select(["o_orderkey", "o_totalprice"]).rename({"o_totalprice": "amount"})
+    b = (
+        li.groupby("l_orderkey")
+        .agg(amount=("l_extendedprice", "sum"))
+        .rename({"l_orderkey": "o_orderkey"})
+    )
+    return a.corrwith(b, on="o_orderkey").to_spark()
+
+
+@query(
+    "spearman_corr",
+    oracle="""
+    WITH r AS (
+        SELECT rank() OVER (ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0      AS q,
+               rank() OVER (ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS p
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS col1, 'l_quantity' AS col2, corr(q, q) AS corr FROM r
+    UNION ALL
+    SELECT 'l_quantity', 'l_extendedprice', corr(q, p) FROM r
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_quantity', corr(p, q) FROM r
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_extendedprice', corr(p, p) FROM r
+    """,
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """corr(method='spearman'): average-rank pre-pass (pandas tie
+    rule) then Pearson on ranks (frame.py:15791)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.corr(subset=["l_quantity", "l_extendedprice"], method="spearman").to_spark()
+
+
+# ---------------------------------------------------------------------------
+# batch 26: lreshape, ordered-categorical sort, isin(DataFrame) —
+# VERDICT "What's missing" items 7-9 (reference reshape/melt.py:287,
+# arrays/categorical.py:257, frame.py:19265)
+# ---------------------------------------------------------------------------
+
+@query(
+    "lreshape_stack",
+    oracle="""
+    SELECT event_id, user_id, value AS v, 'a' AS tag FROM events
+    UNION ALL
+    SELECT event_id, user_id, value * 2 AS v, 'b' AS tag FROM events
+    """,
+)
+def lreshape_stack(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.lreshape: position-aligned column groups stacked long —
+    a union of projections, one scan per slice."""
+    ev = _t(spark, sf_dir, "events").select(["event_id", "user_id", "value"])
+    wide = ev.assign(
+        v_a=col("value"), v_b=col("value") * 2,
+        tag_a=F.lit("a"), tag_b=F.lit("b"),
+    ).drop(["value"])
+    return ps.lreshape(wide, {"v": ["v_a", "v_b"], "tag": ["tag_a", "tag_b"]}).to_spark()
+
+
+@query(
+    "categorical_sort_head",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE c_mktsegment
+                WHEN 'HOUSEHOLD'  THEN 0 WHEN 'AUTOMOBILE' THEN 1
+                WHEN 'MACHINERY'  THEN 2 WHEN 'BUILDING'   THEN 3
+                WHEN 'FURNITURE'  THEN 4 ELSE -1 END AS seg_code
+    FROM customer
+    ORDER BY seg_code, c_custkey
+    LIMIT 100
+    """,
+)
+def categorical_sort_head(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Ordered-categorical sort (SURVEY §1.3 plan): category → code via
+    an array_position literal lookup (no join, no UDF), then an
+    ordinary sort+limit — TakeOrderedAndProject, no global sort."""
+    order = ["HOUSEHOLD", "AUTOMOBILE", "MACHINERY", "BUILDING", "FURNITURE"]
+    cust = _t(spark, sf_dir, "customer")
+    coded = cust.assign(seg_code=ps.cat_codes(col("c_mktsegment"), order))
+    return (
+        coded.select(["c_custkey", "c_mktsegment", "seg_code"])
+        .sort_values(["seg_code", "c_custkey"])
+        .head(100)
+        .to_spark()
+    )
+
+
+@query(
+    "isin_aligned",
+    oracle="""
+    WITH o AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT c.c_custkey,
+           c.c_mktsegment IS NOT DISTINCT FROM o.c_mktsegment AS c_mktsegment
+    FROM customer c LEFT JOIN o ON c.c_custkey = o.c_custkey
+    """,
+)
+def isin_aligned(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DataFrame.isin(DataFrame): aligned membership — equality against
+    the other frame's value on the same key row (null-safe), one left
+    join."""
+    cust = _t(spark, sf_dir, "customer")
+    other = cust.filter(col("c_custkey") % 3 == 0).select(["c_custkey", "c_mktsegment"])
+    return cust.select(["c_custkey", "c_mktsegment"]).isin_frame(other, on="c_custkey").to_spark()

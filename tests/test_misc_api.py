@@ -1,0 +1,83 @@
+"""API-surface tests for operators whose effect isn't oracle-visible
+(column position, label filtering, driver-side IO, scale warnings)."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+import pandas_spark as ps
+from pandas_spark.frame import DataFrame
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return ps.read_parquet(spark, "/root/testdata/sf0.001/customer.parquet")
+
+
+def test_insert_positional(frame):
+    out = frame.insert(1, "flag", ps.col("c_custkey") % 2 == 0)
+    assert out.columns[1] == "flag"
+    assert out.columns[0] == "c_custkey"
+    assert len(out.columns) == len(frame.columns) + 1
+
+
+def test_insert_existing_raises(frame):
+    with pytest.raises(ValueError):
+        frame.insert(0, "c_custkey", ps.col("c_custkey"))
+
+
+def test_filter_labels_like_regex_items(frame):
+    assert frame.filter_labels(like="name").columns == ["c_name"]
+    assert frame.filter_labels(regex="key$").columns == ["c_custkey", "c_nationkey"]
+    assert frame.filter_labels(items=["c_acctbal", "nope"]).columns == ["c_acctbal"]
+    with pytest.raises(ValueError):
+        frame.filter_labels(like="a", regex="b")
+
+
+def test_feather_roundtrip(tmp_path, spark, frame):
+    from pandas_spark.sources.io import read_feather, to_feather
+
+    path = str(tmp_path / "c.feather")
+    small = frame.select(["c_custkey", "c_name", "c_acctbal"])
+    to_feather(small, path)
+    back = read_feather(spark, path)
+    assert back.spark.count() == small.spark.count()
+    assert set(back.columns) == {"c_custkey", "c_name", "c_acctbal"}
+
+
+def test_unkeyed_window_warns_once(frame):
+    import pandas_spark.frame as fr
+
+    fr._warned_unkeyed.discard("take")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        frame.take([0, 1]).spark.collect()
+        frame.take([0])  # second call: no new warning
+    msgs = [x for x in w if "single ordered partition" in str(x.message)]
+    assert len(msgs) == 1
+
+
+def test_salted_join_outer_raises(frame):
+    from pandas_spark.operators.joins import salted_join
+
+    with pytest.raises(ValueError):
+        salted_join(frame, frame, "c_custkey", how="outer")
+
+
+def test_rsplit_and_rfind_edges(spark):
+    pdf_rows = [("a-b-c",), ("nodash",), (None,)]
+    f = DataFrame(spark.createDataFrame(pdf_rows, ["s"]))
+    out = f.assign(
+        r=ps.col("s").str.rsplit("-", n=1),
+        i=ps.col("s").str.rfind("-"),
+        p=ps.col("s").str.rpartition("-"),
+    ).spark.collect()
+    by_s = {r["s"]: r for r in out}
+    assert by_s["a-b-c"]["r"] == ["a-b", "c"]
+    assert by_s["a-b-c"]["i"] == 3
+    assert by_s["a-b-c"]["p"].asDict() == {"head": "a-b", "sep": "-", "tail": "c"}
+    assert by_s["nodash"]["r"] == ["nodash"]
+    assert by_s["nodash"]["i"] == -1
+    assert by_s["nodash"]["p"].asDict() == {"head": "", "sep": "", "tail": "nodash"}
