@@ -43,6 +43,23 @@ class Expr:
     def alias(self, name: str) -> "Expr":
         return _wrap(self._col.alias(name))
 
+    # -- NumPy ufunc façade (SURVEY §2.8: np.sqrt(col) etc. compile to
+    #    Catalyst expressions — reference: pandas' __array_ufunc__
+    #    protocol, arraylike.py) ---------------------------------------
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != "__call__" or kwargs.get("out") is not None:
+            return NotImplemented
+        name = ufunc.__name__
+        unary = _UFUNC_UNARY.get(name)
+        if unary is not None and len(inputs) == 1:
+            return _wrap(unary(self._col))
+        binary = _UFUNC_BINARY.get(name)
+        if binary is not None and len(inputs) == 2:
+            a, b = inputs
+            return binary(a if isinstance(a, Expr) else _wrap(_lit_col(a)),
+                          b if isinstance(b, Expr) else _wrap(_lit_col(b)))
+        return NotImplemented
+
     # -- arithmetic (pandas semantics) ---------------------------------
     def __add__(self, o):  return _wrap(self._col + _unwrap(o))
     def __radd__(self, o): return _wrap(_unwrap(o) + self._col)
@@ -254,3 +271,35 @@ def py_mod(a: Column, b: Column) -> Column:
         .when(b != 0, m)
         .otherwise(F.lit(float("nan")))
     )
+
+
+# -- NumPy ufunc → Catalyst function tables ---------------------------------
+_UFUNC_UNARY = {
+    "sqrt": F.sqrt, "exp": F.exp, "expm1": F.expm1,
+    "log": F.log, "log2": F.log2, "log10": F.log10, "log1p": F.log1p,
+    "abs": F.abs, "absolute": F.abs, "fabs": F.abs,
+    "floor": F.floor, "ceil": F.ceil,
+    "trunc": lambda c: c.cast("long").cast("double"),  # toward zero
+    "rint": F.rint, "sign": F.signum, "negative": lambda c: -c, "positive": lambda c: c,
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "arcsin": F.asin, "arccos": F.acos, "arctan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "degrees": F.degrees, "radians": F.radians,
+    "isnan": F.isnan, "cbrt": F.cbrt, "square": lambda c: c * c,
+    "reciprocal": lambda c: F.lit(1.0) / c,
+}
+_UFUNC_BINARY = {
+    "add": lambda a, b: a + b,
+    "subtract": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "true_divide": lambda a, b: a / b,
+    "divide": lambda a, b: a / b,
+    "floor_divide": lambda a, b: a // b,
+    "mod": lambda a, b: a % b,
+    "remainder": lambda a, b: a % b,
+    "power": lambda a, b: a ** b,
+    "maximum": lambda a, b: _wrap(F.greatest(a.spark, b.spark)),
+    "minimum": lambda a, b: _wrap(F.least(a.spark, b.spark)),
+    "arctan2": lambda a, b: _wrap(F.atan2(a.spark, b.spark)),
+    "hypot": lambda a, b: _wrap(F.hypot(a.spark, b.spark)),
+}

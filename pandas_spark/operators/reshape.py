@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 from pandas_spark.frame import DataFrame
 from pandas_spark.groupby import resolve_agg
 
+# driver-side collect cap for implicit pivot/dummy value discovery —
+# beyond this, callers must pass the value list (SCALE.md)
+_MAX_PIVOT_VALUES = 10_000
+
 
 def melt(
     frame: DataFrame,
@@ -149,7 +153,15 @@ def get_dummies(
         if categories and c in categories:
             vals = list(categories[c])
         else:
-            vals = [r[0] for r in sdf.select(c).distinct().orderBy(c).collect() if r[0] is not None]
+            # the distinct scan collects to the driver — bounded so a
+            # high-cardinality column fails loudly instead of OOMing
+            rows = sdf.select(c).distinct().orderBy(c).limit(_MAX_PIVOT_VALUES + 1).collect()
+            if len(rows) > _MAX_PIVOT_VALUES:
+                raise ValueError(
+                    f"get_dummies: column {c!r} has more than {_MAX_PIVOT_VALUES} "
+                    "distinct values; pass categories= explicitly"
+                )
+            vals = [r[0] for r in rows if r[0] is not None]
         for v in vals:
             new_cols[f"{c}{prefix_sep}{v}"] = (F.col(c) == F.lit(v)).cast(dtype)
     keep = [c for c in sdf.columns if c not in set(columns)]

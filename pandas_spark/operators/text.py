@@ -39,8 +39,18 @@ def spread(sdf, min_parallelism: int | None = None):
     costs one cheap shuffle of the raw rows. At production scale (many
     files / splits) this is a no-op.
     """
-    target = min_parallelism or sdf.sparkSession.sparkContext.defaultParallelism
-    if sdf.rdd.getNumPartitions() < target:
+    spark = sdf.sparkSession
+    try:
+        target = min_parallelism or spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect has no sparkContext
+        target = min_parallelism or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # inputFiles() is metadata-only (no RDD materialization, Connect-safe):
+    # few source files ⇒ few scan partitions ⇒ spread; many files ⇒ no-op
+    try:
+        n_files = len(sdf.inputFiles())
+    except Exception:
+        n_files = target
+    if 0 < n_files < target:
         return sdf.repartition(target)
     return sdf
 

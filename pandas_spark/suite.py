@@ -37,23 +37,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> ps.DataFrame:
     return ps.read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
-# --- exact-decimal SQL templates (mirror functions/stats.exact_*) ----------
+# --- exact split-fixed-point SQL templates (mirror stats.exact_*) -----------
 # Double summation is order-dependent; both the engine and the oracle
-# fold through DECIMAL(38,12) so the aggregate is THE mathematical sum
-# of deterministically-rounded addends — bit-identical on both sides
-# regardless of partitioning. See stats.py for the engine half.
+# split each addend into floor(x) (exact integer) plus its fraction
+# quantized at 10⁻¹² — IEEE-deterministic, identical in any engine —
+# and sum the two integer streams exactly as DECIMAL(38,0). The
+# aggregate is THE mathematical sum of the deterministically-split
+# addends: bit-identical on both sides regardless of partitioning, and
+# accurate to ~2e-12 absolute per addend. See
+# stats.py for the engine half (and why this beats a decimal cast).
 #
-# Cast routing matters for bit-parity: Spark's double→decimal cast goes
-# through the shortest round-trip repr (BigDecimal.valueOf), while
-# DuckDB's expands the binary fraction — so the DuckDB side casts via
-# VARCHAR (shortest repr, the same canonical function of the double).
-# Likewise DuckDB's decimal→double is a float int128/10^s division (off
-# by 1 ulp sometimes); VARCHAR→DOUBLE is correctly rounded on both.
+# The final decimal→double goes via VARCHAR on the DuckDB side: its
+# int128→double conversion is not guaranteed correctly rounded, while
+# VARCHAR→DOUBLE is — matching Spark's BigDecimal.doubleValue.
 
 
-def _EADD(x: str) -> str:
-    """One addend: double → shortest-repr → DECIMAL(38,12)."""
-    return f"CAST(CAST(({x}) AS VARCHAR) AS DECIMAL(38,12))"
+_FS = "1000000000000.0"  # 10^12 fraction scale
 
 
 def _E2D(agg: str) -> str:
@@ -61,8 +60,15 @@ def _E2D(agg: str) -> str:
     return f"CAST(CAST({agg} AS VARCHAR) AS DOUBLE)"
 
 
+def _EQS(x: str) -> str:
+    """Split fixed-point exact sum: Σfloor(x) + Σfloor(frac·10¹²)/10¹²."""
+    hi = _E2D(f"sum(CAST(floor(({x})) AS DECIMAL(38,0)))")
+    lo = _E2D(f"sum(CAST(floor((({x}) - floor(({x}))) * {_FS}) AS DECIMAL(38,0)))")
+    return f"({hi} + {lo} / {_FS})"
+
+
 def ESUM(x: str) -> str:
-    return _E2D(f"sum({_EADD(x)})")
+    return _EQS(x)
 
 
 def EAVG(x: str) -> str:
@@ -71,7 +77,7 @@ def EAVG(x: str) -> str:
 
 def EVAR(x: str) -> str:
     n = f"CAST(count({x}) AS DOUBLE)"
-    s2 = _E2D(f"sum({_EADD(f'({x}) * ({x})')})")
+    s2 = _EQS(f"({x}) * ({x})")
     return f"(({s2} - {ESUM(x)} * {ESUM(x)} / {n}) / ({n} - 1.0))"
 
 
@@ -85,11 +91,11 @@ def ESEM(x: str) -> str:
 
 def ECORR(x: str, y: str) -> str:
     n = f"CAST(count(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL THEN 1 END) AS DOUBLE)"
-    sx = _E2D(f"sum({_EADD(f'CASE WHEN ({y}) IS NOT NULL THEN ({x}) END')})")
-    sy = _E2D(f"sum({_EADD(f'CASE WHEN ({x}) IS NOT NULL THEN ({y}) END')})")
-    sxx = _E2D(f"sum({_EADD(f'CASE WHEN ({y}) IS NOT NULL THEN ({x}) * ({x}) END')})")
-    syy = _E2D(f"sum({_EADD(f'CASE WHEN ({x}) IS NOT NULL THEN ({y}) * ({y}) END')})")
-    sxy = _E2D(f"sum({_EADD(f'({x}) * ({y})')})")
+    sx = _EQS(f"CASE WHEN ({y}) IS NOT NULL THEN ({x}) END")
+    sy = _EQS(f"CASE WHEN ({x}) IS NOT NULL THEN ({y}) END")
+    sxx = _EQS(f"CASE WHEN ({y}) IS NOT NULL THEN ({x}) * ({x}) END")
+    syy = _EQS(f"CASE WHEN ({x}) IS NOT NULL THEN ({y}) * ({y}) END")
+    sxy = _EQS(f"({x}) * ({y})")
     return (
         f"(({sxy} - {sx} * {sy} / {n})"
         f" / sqrt(({sxx} - {sx} * {sx} / {n}) * ({syy} - {sy} * {sy} / {n})))"
@@ -98,9 +104,9 @@ def ECORR(x: str, y: str) -> str:
 
 def ECOV(x: str, y: str) -> str:
     n = f"CAST(count(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL THEN 1 END) AS DOUBLE)"
-    sx = _E2D(f"sum({_EADD(f'CASE WHEN ({y}) IS NOT NULL THEN ({x}) END')})")
-    sy = _E2D(f"sum({_EADD(f'CASE WHEN ({x}) IS NOT NULL THEN ({y}) END')})")
-    sxy = _E2D(f"sum({_EADD(f'({x}) * ({y})')})")
+    sx = _EQS(f"CASE WHEN ({y}) IS NOT NULL THEN ({x}) END")
+    sy = _EQS(f"CASE WHEN ({x}) IS NOT NULL THEN ({y}) END")
+    sxy = _EQS(f"({x}) * ({y})")
     return f"(({sxy} - {sx} * {sy} / {n}) / ({n} - 1.0))"
 
 

@@ -2587,3 +2587,30 @@ def isin_aligned(spark: SparkSession, sf_dir: str) -> SparkDF:
     cust = _t(spark, sf_dir, "customer")
     other = cust.filter(col("c_custkey") % 3 == 0).select(["c_custkey", "c_mktsegment"])
     return cust.select(["c_custkey", "c_mktsegment"]).isin_frame(other, on="c_custkey").to_spark()
+
+
+@query(
+    "numpy_ufuncs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           sqrt(l_quantity)              AS root,
+           ln(l_extendedprice)           AS logp,
+           greatest(l_discount, l_tax)   AS mx,
+           abs(l_quantity - 25.0)        AS dev
+    FROM lineitem
+    """,
+)
+def numpy_ufuncs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """NumPy ufunc façade (__array_ufunc__): np.sqrt/np.log/np.maximum
+    over engine expressions compile to Catalyst — no numpy at runtime,
+    no UDF (pandas arraylike.py protocol)."""
+    import numpy as np
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.assign(
+        root=np.sqrt(col("l_quantity")),
+        logp=np.log(col("l_extendedprice")),
+        mx=np.maximum(col("l_discount"), col("l_tax")),
+        dev=np.abs(col("l_quantity") - 25.0),
+    )
+    return out.select(["l_orderkey", "l_linenumber", "root", "logp", "mx", "dev"]).to_spark()
