@@ -64,14 +64,22 @@ def main() -> None:
         except Exception:
             pass
 
+    # median of 3 timed runs per query (BASELINE.md protocol) — a single
+    # run on a shared machine carries ±10% scheduler noise that would
+    # otherwise masquerade as a regression between rounds
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        # noop sink materializes every column (count() would let Catalyst
-        # prune the projections and under-report)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        ts = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            # noop sink materializes every column (count() would let
+            # Catalyst prune the projections and under-report)
+            df.write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        ts.sort()
+        timings[name] = round(ts[len(ts) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)

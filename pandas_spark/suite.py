@@ -37,34 +37,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> ps.DataFrame:
     return ps.read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
-# --- exact split-fixed-point SQL templates (mirror stats.exact_*) -----------
+# --- exact base-10⁶ digit-fold SQL templates (mirror stats.exact_*) --------
 # Double summation is order-dependent; both the engine and the oracle
-# split each addend into floor(x) (exact integer) plus its fraction
-# quantized at 10⁻¹² — IEEE-deterministic, identical in any engine —
-# and sum the two integer streams exactly as DECIMAL(38,0). The
-# aggregate is THE mathematical sum of the deterministically-split
-# addends: bit-identical on both sides regardless of partitioning, and
-# accurate to ~2e-12 absolute per addend. See
-# stats.py for the engine half (and why this beats a decimal cast).
-#
-# The final decimal→double goes via VARCHAR on the DuckDB side: its
-# int128→double conversion is not guaranteed correctly rounded, while
-# VARCHAR→DOUBLE is — matching Spark's BigDecimal.doubleValue.
+# decompose each addend into three INTEGER-VALUED doubles — floor(x),
+# the first 6 fraction digits, the next 6 — via IEEE-deterministic ops
+# identical in any engine, then sum each stream as plain doubles.
+# Integer summation in double arithmetic is EXACT (order-independent)
+# while the running sums stay below 2⁵³, so the aggregate is THE
+# mathematical sum of the deterministically quantized addends
+# (fraction quantized at 1e-12), bit-identical on both sides
+# regardless of partitioning. See stats.py for the engine half (and
+# why this beats decimal accumulation). The expression trees match
+# token-for-token so every intermediate rounds identically.
 
 
-_FS = "1000000000000.0"  # 10^12 fraction scale
-
-
-def _E2D(agg: str) -> str:
-    """Exact decimal aggregate → correctly-rounded double."""
-    return f"CAST(CAST({agg} AS VARCHAR) AS DOUBLE)"
+_FB = "1000000.0"          # 10^6 digit base
+_FB2 = "1000000000000.0"   # 10^12
 
 
 def _EQS(x: str) -> str:
-    """Split fixed-point exact sum: Σfloor(x) + Σfloor(frac·10¹²)/10¹²."""
-    hi = _E2D(f"sum(CAST(floor(({x})) AS DECIMAL(38,0)))")
-    lo = _E2D(f"sum(CAST(floor((({x}) - floor(({x}))) * {_FS}) AS DECIMAL(38,0)))")
-    return f"({hi} + {lo} / {_FS})"
+    """Exact digit-fold sum: Σf0 + Σl1/10⁶ + Σl2/10¹² (mirrors _split_sum)."""
+    f0 = f"floor(({x}))"
+    fr = f"(({x}) - {f0})"
+    frB = f"({fr} * {_FB})"
+    l1 = f"floor({frB})"
+    l2 = f"floor(({frB} - {l1}) * {_FB})"
+    return f"(sum({f0}) + sum({l1}) / {_FB} + sum({l2}) / {_FB2})"
 
 
 def ESUM(x: str) -> str:
