@@ -18,7 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame as SparkDF
+from pyspark.sql import Column, DataFrame as SparkDF, Window
 from pyspark.sql import functions as F
 
 from pandas_spark.frame import DataFrame
@@ -59,22 +59,45 @@ def minhash_signature(
 ) -> SparkDF:
     """k-permutation MinHash over word shingles — map-only, built-ins.
 
-    Each shingle is string-hashed ONCE (xxhash64); the k components are
-    derived by seeded re-hashing of that 8-byte value —
-    signature[i] = min over shingles of xxhash64(h, i). Re-hashing a
-    fixed-width long is far cheaper than k string hashes (same scheme
-    as datasketch's MinHash, ~10× cheaper at equal recall), and unlike
-    multiply-add permutations it cannot overflow, so the expression is
-    safe under ``spark.sql.ansi.enabled`` in either state.
+    Each shingle is string-hashed ONCE (xxhash64, folded to 32 bits);
+    the k components are universal-hash permutations of that value —
+    signature[i] = min over shingles of (a_i·h32 + b_i) mod 2³².
+    The inner loop (k × shingles, the dominant arithmetic of the whole
+    pipeline) is 3 primitive ALU ops per element instead of a hash
+    call. ANSI-safe by construction: a_i < 2³⁰ and h32 < 2³², so the
+    64-bit product a_i·h32 + b_i < 2⁶³ never overflows — no silent
+    wraparound is relied on in either ``spark.sql.ansi.enabled`` state.
+
+    32-bit min-wise values collide between distinct shingles with
+    birthday probability (m²/2³³ for m distinct shingles) — immaterial
+    here because LSH only *generates candidates*; exact Jaccard
+    verification follows, so collisions cost a little precision in the
+    candidate set, never correctness.
     """
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    import random
+
+    rng = random.Random(0x5EED)  # deterministic permutation constants
+    mask32 = F.lit((1 << 32) - 1)
+    # (a odd, < 2^30; b < 2^32) per hash — struct array zipped with acc
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(rng.randrange(1, 1 << 30) | 1).alias("a"),
+                F.lit(rng.randrange(0, 1 << 32)).alias("b"),
+            )
+            for _ in range(num_hashes)
+        ]
+    )
     init = F.array_repeat(F.lit((1 << 63) - 1), num_hashes)
-    base = F.transform(shingles_expr(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+    base = F.transform(
+        shingles_expr(F.col(text_col), shingle_n),
+        lambda s: F.xxhash64(s).bitwiseAND(mask32),
+    )
     sig = F.aggregate(
         base,
         init,
         lambda acc, h: F.zip_with(
-            acc, seeds, lambda accv, sd: F.least(accv, F.xxhash64(h, sd))
+            acc, ab, lambda accv, p: F.least(accv, (p["a"] * h + p["b"]).bitwiseAND(mask32))
         ),
     )
     from pandas_spark.operators.text import spread
@@ -112,14 +135,10 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # hash the band's signature longs directly —
+                        # no per-band string building
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(F.col(sig_col), b * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[F.col(sig_col)[b * rows + j] for j in range(rows)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -128,9 +147,12 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     if bucket_cap is not None:
-        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz__"))
-        banded = banded.join(
-            sizes.filter(F.col("__bsz__") <= bucket_cap), ["band", "bucket"]
+        # window count over the join key: ONE exchange on (band, bucket)
+        # that the self-join below then reuses — a groupBy+join would
+        # shuffle the banded table twice more
+        w = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn("__bsz__", F.count(F.lit(1)).over(w)).filter(
+            F.col("__bsz__") <= bucket_cap
         ).drop("__bsz__")
     left = banded.alias("l")
     right = banded.alias("r")
@@ -154,14 +176,21 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_n: int = 5,
     threshold: float = 0.8,
+    shingle_sets: SparkDF | None = None,
 ) -> SparkDF:
     """Exact Jaccard on shingle *sets* for candidate pairs.
 
-    Shingle sets are cached — both pair sides join against them."""
-    sh = spread(docs).select(
-        F.col(id_col),
-        F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
-    ).cache()
+    ``shingle_sets`` (id, __s__) lets the caller reuse an
+    already-materialized shingle table instead of re-scanning the
+    corpus text; otherwise it is computed and cached here — both pair
+    sides join against it."""
+    if shingle_sets is not None:
+        sh = shingle_sets
+    else:
+        sh = spread(docs).select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
+        ).cache()
     j = (
         pairs.join(sh.withColumnsRenamed({id_col: "id1", "__s__": "__s1__"}), "id1")
         .join(sh.withColumnsRenamed({id_col: "id2", "__s__": "__s2__"}), "id2")
@@ -189,17 +218,29 @@ def minhash_dedup_pairs(
     """End-to-end near-duplicate pairs: MinHash → LSH buckets → exact
     Jaccard verification at ``threshold``. Deterministic output.
 
-    The signature table is cached: it feeds both sides of the bucket
-    self-join and would otherwise be recomputed per join branch. At
+    The corpus text is scanned ONCE: a single cached base holds
+    (id, shingle set, signature); it feeds both sides of the bucket
+    self-join AND both sides of the Jaccard verification. At
     production scale this materialization is the standard pattern —
-    signatures are written once and reused across dedup runs.
+    signatures/shingles are written once and reused across dedup runs.
     """
     sdf = frame.spark
-    sigs = minhash_signature(sdf, text_col, num_hashes, shingle_n).select(
-        id_col, "minhash"
-    ).cache()
-    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows)
-    return DataFrame(jaccard_verify(cands, sdf, id_col, text_col, shingle_n, threshold))
+    base = (
+        minhash_signature(sdf, text_col, num_hashes, shingle_n)
+        .select(
+            id_col,
+            "minhash",
+            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
+        )
+        .cache()
+    )
+    cands = lsh_candidate_pairs(base, id_col, "minhash", bands, rows)
+    return DataFrame(
+        jaccard_verify(
+            cands, sdf, id_col, text_col, shingle_n, threshold,
+            shingle_sets=base.select(id_col, "__s__"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -298,9 +339,11 @@ def simhash_pairs(
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
     if bucket_cap is not None:
-        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz__"))
-        banded = banded.join(
-            sizes.filter(F.col("__bsz__") <= bucket_cap), ["band", "bucket"]
+        # window count on the join key — one exchange, reused by the
+        # self-join (see lsh_candidate_pairs)
+        w = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn("__bsz__", F.count(F.lit(1)).over(w)).filter(
+            F.col("__bsz__") <= bucket_cap
         ).drop("__bsz__")
     l, r = banded.alias("l"), banded.alias("r")
     out = (
