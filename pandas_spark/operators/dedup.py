@@ -291,26 +291,28 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
     toks = F.array_distinct(tokens_expr(text))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    # for each bit: sum(+1 if set else -1) > 0; bind b via closure.
-    # Bit 63 of a signed long is the sign bit: its mask is LONG_MIN,
-    # not 1<<63 (which overflows the py4j long literal).
-    def bit_col(b: int):
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        return (
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-            )
-            > 0
-        ).cast("long") * F.lit(mask)
-
-    bit_cols = [bit_col(b) for b in range(bits)]
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+    # ONE aggregate with a bits-wide count accumulator (the old
+    # one-aggregate-per-bit form rescanned the token array 64 times
+    # and built a 64×-bigger expression tree). Bit 63 of a signed
+    # long is the sign bit: its mask is LONG_MIN, not 1<<63 (which
+    # overflows the py4j long literal).
+    masks = F.array(*[F.lit((1 << b) if b < 63 else -(1 << 63)) for b in range(bits)])
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # majority per bit → OR the winning masks together (sum of distinct
+    # bit masks — no overflow: positives < 2^63, LONG_MIN added once)
+    return F.aggregate(
+        F.zip_with(counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash_pairs(

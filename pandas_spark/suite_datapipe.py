@@ -121,9 +121,15 @@ WITH sh AS (
 SELECT l.doc_id AS id1, r.doc_id AS id2,
        len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) AS jaccard,
        true AS hamming_ok
-FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+FROM sh l JOIN sh r
+  ON l.doc_id < r.doc_id
+ AND len(l.s) >= 0.8 * len(r.s) AND len(r.s) >= 0.8 * len(l.s)
 WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.8
 """
+# the length-ratio join predicate above (and in the two oracles below)
+# is a provably-sound prefilter: jaccard >= t implies
+# min(|s1|,|s2|)/max(|s1|,|s2|) >= t on distinct sets — it only spares
+# the O(n^2) list_intersect evaluations, never changes the result
 
 
 @query("text_fingerprint_simhash", oracle=_SIMHASH_PROP_ORACLE)
@@ -178,7 +184,9 @@ WITH sh AS (
 )
 SELECT l.doc_id AS id1, r.doc_id AS id2,
        len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) AS jaccard
-FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+FROM sh l JOIN sh r
+  ON l.doc_id < r.doc_id
+ AND len(l.s) >= 0.8 * len(r.s) AND len(r.s) >= 0.8 * len(l.s)
 WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.8
 """
 
@@ -201,7 +209,9 @@ WITH sh AS (
 )
 SELECT l.doc_id AS id1, r.doc_id AS id2,
        len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) AS jaccard
-FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id < r.doc_id
+FROM sh l JOIN sh r
+  ON l.lang = r.lang AND l.doc_id < r.doc_id
+ AND len(l.s) >= 0.5 * len(r.s) AND len(r.s) >= 0.5 * len(l.s)
 WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.5
 """
 
