@@ -21,16 +21,24 @@ from pandas_spark.frame import DataFrame
 
 
 def dot_expr(a: Column, b: Column) -> Column:
+    # cast each element to double BEFORE multiplying — the oracle side
+    # (DuckDB ::DOUBLE[]) promotes first, and a float32 product differs
+    # from the double product by ~1e-8 rel, enough to flip a
+    # fixed-decimal rounding in a hash comparison
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
 def norm_expr(a: Column) -> Column:
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
     )
 
 
@@ -52,12 +60,21 @@ def cosine_topk(
     per-partition score + per-query top-k via window. Tie-break on
     corpus id for determinism.
     """
+    # norms are computed once per side, not per (corpus, query) pair —
+    # at q queries that's (q+1)× fewer norm folds over the corpus
     q = queries.spark.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv__")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv__"),
+        norm_expr(F.col(vec_col)).alias("__qn__"),
     )
-    c = corpus.spark.select(F.col(id_col), F.col(vec_col).alias("__cv__"))
+    c = corpus.spark.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv__"),
+        norm_expr(F.col(vec_col)).alias("__cn__"),
+    )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", cosine_expr(F.col("__cv__"), F.col("__qv__"))
+        "cosine",
+        dot_expr(F.col("__cv__"), F.col("__qv__")) / (F.col("__cn__") * F.col("__qn__")),
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
