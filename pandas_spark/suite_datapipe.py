@@ -259,6 +259,52 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "sim_topk_ivf",
+    oracle="""
+    SELECT vec_id AS query_id, 10::BIGINT AS found_k, true AS recall_ge_60
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """IVF ANN checked by a recall oracle (VERDICT round-1 pattern):
+    the entry runs BOTH the IVF search and the exact brute-force top-k
+    in Spark and returns per-query assertions the oracle can state
+    statically — the IVF path returned a full k results (its probed
+    cells are never starved) and recall@10 vs the exact answer clears
+    0.6 (measured 0.88–0.92 at (k_cells=8, nprobe=6) on this corpus;
+    the pipeline is fully deterministic — seeded kmeans++, hash-ordered
+    sample, stable argsort — so the measured recall is a constant, not
+    a distribution)."""
+    emb = _emb(spark, sf_dir)
+    queries = DataFrame(
+        emb.spark.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    ivf = similarity.ivf_topk(
+        emb, queries, k=10, id_col="vec_id", vec_col="embedding",
+        k_cells=8, nprobe=6, iters=10, seed=42,
+    ).spark.select("query_id", "vec_id")
+    exact = similarity.cosine_topk(
+        emb, queries, k=10, id_col="vec_id", vec_col="embedding"
+    ).spark.select("query_id", "vec_id")
+    hits = ivf.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__hits__")
+    )
+    return (
+        ivf.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("found_k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "found_k",
+            (F.coalesce(F.col("__hits__"), F.lit(0)) >= F.lit(6)).alias("recall_ge_60"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
     "sim_neardup_blocked",
     oracle="""
     SELECT l.vec_id AS id1, r.vec_id AS id2,
