@@ -333,6 +333,55 @@ class DataFrame:
         (generic.py:10979) over the declared order."""
         return self.iloc_slice(before, None if after is None else after + 1)
 
+    def argsort(self, by: str, ascending: bool = True) -> "DataFrame":
+        """``Series.argsort`` analog (series.py:4166): one column
+        ``argsort`` holding, in value-rank order, the POSITION (in the
+        declared row order) of each element — stable ties, NaN last,
+        matching numpy's stable sort of the values.
+
+        Two row_numbers over one plan: position over the declared
+        order, then rank over (value, position)."""
+        _warn_unkeyed_window("argsort")
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs)
+        marked = this._sdf.withColumn("__pos__", F.row_number().over(w) - 1)
+        key = _sort_key(F.col(by), ascending, "last")
+        w2 = W.orderBy(key, F.col("__pos__").asc())
+        out = marked.select(
+            (F.row_number().over(w2) - 1).cast("long").alias("rank"),
+            F.col("__pos__").cast("long").alias("argsort"),
+        )
+        return DataFrame(out)
+
+    def searchsorted(self, col: str, values: Sequence, side: str = "left") -> "DataFrame":
+        """``Series.searchsorted`` (series.py:3907): for each probe
+        value, the index where it would insert into the SORTED column —
+        i.e. count of elements < v (side='left') or <= v ('right').
+
+        One aggregation pass over the data regardless of probe count
+        (conditional sums, map-side partial agg) — no sort, no shuffle
+        of the input, scales to any corpus size."""
+        if side not in ("left", "right"):
+            raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+        c = F.col(col)
+        aggs = []
+        for i, v in enumerate(values):
+            cond = (c < F.lit(v)) if side == "left" else (c <= F.lit(v))
+            aggs.append(F.sum(cond.cast("long")).alias(f"__i{i}__"))
+        row = self._sdf.agg(*aggs)
+        pairs = []
+        for i, v in enumerate(values):
+            pairs.append(
+                F.struct(
+                    F.lit(v).alias("value"),
+                    F.coalesce(F.col(f"__i{i}__"), F.lit(0)).alias("insert_at"),
+                )
+            )
+        out = row.select(F.explode(F.array(*pairs)).alias("__s__")).select(
+            F.col("__s__.value").alias("value"), F.col("__s__.insert_at").alias("insert_at")
+        )
+        return DataFrame(out)
+
     def between_time(self, start: str, end: str, on: str) -> "DataFrame":
         """Rows whose time-of-day falls in [start, end] (pandas
         ``between_time`` on a DatetimeIndex; here ``on=`` names the

@@ -18,6 +18,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame as SparkDF, Window
 from pyspark.sql import functions as F
 
@@ -76,33 +78,45 @@ def minhash_signature(
     """
     import random
 
+    from pyspark.sql.types import ArrayType, LongType
+
     rng = random.Random(0x5EED)  # deterministic permutation constants
     mask32 = F.lit((1 << 32) - 1)
-    # (a odd, < 2^30; b < 2^32) per hash — struct array zipped with acc
-    ab = F.array(
-        *[
-            F.struct(
-                F.lit(rng.randrange(1, 1 << 30) | 1).alias("a"),
-                F.lit(rng.randrange(0, 1 << 32)).alias("b"),
-            )
-            for _ in range(num_hashes)
-        ]
-    )
-    init = F.array_repeat(F.lit((1 << 63) - 1), num_hashes)
+    # same interleaved draw order as always — signatures stay
+    # bit-identical across engine versions
+    _ab = [(rng.randrange(1, 1 << 30) | 1, rng.randrange(0, 1 << 32)) for _ in range(num_hashes)]
+    A = np.array([a for a, _ in _ab], dtype=np.uint64)
+    B = np.array([b for _, b in _ab], dtype=np.uint64)
+    EMPTY = [int((1 << 63) - 1)] * num_hashes
+
+    # shingle hashing stays JVM-side (xxhash64 — one hash per shingle);
+    # only the k-permutation min-reduction crosses to Arrow: per batch
+    # it's one uint64 outer multiply-add + column-min in numpy SIMD,
+    # versus k interpreted HOF ops per shingle in the Catalyst fold
+    # (the fold dominated the whole dedup pipeline's CPU — same 10×
+    # story as similarity._banded). uint64 wraparound is mod-2⁶⁴
+    # universal hashing, then folded to 32 bits — deterministic and
+    # independent of the session's ANSI state (numpy, not Spark SQL,
+    # does the arithmetic).
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(EMPTY)
+                continue
+            H = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]  # (m,1)
+            P = ((H * A + B) & np.uint64((1 << 32) - 1)).min(axis=0)  # (k,)
+            out.append(P.astype(np.int64).tolist())
+        return pd.Series(out)
+
     base = F.transform(
         shingles_expr(F.col(text_col), shingle_n),
         lambda s: F.xxhash64(s).bitwiseAND(mask32),
     )
-    sig = F.aggregate(
-        base,
-        init,
-        lambda acc, h: F.zip_with(
-            acc, ab, lambda accv, p: F.least(accv, (p["a"] * h + p["b"]).bitwiseAND(mask32))
-        ),
-    )
     from pandas_spark.operators.text import spread
 
-    return spread(sdf).withColumn(out_col, sig)
+    return spread(sdf).withColumn(out_col, _sig(base))
 
 
 def lsh_candidate_pairs(

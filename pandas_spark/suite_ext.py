@@ -540,6 +540,65 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "argsort_positions",
+    oracle="""
+    WITH p AS (
+        SELECT o_totalprice, row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+        FROM orders
+    )
+    SELECT row_number() OVER (ORDER BY o_totalprice, pos) - 1 AS rank,
+           pos AS argsort
+    FROM p
+    """,
+)
+def argsort_positions(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Series.argsort over an explicit declared order (series.py:4166):
+    rank r ↦ the position of the r-th smallest o_totalprice."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(["o_orderkey", "o_totalprice"])
+        .sort_values("o_orderkey")
+        .argsort("o_totalprice")
+        .to_spark()
+    )
+
+
+@query(
+    "searchsorted_probes",
+    oracle="""
+    SELECT v AS value, (SELECT count(*) FROM lineitem WHERE l_quantity < v)::BIGINT AS insert_at
+    FROM (VALUES (1.0),(10.5),(25.0),(50.0),(51.0)) t(v)
+    """,
+)
+def searchsorted_probes(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Series.searchsorted (series.py:3907) — one conditional-sum agg
+    pass for all probes; the input is never sorted or shuffled."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.searchsorted("l_quantity", [1.0, 10.5, 25.0, 50.0, 51.0]).to_spark()
+
+
+@query(
+    "io_orc_roundtrip",
+    oracle=f"""
+    SELECT p_brand, {ESUM('p_retailprice')} AS total, count(*)::BIGINT AS n
+    FROM part GROUP BY p_brand
+    """,
+)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """ORC write→read→agg checked against the parquet-sourced oracle —
+    proves the ORC codec path preserves values and types (SURVEY §2.1;
+    reference io/orc.py:43 read_orc)."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = f"{_SCRATCH}/orc_rt"
+    part = _t(spark, sf_dir, "part").select(["p_brand", "p_retailprice"])
+    part.to_orc(path)
+    back = ps.read_orc(spark, path)
+    return back.groupby("p_brand").agg(
+        total=("p_retailprice", "sum"), n=("p_retailprice", "size")
+    ).to_spark()
+
+
+@query(
     "io_json_roundtrip",
     oracle=f"""
     SELECT o_orderstatus, {ESUM('o_totalprice')} AS total, count(*)::BIGINT AS n
