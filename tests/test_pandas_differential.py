@@ -330,3 +330,32 @@ def test_ewm_std_matches_pandas(spark):
         .to_pandas()
     )
     assert_col_matches(got, want["s"], "s")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(v=st.lists(floats, min_size=1, max_size=10))
+def test_argsort_matches_numpy(spark, v):
+    # numpy stable argsort is pandas' Series.argsort(kind="stable") spec:
+    # positions in value order, NaN last, ties stable
+    want = list(np.asarray(v).argsort(kind="stable"))
+    pdf = pd.DataFrame({"i": range(len(v)), "v": v})
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = f.argsort("v").sort_values("rank").to_pandas()
+    assert list(got["argsort"]) == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    v=st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=12),
+    probes=st.lists(st.floats(min_value=-120, max_value=120, allow_nan=False), min_size=1, max_size=4),
+    side=st.sampled_from(["left", "right"]),
+)
+def test_searchsorted_matches_numpy(spark, v, probes, side):
+    arr = np.sort(np.asarray(v))
+    want = {p: int(np.searchsorted(arr, p, side=side)) for p in probes}
+    f = ps.from_pandas(spark, pd.DataFrame({"v": v}))
+    got = {
+        r["value"]: int(r["insert_at"])
+        for r in f.searchsorted("v", probes, side=side).to_pandas().to_dict("records")
+    }
+    assert got == want
