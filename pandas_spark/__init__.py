@@ -41,6 +41,8 @@ from pandas_spark.operators.reshape import (
 )
 from pandas_spark.functions.datetimes import (
     date_range,
+    interval_range,
+    period_range,
     timedelta_range,
     to_datetime,
     to_numeric,
@@ -57,6 +59,8 @@ __all__ = [
     "crosstab",
     "cut",
     "date_range",
+    "interval_range",
+    "period_range",
     "from_pandas",
     "from_dummies",
     "get_dummies",

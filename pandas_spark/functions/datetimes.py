@@ -261,6 +261,56 @@ def timedelta_range(spark: SparkSession, start: str = "0s", periods: int = 10, f
     return DataFrame(sdf)
 
 
+def period_range(spark: SparkSession, start: str, end: str, freq: str = "M"):
+    """``pd.period_range`` (indexes/datetimes.py:772 analog) under the
+    trunc representation locked in SURVEY §1.3: a period IS its start
+    timestamp plus the frequency tag, so the spine is period starts —
+    ``sequence()`` + explode, distributed like ``date_range``. Columns:
+    ``period_start`` (timestamp), ``period_end`` (exclusive)."""
+    from pandas_spark.frame import DataFrame
+
+    step = {
+        "M": "interval 1 month", "Q": "interval 3 months", "Y": "interval 1 year",
+        "A": "interval 1 year", "W": "interval 7 days", "D": "interval 1 day",
+        "h": "interval 1 hour", "H": "interval 1 hour",
+    }.get(freq, f"interval {freq}")
+    trunc = {"M": "month", "Q": "quarter", "Y": "year", "A": "year",
+             "W": "week", "D": "day", "h": "hour", "H": "hour"}.get(freq)
+    s = F.lit(start).cast("timestamp")
+    e = F.lit(end).cast("timestamp")
+    if trunc:
+        s, e = F.date_trunc(trunc, s), F.date_trunc(trunc, e)
+    sdf = (
+        spark.range(1)
+        .select(F.explode(F.sequence(s, e, F.expr(step))).alias("period_start"))
+        .select(
+            "period_start",
+            (F.col("period_start") + F.expr(step)).alias("period_end"),
+        )
+    )
+    return DataFrame(sdf)
+
+
+def interval_range(
+    spark: SparkSession,
+    start: float,
+    end: float,
+    periods: int,
+):
+    """``pd.interval_range`` numeric flavor (indexes/datetimes.py:1348
+    analog): ``periods`` equal-width [left, right) bins as two double
+    columns — generated distributed via ``spark.range`` so a
+    billion-bin spine never materializes on the driver."""
+    from pandas_spark.frame import DataFrame
+
+    width = (float(end) - float(start)) / int(periods)
+    sdf = spark.range(int(periods)).select(
+        (F.lit(float(start)) + F.col("id").cast("double") * F.lit(width)).alias("left"),
+        (F.lit(float(start)) + (F.col("id") + 1).cast("double") * F.lit(width)).alias("right"),
+    )
+    return DataFrame(sdf)
+
+
 def date_range(spark: SparkSession, start: str, end: str, freq: str = "D"):
     """``pd.date_range`` → ``sequence()`` + explode — distributed generation."""
     from pandas_spark.frame import DataFrame

@@ -129,6 +129,15 @@ class StringMethods:
             return self._wrap(F.expr(f"substring({_sql(self._c)}, {start + 1})"))
         return self._wrap(F.substring(self._c, start + 1, stop - start))
 
+    def slice_replace(self, start: int = 0, stop: int | None = None, repl: str = ""):
+        """s[:start] + repl + s[stop:] (accessor.py:2339); non-negative
+        indices, like ``slice``."""
+        head = F.substring(self._c, 1, start)
+        if stop is None:
+            return self._wrap(F.concat(head, F.lit(repl)))
+        tail = F.expr(f"substring({_sql(self._c)}, {stop + 1})")
+        return self._wrap(F.concat(head, F.lit(repl), tail))
+
     def get(self, i: int):
         return self._wrap(F.substring(self._c, i + 1, 1))
 

@@ -540,6 +540,34 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "period_range_spine",
+    oracle="""
+    WITH s AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '1995-01-01', TIMESTAMP '1996-01-01', INTERVAL 1 month))::TIMESTAMP AS period_start
+    )
+    SELECT period_start, period_start + INTERVAL 1 month AS period_end FROM s
+    """,
+)
+def period_range_spine(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.period_range under the trunc representation (SURVEY §1.3):
+    a period is its start timestamp + freq tag."""
+    return ps.period_range(spark, "1995-01-15", "1996-01-15", freq="M").to_spark()
+
+
+@query(
+    "interval_range_spine",
+    oracle="""
+    SELECT 0.0 + i * 2.5 AS "left", 0.0 + (i + 1) * 2.5 AS "right"
+    FROM (SELECT unnest(generate_series(0, 19)) AS i)
+    """,
+)
+def interval_range_spine(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.interval_range numeric flavor — 20 equal bins over [0, 50)."""
+    return ps.interval_range(spark, 0.0, 50.0, periods=20).to_spark()
+
+
+@query(
     "argsort_positions",
     oracle="""
     WITH p AS (
@@ -2493,7 +2521,8 @@ def offset_anchors(spark: SparkSession, sf_dir: str) -> SparkDF:
            CASE WHEN strpos(reverse(c_name), '0') > 0
                 THEN [substr(c_name, 1, len(c_name) - strpos(reverse(c_name), '0')),
                       substr(c_name, len(c_name) - strpos(reverse(c_name), '0') + 2)]
-                ELSE [c_name] END                                   AS rsplit0
+                ELSE [c_name] END                                   AS rsplit0,
+           substr(c_name, 1, 4) || '***' || substr(c_name, 9)      AS redacted
     FROM customer
     """,
 )
@@ -2508,6 +2537,7 @@ def string_ops3(spark: SparkSession, sf_dir: str) -> SparkDF:
         folded=col("c_name").str.casefold(),
         digit_runs=col("c_name").str.extractall("[0-9]+", group=0),
         rsplit0=col("c_name").str.rsplit("0", n=1),
+        redacted=col("c_name").str.slice_replace(4, 8, "***"),
     )
     sdf = out.to_spark().select(
         "c_custkey",
@@ -2517,6 +2547,7 @@ def string_ops3(spark: SparkSession, sf_dir: str) -> SparkDF:
         "folded",
         "digit_runs",
         "rsplit0",
+        "redacted",
     )
     return sdf
 
