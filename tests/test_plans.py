@@ -99,3 +99,26 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # the filter must prune at the file-index level, not scan+filter
     assert "PartitionFilters: [" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_ivf_corpus_never_shuffles(spark):
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = ps.read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    emb = DataFrame(emb.to_spark().withColumn("embedding", F.col("embedding").cast("array<double>")))
+    queries = DataFrame(
+        emb.to_spark().filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    q = similarity.ivf_topk(emb, queries, k=5, k_cells=4, nprobe=2).to_spark()
+    plan = plan_of(q)
+    # the candidate join must broadcast the probe side; the corpus side
+    # stays map-side (cell assignment is a projection, not an exchange)
+    assert "BroadcastHashJoin" in plan
+    join_input = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in join_input, (
+        "corpus must reach the cell join without shuffling"
+    )
