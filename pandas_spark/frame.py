@@ -391,6 +391,17 @@ class DataFrame:
         e = end if len(end) > 5 else end + ":00"
         return self._with(self._sdf.filter((tod >= s) & (tod <= e)))
 
+    def asof(self, where, on: str, subset: str | Sequence[str] | None = None) -> "DataFrame":
+        """``DataFrame.asof`` (generic.py:8338): the last row whose
+        ``on`` value is ≤ ``where``, skipping rows with nulls in
+        ``subset``. Compiles to filter + TakeOrderedAndProject(1) — no
+        global sort materializes at any scale."""
+        sdf = self._sdf.filter(F.col(on) <= F.lit(where))
+        if subset:
+            for c in [subset] if isinstance(subset, str) else list(subset):
+                sdf = sdf.filter(F.col(c).isNotNull())
+        return DataFrame(sdf.orderBy(F.col(on).desc()).limit(1))
+
     def interpolate(
         self,
         subset: Sequence[str] | None = None,

@@ -230,10 +230,29 @@ class GroupBy:
     def size(self):
         return self._result(self._grouped().agg(F.count(F.lit(1)).alias("size")))
 
-    def quantile(self, q: float = 0.5, numeric_only: bool = True):
+    def quantile(
+        self,
+        q: float = 0.5,
+        numeric_only: bool = True,
+        approx: bool = False,
+        accuracy: int = 10_000,
+    ):
+        """Per-group quantile. ``approx=True`` opts into
+        ``approx_percentile`` (Greenwald-Khanna sketch, relative error
+        1/accuracy) — at 100 TB the exact percentile must buffer every
+        group value per partial-agg; the sketch is O(accuracy·log n)
+        memory and mergeable, the right default for interactive scans
+        of giant groups (pandas has no analog; explicit opt-in keeps
+        oracle parity for the default)."""
         cols = self._value_cols(numeric_only=numeric_only)
-        # exact percentile with linear interpolation — pandas' default
-        exprs = [F.percentile(F.col(c), F.lit(q)).alias(c) for c in cols]
+        if approx:
+            exprs = [
+                F.approx_percentile(F.col(c), F.lit(q), F.lit(accuracy)).alias(c)
+                for c in cols
+            ]
+        else:
+            # exact percentile with linear interpolation — pandas' default
+            exprs = [F.percentile(F.col(c), F.lit(q)).alias(c) for c in cols]
         return self._result(self._grouped().agg(*exprs))
 
     def idxmin(self, value_col: str, index_col: str):

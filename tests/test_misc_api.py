@@ -81,3 +81,27 @@ def test_rsplit_and_rfind_edges(spark):
     assert by_s["nodash"]["r"] == ["nodash"]
     assert by_s["nodash"]["i"] == -1
     assert by_s["nodash"]["p"].asDict() == {"head": "", "sep": "", "tail": "nodash"}
+
+
+def test_asof_last_row_at_or_before(spark):
+    rows = [(1, 10.0), (3, 30.0), (5, None), (7, 70.0)]
+    f = DataFrame(spark.createDataFrame(rows, ["t", "v"]))
+    assert f.asof(4, on="t").spark.collect()[0]["t"] == 3
+    # null-v row at t=5 is skipped when subset is given
+    assert f.asof(6, on="t", subset="v").spark.collect()[0]["t"] == 3
+    assert f.asof(6, on="t").spark.collect()[0]["t"] == 5
+    assert f.asof(0, on="t").spark.count() == 0
+
+
+def test_quantile_approx_close_to_exact(spark):
+    import pandas_spark as psm
+
+    li = psm.read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    g = li[["l_returnflag", "l_quantity"]].groupby("l_returnflag")
+    exact = {r["l_returnflag"]: r["l_quantity"] for r in g.quantile(0.5).spark.collect()}
+    approx = {
+        r["l_returnflag"]: r["l_quantity"]
+        for r in g.quantile(0.5, approx=True).spark.collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= 1.0  # quantities are 1..50; sketch is near-exact here
