@@ -74,6 +74,14 @@ _LANG_CASE = (
     + " END"
 )
 
+_QUALITY_SQL = """(
+         (n_tokens BETWEEN 10 AND 100000)::INT * 0.25
+         + (n_chars / greatest(n_tokens, 1) BETWEEN 3 AND 12)::INT * 0.25
+         + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(n_chars, 1) * 0.5, 0.25) * 2
+         + least(s_en * 2.5, 0.25)
+       )::DOUBLE"""
+
 _TEXT_STATS_ORACLE = f"""
 WITH t AS (
     SELECT doc_id, text, {_TOKS} AS toks FROM documents
@@ -90,13 +98,7 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
        s_en AS stopword_ratio,
        {_LANG_CASE} AS lang_pred,
-       (
-         (n_tokens BETWEEN 10 AND 100000)::INT * 0.25
-         + (n_chars / greatest(n_tokens, 1) BETWEEN 3 AND 12)::INT * 0.25
-         + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                 / greatest(n_chars, 1) * 0.5, 0.25) * 2
-         + least(s_en * 2.5, 0.25)
-       )::DOUBLE AS quality
+       {_QUALITY_SQL} AS quality
 FROM s
 """
 
@@ -200,6 +202,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
     return dedup.minhash_dedup_pairs(
         docs, "text", "doc_id", threshold=0.8, num_hashes=64, bands=32, rows=2, shingle_n=5
     ).to_spark()
+
+
+_PIPELINE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, text, {_TOKS} AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, text, toks,
+           len(toks) AS n_tokens, length(text) AS n_chars, {_SCORES}
+    FROM t
+),
+q AS (
+    SELECT doc_id, text, toks, n_tokens,
+           {_LANG_CASE} AS lang_pred,
+           {_QUALITY_SQL} AS quality
+    FROM s
+),
+kept AS (
+    SELECT * FROM q WHERE lang_pred = 'en' AND quality >= 0.5
+),
+d1 AS (
+    SELECT * FROM kept
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+sh AS (
+    SELECT doc_id, {_shingle_sql(5)} AS s FROM d1
+),
+nd AS (
+    SELECT DISTINCT r.doc_id AS id2
+    FROM sh l JOIN sh r
+      ON l.doc_id < r.doc_id
+     AND len(l.s) >= 0.8 * len(r.s) AND len(r.s) >= 0.8 * len(l.s)
+    WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.8
+)
+SELECT doc_id, lang_pred, n_tokens::BIGINT AS n_tokens, quality
+FROM d1 WHERE doc_id NOT IN (SELECT id2 FROM nd)
+"""
+
+
+@query("pipeline_clean_corpus", oracle=_PIPELINE_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The end-to-end training-corpus cleaning pipeline, composed from
+    the engine's own operators in one lazy plan: text stats (lang-id +
+    quality) → language/quality gate → exact dedup (min-id keeps) →
+    MinHash-LSH near-dup removal (drop the higher id of every
+    exact-verified ≥0.8-Jaccard pair). Every stage is deterministic, so
+    the whole pipeline has a single SQL oracle. Scale shape: stats and
+    signatures are map-only; the gates prune BEFORE the dedup shuffles;
+    the near-dup join inherits lsh_candidate_pairs' bucket caps."""
+    from pandas_spark import col
+
+    docs = _docs(spark, sf_dir)
+    stats = text.add_text_stats(docs)
+    kept = stats.filter((col("lang_pred") == "en") & (col("quality") >= 0.5))
+    d1 = dedup.exact_dedup(kept, "text", "doc_id")
+    pairs = dedup.minhash_dedup_pairs(
+        d1, "text", "doc_id", threshold=0.8, num_hashes=64, bands=32, rows=2, shingle_n=5
+    )
+    drop = DataFrame(pairs.to_spark().select(F.col("id2").alias("doc_id")).distinct())
+    out = d1.merge(drop, on="doc_id", how="anti")
+    return (
+        out.select(["doc_id", "lang_pred", "n_tokens", "quality"])
+        .to_spark()
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+    )
 
 
 _NGRAM_ORACLE = f"""
