@@ -3,6 +3,7 @@ from pandas_spark.streaming.core import (
     read_stream_json,
     resample_stream,
     running_agg_stream,
+    enrich_join_stream,
     sliding_window_stream,
     session_window_stream,
     tolerance_join_stream,
@@ -20,6 +21,7 @@ __all__ = [
     "running_agg_stream",
     "run_to_memory",
     "session_window_stream",
+    "enrich_join_stream",
     "sliding_window_stream",
     "tolerance_join_stream",
 ]

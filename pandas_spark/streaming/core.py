@@ -89,6 +89,23 @@ def resample_stream(
     )
 
 
+def enrich_join_stream(
+    stream: SparkDF,
+    static: SparkDF,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+) -> SparkDF:
+    """Stream-static enrichment join: each micro-batch hash-joins
+    against the (broadcast) static dimension — no state store, no
+    watermark needed; the static side is re-read per batch only if its
+    source changes. The 100 TB shape: dims broadcast, the stream never
+    shuffles for the join."""
+    return stream.join(
+        F.broadcast(static), stream[left_on] == static[right_on], how
+    )
+
+
 def sliding_window_stream(
     sdf: SparkDF,
     size: str,

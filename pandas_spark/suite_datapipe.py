@@ -436,6 +436,34 @@ def streaming_resample_1h(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "streaming_enrich_join",
+    oracle=f"""
+    SELECT c.c_mktsegment, {ESUM('e.value')} AS value_sum,
+           count(e.value)::BIGINT AS value_count
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Stream-static enrichment (§2.10): the events stream hash-joins a
+    broadcast customer dimension per micro-batch (no state store), then
+    aggregates per segment — checked against the batch SQL oracle."""
+    from pandas_spark import streaming as pss
+    from pandas_spark.streaming.core import _agg_exprs
+
+    stream = pss.read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = pss.enrich_join_stream(stream, cust, "user_id", "c_custkey")
+    agg = joined.groupBy("c_mktsegment").agg(
+        *_agg_exprs({"value": ["sum", "count"]}, dict(joined.dtypes))
+    )
+    pss.run_to_memory(agg, "suite_stream_enrich", output_mode="complete")
+    return spark.table("suite_stream_enrich")
+
+
+@query(
     "streaming_session_windows",
     oracle=f"""
     WITH g AS (
