@@ -385,3 +385,15 @@ def ewm_std(frame, col, alpha=None, span=None, by=None, order_by=None, alias=Non
     mapInPandas path as ewm_mean."""
     return ewm_mean(frame, col, alpha=alpha, span=span, by=by,
                     order_by=order_by, alias=alias or f"{col}_ewm_std", stat="std")
+
+
+def ewm_var(frame, col, alpha=None, span=None, by=None, order_by=None, alias=None):
+    """ewm.var (window/ewm.py:473) — same kernel, ``stat='var'``."""
+    return ewm_mean(frame, col, alpha=alpha, span=span, by=by,
+                    order_by=order_by, alias=alias or f"{col}_ewm_var", stat="var")
+
+
+def ewm_sum(frame, col, alpha=None, span=None, by=None, order_by=None, alias=None):
+    """ewm.sum (window/ewm.py:590) — same kernel, ``stat='sum'``."""
+    return ewm_mean(frame, col, alpha=alpha, span=span, by=by,
+                    order_by=order_by, alias=alias or f"{col}_ewm_sum", stat="sum")

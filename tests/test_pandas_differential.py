@@ -359,3 +359,26 @@ def test_searchsorted_matches_numpy(spark, v, probes, side):
         for r in f.searchsorted("v", probes, side=side).to_pandas().to_dict("records")
     }
     assert got == want
+
+
+def test_ewm_var_sum_match_pandas(spark):
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame(
+        {
+            "i": range(50),
+            "k": rng.integers(0, 3, 50),
+            "v": rng.normal(size=50).round(3),
+        }
+    )
+    want = pdf.assign(
+        var=pdf.groupby("k")["v"].transform(lambda s: s.ewm(alpha=0.3, adjust=True).var()),
+        tot=pdf.groupby("k")["v"].transform(lambda s: s.ewm(alpha=0.3, adjust=True).sum()),
+    ).sort_values("i")
+
+    from pandas_spark.window import ewm_sum, ewm_var
+
+    f = ps.from_pandas(spark, pdf)
+    got_var = ewm_var(f, "v", alpha=0.3, by=["k"], order_by="i", alias="var").sort_values("i").to_pandas()
+    got_sum = ewm_sum(f, "v", alpha=0.3, by=["k"], order_by="i", alias="tot").sort_values("i").to_pandas()
+    assert_col_matches(got_var, want["var"], "var")
+    assert_col_matches(got_sum, want["tot"], "tot")
