@@ -357,7 +357,30 @@ class GroupBy:
             )
         )
 
-    def corr(self, x: str, y: str):
+    def corr(self, x: str, y: str, method: str = "pearson"):
+        """Per-group correlation (groupby.pyx corr analog).
+        ``method='spearman'`` ranks within each group first (average
+        ranks, pandas' tie rule) then computes Pearson on the ranks —
+        the rank windows are KEYED (partitionBy group), so this scales
+        to any group count, unlike the frame-level global variant."""
+        if method == "spearman":
+            sdf = self._source().filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+            ranked = {}
+            for c in (x, y):
+                w = W.partitionBy(*self._keys).orderBy(F.col(c).asc())
+                ties = F.count(F.lit(1)).over(W.partitionBy(*self._keys, F.col(c)))
+                ranked[c] = (
+                    F.rank().over(w).cast("double") + (ties.cast("double") - 1.0) / 2.0
+                )
+            sdf = sdf.select(
+                *self._keys, ranked[x].alias("__rx__"), ranked[y].alias("__ry__")
+            )
+            out = sdf.groupBy(*self._keys).agg(
+                stats.exact_corr("__rx__", "__ry__").alias("corr")
+            )
+            return self._result(out)
+        if method != "pearson":
+            raise NotImplementedError(f"corr method {method!r}")
         return self._result(self._grouped().agg(stats.exact_corr(x, y).alias("corr")))
 
     def cov(self, x: str, y: str):

@@ -987,6 +987,32 @@ def groupby_corr_cov(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "groupby_spearman",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_returnflag,
+               rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rx,
+               rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS ry
+        FROM lineitem
+    )
+    SELECT l_returnflag, {ECORR('rx', 'ry')} AS corr FROM r GROUP BY l_returnflag
+    """,
+)
+def groupby_spearman(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-group Spearman: keyed average-rank windows (scale-correct,
+    unlike the documented single-partition frame-level variant) then
+    exact Pearson on ranks."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupby("l_returnflag")
+        .corr("l_quantity", "l_extendedprice", method="spearman")
+        .to_spark()
+    )
+
+
+@query(
     "mode_agg",
     oracle="""
     SELECT o_orderpriority,
