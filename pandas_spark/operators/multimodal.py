@@ -112,6 +112,30 @@ def extract_features(
     return DataFrame(src.mapInPandas(run, FEATURE_SCHEMA))
 
 
+def resize_plan(
+    features: DataFrame,
+    max_w: int,
+    max_h: int,
+    w_col: str = "pseudo_width",
+    h_col: str = "pseudo_height",
+) -> DataFrame:
+    """Image-resize *plan*: aspect-preserving fit into (max_w, max_h),
+    never upscaling — the metadata arithmetic every thumbnail pipeline
+    runs, as pure Catalyst expressions (map-only, zero shuffle). The
+    pixel resample itself is the stubbed decode step (``decode_image``);
+    a cluster deployment swaps it in without touching this plan."""
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    sdf = features.spark.withColumns(
+        {
+            "new_width": F.floor(w * scale).cast("long"),
+            "new_height": F.floor(h * scale).cast("long"),
+        }
+    )
+    return DataFrame(sdf)
+
+
 def frame_sample_plan(
     frame: DataFrame,
     id_col: str = "doc_id",

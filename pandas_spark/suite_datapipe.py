@@ -529,6 +529,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "multimodal_resize",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id AS id,
+               64 + CAST(concat('0x', substr(sha256(text), 1, 2)) AS INT) % 64 AS w,
+               64 + CAST(concat('0x', substr(sha256(text), 3, 2)) AS INT) % 64 AS h
+        FROM documents
+    )
+    SELECT id, w AS pseudo_width, h AS pseudo_height,
+           CAST(floor(w * least(96.0 / w, 96.0 / h, 1.0)) AS BIGINT) AS new_width,
+           CAST(floor(h * least(96.0 / w, 96.0 / h, 1.0)) AS BIGINT) AS new_height
+    FROM f
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Aspect-preserving resize metadata over the (fake-)decoded
+    feature table — the oracle recomputes the sha256-derived pseudo
+    dimensions AND the fit arithmetic in SQL."""
+    docs = _docs(spark, sf_dir)
+    with_payload = multimodal.attach_binary_payload(docs, "text")
+    feats = multimodal.extract_features(with_payload, id_col="doc_id")
+    out = multimodal.resize_plan(feats, 96, 96)
+    return out.select(
+        ["id", "pseudo_width", "pseudo_height", "new_width", "new_height"]
+    ).to_spark().withColumns(
+        {
+            "pseudo_width": F.col("pseudo_width").cast("int"),
+            "pseudo_height": F.col("pseudo_height").cast("int"),
+        }
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id, unnest(generate_series(0, n_chars * 10, 1000)) AS sample_ts_ms
