@@ -214,6 +214,31 @@ def rolling_rows_mean(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "rolling_corr",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(CASE WHEN value IS NOT NULL THEN 1 END) OVER w >= 10
+                THEN corr(value, epoch_us(ts)) OVER w END AS v_t_corr
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_corr(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling.corr between value and event time — Spark's frame-legal
+    corr window aggregate, one pass, no UDF (window/rolling.py:1780)."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events").assign(t_us=F.unix_micros(F.col("ts")))
+    r = Rolling(events, 10, on="event_id", by=["user_id"])
+    return (
+        r.corr("value", "t_us", alias="v_t_corr")
+        .select(["event_id", "user_id", "v_t_corr"])
+        .to_spark()
+    )
+
+
+@query(
     "expanding_sum",
     oracle="""
     SELECT event_id, user_id,

@@ -181,6 +181,28 @@ class Rolling:
     def std(self, col: str, alias: str | None = None):    return self._apply("std", col, alias)
     def var(self, col: str, alias: str | None = None):    return self._apply("var", col, alias)
 
+    def _pairwise(self, kind: str, x: str, y: str, alias: str | None):
+        """rolling.cov/.corr (window/rolling.py:1715,1780): Spark's
+        covar_samp/corr are frame-legal window aggregates — one window
+        pass, no UDF. min_periods counts complete (x, y) pairs, pandas'
+        rule."""
+        frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
+        w = self._spec(frame)
+        name = alias or f"{x}_{y}_{kind}"
+        fn = F.covar_samp if kind == "cov" else F.corr
+        val = fn(F.col(x), F.col(y)).over(w)
+        minp = self._min_periods if self._min_periods else 1
+        pair = F.when(F.col(x).isNotNull() & F.col(y).isNotNull(), F.lit(1))
+        cnt = F.count(pair).over(w)
+        val = F.when(cnt >= max(minp, 2), val)
+        return frame._with(frame._sdf.withColumn(name, val))
+
+    def cov(self, x: str, y: str, alias: str | None = None):
+        return self._pairwise("cov", x, y, alias)
+
+    def corr(self, x: str, y: str, alias: str | None = None):
+        return self._pairwise("corr", x, y, alias)
+
 
 class Expanding(Rolling):
     def __init__(self, frame: DataFrame, on: str | None = None, by: Sequence[str] | None = None, min_periods: int = 1):

@@ -382,3 +382,36 @@ def test_ewm_var_sum_match_pandas(spark):
     got_sum = ewm_sum(f, "v", alpha=0.3, by=["k"], order_by="i", alias="tot").sort_values("i").to_pandas()
     assert_col_matches(got_var, want["var"], "var")
     assert_col_matches(got_sum, want["tot"], "tot")
+
+
+def test_rolling_corr_cov_match_pandas(spark):
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "i": range(60),
+            "k": rng.integers(0, 3, 60),
+            "x": rng.normal(size=60).round(3),
+            "y": rng.normal(size=60).round(3),
+        }
+    )
+    g = pdf.sort_values("i").groupby("k")
+    want = pdf.sort_values("i").assign(
+        c=g.apply(lambda d: d["x"].rolling(5, min_periods=5).corr(d["y"]), include_groups=False)
+          .reset_index(level=0, drop=True),
+        v=g.apply(lambda d: d["x"].rolling(5, min_periods=5).cov(d["y"]), include_groups=False)
+          .reset_index(level=0, drop=True),
+    )
+
+    from pandas_spark.window import Rolling
+
+    f = ps.from_pandas(spark, pdf)
+    r = Rolling(f, 5, on="i", by=["k"])
+    got = (
+        r.corr("x", "y", alias="c")
+        .to_spark()
+    )
+    got2 = Rolling(ps.from_pandas(spark, pdf), 5, on="i", by=["k"]).cov("x", "y", alias="v").to_spark()
+    gotp = got.toPandas().sort_values("i")
+    got2p = got2.toPandas().sort_values("i")
+    assert_col_matches(gotp, want["c"], "c")
+    assert_col_matches(got2p, want["v"], "v")
