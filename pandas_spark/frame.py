@@ -481,6 +481,44 @@ class DataFrame:
             order_col=None,
         )
 
+    def idxmax(self, value_col: str, index_col: str) -> "DataFrame":
+        """Frame-level idxmax (frame.py:12429): the ``index_col`` value
+        of the row maximizing ``value_col`` — one ``min_by`` agg over
+        (-value, index), map-side partial, no sort. Smallest index wins
+        ties (pandas returns the first; with an explicit index column
+        the deterministic analog is the minimum)."""
+        return self._with(
+            self.spark.agg(
+                F.expr(f"min_by({index_col}, struct(-({value_col}), {index_col}))").alias(
+                    f"idxmax_{value_col}"
+                )
+            ),
+            order_col=None,
+        )
+
+    def idxmin(self, value_col: str, index_col: str) -> "DataFrame":
+        """Frame-level idxmin — min_by with deterministic tie-break."""
+        return self._with(
+            self.spark.agg(
+                F.expr(f"min_by({index_col}, struct({value_col}, {index_col}))").alias(
+                    f"idxmin_{value_col}"
+                )
+            ),
+            order_col=None,
+        )
+
+    def mode(self, col: str) -> "DataFrame":
+        """Frame-level mode (series.py:2094): every maximally-frequent
+        value (pandas returns all ties). One groupBy + a broadcast max —
+        no global window, scales to any cardinality the groupBy does."""
+        cnt = self.spark.groupBy(col).agg(F.count(F.lit(1)).alias("__c__"))
+        mx = cnt.agg(F.max("__c__").alias("__m__"))
+        out = (
+            cnt.join(F.broadcast(mx), F.col("__c__") == F.col("__m__"))
+            .select(col)
+        )
+        return DataFrame(out)
+
     # -- sorting / top-k (SURVEY §2.6) --------------------------------------
     def sort_values(
         self,

@@ -1012,6 +1012,31 @@ def groupby_corr_cov(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "frame_idx_mode",
+    oracle="""
+    SELECT
+      (SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS idxmax_o_totalprice,
+      (SELECT o_orderkey FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 1)  AS idxmin_o_totalprice,
+      (SELECT min(l_quantity) FROM (
+          SELECT l_quantity, count(*) AS c,
+                 max(count(*)) OVER () AS m
+          FROM lineitem GROUP BY l_quantity) WHERE c = m)                            AS mode_qty
+    """,
+)
+def frame_idx_mode(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Frame-level idxmax/idxmin (single min_by aggs, map-side partial)
+    and mode (groupBy + broadcast max) — frame.py:12429, series.py:2094."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    a = orders.idxmax("o_totalprice", "o_orderkey").to_spark()
+    b = orders.idxmin("o_totalprice", "o_orderkey").to_spark()
+    m = lineitem.mode("l_quantity").to_spark().agg(
+        F.min("l_quantity").alias("mode_qty")
+    )
+    return a.crossJoin(b).crossJoin(m)
+
+
+@query(
     "groupby_spearman",
     oracle=f"""
     WITH r AS (
