@@ -105,3 +105,38 @@ def test_quantile_approx_close_to_exact(spark):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) <= 1.0  # quantities are 1..50; sketch is near-exact here
+
+
+def test_empty_input_schema_stability(spark):
+    """Operators must return stable schemas (and not throw) on empty
+    input — the behavior a driver hits when a filter eliminates every
+    row upstream."""
+    import pandas_spark as psm
+    from pandas_spark import col
+    from pandas_spark.window import Rolling
+
+    li = psm.read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    empty = li.filter(col("l_quantity") < -1)  # no rows
+
+    g = empty.groupby("l_returnflag").agg(s=("l_quantity", "sum"))
+    assert g.spark.count() == 0
+    assert g.spark.columns == ["l_returnflag", "s"]
+
+    d = empty.sort_values(["l_orderkey", "l_linenumber"]).drop_duplicates(
+        subset=["l_suppkey"], keep="first"
+    )
+    assert d.spark.count() == 0
+
+    r = Rolling(empty, 5, on="l_orderkey", by=["l_suppkey"]).mean("l_quantity", alias="m")
+    assert r.spark.count() == 0
+
+    vc = empty[["l_returnflag"]].value_counts()
+    assert vc.spark.count() == 0
+
+    m = psm.merge(empty, empty.rename(columns={"l_quantity": "q2"}),
+                  on="l_orderkey", how="inner")
+    assert m.spark.count() == 0
+
+    ss = empty.searchsorted("l_quantity", [5.0])
+    rows = ss.spark.collect()
+    assert rows[0]["insert_at"] == 0
