@@ -5,7 +5,8 @@ DuckDB over the same parquet (default sf0.01), compares row count,
 column names, and values (sorted columns, sorted rows, float
 tolerance). Usage: python tools/verify_oracle.py [--ansi] [names...]
 
-``--ansi`` runs the Spark side with ``spark.sql.ansi.enabled=true`` —
+``SPARK_GRAFT_VERIFY_SF_DIR`` overrides the data directory (default
+sf0.01). ``--ansi`` runs the Spark side with ``spark.sql.ansi.enabled=true`` —
 the driver's session config (Spark 4 default). The engine must be green
 in BOTH states; the ANSI pass is part of the local gate.
 """
@@ -20,7 +21,9 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
