@@ -53,22 +53,31 @@ def pivot_table(
     values: str | Sequence[str],
     index: str | Sequence[str],
     columns: str,
-    aggfunc: str = "mean",
+    aggfunc: str | Sequence[str] = "mean",
     fill_value=None,
     margins: bool = False,
     margins_name: str = "All",
     column_values: Sequence | None = None,
 ) -> DataFrame:
-    """``pd.pivot_table``. Pass ``column_values`` to skip the distinct scan."""
+    """``pd.pivot_table``. ``aggfunc`` may be a list (pandas' multi-agg
+    pivot). Pass ``column_values`` to skip the distinct scan."""
     idx = [index] if isinstance(index, str) else list(index)
     vals = [values] if isinstance(values, str) else list(values)
+    fns = [aggfunc] if isinstance(aggfunc, str) else list(aggfunc)
+    if len(fns) > 1 and margins:
+        raise NotImplementedError("margins supports a single aggfunc")
+    aggfunc = fns[0]
     sdf = frame.spark
     dtmap = dict(sdf.dtypes)
 
     def agg_exprs():
-        if len(vals) == 1:
-            return [resolve_agg(aggfunc, vals[0], dtmap.get(vals[0]))]
-        return [resolve_agg(aggfunc, v, dtmap.get(v)).alias(v) for v in vals]
+        if len(vals) == 1 and len(fns) == 1:
+            return [resolve_agg(fns[0], vals[0], dtmap.get(vals[0]))]
+        return [
+            resolve_agg(f, v, dtmap.get(v)).alias(f"{v}_{f}" if len(fns) > 1 else v)
+            for v in vals
+            for f in fns
+        ]
 
     piv = sdf.groupBy(*idx).pivot(columns, list(column_values) if column_values else None)
     out = piv.agg(*agg_exprs())

@@ -1012,6 +1012,32 @@ def groupby_corr_cov(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "pivot_multi_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {ESUM("CASE WHEN o_orderstatus='F' THEN o_totalprice END")} AS F_o_totalprice_sum,
+           count(CASE WHEN o_orderstatus='F' THEN o_totalprice END)::BIGINT AS F_o_totalprice_count,
+           {ESUM("CASE WHEN o_orderstatus='O' THEN o_totalprice END")} AS O_o_totalprice_sum,
+           count(CASE WHEN o_orderstatus='O' THEN o_totalprice END)::BIGINT AS O_o_totalprice_count,
+           {ESUM("CASE WHEN o_orderstatus='P' THEN o_totalprice END")} AS P_o_totalprice_sum,
+           count(CASE WHEN o_orderstatus='P' THEN o_totalprice END)::BIGINT AS P_o_totalprice_count
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pivot_table with aggfunc=list (pandas multi-agg pivot) — one
+    groupBy.pivot pass, every (value, fn) pair an aggregate column."""
+    from pandas_spark.operators.reshape import pivot_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return pivot_table(
+        orders, values="o_totalprice", index="o_orderpriority",
+        columns="o_orderstatus", aggfunc=["sum", "count"],
+        column_values=["F", "O", "P"],
+    ).to_spark()
+
+
+@query(
     "frame_idx_mode",
     oracle="""
     SELECT
