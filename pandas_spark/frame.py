@@ -723,6 +723,35 @@ class DataFrame:
         ).select("d.*")
         return DataFrame(stacked)
 
+    def quantile(
+        self,
+        q: float | Sequence[float] = 0.5,
+        subset: Sequence[str] | None = None,
+    ) -> "DataFrame":
+        """Frame-level quantile (frame.py:12687): one aggregation pass
+        computes EVERY (column, q) percentile, then explodes to one row
+        per q (the pandas q-indexed frame shape) — no per-q rescans."""
+        qs = [q] if isinstance(q, (int, float)) else list(q)
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        cols = list(subset) if subset else [
+            c for c, t in self.dtypes if t.split("(")[0] in num
+        ]
+        aggs = [
+            F.percentile(F.col(c), F.lit(float(qq))).alias(f"__{i}_{c}__")
+            for i, qq in enumerate(qs)
+            for c in cols
+        ]
+        row = self._sdf.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(float(qq)).alias("q"),
+                *[F.col(f"__{i}_{c}__").alias(c) for c in cols],
+            )
+            for i, qq in enumerate(qs)
+        ]
+        out = row.select(F.explode(F.array(*structs)).alias("__s__")).select("__s__.*")
+        return DataFrame(out)
+
     def describe(self, subset: Sequence[str] | None = None) -> "DataFrame":
         """Frame-level describe (frame.py:15662): one-row-per-column
         summary — computed as a single global agg pass, then reshaped

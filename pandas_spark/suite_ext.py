@@ -1012,6 +1012,28 @@ def groupby_corr_cov(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "frame_quantiles",
+    oracle="""
+    SELECT 0.25 AS q, quantile_cont(l_quantity, 0.25) AS l_quantity,
+           quantile_cont(l_extendedprice, 0.25) AS l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT 0.5, quantile_cont(l_quantity, 0.5), quantile_cont(l_extendedprice, 0.5)
+    FROM lineitem
+    UNION ALL
+    SELECT 0.75, quantile_cont(l_quantity, 0.75), quantile_cont(l_extendedprice, 0.75)
+    FROM lineitem
+    """,
+)
+def frame_quantiles(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Frame-level multi-q quantile — one agg pass for all (col, q)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.quantile(
+        [0.25, 0.5, 0.75], subset=["l_quantity", "l_extendedprice"]
+    ).to_spark()
+
+
+@query(
     "pivot_multi_agg",
     oracle=f"""
     SELECT o_orderpriority,
