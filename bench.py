@@ -69,31 +69,36 @@ def main() -> None:
     # otherwise masquerade as a regression between rounds
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         ts = []
-        for _ in range(runs):
-            t0 = time.time()
-            df = qs[name](spark, SF_DIR)
-            # noop sink materializes every column (count() would let
-            # Catalyst prune the projections and under-report)
-            df.write.format("noop").mode("overwrite").save()
-            ts.append(time.time() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.time()
+                df = qs[name](spark, SF_DIR)
+                # noop sink materializes every column (count() would let
+                # Catalyst prune the projections and under-report)
+                df.write.format("noop").mode("overwrite").save()
+                ts.append(time.time() - t0)
+        except Exception as e:  # one broken query must never zero the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         ts.sort()
         timings[name] = round(ts[len(ts) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

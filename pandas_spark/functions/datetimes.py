@@ -41,7 +41,7 @@ class DatetimeMethods:
     def second(self):       return self._wrap(F.second(self._c))
     @property
     def microsecond(self):
-        return self._wrap((F.unix_micros(self._c) % 1_000_000).cast("int"))
+        return self._wrap((F.unix_micros(self._c.cast("timestamp")) % 1_000_000).cast("int"))
     @property
     def dayofweek(self):
         # pandas: Monday=0; Spark dayofweek: Sunday=1

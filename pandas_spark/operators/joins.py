@@ -23,6 +23,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame as SparkDF, Window as W
 from pyspark.sql import functions as F
 
+from pandas_spark.dtypes import ordinal_seconds
 from pandas_spark.frame import DataFrame, ORDER_COL
 
 _HOWS = {
@@ -200,6 +201,11 @@ def merge_asof(
     """
     by_keys = _aslist(by)
     lsdf, rsdf = left.spark, right.spark
+    # gap/tolerance math needs an epoch number; TIMESTAMP_NTZ (how the
+    # driver session reads unannotated parquet) rejects a double cast,
+    # so go through the dtype-aware helper
+    on_dt = lsdf.schema[on].dataType
+    _num = lambda c: ordinal_seconds(c, on_dt)
 
     overlap = (set(lsdf.columns) & set(rsdf.columns)) - {on} - set(by_keys)
     lsdf = lsdf.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
@@ -249,7 +255,7 @@ def merge_asof(
     def apply_tolerance(sdf: SparkDF, forward: bool) -> SparkDF:
         if tolerance is None:
             return sdf
-        gap = F.abs(F.col(on).cast("double") - F.col("__m_ts__").cast("double"))
+        gap = F.abs(_num(F.col(on)) - _num(F.col("__m_ts__")))
         if hasattr(tolerance, "total_seconds"):
             tol = tolerance.total_seconds()
         elif isinstance(tolerance, str):
@@ -283,8 +289,8 @@ def merge_asof(
                           *[F.col("__m_" + c).alias("__f_" + c) for c in payload])
         base = unioned.filter(F.col("__side__") == 1)
         j = base.join(bsel, "__rid__", "left").join(fsel, "__rid__", "left")
-        bgap = F.abs(F.col(on).cast("double") - F.col("__b_ts__").cast("double"))
-        fgap = F.abs(F.col(on).cast("double") - F.col("__f_ts__").cast("double"))
+        bgap = F.abs(_num(F.col(on)) - _num(F.col("__b_ts__")))
+        fgap = F.abs(_num(F.col(on)) - _num(F.col("__f_ts__")))
         use_b = F.col("__f_ts__").isNull() | (F.col("__b_ts__").isNotNull() & (bgap <= fgap))
         final_cols = (
             by_keys

@@ -21,6 +21,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame as SparkDF, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pandas_spark.groupby import resolve_agg
 from pandas_spark.window import parse_offset_seconds
@@ -57,6 +58,18 @@ def read_stream_json(spark: SparkSession, path: str, schema=None) -> SparkDF:
     return spark.readStream.schema(schema).json(path)
 
 
+def _with_watermark(sdf: SparkDF, on: str, watermark: str) -> SparkDF:
+    """withWatermark for streams whose event-time column may be
+    TIMESTAMP_NTZ (how unannotated parquet reads under Spark 4 defaults)
+    — watermarks require TIMESTAMP, so cast first (wall clock in session
+    tz; the container and every session here run UTC)."""
+    if not sdf.isStreaming:
+        return sdf
+    if isinstance(sdf.schema[on].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(on, F.col(on).cast("timestamp"))
+    return sdf.withWatermark(on, watermark)
+
+
 def _agg_exprs(spec: Mapping[str, object], dtmap: Mapping[str, str] | None = None) -> list[Column]:
     exprs: list[Column] = []
     dtmap = dict(dtmap or {})
@@ -78,7 +91,7 @@ def resample_stream(
     window + watermark. Identical results to the batch Resampler when
     no rows arrive later than the watermark."""
     secs = parse_offset_seconds(rule)
-    src = sdf.withWatermark(on, watermark) if sdf.isStreaming else sdf
+    src = _with_watermark(sdf, on, watermark)
     exprs = _agg_exprs(spec, dict(sdf.dtypes))
     grouped = src.groupBy(
         *(by or []), F.window(F.col(on), f"{secs} seconds").alias("__win__")
@@ -117,7 +130,7 @@ def sliding_window_stream(
 ) -> SparkDF:
     """Overlapping windows (the streaming analog of time-based
     ``rolling``): each row lands in size/slide windows."""
-    src = sdf.withWatermark(on, watermark) if sdf.isStreaming else sdf
+    src = _with_watermark(sdf, on, watermark)
     w = F.window(
         F.col(on),
         f"{parse_offset_seconds(size)} seconds",
@@ -143,7 +156,7 @@ def session_window_stream(
 ) -> SparkDF:
     """Session windows (gap-based) — pandas has no analog (SURVEY
     §2.10 'free extra'); sessionization is core to event pipelines."""
-    src = sdf.withWatermark(on, watermark) if sdf.isStreaming else sdf
+    src = _with_watermark(sdf, on, watermark)
     w = F.session_window(F.col(on), f"{parse_offset_seconds(gap)} seconds")
     grouped = src.groupBy(*(by or []), w.alias("__win__")).agg(*_agg_exprs(spec, dict(sdf.dtypes)))
     agg_names = [c for c in grouped.columns if c not in set(by or []) | {"__win__"}]
@@ -166,7 +179,7 @@ def dedup_stream(
     watermark are evicted); without one, state grows unboundedly and is
     only suitable for bounded key domains."""
     if sdf.isStreaming and on is not None:
-        return sdf.withWatermark(on, watermark).dropDuplicatesWithinWatermark(list(subset))
+        return _with_watermark(sdf, on, watermark).dropDuplicatesWithinWatermark(list(subset))
     return sdf.dropDuplicates(list(subset))
 
 
@@ -272,8 +285,8 @@ def tolerance_join_stream(
     BOTH sides bound the join state so Spark can evict old rows.
     """
     secs = parse_offset_seconds(tolerance.replace(" ", ""))
-    lw = left.withWatermark(on, watermark) if left.isStreaming else left
-    rw = right.withWatermark(on, watermark) if right.isStreaming else right
+    lw = _with_watermark(left, on, watermark)
+    rw = _with_watermark(right, on, watermark)
     overlap = (set(left.columns) & set(right.columns)) - set(by)
     l = lw.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
     # right side: rename EVERYTHING incl. keys so the equality predicate

@@ -229,7 +229,7 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> SparkDF:
     corr window aggregate, one pass, no UDF (window/rolling.py:1780)."""
     from pandas_spark.window import Rolling
 
-    events = _t(spark, sf_dir, "events").assign(t_us=F.unix_micros(F.col("ts")))
+    events = _t(spark, sf_dir, "events").assign(t_us=F.unix_micros(F.col("ts").cast("timestamp")))
     r = Rolling(events, 10, on="event_id", by=["user_id"])
     return (
         r.corr("value", "t_us", alias="v_t_corr")
@@ -486,7 +486,7 @@ def compare_frames(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 @query(
     "string_ops2",
-    oracle="""
+    oracle=r"""
     SELECT p_partkey,
            lpad(p_brand, 12, '*')                    AS brand_pad,
            trim(p_name)                              AS name_trim,
@@ -1014,14 +1014,14 @@ def groupby_corr_cov(spark: SparkSession, sf_dir: str) -> SparkDF:
 @query(
     "frame_quantiles",
     oracle="""
-    SELECT 0.25 AS q, quantile_cont(l_quantity, 0.25) AS l_quantity,
+    SELECT 0.25::DOUBLE AS q, quantile_cont(l_quantity, 0.25) AS l_quantity,
            quantile_cont(l_extendedprice, 0.25) AS l_extendedprice
     FROM lineitem
     UNION ALL
-    SELECT 0.5, quantile_cont(l_quantity, 0.5), quantile_cont(l_extendedprice, 0.5)
+    SELECT 0.5::DOUBLE, quantile_cont(l_quantity, 0.5), quantile_cont(l_extendedprice, 0.5)
     FROM lineitem
     UNION ALL
-    SELECT 0.75, quantile_cont(l_quantity, 0.75), quantile_cont(l_extendedprice, 0.75)
+    SELECT 0.75::DOUBLE, quantile_cont(l_quantity, 0.75), quantile_cont(l_extendedprice, 0.75)
     FROM lineitem
     """,
 )

@@ -25,6 +25,7 @@ from typing import Sequence
 from pyspark.sql import Column, Window as W
 from pyspark.sql import functions as F
 
+from pandas_spark.dtypes import epoch_micros
 from pandas_spark.frame import DataFrame
 
 _AGGS = {
@@ -96,7 +97,7 @@ class Rolling:
             raise ValueError("time-based rolling requires on=<timestamp col>")
         span = parse_offset_seconds(self._window) * 1_000_000
         base = W.partitionBy(*self._by) if self._by else W.partitionBy()
-        return base.orderBy(F.unix_micros(F.col(self._on))).rangeBetween(-span + 1, 0)
+        return base.orderBy(epoch_micros(F.col(self._on))).rangeBetween(-span + 1, 0)
 
     def _apply(self, func: str, col: str, alias: str | None):
         frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()

@@ -83,8 +83,12 @@ def main():
     ansi = "--ansi" in args
     spark = get_spark("verify")
     if ansi:
+        # Driver parity: the grading session runs Spark 4 defaults —
+        # ANSI on AND parquet timestamps inferred as TIMESTAMP_NTZ
+        # (unannotated int64 timestamps, which is what the testdata has).
         spark.conf.set("spark.sql.ansi.enabled", "true")
-        print("== ANSI mode: spark.sql.ansi.enabled=true (driver parity) ==")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        print("== driver parity: ansi=true, inferTimestampNTZ=true ==")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     only = set(a for a in args if a != "--ansi")
