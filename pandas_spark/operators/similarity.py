@@ -397,27 +397,18 @@ def embedding_neardup_pairs(
     minhash_dedup_pairs). Output is exact-verified: LSH tunes recall
     only; every emitted pair really has cosine ≥ threshold.
 
-    Scale shape: the bucket self-join shuffles only (id, band, bucket)
-    triples — never the vectors; candidate pairs are deduped by
-    aggregation BEFORE the two vector-fetch joins, so each distinct
-    pair computes cosine once; oversized buckets are capped (see
-    ``_cap_buckets``)."""
+    Scale shape: the bucket aggregation shuffles only (id, band,
+    bucket) triples — never the vectors; candidate pairs are expanded
+    in-bucket (one shuffle, no self-join — see ``dedup.bucket_pairs``)
+    and deduped BEFORE the two vector-fetch joins, so each distinct
+    pair computes cosine once; oversized buckets are capped by the
+    same aggregation's size filter."""
+    from pandas_spark.operators.dedup import bucket_pairs
+
     planes = _hyperplanes(dim, bands * rows, seed)
     sdf = frame.spark.select(F.col(id_col), F.col(vec_col).alias("__v__"))
-    banded = _cap_buckets(_banded(sdf, id_col, "__v__", planes, bands, rows), bucket_cap)
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("__nb__"))
-        .drop("__nb__")
-    )
+    banded = _banded(sdf, id_col, "__v__", planes, bands, rows)
+    cand = bucket_pairs(banded, id_col, bucket_cap)
     v1 = sdf.select(F.col(id_col).alias("id1"), F.col("__v__").alias("__v1__"))
     v2 = sdf.select(F.col(id_col).alias("id2"), F.col("__v__").alias("__v2__"))
     out = (

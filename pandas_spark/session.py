@@ -27,6 +27,15 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Deterministic, oracle-comparable timestamps.
     "spark.sql.session.timeZone": "UTC",
+    # Broadcast sides estimated under 32 MB at PLAN time. The 10 MB
+    # default makes AQE do the broadcast conversion at RUNTIME instead —
+    # correct plan, but only after materializing the first shuffle
+    # stage (a whole extra stage barrier per join). Dimension tables
+    # that genuinely fit executor memory should broadcast statically;
+    # at the 100 TB design point fact-table estimates are orders of
+    # magnitude over this threshold, so large joins still sort-merge
+    # (and AQE still re-plans runtime surprises in either direction).
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     # ANSI off: pandas semantics are non-ANSI (1/0 -> inf handled at
     # our expression layer, overflow wraps are shimmed per-op).
     "spark.sql.ansi.enabled": "false",

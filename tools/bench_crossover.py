@@ -1,176 +1,133 @@
-"""Engine-vs-pandas crossover measurement at ~6M rows (BASELINE.md).
+"""Engine-vs-pandas crossover measurement at 10× data (BASELINE.md).
 
 The sf0.1 headline numbers are dominated by Spark's fixed per-query
 floor (~0.2-0.5s of job scheduling / shuffle setup that does not scale
 with data). This script measures the point the design claim is
-actually about: the same queries on 10× data (6M-row lineitem, 1M-row
-events in ``.scratch/sf1ish``), engine and eager pandas side by side,
-median of 3 after 1 warmup. Usage:
+actually about: the SAME headline queries on 10× data (6M-row
+lineitem, 1.5M orders, 1M events, 150k customer, 200k part), engine
+and eager pandas side by side. Both sides run their standard harness:
 
-    python tools/bench_crossover.py [dir] > /tmp/crossover.json
+  engine : bench.py            (warmup pass + median of 3, noop sink)
+  pandas : tools/bench_pandas_ref.py  (median of 5 after 1 warmup)
+
+Usage:
+
+    python tools/bench_crossover.py [dir] > CROSSOVER.json
 
 Generates the 10× data on first run by replicating sf0.1 with shifted
-keys (deterministic).
+keys (deterministic — key shifts preserve every join relationship the
+headline queries use: lineitem.l_orderkey ↔ orders.o_orderkey,
+orders.o_custkey ↔ customer.c_custkey; nation/region/supplier copy
+unchanged). documents/embeddings replicate with shifted ids so the
+dedup/similarity entries run too (each document gains 9 exact clones —
+a realistic dedup workload, though it does inflate the near-dup pair
+count relative to sf0.1).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
+import subprocess
 import sys
-import time
 
 DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1ish"
 SRC = "/root/testdata/sf0.1"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPS = 10
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+# table -> columns shifted per replica (shift, column) pairs keep the
+# join graph intact across replicas
+SHIFTS = {
+    "lineitem": [("l_orderkey", 10_000_000), ("l_partkey", 1_000_000), ("l_suppkey", 100_000)],
+    "orders": [("o_orderkey", 10_000_000), ("o_custkey", 1_000_000)],
+    "customer": [("c_custkey", 1_000_000)],
+    "part": [("p_partkey", 1_000_000)],
+    "supplier": [("s_suppkey", 100_000)],
+    "events": [("event_id", 10_000_000), ("user_id", 1_000_000)],
+    "documents": [("doc_id", 1_000_000)],
+    "embeddings": [("emb_id", 1_000_000)],
+}
+COPY = ["nation", "region"]
 
 
 def ensure_data(spark):
     from pyspark.sql import functions as F
 
-    if os.path.exists(f"{DIR}/lineitem.parquet"):
+    done = f"{DIR}/.complete_v2"
+    if os.path.exists(done):
         return
-    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    reps = [li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000)) for i in range(10)]
-    out = reps[0]
-    for r in reps[1:]:
-        out = out.unionAll(r)
-    out.write.mode("overwrite").parquet(f"{DIR}/lineitem.parquet")
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
-    reps = [ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000)) for i in range(10)]
-    out = reps[0]
-    for r in reps[1:]:
-        out = out.unionAll(r)
-    out.write.mode("overwrite").parquet(f"{DIR}/events.parquet")
-
-
-def med3(fn):
-    fn()
-    ts = [0.0] * 3
-    for i in range(3):
-        t0 = time.time()
-        fn()
-        ts[i] = time.time() - t0
-    return round(statistics.median(ts), 3)
+    for t, shifts in SHIFTS.items():
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        cols = set(src.columns)
+        reps = []
+        for i in range(REPS):
+            r = src
+            for col, step in shifts:
+                if col in cols:
+                    r = r.withColumn(col, F.col(col) + F.lit(i * step))
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionAll(r)
+        out.write.mode("overwrite").parquet(f"{DIR}/{t}.parquet")
+    for t in COPY:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DIR}/{t}.parquet"
+        )
+    with open(done, "w") as f:
+        f.write("ok\n")
 
 
 def main():
-    import pandas as pd
-
     from pandas_spark import get_spark
-    import pandas_spark as ps
-    from pandas_spark.expr import col
 
-    spark = get_spark("crossover")
+    spark = get_spark("crossover_gen")
     ensure_data(spark)
+    spark.stop()
 
-    out = {}
-
-    # ---- engine side -------------------------------------------------
-    li = ps.read_parquet(spark, f"{DIR}/lineitem.parquet")
-    cutoff = "1998-09-02"
-
-    def e_q1():
-        df = li.filter(col("l_shipdate") <= cutoff).assign(
-            disc_price=col("l_extendedprice") * (1 - col("l_discount")),
-            charge=col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax")),
-        )
-        g = df.groupby(["l_returnflag", "l_linestatus"]).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            sum_charge=("charge", "sum"),
-            avg_qty=("l_quantity", "mean"),
-            count_order=("l_quantity", "count"),
-        )
-        g.to_spark().write.format("noop").mode("overwrite").save()
-
-    def e_dedup():
-        d = (
-            li[["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"]]
-            .sort_values(["l_orderkey", "l_linenumber"])
-            .drop_duplicates(subset=["l_suppkey"], keep="first")
-        )
-        d.to_spark().write.format("noop").mode("overwrite").save()
-
-    def e_cumsum():
-        d = (
-            li.sort_values(["l_orderkey", "l_linenumber"])
-            .groupby("l_suppkey")
-            .cumsum("l_quantity", alias="running")
-        )
-        d.to_spark().write.format("noop").mode("overwrite").save()
-
-    def e_vc():
-        li[["l_returnflag", "l_linestatus"]].value_counts().to_spark().write.format(
-            "noop"
-        ).mode("overwrite").save()
-
-    out["engine"] = {
-        "q1": med3(e_q1),
-        "dedup_keep_first": med3(e_dedup),
-        "cumsum_per_group": med3(e_cumsum),
-        "value_counts": med3(e_vc),
-    }
-
-    # ---- pandas side -------------------------------------------------
-    # column-pruned up front — the idiomatic-pandas equivalent of the
-    # engine's scan pruning; timing the full-width frame would strawman
-    # the baseline with copy costs no careful pandas user pays
-    pli = pd.read_parquet(
-        f"{DIR}/lineitem.parquet",
-        columns=[
-            "l_shipdate", "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount", "l_tax",
-            "l_suppkey", "l_orderkey", "l_linenumber",
-        ],
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=DIR)
+    eng = subprocess.run(
+        [sys.executable, f"{REPO}/bench.py"], env=env, capture_output=True, text=True
     )
-    pcut = pd.Timestamp(cutoff)
+    engine = json.loads(eng.stdout.strip().splitlines()[-1])
 
-    def p_q1():
-        df = pli[pli.l_shipdate <= pcut]
-        return (
-            df.assign(
-                disc_price=df.l_extendedprice * (1 - df.l_discount),
-                charge=df.l_extendedprice * (1 - df.l_discount) * (1 + df.l_tax),
-            )
-            .groupby(["l_returnflag", "l_linestatus"])
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                sum_charge=("charge", "sum"),
-                avg_qty=("l_quantity", "mean"),
-                count_order=("l_quantity", "count"),
-            )
-        )
+    ref = subprocess.run(
+        [sys.executable, f"{REPO}/tools/bench_pandas_ref.py", DIR],
+        capture_output=True,
+        text=True,
+    )
+    pandas_side = json.loads(ref.stdout.strip().splitlines()[-1])
 
-    def p_dedup():
-        return (
-            pli[["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"]]
-            .sort_values(["l_orderkey", "l_linenumber"], kind="stable")
-            .drop_duplicates(subset=["l_suppkey"], keep="first")
-        )
-
-    def p_cumsum():
-        df = pli[["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"]].sort_values(
-            ["l_orderkey", "l_linenumber"], kind="stable"
-        )
-        return df.assign(running=df.groupby("l_suppkey")["l_quantity"].cumsum())
-
-    def p_vc():
-        return pli[["l_returnflag", "l_linestatus"]].value_counts()
-
-    out["pandas"] = {
-        "q1": med3(p_q1),
-        "dedup_keep_first": med3(p_dedup),
-        "cumsum_per_group": med3(p_cumsum),
-        "value_counts": med3(p_vc),
+    shared = sorted(set(engine["queries"]) & set(pandas_side["queries"]))
+    table = {
+        q: {
+            "pandas": pandas_side["queries"][q],
+            "engine": engine["queries"][q],
+            "engine_wins": engine["queries"][q] < pandas_side["queries"][q],
+        }
+        for q in shared
     }
-    out["rows"] = int(len(pli))
-    print(json.dumps(out))
+    print(
+        json.dumps(
+            {
+                "dir": DIR,
+                "replication": REPS,
+                "protocol": "engine: bench.py (target-sf warmup, median of 3); "
+                "pandas: bench_pandas_ref.py (median of 5 after 1 warmup)",
+                "queries": table,
+                "engine_only": {
+                    q: engine["queries"][q]
+                    for q in engine["queries"]
+                    if q not in pandas_side["queries"]
+                },
+                "engine_wins": sum(1 for v in table.values() if v["engine_wins"]),
+                "total": len(table),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
