@@ -353,6 +353,37 @@ class DataFrame:
         )
         return DataFrame(out)
 
+    def is_monotonic(self, subset: Sequence[str] | None = None) -> "DataFrame":
+        """``Series.is_monotonic_increasing`` / ``_decreasing``
+        (base.py:1291): one boolean row per checked column, evaluated
+        over the frame's DECLARED order.
+
+        Each column costs two conditional aggregates over a lag — the
+        lag needs one pass of the declared order (a global window:
+        sequential by definition, same constraint pandas has; the
+        downstream reduction is a map-side partial agg)."""
+        _warn_unkeyed_window("is_monotonic")
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs)
+        cols = list(subset) if subset else [
+            n for n, t in this.dtypes
+            if t in ("double", "float", "int", "bigint", "date", "timestamp", "timestamp_ntz")
+        ]
+        lagged = this._sdf.select(
+            *[F.col(c) for c in cols],
+            *[F.lag(c).over(w).alias("__p_" + c) for c in cols],
+        )
+        aggs = []
+        for c in cols:
+            p = F.col("__p_" + c)
+            aggs.append(
+                F.min(F.when(p.isNull(), True).otherwise(F.col(c) >= p)).alias(c + "_increasing")
+            )
+            aggs.append(
+                F.min(F.when(p.isNull(), True).otherwise(F.col(c) <= p)).alias(c + "_decreasing")
+            )
+        return self._with(lagged.agg(*aggs), order_col=None)
+
     def searchsorted(self, col: str, values: Sequence, side: str = "left") -> "DataFrame":
         """``Series.searchsorted`` (series.py:3907): for each probe
         value, the index where it would insert into the SORTED column —

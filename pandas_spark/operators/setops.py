@@ -73,6 +73,63 @@ def combine_first(left: DataFrame, right: DataFrame) -> DataFrame:
     return DataFrame(j.select(*cols), index_cols=tuple(keys))
 
 
+def update(left: DataFrame, right: DataFrame, overwrite: bool = True) -> DataFrame:
+    """pandas ``DataFrame.update`` (frame.py:9420): modify ``left`` in
+    place with non-NA values from ``right``, aligned on the index.
+
+    Keeps ``left``'s shape exactly (left join — rows only in ``right``
+    are ignored, columns only in ``right`` are ignored).
+    ``overwrite=True`` (default): right's non-NA values win;
+    ``overwrite=False``: only fill holes in ``left``."""
+    keys = list(left._index_cols)
+    if not keys:
+        raise ValueError("update requires set_index()")
+    shared = [c for c in left.columns if c not in keys and c in right.columns]
+    rsdf = right.spark.select(*keys, *[F.col(c).alias("__r_" + c) for c in shared])
+    j = left.spark.join(rsdf, keys, "left")
+    cols = []
+    for c in left.columns:
+        if c in shared:
+            rc = F.col("__r_" + c)
+            merged = F.coalesce(rc, F.col(c)) if overwrite else F.coalesce(F.col(c), rc)
+            cols.append(merged.alias(c))
+        else:
+            cols.append(F.col(c))
+    return DataFrame(j.select(*cols), index_cols=tuple(keys))
+
+
+def combine(left: DataFrame, right: DataFrame, func, fill_value=None) -> DataFrame:
+    """pandas ``DataFrame.combine`` (frame.py:12514): full outer align,
+    then merge each shared column pair with ``func``.
+
+    ``func`` takes two Column expressions and returns one (the engine's
+    deferred-expression analog of pandas' Series function — e.g.
+    ``lambda a, b: F.greatest(a, b)``). Columns present on one side
+    only pass through (after ``fill_value`` substitution), matching
+    pandas' column-union semantics."""
+    keys = list(left._index_cols)
+    if not keys:
+        raise ValueError("combine requires set_index()")
+    rsdf = right.spark.withColumnsRenamed(
+        {c: "__r_" + c for c in right.columns if c not in keys}
+    )
+    j = left.spark.join(rsdf, keys, "full")
+    fill = (lambda c: F.coalesce(c, F.lit(fill_value))) if fill_value is not None else (lambda c: c)
+    cols = [F.col(k) for k in keys]
+    for c in left.columns:
+        if c in keys:
+            continue
+        if "__r_" + c in j.columns:
+            cols.append(func(fill(F.col(c)), fill(F.col("__r_" + c))).alias(c))
+        else:
+            cols.append(fill(F.col(c)).alias(c))
+    for c in right.columns:
+        if c in keys or c in left.columns:
+            continue
+        cols.append(fill(F.col("__r_" + c)).alias(c))
+    return DataFrame(j.select(*cols), index_cols=tuple(keys))
+
+
 def compare(left: DataFrame, right: DataFrame) -> DataFrame:
     """Cell-level diff of two aligned frames (frame.py:12343)."""
     keys = list(left._index_cols)

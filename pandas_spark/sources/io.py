@@ -156,6 +156,46 @@ def read_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = Non
     return DataFrame(sdf)
 
 
+def read_table(spark: SparkSession, path: str, sep: str = "\t", **kwargs) -> DataFrame:
+    """``pd.read_table`` (io/parsers/readers.py:1177): read_csv with a
+    tab default separator."""
+    return read_csv(spark, path, sep=sep, **kwargs)
+
+
+def read_fwf(
+    spark: SparkSession,
+    path: str,
+    colspecs: Sequence[tuple[int, int]],
+    names: Sequence[str],
+    dtype: Mapping[str, str] | None = None,
+    skiprows: int = 0,
+) -> DataFrame:
+    """``pd.read_fwf`` (io/parsers/readers.py:1266) — fixed-width text.
+
+    Distributed: ``spark.read.text`` splits the file across tasks like
+    any line source; each column is a ``substring`` + ``trim`` (+cast)
+    Catalyst expression, so parsing is JVM-side and column-pruned (an
+    unused colspec never evaluates). ``colspecs`` are half-open
+    [start, end) byte offsets per pandas convention."""
+    from pyspark.sql import functions as F
+
+    if len(colspecs) != len(names):
+        raise ValueError("colspecs and names must have the same length")
+    sdf = spark.read.text(str(path))
+    if skiprows:
+        # text source has no skiprows; drop the first N lines of the
+        # file order via a monotonically-increasing filter is unsafe
+        # across splits — require header-free files instead
+        raise NotImplementedError("read_fwf(skiprows=) is not supported; strip headers upstream")
+    cols = []
+    for (start, end), name in zip(colspecs, names):
+        c = F.trim(F.substring(F.col("value"), start + 1, end - start))
+        if dtype and name in dtype:
+            c = c.cast(to_spark_type(dtype[name]))
+        cols.append(c.alias(name))
+    return DataFrame(sdf.select(*cols))
+
+
 def table(spark: SparkSession, name: str) -> DataFrame:
     return DataFrame(spark.table(name))
 

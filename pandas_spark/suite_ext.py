@@ -2828,3 +2828,180 @@ def numpy_ufuncs(spark: SparkSession, sf_dir: str) -> SparkDF:
         dev=np.abs(col("l_quantity") - 25.0),
     )
     return out.select(["l_orderkey", "l_linenumber", "root", "logp", "mx", "dev"]).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# Round 3: update/combine, is_monotonic, eval, dropna/fillna, pairwise ewm
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_assign",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_totalprice * (1 - 0.04) AS net
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def eval_assign(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DataFrame.eval assignment dialect (computation/eval.py; reference
+    core/computation/eval.py:169) — the expression compiles to a
+    Catalyst projection, never a Python eval."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(col("o_orderstatus") == "O")
+        .eval("net = o_totalprice * (1 - 0.04)")
+        .select(["o_orderkey", "o_totalprice", "net"])
+        .to_spark()
+    )
+
+
+@query(
+    "dropna_fillna",
+    oracle="""
+    WITH t AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount > 0 THEN l_discount END AS disc,
+               CASE WHEN l_tax > 0 THEN l_tax END AS tax
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, disc, coalesce(tax, -1.0) AS tax
+    FROM t WHERE disc IS NOT NULL
+    """,
+)
+def dropna_fillna(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """dropna(subset=) + fillna(dict) (generic.py:6412, :7161) over
+    engineered NULLs — na.drop / na.fill pushdown-friendly projections."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.assign(
+        disc=F.when(F.col("l_discount") > 0, F.col("l_discount")),
+        tax=F.when(F.col("l_tax") > 0, F.col("l_tax")),
+    ).select(["l_orderkey", "l_linenumber", "disc", "tax"])
+    return t.dropna(subset=["disc"]).fillna({"tax": -1.0}).to_spark()
+
+
+@query(
+    "update_overlay",
+    oracle="""
+    SELECT c.c_custkey,
+           CASE WHEN c.c_acctbal > 9000 THEN 'PLATINUM' ELSE c.c_mktsegment END AS c_mktsegment,
+           c.c_acctbal
+    FROM customer c
+    """,
+)
+def update_overlay(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DataFrame.update (frame.py:9420): left-aligned non-NA overlay —
+    one left join, shape preserved."""
+    from pandas_spark.operators.setops import update
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(["c_custkey", "c_mktsegment", "c_acctbal"])
+        .set_index("c_custkey")
+    )
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .assign(c_mktsegment=F.lit("PLATINUM"))
+        .select(["c_custkey", "c_mktsegment"])
+        .set_index("c_custkey")
+    )
+    return update(cust, rich).to_spark()
+
+
+@query(
+    "combine_greatest",
+    oracle="""
+    SELECT o_orderkey, greatest(o_totalprice, 150000.0) AS price_floor,
+           o_custkey::DOUBLE AS ckey
+    FROM orders
+    """,
+)
+def combine_greatest(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DataFrame.combine(func) (frame.py:12514): full-outer align on a
+    unique key + column-pair merge function expressed as a
+    Column-level lambda; one-sided columns pass through."""
+    from pandas_spark.operators.setops import combine
+
+    orders = _t(spark, sf_dir, "orders")
+    a = (
+        orders.select(["o_orderkey", "o_totalprice"])
+        .rename({"o_totalprice": "price_floor"})
+        .set_index("o_orderkey")
+    )
+    b = (
+        orders.assign(
+            price_floor=F.lit(150000.0),
+            ckey=F.col("o_custkey").cast("double"),
+        )
+        .select(["o_orderkey", "price_floor", "ckey"])
+        .set_index("o_orderkey")
+    )
+    return combine(a, b, lambda x, y: F.greatest(x, y)).to_spark()
+
+
+@query(
+    "is_monotonic",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderdate, o_totalprice,
+               lag(o_orderdate)  OVER (ORDER BY o_orderdate, o_orderkey) AS pd_,
+               lag(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey) AS pp
+        FROM orders
+    )
+    SELECT min(CASE WHEN pd_ IS NULL THEN TRUE ELSE o_orderdate >= pd_ END)  AS o_orderdate_increasing,
+           min(CASE WHEN pd_ IS NULL THEN TRUE ELSE o_orderdate <= pd_ END)  AS o_orderdate_decreasing,
+           min(CASE WHEN pp  IS NULL THEN TRUE ELSE o_totalprice >= pp END)  AS o_totalprice_increasing,
+           min(CASE WHEN pp  IS NULL THEN TRUE ELSE o_totalprice <= pp END)  AS o_totalprice_decreasing
+    FROM t
+    """,
+)
+def is_monotonic(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Series.is_monotonic_increasing/_decreasing (base.py:1291) over
+    the declared sort order — lag + two conditional min-aggs per
+    column (map-side partial reduction after the one ordered pass)."""
+    orders = _t(spark, sf_dir, "orders").sort_values(["o_orderdate", "o_orderkey"])
+    return orders.is_monotonic(subset=["o_orderdate", "o_totalprice"]).to_spark()
+
+
+@query(
+    "ewm_pairwise_corr",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id,
+               list(value)            OVER w AS lx,
+               list(event_id::DOUBLE) OVER w AS ly
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_id, user_id,
+               list_sum(list_transform(range(1, len(lx)+1), i -> 0.7 ** (len(lx)-i)))                     AS sw,
+               list_sum(list_transform(range(1, len(lx)+1), i -> lx[i] * 0.7 ** (len(lx)-i)))             AS swx,
+               list_sum(list_transform(range(1, len(lx)+1), i -> ly[i] * 0.7 ** (len(lx)-i)))             AS swy,
+               list_sum(list_transform(range(1, len(lx)+1), i -> lx[i]*lx[i] * 0.7 ** (len(lx)-i)))       AS swxx,
+               list_sum(list_transform(range(1, len(lx)+1), i -> ly[i]*ly[i] * 0.7 ** (len(lx)-i)))       AS swyy,
+               list_sum(list_transform(range(1, len(lx)+1), i -> lx[i]*ly[i] * 0.7 ** (len(lx)-i)))       AS swxy
+        FROM l
+    )
+    SELECT event_id, user_id,
+           CASE WHEN (swxx - swx*swx/sw) <= 0 OR (swyy - swy*swy/sw) <= 0 THEN NULL
+                ELSE (swxy - swx*swy/sw) / sqrt((swxx - swx*swx/sw) * (swyy - swy*swy/sw))
+           END AS v_corr
+    FROM s
+    """,
+)
+def ewm_pairwise_corr(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Pairwise ewm.corr (window/ewm.py:747) per key — partition-level
+    mapInPandas kernel; oracle is the closed-form adjust=True weighted
+    correlation (debias factors cancel in the ratio)."""
+    from pandas_spark.window import ewm_corr
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .select(["event_id", "user_id", "value"])
+        .assign(eid=F.col("event_id").cast("double"))
+    )
+    out = ewm_corr(
+        events, "value", "eid", alpha=0.3, by=["user_id"], order_by="event_id", alias="v_corr"
+    )
+    return out.select(["event_id", "user_id", "v_corr"]).to_spark()

@@ -420,3 +420,78 @@ def ewm_sum(frame, col, alpha=None, span=None, by=None, order_by=None, alias=Non
     """ewm.sum (window/ewm.py:590) — same kernel, ``stat='sum'``."""
     return ewm_mean(frame, col, alpha=alpha, span=span, by=by,
                     order_by=order_by, alias=alias or f"{col}_ewm_sum", stat="sum")
+
+
+def ewm_cov(
+    frame: DataFrame,
+    col: str,
+    col2: str,
+    alpha: float | None = None,
+    span: float | None = None,
+    by: Sequence[str] | None = None,
+    order_by: str | None = None,
+    alias: str | None = None,
+    stat: str = "cov",
+) -> DataFrame:
+    """Pairwise ewm.cov / ewm.corr (window/ewm.py:658,:747) — the same
+    partition-level mapInPandas kernel as ``ewm_mean`` (one Arrow
+    stream per keyed partition, whole groups per partition), with the
+    second series riding along."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    if alpha is None:
+        if span is None:
+            raise ValueError("need alpha or span")
+        alpha = 2.0 / (span + 1.0)
+    keys = list(by or [])
+    name = alias or f"{col}_{col2}_ewm_{stat}"
+    sdf = frame.spark
+    keys_eff = keys or ["__g__"]
+    if not keys:
+        sdf = sdf.withColumn("__g__", F.lit(0))
+
+    if order_by:
+        sort_cols, sort_asc = [order_by], [True]
+    elif frame._sort_spec:
+        sort_cols = [c for c, _, _ in frame._sort_spec]
+        sort_asc = [a for _, a, _ in frame._sort_spec]
+    else:
+        frame2 = frame._ensure_order()
+        sdf = frame2._sdf
+        if not keys:
+            sdf = sdf.withColumn("__g__", F.lit(0))
+        sort_cols, sort_asc = [frame2._order_col], [True]
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+    ) + f", `{name}` double"
+    a, stat_ = alpha, stat
+    order_spark = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, sort_asc)]
+
+    def fn(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            yield pdf.assign(**{name: pd.Series(dtype="float64")})
+            return
+        pdf = pdf.sort_values(keys_eff + sort_cols,
+                              ascending=[True] * len(keys_eff) + list(sort_asc),
+                              kind="stable")
+        parts = []
+        for _, g in pdf.groupby(keys_eff, sort=False):
+            parts.append(getattr(g[col].ewm(alpha=a, adjust=True), stat_)(g[col2]))
+        pdf[name] = pd.concat(parts)
+        yield pdf
+
+    out = (
+        sdf.repartition(*keys_eff)
+        .sortWithinPartitions(*[F.col(k) for k in keys_eff], *order_spark)
+        .mapInPandas(fn, schema)
+    )
+    drop = [c for c in ("__g__", "__ord__") if c in out.columns and c not in frame.columns]
+    return DataFrame(out.drop(*drop))
+
+
+def ewm_corr(frame, col, col2, alpha=None, span=None, by=None, order_by=None, alias=None):
+    """ewm.corr (window/ewm.py:747) — pairwise kernel, ``stat='corr'``."""
+    return ewm_cov(frame, col, col2, alpha=alpha, span=span, by=by, order_by=order_by,
+                   alias=alias or f"{col}_{col2}_ewm_corr", stat="corr")

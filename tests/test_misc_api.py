@@ -140,3 +140,118 @@ def test_empty_input_schema_stability(spark):
     ss = empty.searchsorted("l_quantity", [5.0])
     rows = ss.spark.collect()
     assert rows[0]["insert_at"] == 0
+
+
+def test_read_fwf_parses_fixed_width(tmp_path, spark):
+    from pandas_spark.sources.io import read_fwf
+
+    p = tmp_path / "data.fwf"
+    p.write_text("0001  alpha   12.5\n0002  beta     3.0\n0010  gamma  -1.25\n")
+    df = read_fwf(
+        spark,
+        str(p),
+        colspecs=[(0, 4), (6, 13), (13, 19)],
+        names=["id", "name", "score"],
+        dtype={"id": "int", "score": "double"},
+    )
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.spark.collect()}
+    assert rows == {1: ("alpha", 12.5), 2: ("beta", 3.0), 10: ("gamma", -1.25)}
+
+
+def test_read_table_tab_separated(tmp_path, spark):
+    from pandas_spark.sources.io import read_table
+
+    p = tmp_path / "data.tsv"
+    p.write_text("a\tb\n1\tx\n2\ty\n")
+    df = read_table(spark, str(p))
+    got = sorted((r["a"], r["b"]) for r in df.spark.collect())
+    assert got == [(1, "x"), (2, "y")]
+
+
+def test_update_overwrite_and_fill_modes(spark):
+    from pandas_spark.operators.setops import update
+
+    left = DataFrame(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, None, 20.0), (3, "c", None)], "k int, s string, v double"
+        )
+    ).set_index("k")
+    right = DataFrame(
+        spark.createDataFrame(
+            [(2, "B", 99.0), (3, None, 30.0), (4, "D", 40.0)], "k int, s string, v double"
+        )
+    ).set_index("k")
+    over = {r["k"]: (r["s"], r["v"]) for r in update(left, right).spark.collect()}
+    # row 4 (right-only) ignored; right non-NA wins; right NA keeps left
+    assert over == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0)}
+    fill = {r["k"]: (r["s"], r["v"]) for r in update(left, right, overwrite=False).spark.collect()}
+    # only left's holes fill
+    assert fill == {1: ("a", 10.0), 2: ("B", 20.0), 3: ("c", 30.0)}
+
+
+def test_combine_column_union_and_fill_value(spark):
+    from pyspark.sql import functions as F
+
+    from pandas_spark.operators.setops import combine
+
+    left = DataFrame(
+        spark.createDataFrame([(1, 5.0), (2, 2.0)], "k int, x double")
+    ).set_index("k")
+    right = DataFrame(
+        spark.createDataFrame([(2, 7.0), (3, 1.0)], "k int, x double")
+    ).set_index("k")
+    out = {r["k"]: r["x"] for r in
+           combine(left, right, lambda a, b: F.greatest(a, b), fill_value=0.0).spark.collect()}
+    # full outer align: unmatched sides fill with 0.0 before func
+    assert out == {1: 5.0, 2: 7.0, 3: 1.0}
+
+
+def test_is_monotonic_flags(spark):
+    df = DataFrame(
+        spark.createDataFrame([(1, 3.0), (2, 2.0), (3, 1.0)], "k int, v double")
+    ).sort_values("k")
+    row = df.is_monotonic(subset=["k", "v"]).spark.collect()[0]
+    assert row["k_increasing"] and not row["k_decreasing"]
+    assert row["v_decreasing"] and not row["v_increasing"]
+
+
+def test_ewm_cov_corr_match_pandas(spark):
+    import pandas as pd
+
+    from pandas_spark.window import ewm_corr, ewm_cov
+
+    pdf = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 1, 2, 2, 2],
+            "o": [1, 2, 3, 4, 1, 2, 3],
+            "x": [1.0, 3.0, 2.0, 5.0, 2.0, 2.5, 0.5],
+            "y": [2.0, 1.0, 4.0, 3.0, 1.0, 0.5, 2.0],
+        }
+    )
+    sdf = DataFrame(spark.createDataFrame(pdf))
+    got = (
+        ewm_cov(sdf, "x", "y", alpha=0.4, by=["g"], order_by="o", alias="c")
+        .spark.toPandas()
+        .sort_values(["g", "o"])["c"]
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.sort_values(["g", "o"])
+        .groupby("g", group_keys=False)
+        .apply(lambda d: d["x"].ewm(alpha=0.4, adjust=True).cov(d["y"]), include_groups=False)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got, exp, check_names=False, rtol=1e-9)
+    gotc = (
+        ewm_corr(sdf, "x", "y", alpha=0.4, by=["g"], order_by="o", alias="c")
+        .spark.toPandas()
+        .sort_values(["g", "o"])["c"]
+        .reset_index(drop=True)
+    )
+    expc = (
+        pdf.sort_values(["g", "o"])
+        .groupby("g", group_keys=False)
+        .apply(lambda d: d["x"].ewm(alpha=0.4, adjust=True).corr(d["y"]), include_groups=False)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(gotc, expc, check_names=False, rtol=1e-9)
