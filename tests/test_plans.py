@@ -122,3 +122,20 @@ def test_ivf_corpus_never_shuffles(spark):
     assert "Exchange hashpartitioning" not in join_input, (
         "corpus must reach the cell join without shuffling"
     )
+
+
+def test_lsh_candidates_are_one_shuffle_no_selfjoin(spark):
+    """Candidate generation must be a single bucket aggregation with
+    in-bucket HOF pair expansion — no self-join (which would evaluate
+    the banding subtree twice) and exactly two hash exchanges: the
+    (band, bucket) groupBy and the pair-level distinct."""
+    from pandas_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = ps.read_parquet(spark, f"{SF_DIR}/documents.parquet").to_spark()
+    base = dedup.minhash_signature(docs, "text", 16, 5)
+    pairs = dedup.lsh_candidate_pairs(base, "doc_id", "minhash", bands=8, rows=2)
+    plan = plan_of(pairs)
+    assert "Join" not in plan, "bucket self-join crept back into candidate generation"
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 hash exchanges (groupBy + distinct), got {n_exchanges}"
