@@ -951,10 +951,10 @@ class DataFrame:
 
         return Expanding(self, on=on, by=by, min_periods=min_periods)
 
-    def resample(self, rule: str, on: str):
+    def resample(self, rule: str, on: str, by: Sequence[str] | None = None):
         from pandas_spark.window import Resampler
 
-        return Resampler(self, rule, on)
+        return Resampler(self, rule, on, by=by)
 
     def shift(self, periods: int = 1, columns: Sequence[str] | None = None) -> "DataFrame":
         this, order_exprs = self._ordered()

@@ -3005,3 +3005,52 @@ def ewm_pairwise_corr(spark: SparkSession, sf_dir: str) -> SparkDF:
         events, "value", "eid", alpha=0.3, by=["user_id"], order_by="event_id", alias="v_corr"
     )
     return out.select(["event_id", "user_id", "v_corr"]).to_spark()
+
+
+@query(
+    "resample_by_key",
+    oracle=f"""
+    SELECT user_id, date_trunc('hour', ts) AS ts,
+           {ESUM('value')} AS value_sum,
+           count(value)::BIGINT AS value_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def resample_by_key(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-group resample (pandas groupby().resample(), resample.py:119
+    with a TimeGrouper): one groupBy(key, window) — the tumbling
+    bucket rides the same shuffle as the group key."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.resample("1h", on="ts", by=["user_id"])
+        .agg({"value": ["sum", "count"]})
+        .to_spark()
+    )
+
+
+@query(
+    "expanding_corr",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(*) OVER w >= 2
+                THEN corr(value, event_id::DOUBLE) OVER w
+           END AS v_corr
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def expanding_corr(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """expanding().corr (window/expanding.py pairwise) — inherited
+    frame-legal window aggregate over an unbounded-preceding frame,
+    one pass, no UDF."""
+    from pandas_spark.window import Expanding
+
+    events = _t(spark, sf_dir, "events").assign(eid=F.col("event_id").cast("double"))
+    e = Expanding(events, on="event_id", by=["user_id"])
+    return (
+        e.corr("value", "eid", alias="v_corr")
+        .select(["event_id", "user_id", "v_corr"])
+        .to_spark()
+    )
