@@ -70,7 +70,9 @@ def main() -> None:
     # median of 3 timed runs per query (BASELINE.md protocol) — a single
     # run on a shared machine carries ±10% scheduler noise that would
     # otherwise masquerade as a regression between rounds
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # median of 5: this box shows ±35% run-to-run scheduler noise; a
+    # 3-run median still lets one bad run shift the reported value
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:

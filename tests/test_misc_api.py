@@ -255,3 +255,29 @@ def test_ewm_cov_corr_match_pandas(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_series_equal(gotc, expc, check_names=False, rtol=1e-9)
+
+
+def test_empty_input_stability_round3_ops(spark):
+    """Round-3 operators on empty input: stable schema, no throw."""
+    from pyspark.sql import functions as F
+
+    import pandas_spark as psm
+    from pandas_spark import col
+    from pandas_spark.operators.setops import combine, update
+
+    li = psm.read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+    empty = li.filter(col("o_totalprice") < -1).set_index("o_orderkey")
+
+    up = update(empty, empty)
+    assert up.spark.count() == 0
+    assert up.columns == empty.columns
+
+    cb = combine(empty, empty, lambda a, b: F.greatest(a, b))
+    assert cb.spark.count() == 0
+
+    mono = empty.reset_index().sort_values("o_orderkey").is_monotonic(subset=["o_totalprice"])
+    row = mono.spark.collect()[0]
+    # empty series is vacuously monotonic both ways (pandas semantics:
+    # min over empty → NULL; accept NULL or True, never False)
+    assert row["o_totalprice_increasing"] is not False
+    assert row["o_totalprice_decreasing"] is not False
