@@ -436,3 +436,83 @@ def simhash_buckets(
         ],
     )
     return DataFrame(out)
+
+
+def neardup_clusters(
+    pairs: SparkDF,
+    max_iter: int = 20,
+) -> SparkDF:
+    """Connected components over near-duplicate pairs → (doc_id,
+    cluster) labels, where ``cluster`` is the minimum id in the
+    component (the canonical representative).
+
+    Iterative min-label propagation (the hash-to-min / small-star
+    pattern used for web-scale dedup graphs): every vertex starts
+    labeled with itself; each round takes the min of its own label and
+    its neighbors' labels; converged when a full round changes
+    nothing. Rounds needed = graph diameter — near-dup clusters are
+    dense (near-cliques through their representative), so real corpora
+    converge in a handful of rounds; ``max_iter`` bounds pathological
+    chains. Each round is one join + one aggregation on (id, label)
+    pairs — the document payload never rides the iteration — and the
+    per-round ``localCheckpoint`` truncates the growing lineage so the
+    plan stays O(1) per round instead of O(rounds) (the standard Spark
+    iterative-algorithm requirement).
+    """
+    edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnsRenamed({"id": "b", "label": "nlabel"}), "b")
+            .groupBy("a")
+            .agg(F.min("nlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "__old__"), "id"
+            )
+            .filter(F.col("label") != F.col("__old__"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def dedup_keep_representatives(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    rows: int = 2,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Full near-dup dedup: MinHash→LSH→verified pairs → connected
+    components → drop every document except each cluster's min-id
+    representative. The anti-join ships only (id) keys; the corpus
+    passes through untouched except for dropped rows."""
+    pairs = minhash_dedup_pairs(
+        frame, text_col, id_col, threshold, num_hashes, bands, rows, shingle_n
+    ).spark
+    labels = neardup_clusters(pairs)
+    drop = labels.filter(F.col("cluster") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return DataFrame(frame.spark.join(drop, id_col, "left_anti"))

@@ -698,3 +698,84 @@ def merge_asof_nearest(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["user_id", "ts", "event_id", "nearest_purchase_value"])
         .to_spark()
     )
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE sh AS (
+    SELECT doc_id, {_shingle_sql(5)} AS s
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+prs AS (
+    SELECT l.doc_id AS id1, r.doc_id AS id2
+    FROM sh l JOIN sh r
+      ON l.doc_id < r.doc_id
+     AND len(l.s) >= 0.8 * len(r.s) AND len(r.s) >= 0.8 * len(l.s)
+    WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.8
+),
+edges AS (
+    SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster
+FROM reach GROUP BY a
+"""
+
+
+@query("dedup_cluster_labels", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Near-dup connected components (dedup.neardup_clusters): verified
+    MinHash pairs -> iterative min-label propagation -> (doc_id,
+    cluster-representative) labels. Oracle: exact pair SQL + a
+    recursive-CTE transitive closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.8, num_hashes=64, bands=32, rows=2, shingle_n=5
+    ).spark
+    return dedup.neardup_clusters(pairs)
+
+
+@query(
+    "dedup_cluster_reps",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {_shingle_sql(5)} AS s
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    prs AS (
+        SELECT l.doc_id AS id1, r.doc_id AS id2
+        FROM sh l JOIN sh r
+          ON l.doc_id < r.doc_id
+         AND len(l.s) >= 0.8 * len(r.s) AND len(r.s) >= 0.8 * len(l.s)
+        WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.8
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE cluster <> doc_id)
+    """,
+)
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus after cluster-representative dedup
+    (dedup.dedup_keep_representatives): every near-dup cluster
+    collapses to its min-id member; unique docs pass through."""
+    docs = _docs(spark, sf_dir)
+    out = dedup.dedup_keep_representatives(
+        docs, "text", "doc_id", threshold=0.8, num_hashes=64, bands=32, rows=2, shingle_n=5
+    )
+    return out.assign(n_chars=F.length(F.col("text")).cast("bigint")).select(
+        ["doc_id", "n_chars"]
+    ).to_spark()
