@@ -281,3 +281,45 @@ def test_empty_input_stability_round3_ops(spark):
     # min over empty → NULL; accept NULL or True, never False)
     assert row["o_totalprice_increasing"] is not False
     assert row["o_totalprice_decreasing"] is not False
+
+
+def test_neardup_clusters_match_union_find(spark):
+    """Spark min-label propagation == reference union-find on fixed
+    random graphs (chains, cliques, isolated pairs, forests)."""
+    import random
+
+    from pandas_spark.operators.dedup import neardup_clusters
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 40
+        edges = set()
+        # random forest-ish structure + a clique + a long chain
+        for _ in range(25):
+            a, b = rng.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        for i in range(30, 34):
+            for j in range(i + 1, 34):
+                edges.add((i, j))
+        for i in range(34, n - 1):
+            edges.add((i, i + 1))
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expected = {v: find(v) for v in sorted(touched)}
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "id1 long, id2 long"
+        )
+        got = {r["doc_id"]: r["cluster"] for r in neardup_clusters(pairs).collect()}
+        assert got == expected, f"trial {trial}: {got} != {expected}"
