@@ -125,31 +125,36 @@ def exact_corr(x: str | Column, y: str | Column) -> Column:
     return F.when((n > 1) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
 
 
-def skew(col: str | Column) -> Column:
+def skew(col: str | Column, over=None) -> Column:
     """Bias-adjusted sample skewness G1 = g1 * sqrt(n(n-1))/(n-2).
 
     Built on Spark's ``skewness`` (one-pass *centered* moment
     aggregation — CentralMomentAgg), which avoids the catastrophic
     cancellation of the raw-moment formula when |mean| >> std, then
     bias-adjusted to pandas' G1 (reference groupby.pyx:1069).
+    ``over=`` windows each component aggregate (rolling/expanding skew
+    — aggregations.pyx:529 roll_skew uses the same composite).
     """
     c = (col if isinstance(col, Column) else F.col(col)).cast("double")
-    n = F.count(c).cast("double")
-    g1 = F.skewness(c)
+    w = (lambda e: e.over(over)) if over is not None else (lambda e: e)
+    n = w(F.count(c)).cast("double")
+    g1 = w(F.skewness(c))
     adj = F.sqrt(n * (n - 1)) / (n - 2)
     return F.when((n > 2) & g1.isNotNull(), adj * g1)
 
 
-def kurt(col: str | Column) -> Column:
+def kurt(col: str | Column, over=None) -> Column:
     """Bias-adjusted excess kurtosis G2 (pandas' formula).
 
     G2 = ((n+1)*g2 + 6) * (n-1)/((n-2)(n-3)) where g2 is Spark's
     excess ``kurtosis`` (centered one-pass kernel — no cancellation;
-    reference groupby.pyx:1139).
+    reference groupby.pyx:1139). ``over=`` windows each component
+    (aggregations.pyx:686 roll_kurt).
     """
     c = (col if isinstance(col, Column) else F.col(col)).cast("double")
-    n = F.count(c).cast("double")
-    g2 = F.kurtosis(c)
+    w = (lambda e: e.over(over)) if over is not None else (lambda e: e)
+    n = w(F.count(c)).cast("double")
+    g2 = w(F.kurtosis(c))
     out = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
     return F.when((n > 3) & g2.isNotNull(), out)
 

@@ -3054,3 +3054,27 @@ def expanding_corr(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["event_id", "user_id", "v_corr"])
         .to_spark()
     )
+
+
+@query(
+    "rolling_skew_kurt",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w >= 20 THEN skewness(value) OVER w END AS v_skew,
+           CASE WHEN count(value) OVER w >= 20 THEN kurtosis(value) OVER w END AS v_kurt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling(20).skew()/.kurt() per key (aggregations.pyx:529,686):
+    windowed G1/G2 composites — DuckDB's windowed skewness/kurtosis
+    use the same bias-adjusted formulas."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 20, on="event_id", by=["user_id"])
+    out = r.skew("value", alias="v_skew")
+    out = Rolling(out, 20, on="event_id", by=["user_id"]).kurt("value", alias="v_kurt")
+    return out.select(["event_id", "user_id", "v_skew", "v_kurt"]).to_spark()

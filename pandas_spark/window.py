@@ -198,6 +198,29 @@ class Rolling:
         val = F.when(cnt >= max(minp, 2), val)
         return frame._with(frame._sdf.withColumn(name, val))
 
+    def skew(self, col: str, alias: str | None = None):
+        return self._moment("skew", col, alias)
+
+    def kurt(self, col: str, alias: str | None = None):
+        return self._moment("kurt", col, alias)
+
+    def _moment(self, kind: str, col: str, alias: str | None):
+        """rolling.skew/.kurt (aggregations.pyx:529,686): the same
+        G1/G2 composites the groupby path uses, with every component
+        aggregate windowed — one pass, no UDF."""
+        from pandas_spark.functions import stats
+
+        frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
+        w = self._spec(frame)
+        name = alias or f"{col}_{kind}"
+        fn = stats.skew if kind == "skew" else stats.kurt
+        val = fn(F.col(col), over=w)
+        minp = self._min_periods
+        if minp and minp > 1:
+            cnt = F.count(F.col(col)).over(w)
+            val = F.when(cnt >= minp, val)
+        return frame._with(frame._sdf.withColumn(name, val))
+
     def cov(self, x: str, y: str, alias: str | None = None):
         return self._pairwise("cov", x, y, alias)
 
