@@ -160,3 +160,32 @@ def add_text_stats(frame: DataFrame, text_col: str = "text") -> DataFrame:
             }
         )
     )
+
+
+def hash_split_expr(id_col: Column, fractions: dict, seed: str = "") -> Column:
+    """Deterministic dataset split label (train/val/test) from a hash
+    of the row id — the standard practice for training-data pipelines
+    at scale, where RNG splits are irreproducible across reruns,
+    retries, and repartitioning.
+
+    bucket = first 8 md5 hex digits of (seed || id) as an integer,
+    mod 10_000; fraction boundaries partition the bucket space. Pure
+    map-side expression (no shuffle, no RNG state); md5 rather than
+    xxhash64 so the assignment is reproducible OUTSIDE Spark too (any
+    system with md5 assigns identical rows to identical splits —
+    including the DuckDB oracle).
+    """
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(seed), id_col.cast("string"))), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 10_000
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * 10_000))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return expr.otherwise(F.lit(None))

@@ -779,3 +779,31 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.assign(n_chars=F.length(F.col("text")).cast("bigint")).select(
         ["doc_id", "n_chars"]
     ).to_spark()
+
+
+@query(
+    "train_test_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8))::UBIGINT % 10000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                WHEN bucket < 10000 THEN 'test' END AS split
+    FROM b
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic hash-based train/val/test assignment
+    (text.hash_split_expr): map-only, reproducible across reruns /
+    retries / partitionings — and outside Spark entirely (md5 buckets,
+    proven by the DuckDB oracle assigning identical rows)."""
+    from pandas_spark.operators.text import hash_split_expr
+
+    docs = _docs(spark, sf_dir)
+    return docs.assign(
+        split=hash_split_expr(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}, seed="v1")
+    ).select(["doc_id", "split"]).to_spark()
