@@ -189,3 +189,28 @@ def hash_split_expr(id_col: Column, fractions: dict, seed: str = "") -> Column:
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return expr.otherwise(F.lit(None))
+
+
+def hash_sample_expr(
+    id_col: Column,
+    strata_col: Column,
+    fractions: dict,
+    default_frac: float = 0.0,
+    seed: str = "",
+) -> Column:
+    """Deterministic stratified-sampling keep-predicate: per-stratum
+    downsampling rates applied by id-hash bucket (same md5 bucket
+    space as ``hash_split_expr``). The workhorse for corpus mixing —
+    e.g. keep 100% of rare languages, 10% of English crawl — where
+    Spark's ``sampleBy`` (Bernoulli RNG) is irreproducible across
+    reruns and retries. Map-only; reproducible in any md5-capable
+    system (the oracle recomputes it row-for-row)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), id_col.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint") % 10_000
+    thr = None
+    for stratum, frac in fractions.items():
+        t = F.lit(int(round(frac * 10_000)))
+        thr = F.when(strata_col == stratum, t) if thr is None else thr.when(strata_col == stratum, t)
+    thr = thr.otherwise(F.lit(int(round(default_frac * 10_000))))
+    return bucket < thr

@@ -807,3 +807,29 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> SparkDF:
     return docs.assign(
         split=hash_split_expr(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}, seed="v1")
     ).select(["doc_id", "split"]).to_spark()
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('mix1' || doc_id::VARCHAR), 1, 8))::UBIGINT % 10000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000 ELSE 10000 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic per-stratum downsampling (corpus mixing:
+    text.hash_sample_expr) — keep 20% of English, 50% of German, 100%
+    of everything else, assignments stable across reruns/retries."""
+    from pandas_spark.operators.text import hash_sample_expr
+
+    docs = _docs(spark, sf_dir)
+    keep = hash_sample_expr(
+        F.col("doc_id"), F.col("lang"), {"en": 0.2, "de": 0.5}, default_frac=1.0, seed="mix1"
+    )
+    return docs.spark.filter(keep).select("doc_id", "lang")
