@@ -441,24 +441,54 @@ def simhash_buckets(
 def neardup_clusters(
     pairs: SparkDF,
     max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> SparkDF:
     """Connected components over near-duplicate pairs → (doc_id,
     cluster) labels, where ``cluster`` is the minimum id in the
     component (the canonical representative).
 
-    Iterative min-label propagation (the hash-to-min / small-star
-    pattern used for web-scale dedup graphs): every vertex starts
-    labeled with itself; each round takes the min of its own label and
-    its neighbors' labels; converged when a full round changes
-    nothing. Rounds needed = graph diameter — near-dup clusters are
-    dense (near-cliques through their representative), so real corpora
-    converge in a handful of rounds; ``max_iter`` bounds pathological
-    chains. Each round is one join + one aggregation on (id, label)
-    pairs — the document payload never rides the iteration — and the
-    per-round ``localCheckpoint`` truncates the growing lineage so the
-    plan stays O(1) per round instead of O(rounds) (the standard Spark
-    iterative-algorithm requirement).
+    Two paths, picked by edge count (the dual strategy production
+    dedup systems use):
+
+    * **pairs ≤ driver_threshold** — collect the NARROW (id1, id2)
+      edge list (16 B/pair — 1M pairs is 16 MB, nothing like
+      collecting data rows) and run exact union-find on the driver:
+      milliseconds, zero iteration jobs. Near-dup pair sets are tiny
+      relative to the corpus (that is the point of dedup).
+    * **bigger** — distributed iterative min-label propagation (the
+      hash-to-min pattern): every vertex starts labeled with itself;
+      each round takes the min of its own and its neighbors' labels;
+      converged when a round changes nothing. Rounds = component
+      diameter (near-dup clusters are near-cliques → a handful);
+      ``max_iter`` bounds pathological chains. Each round is one join
+      + one aggregation over narrow (id, label) rows, with
+      ``localCheckpoint`` truncating lineage so the plan stays O(1)
+      per round (the standard Spark iterative-algorithm requirement).
     """
+    spark = pairs.sparkSession
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        rows = pairs.select("id1", "id2").collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r["id1"], r["id2"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = [(k, find(k)) for k in parent]
+        return spark.createDataFrame(out, "doc_id long, cluster long")
+
     edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

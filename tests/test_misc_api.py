@@ -321,5 +321,12 @@ def test_neardup_clusters_match_union_find(spark):
         pairs = spark.createDataFrame(
             [(a, b) for a, b in sorted(edges)], "id1 long, id2 long"
         )
+        # driver union-find fast path
         got = {r["doc_id"]: r["cluster"] for r in neardup_clusters(pairs).collect()}
-        assert got == expected, f"trial {trial}: {got} != {expected}"
+        assert got == expected, f"trial {trial} (driver): {got} != {expected}"
+        # distributed label-propagation path (forced)
+        got_d = {
+            r["doc_id"]: r["cluster"]
+            for r in neardup_clusters(pairs, driver_threshold=0).collect()
+        }
+        assert got_d == expected, f"trial {trial} (distributed): {got_d} != {expected}"
