@@ -3078,3 +3078,25 @@ def rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> SparkDF:
     out = r.skew("value", alias="v_skew")
     out = Rolling(out, 20, on="event_id", by=["user_id"]).kurt("value", alias="v_kurt")
     return out.select(["event_id", "user_id", "v_skew", "v_kurt"]).to_spark()
+
+
+@query(
+    "expanding_skew_kurt",
+    oracle="""
+    SELECT event_id, user_id,
+           skewness(value) OVER w AS v_skew,
+           kurtosis(value) OVER w AS v_kurt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def expanding_skew_kurt(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """expanding().skew()/.kurt() per key — the same windowed G1/G2
+    composites as rolling, over an unbounded-preceding frame."""
+    from pandas_spark.window import Expanding
+
+    events = _t(spark, sf_dir, "events")
+    out = Expanding(events, on="event_id", by=["user_id"]).skew("value", alias="v_skew")
+    out = Expanding(out, on="event_id", by=["user_id"]).kurt("value", alias="v_kurt")
+    return out.select(["event_id", "user_id", "v_skew", "v_kurt"]).to_spark()
