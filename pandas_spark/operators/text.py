@@ -214,3 +214,46 @@ def hash_sample_expr(
         thr = F.when(strata_col == stratum, t) if thr is None else thr.when(strata_col == stratum, t)
     thr = thr.otherwise(F.lit(int(round(default_frac * 10_000))))
     return bucket < thr
+
+
+def contamination_ratios(corpus, bench, id_col="doc_id", text_col="text", shingle_n=8):
+    """Benchmark decontamination: per-document n-gram overlap against a
+    benchmark set (the standard pre-training hygiene stage — drop or
+    flag training docs that share long n-grams with eval benchmarks).
+
+    Scale shape: both sides reduce to DISTINCT shingle tokens; the
+    benchmark side collapses to a deduplicated shingle set (benchmarks
+    are small — thousands of docs — so Spark broadcasts the inner
+    side of the match join); the corpus side explodes (id, shingle)
+    narrow rows, inner-joins the benchmark set, and aggregates matched
+    counts per doc. One shuffle of the corpus shingles; documents
+    never ride the join. Returns (id, n_shingles, n_matched,
+    contamination) with contamination = matched/total distinct
+    shingles; unmatched docs report 0.0.
+    """
+    from pyspark.sql import functions as _F
+
+    c_sdf = corpus.spark if hasattr(corpus, "spark") else corpus
+    b_sdf = bench.spark if hasattr(bench, "spark") else bench
+    c_sh = spread(c_sdf).select(
+        _F.col(id_col),
+        _F.explode(_F.array_distinct(shingles_expr(_F.col(text_col), shingle_n))).alias("__sh__"),
+    )
+    b_sh = b_sdf.select(
+        _F.explode(_F.array_distinct(shingles_expr(_F.col(text_col), shingle_n))).alias("__sh__")
+    ).distinct()
+    totals = c_sh.groupBy(id_col).agg(_F.count("*").alias("n_shingles"))
+    matched = (
+        c_sh.join(b_sh, "__sh__")
+        .groupBy(id_col)
+        .agg(_F.count("*").alias("n_matched"))
+    )
+    out = (
+        totals.join(matched, id_col, "left")
+        .withColumn("n_matched", _F.coalesce("n_matched", _F.lit(0)))
+        .withColumn(
+            "contamination",
+            _F.col("n_matched").cast("double") / _F.col("n_shingles").cast("double"),
+        )
+    )
+    return out

@@ -833,3 +833,42 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col("doc_id"), F.col("lang"), {"en": 0.2, "de": 0.5}, default_frac=1.0, seed="mix1"
     )
     return docs.spark.filter(keep).select("doc_id", "lang")
+
+
+@query(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    cs AS (
+        SELECT doc_id, unnest({_shingle_sql(8)}) AS sh FROM t
+    ),
+    bs AS (
+        SELECT DISTINCT unnest({_shingle_sql(8)}) AS sh FROM t WHERE doc_id < 25
+    ),
+    totals AS (
+        SELECT doc_id, count(*)::BIGINT AS n_shingles FROM cs GROUP BY doc_id
+    ),
+    m AS (
+        SELECT cs.doc_id, count(*)::BIGINT AS n_matched
+        FROM cs JOIN bs USING (sh) GROUP BY cs.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+           coalesce(m.n_matched, 0)::DOUBLE / t.n_shingles AS contamination
+    FROM totals t LEFT JOIN m USING (doc_id)
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Benchmark decontamination (text.contamination_ratios): per-doc
+    8-gram overlap ratio against a benchmark set (docs 0-24 stand in
+    for the eval benchmark); training hygiene stage — flag/drop docs
+    sharing long n-grams with eval data."""
+    from pandas_spark.operators.text import contamination_ratios
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 25)
+    return contamination_ratios(docs, bench, "doc_id", "text", shingle_n=8).select(
+        "doc_id", "n_shingles", "n_matched", "contamination"
+    )
