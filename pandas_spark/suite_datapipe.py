@@ -872,3 +872,45 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> SparkDF:
     return contamination_ratios(docs, bench, "doc_id", "text", shingle_n=8).select(
         "doc_id", "n_shingles", "n_matched", "contamination"
     )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks)-1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM t
+    )
+    SELECT doc_id,
+           len(sh)::BIGINT AS n_grams,
+           len(list_distinct(sh))::BIGINT AS n_distinct,
+           1.0 - len(list_distinct(sh))::DOUBLE / len(sh) AS rep_ratio
+    FROM s
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Repetition-based quality signal (the Gopher-style repeated
+    n-gram fraction): 1 - distinct/total 3-gram shingles per doc —
+    boilerplate and spam score high. Pure map-side HOFs, zero
+    shuffle."""
+    from pandas_spark.operators.text import shingles_expr, spread
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles_expr(F.col("text"), 3)
+    out = spread(docs.spark).select(
+        "doc_id",
+        F.size(sh).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(sh)).cast("bigint").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(sh)).cast("double") / F.size(sh).cast("double")
+        ).alias("rep_ratio"),
+    )
+    return out
