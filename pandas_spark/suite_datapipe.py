@@ -914,3 +914,76 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> SparkDF:
         ).alias("rep_ratio"),
     )
     return out
+
+
+@query(
+    "mixture_summary",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, lang, len({_TOKS}) AS n_toks, length(text) AS n_chars
+        FROM documents
+    )
+    SELECT source, lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(n_toks)::DOUBLE / (SELECT sum(n_toks) FROM t) AS token_share
+    FROM t GROUP BY source, lang
+    """,
+)
+def mixture_summary(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Training-mixture report: docs/tokens/chars and token share per
+    (source, language) — the table every pre-training data card
+    publishes. One groupBy; the global total rides a window over the
+    aggregated (small) result, not the corpus."""
+    from pyspark.sql import Window as W
+
+    from pandas_spark.operators.text import token_count_expr
+
+    docs = _docs(spark, sf_dir)
+    per = (
+        docs.spark.select(
+            "source", "lang",
+            token_count_expr(F.col("text")).alias("__t__"),
+            F.length("text").alias("__c__"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__t__").cast("bigint").alias("n_tokens"),
+            F.sum("__c__").cast("bigint").alias("total_chars"),
+        )
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    return per.withColumn("token_share", F.col("n_tokens").cast("double") / total)
+
+
+@query(
+    "adaptive_length_filter",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(length(text), 0.05) AS lo,
+               quantile_cont(length(text), 0.95) AS hi
+        FROM documents
+    )
+    SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
+    FROM documents d, b
+    WHERE length(d.text) BETWEEN b.lo AND b.hi
+    """,
+)
+def adaptive_length_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Outlier trimming with DATA-DERIVED cutoffs (p5/p95 of doc
+    length): the thresholds aggregate to one row that broadcast-joins
+    back into the filter — two passes over the corpus, no collect, no
+    hand-tuned constants going stale as the corpus shifts."""
+    docs = _docs(spark, sf_dir)
+    sized = docs.spark.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+    bounds = sized.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        sized.crossJoin(F.broadcast(bounds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_chars")
+    )
