@@ -106,5 +106,7 @@ def ordinal_seconds(col: Column, dtype: T.DataType) -> Column:
     if is_timestamp(dtype):
         return epoch_micros(col) / _F.lit(1_000_000.0)
     if isinstance(dtype, T.DateType):
-        return col.cast("timestamp").cast("double")
+        # timestamp->double casts are rejected under ANSI mode; go via
+        # epoch micros like the timestamp branch does.
+        return epoch_micros(col.cast("timestamp")) / _F.lit(1_000_000.0)
     return col.cast("double")

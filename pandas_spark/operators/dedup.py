@@ -18,10 +18,13 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame as SparkDF
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pandas_spark.frame import DataFrame
 from pandas_spark.operators.text import normalize_expr, shingles_expr, spread, tokens_expr
@@ -466,9 +469,12 @@ def neardup_clusters(
       per round (the standard Spark iterative-algorithm requirement).
     """
     spark = pairs.sparkSession
+    # Materialize the (expensive) candidate pipeline ONCE; both the
+    # branch decision (count) and the chosen path reuse it.
+    pairs = pairs.select("id1", "id2").localCheckpoint()
     n_pairs = pairs.count()
     if n_pairs <= driver_threshold:
-        rows = pairs.select("id1", "id2").collect()
+        rows = pairs.collect()
         parent: dict = {}
 
         def find(x):
@@ -487,7 +493,13 @@ def neardup_clusters(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         out = [(k, find(k)) for k in parent]
-        return spark.createDataFrame(out, "doc_id long, cluster long")
+        # Schema follows the id type so driver and distributed paths
+        # agree for string / non-long ids.
+        id_type = pairs.schema["id1"].dataType
+        schema = T.StructType(
+            [T.StructField("doc_id", id_type), T.StructField("cluster", id_type)]
+        )
+        return spark.createDataFrame(out, schema)
 
     edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     edges = edges.union(
@@ -496,6 +508,7 @@ def neardup_clusters(
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnsRenamed({"id": "b", "label": "nlabel"}), "b")
@@ -521,6 +534,14 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"neardup_clusters: min-label propagation hit max_iter={max_iter} "
+            "before converging — a component with larger diameter exists and "
+            "the returned cluster labels are PARTIAL. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 

@@ -105,8 +105,10 @@ def combine(left: DataFrame, right: DataFrame, func, fill_value=None) -> DataFra
     ``func`` takes two Column expressions and returns one (the engine's
     deferred-expression analog of pandas' Series function — e.g.
     ``lambda a, b: F.greatest(a, b)``). Columns present on one side
-    only pass through (after ``fill_value`` substitution), matching
-    pandas' column-union semantics."""
+    only still go through ``func`` with the missing side as NULL
+    (pandas applies func with the absent side as NaN). Deviation:
+    pandas sorts the column union; we keep left's order then
+    right-only columns, since Spark column order is explicit."""
     keys = list(left._index_cols)
     if not keys:
         raise ValueError("combine requires set_index()")
@@ -122,11 +124,11 @@ def combine(left: DataFrame, right: DataFrame, func, fill_value=None) -> DataFra
         if "__r_" + c in j.columns:
             cols.append(func(fill(F.col(c)), fill(F.col("__r_" + c))).alias(c))
         else:
-            cols.append(fill(F.col(c)).alias(c))
+            cols.append(func(fill(F.col(c)), fill(F.lit(None))).alias(c))
     for c in right.columns:
         if c in keys or c in left.columns:
             continue
-        cols.append(fill(F.col("__r_" + c)).alias(c))
+        cols.append(func(fill(F.lit(None)), fill(F.col("__r_" + c))).alias(c))
     return DataFrame(j.select(*cols), index_cols=tuple(keys))
 
 
