@@ -239,6 +239,82 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "rolling_quantile",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w >= 5
+                THEN quantile_cont(value, 0.75) OVER w END AS value_q75
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_quantile(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling.quantile (aggregations.pyx:1404) — sorted-frame-array
+    linear interpolation, JVM-side."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 5, on="event_id", by=["user_id"])
+    return r.quantile("value", 0.75, alias="value_q75").select(
+        ["event_id", "user_id", "value_q75"]
+    ).to_spark()
+
+
+@query(
+    "rolling_rank",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS lst
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN value IS NOT NULL
+                 AND len(list_filter(lst, v -> v IS NOT NULL)) >= 5
+                THEN (len(list_filter(lst, v -> v < value))
+                      + len(list_filter(lst, v -> v <= value)) + 1) / 2.0
+           END AS value_rank
+    FROM l
+    """,
+)
+def rolling_rank(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling.rank method=average (aggregations.pyx:1528) — lt/le
+    counts via array HOFs against the current row value."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 5, on="event_id", by=["user_id"])
+    return r.rank("value", alias="value_rank").select(
+        ["event_id", "user_id", "value_rank"]
+    ).to_spark()
+
+
+@query(
+    "rolling_nunique",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(event_type) OVER w >= 5
+                THEN len(list_distinct(list(event_type) OVER w)) END AS type_nuniq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_nunique(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling.nunique (aggregations.pyx:1636) — distinct non-null
+    count over the frame array."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 5, on="event_id", by=["user_id"])
+    return r.nunique("event_type", alias="type_nuniq").select(
+        ["event_id", "user_id", "type_nuniq"]
+    ).to_spark()
+
+
+@query(
     "expanding_sum",
     oracle="""
     SELECT event_id, user_id,

@@ -173,6 +173,113 @@ class Rolling:
             val = F.when(cnt >= self._min_periods, val)
         return frame._with(frame._sdf.withColumn(name, val))
 
+    def quantile(
+        self,
+        col: str,
+        q: float,
+        alias: str | None = None,
+        interpolation: str = "linear",
+    ):
+        """``rolling.quantile(q)`` (reference
+        _libs/window/aggregations.pyx:1404 roll_quantile; API
+        window/rolling.py:1955 area): quantile of the non-null window
+        values with pandas' interpolation modes.
+
+        Spark has no frame-legal exact-quantile aggregate, so this
+        composes it from the sorted frame array (the same pattern as
+        rolling median above): O(w log w) per row — identical
+        asymptotics to pandas' skiplist kernel. Stays fully JVM-side
+        (sort_array + element_at), no UDF."""
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile q must be in [0, 1], got {q}")
+        frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
+        w = self._spec(frame)
+        name = alias or f"{col}_q{q}"
+        arr = F.sort_array(F.collect_list(F.col(col)).over(w))
+        n = F.size(arr)
+        h = (n - 1).cast("double") * F.lit(float(q))
+        lo_i = F.floor(h).cast("int")
+        hi_i = F.ceil(h).cast("int")
+        lo = F.element_at(arr, lo_i + 1).cast("double")
+        hi = F.element_at(arr, hi_i + 1).cast("double")
+        if interpolation == "linear":
+            val = lo + (h - lo_i.cast("double")) * (hi - lo)
+        elif interpolation == "lower":
+            val = lo
+        elif interpolation == "higher":
+            val = hi
+        elif interpolation == "midpoint":
+            val = (lo + hi) / 2.0
+        elif interpolation == "nearest":
+            val = F.when(h - lo_i.cast("double") < 0.5, lo).otherwise(hi)
+        else:
+            raise ValueError(f"unsupported interpolation {interpolation!r}")
+        val = F.when(n > 0, val)
+        if self._min_periods and self._min_periods > 1:
+            cnt = F.count(F.col(col)).over(w)
+            val = F.when(cnt >= self._min_periods, val)
+        return frame._with(frame._sdf.withColumn(name, val))
+
+    def rank(
+        self,
+        col: str,
+        alias: str | None = None,
+        method: str = "average",
+        ascending: bool = True,
+        pct: bool = False,
+    ):
+        """``rolling.rank()`` (reference aggregations.pyx:1528
+        roll_rank): rank of the CURRENT row's value among the non-null
+        window values, ties by ``method`` (average/min/max), optional
+        percentile form.
+
+        A frame aggregate can't see the current row, so the window
+        array is collected once and the comparisons run as array HOFs
+        against the current value — lt/le counts give all three tie
+        methods in closed form. JVM-side, no UDF, O(w) per row (vs
+        pandas' O(log w) skiplist — fine: w is a constant)."""
+        frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
+        w = self._spec(frame)
+        name = alias or f"{col}_rank"
+        x = F.col(col)
+        arr = F.collect_list(x).over(w)  # nulls absent, like pandas
+        if ascending:
+            lt = F.size(F.filter(arr, lambda v: v < x))
+            le = F.size(F.filter(arr, lambda v: v <= x))
+        else:
+            lt = F.size(F.filter(arr, lambda v: v > x))
+            le = F.size(F.filter(arr, lambda v: v >= x))
+        if method == "average":
+            r = (lt + le + 1).cast("double") / F.lit(2.0)
+        elif method == "min":
+            r = (lt + 1).cast("double")
+        elif method == "max":
+            r = le.cast("double")
+        else:
+            raise ValueError(f"unsupported rank method {method!r}")
+        if pct:
+            r = r / F.size(arr).cast("double")
+        val = F.when(x.isNotNull(), r)
+        if self._min_periods and self._min_periods > 1:
+            cnt = F.count(x).over(w)
+            val = F.when(cnt >= self._min_periods, val)
+        return frame._with(frame._sdf.withColumn(name, val))
+
+    def nunique(self, col: str, alias: str | None = None):
+        """``rolling.nunique()`` (reference aggregations.pyx:1636
+        roll_nunique, new in pandas 3.x): count of distinct non-null
+        values in the window — size(array_distinct(frame array)).
+        O(w) state per row, JVM-side."""
+        frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
+        w = self._spec(frame)
+        name = alias or f"{col}_nunique"
+        x = F.col(col)
+        val = F.size(F.array_distinct(F.collect_list(x).over(w))).cast("long")
+        if self._min_periods and self._min_periods > 1:
+            cnt = F.count(x).over(w)
+            val = F.when(cnt >= self._min_periods, val)
+        return frame._with(frame._sdf.withColumn(name, val))
+
     def sum(self, col: str, alias: str | None = None):    return self._apply("sum", col, alias)
     def mean(self, col: str, alias: str | None = None):   return self._apply("mean", col, alias)
     def min(self, col: str, alias: str | None = None):    return self._apply("min", col, alias)

@@ -415,3 +415,67 @@ def test_rolling_corr_cov_match_pandas(spark):
     got2p = got2.toPandas().sort_values("i")
     assert_col_matches(gotp, want["c"], "c")
     assert_col_matches(got2p, want["v"], "v")
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
+def test_rolling_quantile_matches_pandas(spark, q):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=40).round(3)
+    vals[[3, 11, 25]] = np.nan
+    pdf = pd.DataFrame({"i": range(40), "k": rng.integers(0, 3, 40), "v": vals})
+    g = pdf.sort_values("i").groupby("k")
+    want = pdf.sort_values("i").assign(
+        q=g["v"].rolling(5, min_periods=3).quantile(q).reset_index(level=0, drop=True)
+    )
+
+    from pandas_spark.window import Rolling
+
+    f = ps.from_pandas(spark, pdf)
+    r = Rolling(f, 5, on="i", by=["k"], min_periods=3)
+    got = r.quantile("v", q, alias="q").to_spark().toPandas().sort_values("i")
+    assert_col_matches(got, want["q"], "q")
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max"])
+@pytest.mark.parametrize("ascending", [True, False])
+@pytest.mark.parametrize("pct", [False, True])
+def test_rolling_rank_matches_pandas(spark, method, ascending, pct):
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 4, 40).astype(float)  # heavy ties
+    vals[[5, 17]] = np.nan
+    pdf = pd.DataFrame({"i": range(40), "k": rng.integers(0, 2, 40), "v": vals})
+    g = pdf.sort_values("i").groupby("k")
+    want = pdf.sort_values("i").assign(
+        r=g["v"].rolling(6, min_periods=2)
+        .rank(method=method, ascending=ascending, pct=pct)
+        .reset_index(level=0, drop=True)
+    )
+
+    from pandas_spark.window import Rolling
+
+    f = ps.from_pandas(spark, pdf)
+    r = Rolling(f, 6, on="i", by=["k"], min_periods=2)
+    got = (
+        r.rank("v", alias="r", method=method, ascending=ascending, pct=pct)
+        .to_spark().toPandas().sort_values("i")
+    )
+    assert_col_matches(got, want["r"], "r")
+
+
+def test_rolling_nunique_matches_pandas(spark):
+    rng = np.random.default_rng(19)
+    vals = rng.integers(0, 3, 40).astype(float)
+    vals[[4, 9, 30]] = np.nan
+    pdf = pd.DataFrame({"i": range(40), "k": rng.integers(0, 2, 40), "v": vals})
+    g = pdf.sort_values("i").groupby("k")
+    want = pdf.sort_values("i").assign(
+        n=g["v"].rolling(5, min_periods=1).apply(lambda s: s.nunique(), raw=False)
+        .reset_index(level=0, drop=True)
+    )
+
+    from pandas_spark.window import Rolling
+
+    f = ps.from_pandas(spark, pdf)
+    r = Rolling(f, 5, on="i", by=["k"], min_periods=1)
+    got = r.nunique("v", alias="n").to_spark().toPandas().sort_values("i")
+    assert_col_matches(got, want["n"], "n")
