@@ -137,6 +137,45 @@ def _disambiguate_and_join(
 
     if how == "cross":
         joined = lsdf2.crossJoin(rtag)
+    elif how == "left" and broadcast == "left" and lk2:
+        # Spark cannot broadcast the PRESERVED side of an outer join
+        # (BroadcastHashJoin LeftOuter only supports BuildRight), so a
+        # plain `F.broadcast(left)` hint is silently ignored and the
+        # plan degrades to shuffling BOTH sides — exactly wrong when
+        # the left is a small dim and the right is the fact table.
+        # Honor the hint via the classic outer-to-union rewrite:
+        #   left ⟕ right  ≡  (left ⋈ right)  ∪  (left ▷ right) ⋈ NULLs
+        # The inner part streams the fact with the dim broadcast (the
+        # 100 TB-correct plan); the anti part joins the dim against
+        # the DISTINCT fact keys (key-only shuffle, dim-sized result).
+        inner = lsdf2.join(rtag, cond, "inner")
+        rkeys = rtag.select(*[F.col("__rk_" + c) for c in rk2]).distinct()
+        acond = None
+        for lc, rc in zip(lk2, rk2):
+            term = lsdf2[lc].eqNullSafe(rkeys["__rk_" + rc])
+            acond = term if acond is None else (acond & term)
+        anti = lsdf2.join(F.broadcast(rkeys), acond, "left_anti")
+        for c, t in rtag.dtypes:
+            anti = anti.withColumn(c, F.lit(None).cast(t))
+        joined = inner.unionByName(anti.select(*inner.columns))
+        # column refs like rtag[col] don't resolve against the union;
+        # re-root the output projection on plain names
+        out_cols: list[Column] = []
+        for c in lsdf2.columns:
+            if c != "__lp__":
+                out_cols.append(F.col(c))
+        for c in rsdf2.columns:
+            src = "__rk_" + c if c in rk2 else c
+            if c in same_key:
+                continue
+            out_cols.append(F.col(src).alias(c))
+        if indicator:
+            lp = F.coalesce(F.col("__lp__"), F.lit(False))
+            rp = F.coalesce(F.col("__rp__"), F.lit(False))
+            out_cols.append(
+                F.when(lp & rp, "both").when(lp, "left_only").otherwise("right_only").alias("_merge")
+            )
+        return joined.select(*out_cols)
     else:
         joined = lsdf2.join(rtag, cond, how)
 
@@ -212,20 +251,26 @@ def merge_asof(
     rsdf = rsdf.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
     payload = [c for c in rsdf.columns if c != on and c not in by_keys]
 
-    l_tag = lsdf.withColumn("__side__", F.lit(1)).withColumn("__rid__", F.monotonically_increasing_id())
+    # __rid__ (a unique left-row id for the backward/forward result
+    # join) is only needed by direction='nearest' — backward/forward
+    # never pay the monotonically_increasing_id projection
+    need_rid = direction == "nearest" and not allow_exact_matches
+    l_tag = lsdf.withColumn("__side__", F.lit(1))
+    if need_rid:
+        l_tag = l_tag.withColumn("__rid__", F.monotonically_increasing_id())
     r_tag = rsdf.withColumn("__side__", F.lit(0))
     # align schemas for the union
     for c in payload:
         l_tag = l_tag.withColumn(c, F.lit(None).cast(rsdf.schema[c].dataType))
     l_cols = [c for c in lsdf.columns if c != on and c not in by_keys]
-    for c in l_cols + ["__rid__"]:
+    for c in l_cols + (["__rid__"] if need_rid else []):
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(
                 c, F.lit(None).cast(l_tag.schema[c].dataType)
             )
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
 
-    def one_direction(u: SparkDF, forward: bool) -> SparkDF:
+    def one_direction(u: SparkDF, forward: bool, with_ts: bool = True) -> SparkDF:
         # exact matches: right rows sort before left at equal ts (backward)
         side_order = F.col("__side__").asc() if allow_exact_matches else F.col("__side__").desc()
         if forward:
@@ -240,17 +285,19 @@ def merge_asof(
                 .orderBy(F.col(on).asc(), side_order)
                 .rowsBetween(W.unboundedPreceding, 0)
             )
-        filled = u
-        for c in payload:
-            filled = filled.withColumn(
-                "__m_" + c,
-                F.last(F.when(F.col("__side__") == 0, F.col(c)), ignorenulls=True).over(w),
-            )
-        filled = filled.withColumn(
-            "__m_ts__",
-            F.last(F.when(F.col("__side__") == 0, F.col(on)), ignorenulls=True).over(w),
-        )
-        return filled.filter(F.col("__side__") == 1)
+        cols = {
+            "__m_" + c: F.last(
+                F.when(F.col("__side__") == 0, F.col(c)), ignorenulls=True
+            ).over(w)
+            for c in payload
+        }
+        if with_ts:
+            # the matched row's own timestamp — only needed for the
+            # tolerance gap / nearest tie-break, skipped otherwise
+            cols["__m_ts__"] = F.last(
+                F.when(F.col("__side__") == 0, F.col(on)), ignorenulls=True
+            ).over(w)
+        return u.withColumns(cols).filter(F.col("__side__") == 1)
 
     def apply_tolerance(sdf: SparkDF, forward: bool) -> SparkDF:
         if tolerance is None:
@@ -271,7 +318,10 @@ def merge_asof(
         return sdf.withColumns(cols)
 
     if direction in ("backward", "forward"):
-        matched = apply_tolerance(one_direction(unioned, direction == "forward"), direction == "forward")
+        matched = apply_tolerance(
+            one_direction(unioned, direction == "forward", with_ts=tolerance is not None),
+            direction == "forward",
+        )
         final_cols = (
             by_keys
             + [on]
@@ -279,6 +329,62 @@ def merge_asof(
             + [F.col("__m_" + c).alias(c) for c in payload]
         )
         return DataFrame(matched.select(*final_cols))
+
+    if direction == "nearest" and allow_exact_matches:
+        # Both directions over ONE ordering (on asc, right-before-left
+        # at ties) — the backward fill uses the preceding frame, the
+        # forward fill the following frame. Spark evaluates both frame
+        # sets in a single WindowExec: one shuffle, ONE sort, no
+        # row-id self-joins. Equal-ts matches sort before the left row
+        # so the following frame misses them — harmless: the backward
+        # fill captures them with gap 0, which always wins the
+        # nearest tie-break.
+        wb = (
+            W.partitionBy(*by_keys)
+            .orderBy(F.col(on).asc(), F.col("__side__").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        wf = (
+            W.partitionBy(*by_keys)
+            .orderBy(F.col(on).asc(), F.col("__side__").asc())
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        right_val = lambda c: F.when(F.col("__side__") == 0, F.col(c))
+        cols = {}
+        for c in payload:
+            cols["__b_" + c] = F.last(right_val(c), ignorenulls=True).over(wb)
+            cols["__f_" + c] = F.first(right_val(c), ignorenulls=True).over(wf)
+        cols["__b_ts__"] = F.last(right_val(on), ignorenulls=True).over(wb)
+        cols["__f_ts__"] = F.first(right_val(on), ignorenulls=True).over(wf)
+        j = unioned.withColumns(cols).filter(F.col("__side__") == 1)
+        bgap = F.abs(_num(F.col(on)) - _num(F.col("__b_ts__")))
+        fgap = F.abs(_num(F.col(on)) - _num(F.col("__f_ts__")))
+        if tolerance is not None:
+            from pandas_spark.window import parse_offset_seconds
+
+            tol = (
+                tolerance.total_seconds()
+                if hasattr(tolerance, "total_seconds")
+                else (parse_offset_seconds(tolerance) if isinstance(tolerance, str) else tolerance)
+            )
+            b_ok = F.col("__b_ts__").isNotNull() & (bgap <= tol)
+            f_ok = F.col("__f_ts__").isNotNull() & (fgap <= tol)
+        else:
+            b_ok = F.col("__b_ts__").isNotNull()
+            f_ok = F.col("__f_ts__").isNotNull()
+        use_b = b_ok & (~f_ok | (bgap <= fgap))
+        final_cols = (
+            by_keys
+            + [on]
+            + l_cols
+            + [
+                F.when(use_b, F.col("__b_" + c))
+                .when(f_ok, F.col("__f_" + c))
+                .alias(c)
+                for c in payload
+            ]
+        )
+        return DataFrame(j.select(*final_cols))
 
     if direction == "nearest":
         back = apply_tolerance(one_direction(unioned, False), False)

@@ -248,7 +248,12 @@ def join_left(spark: SparkSession, sf_dir: str) -> SparkDF:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        customer.merge(orders, left_on="c_custkey", right_on="o_custkey", how="left")
+        # broadcast='left': customer is the small preserved dim joined
+        # to the orders fact — merge() honors this via the
+        # inner-∪-anti rewrite (joins.py) so the fact side streams
+        # instead of both sides shuffling (or the fact broadcasting).
+        customer.merge(orders, left_on="c_custkey", right_on="o_custkey", how="left",
+                       broadcast="left")
         .groupby("c_mktsegment")
         .agg(
             n_rows=("c_custkey", "size"),

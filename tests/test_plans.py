@@ -139,3 +139,20 @@ def test_lsh_candidates_are_one_shuffle_no_selfjoin(spark):
     assert "Join" not in plan, "bucket self-join crept back into candidate generation"
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"expected <=2 hash exchanges (groupBy + distinct), got {n_exchanges}"
+
+
+def test_left_join_broadcasts_preserved_dim(spark):
+    """broadcast='left' on a left join must honor the hint via the
+    inner-∪-anti rewrite: the dim side broadcasts into the inner part
+    (fact streams, never shuffles) and the anti part broadcasts the
+    distinct fact keyset — no SortMergeJoin, no fact-side broadcast."""
+    cust = ps.read_parquet(spark, f"{SF_DIR}/customer.parquet")
+    orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    j = cust.merge(orders, left_on="c_custkey", right_on="o_custkey",
+                   how="left", broadcast="left")
+    plan = plan_of(j.to_spark())
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan
+    assert "BroadcastHashJoin" in plan
+    # the inner part must build (broadcast) the LEFT/dim side
+    assert "BuildLeft" in plan
