@@ -438,20 +438,40 @@ class DataFrame:
         subset: Sequence[str] | None = None,
         method: str = "linear",
         by: Sequence[str] | None = None,
+        on: str | None = None,
     ) -> "DataFrame":
-        """Linear interpolation of interior NULLs (generic.py:8113,
-        default limit_direction='forward': leading NULLs stay, trailing
-        NULLs carry the last valid value). Pure window expressions —
-        prev/next valid value + row position — no UDF, parallel per
-        ``by`` group."""
-        if method != "linear":
-            raise NotImplementedError("only method='linear' (scipy methods are UDF territory)")
+        """Interpolation of interior NULLs (generic.py:8113, default
+        limit_direction='forward': leading NULLs stay, trailing NULLs
+        carry the last valid value). Pure window expressions —
+        prev/next valid value + x-position — no UDF, parallel per
+        ``by`` group.
+
+        ``method='linear'`` weights by row position (pandas' default,
+        which ignores the index). ``method='time'`` / ``'index'`` /
+        ``'values'`` (reference core/missing.py:227
+        clean_interp_method) weight by the ``on`` column — timestamp
+        or numeric — so unevenly spaced gaps interpolate
+        proportionally to the gap width. Other scipy methods raise."""
+        if method in ("time", "index", "values") and not on:
+            raise ValueError(f"method={method!r} requires on=<timestamp or numeric column>")
+        if method not in ("linear", "time", "index", "values"):
+            raise NotImplementedError(
+                "methods: linear, time, index, values (scipy spline/poly methods are UDF territory)"
+            )
         this, order_exprs = self._ordered()
         part = W.partitionBy(*by) if by else W.partitionBy()
+        if on:
+            order_exprs = [F.col(on).asc(), *order_exprs]
         rn = F.row_number().over(part.orderBy(*order_exprs))
         sdf = this._sdf.withColumn("__rn__", rn)
+        if method in ("time", "index", "values"):
+            from pandas_spark.dtypes import ordinal_seconds
+
+            x = ordinal_seconds(F.col(on), this._sdf.schema[on].dataType)
+        else:
+            x = F.col("__rn__").cast("double")
         cols = list(subset) if subset else [
-            n for n, t in this.dtypes if t in ("double", "float", "int", "bigint")
+            n for n, t in this.dtypes if t in ("double", "float", "int", "bigint") and n != on
         ]
         w_prev = part.orderBy("__rn__").rowsBetween(W.unboundedPreceding, 0)
         w_next = part.orderBy("__rn__").rowsBetween(0, W.unboundedFollowing)
@@ -460,11 +480,16 @@ class DataFrame:
             v = F.col(c)
             pv = F.last(v, ignorenulls=True).over(w_prev)
             nv = F.first(v, ignorenulls=True).over(w_next)
-            pr = F.last(F.when(v.isNotNull(), F.col("__rn__")), ignorenulls=True).over(w_prev)
-            nr = F.first(F.when(v.isNotNull(), F.col("__rn__")), ignorenulls=True).over(w_next)
-            interior = pv + (nv - pv) * (F.col("__rn__") - pr) / (nr - pr)
+            px = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(w_prev)
+            nx = F.first(F.when(v.isNotNull(), x), ignorenulls=True).over(w_next)
+            # duplicate x coordinates (possible under method='time')
+            # would divide by zero — ANSI-fatal; fall back to ffill
+            ratio = F.when(nx != px, (x - px) / (nx - px))
+            interior = pv + (nv - pv) * ratio
             out[c] = F.when(v.isNotNull(), v).otherwise(
-                F.when(pv.isNotNull() & nv.isNotNull(), interior).otherwise(pv)
+                F.when(
+                    pv.isNotNull() & nv.isNotNull(), F.coalesce(interior, pv)
+                ).otherwise(pv)
             )
         return this._with(sdf.withColumns(out).drop("__rn__"))
 
@@ -613,7 +638,27 @@ class DataFrame:
         )
         return this._with(out)
 
-    def sample(self, frac: float | None = None, n: int | None = None, seed: int | None = None) -> "DataFrame":
+    def sample(
+        self,
+        frac: float | None = None,
+        n: int | None = None,
+        seed: int | None = None,
+        id_col: str | None = None,
+    ) -> "DataFrame":
+        """pandas ``DataFrame.sample``. With ``id_col`` the sample is
+        DETERMINISTIC (md5 id-hash bucket / hash-rank — reproducible
+        across reruns, retries, partitionings, and engines); without
+        it, Spark RNG."""
+        if id_col is not None:
+            h = F.md5(F.concat(F.lit(str(seed if seed is not None else "")),
+                               F.col(id_col).cast("string")))
+            if frac is not None:
+                bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10_000
+                return self._with(self._sdf.filter(bucket < int(round(frac * 10_000))))
+            if n is not None:
+                return self._with(
+                    self._sdf.orderBy(h.asc(), F.col(id_col).asc()).limit(n)
+                )
         if frac is not None:
             return self._with(self._sdf.sample(fraction=frac, seed=seed or 0))
         if n is not None:

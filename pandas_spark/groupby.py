@@ -569,6 +569,52 @@ class GroupBy:
         )
         return frame._with(out)
 
+    def sample(
+        self,
+        n: int | None = None,
+        frac: float | None = None,
+        seed=None,
+        id_col: str | None = None,
+    ):
+        """pandas ``groupby.sample`` (reference groupby.py:5622).
+
+        With ``id_col``, sampling is DETERMINISTIC: rows are ranked
+        per group by ``md5(seed || id)`` — an order reproducible
+        across reruns, retries, and engines (the oracle recomputes it
+        row-for-row), unlike Spark's ``sampleBy`` RNG, whose stream
+        depends on partitioning. ``n=`` keeps exactly min(n, group
+        size) rows per group via a hash-rank window; ``frac=`` keeps
+        an id-hash bucket share, map-only (no shuffle at all).
+
+        Without ``id_col``, falls back to Spark's per-group Bernoulli
+        RNG (``frac`` only)."""
+        if id_col is not None:
+            h = F.md5(F.concat(F.lit(str(seed if seed is not None else "")),
+                               F.col(id_col).cast("string")))
+            if n is not None:
+                w = W.partitionBy(*self._keys).orderBy(h.asc(), F.col(id_col).asc())
+                out = (
+                    self._frame._sdf.withColumn("__rn__", F.row_number().over(w))
+                    .filter(F.col("__rn__") <= n)
+                    .drop("__rn__")
+                )
+                return self._frame._with(out)
+            if frac is not None:
+                bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10_000
+                return self._frame._with(
+                    self._frame._sdf.filter(bucket < int(round(frac * 10_000)))
+                )
+            raise ValueError("sample requires n or frac")
+        if frac is not None:
+            keys = self._keys
+            if len(keys) != 1:
+                raise ValueError("RNG sample supports a single group key; pass id_col for the deterministic path")
+            vals = [r[0] for r in self._frame._sdf.select(keys[0]).distinct().collect()]
+            return self._frame._with(
+                self._frame._sdf.sampleBy(keys[0], {v: frac for v in vals}, seed=seed or 0)
+            )
+        raise ValueError("exact-n RNG sampling is not distributed-reproducible; pass id_col for the deterministic hash-rank path")
+
     def tail(self, n: int = 5, order_by: str | None = None):
         if order_by:
             frame, order_exprs = self._frame, [F.col(order_by).desc()]

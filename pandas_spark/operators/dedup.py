@@ -227,10 +227,12 @@ def jaccard_verify(
     if shingle_sets is not None:
         sh = shingle_sets
     else:
-        sh = spread(docs).select(
-            F.col(id_col),
-            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
-        ).cache()
+        sh = _cache_once(
+            spread(docs).select(
+                F.col(id_col),
+                F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
+            )
+        )
     j = (
         pairs.join(sh.withColumnsRenamed({id_col: "id1", "__s__": "__s1__"}), "id1")
         .join(sh.withColumnsRenamed({id_col: "id2", "__s__": "__s2__"}), "id2")
@@ -265,14 +267,12 @@ def minhash_dedup_pairs(
     signatures/shingles are written once and reused across dedup runs.
     """
     sdf = frame.spark
-    base = (
-        minhash_signature(sdf, text_col, num_hashes, shingle_n)
-        .select(
+    base = _cache_once(
+        minhash_signature(sdf, text_col, num_hashes, shingle_n).select(
             id_col,
             "minhash",
             F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
         )
-        .cache()
     )
     cands = lsh_candidate_pairs(base, id_col, "minhash", bands, rows)
     return DataFrame(
@@ -439,6 +439,24 @@ def simhash_buckets(
         ],
     )
     return DataFrame(out)
+
+
+_CACHE_REGISTRY: dict = {}
+
+
+def _cache_once(sdf: SparkDF) -> SparkDF:
+    """cache() that is idempotent across repeated builds of the SAME
+    logical plan (repeated bench runs, pipeline entries sharing a
+    base). Spark's CacheManager already dedups storage, but each
+    extra .cache() call logs an 'already cached' warning and builds a
+    throwaway DataFrame — reuse the registered one instead."""
+    key = (id(sdf.sparkSession), sdf.semanticHash())
+    hit = _CACHE_REGISTRY.get(key)
+    if hit is not None and hit.is_cached and hit.sameSemantics(sdf):
+        return hit
+    c = sdf.cache()
+    _CACHE_REGISTRY[key] = c
+    return c
 
 
 def neardup_clusters(

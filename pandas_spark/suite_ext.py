@@ -1003,10 +1003,22 @@ def parse_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.select(["o_orderkey", "parsed_date", "parsed_num", "bad_num"]).to_spark()
 
 
-@query("sample_frac")  # rows-only: RNG streams differ across engines by design
+@query(
+    "sample_frac",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE ('0x' || substr(md5('42' || o_orderkey::VARCHAR), 1, 8))::UBIGINT % 10000 < 1000
+    """,
+)
 def sample_frac(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic 10% sample by id-hash bucket (generic.py:6056
+    sample) — reproducible across reruns/retries/engines, map-only."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.sample(frac=0.1, seed=42).select(["o_orderkey", "o_totalprice"]).to_spark()
+    return (
+        orders.sample(frac=0.1, seed=42, id_col="o_orderkey")
+        .select(["o_orderkey", "o_totalprice"])
+        .to_spark()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1052,6 +1064,53 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> SparkDF:
         )
     ).sort_values("event_id")
     out = sparse.interpolate(subset=["pv"], by=["user_id"])
+    return out.select(["event_id", "user_id", "pv"]).to_spark()
+
+
+@query(
+    "interpolate_time",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv,
+               epoch_us(ts) / 1000000.0 AS x,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               last_value(pv IGNORE NULLS) OVER wp AS prev_v,
+               first_value(pv IGNORE NULLS) OVER wn AS next_v,
+               last_value(CASE WHEN pv IS NOT NULL THEN x END IGNORE NULLS) OVER wp AS prev_x,
+               first_value(CASE WHEN pv IS NOT NULL THEN x END IGNORE NULLS) OVER wn AS next_x
+        FROM s
+        WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN pv IS NOT NULL THEN pv
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                     coalesce(prev_v + (next_v - prev_v)
+                              * CASE WHEN next_x <> prev_x
+                                     THEN (x - prev_x) / (next_x - prev_x) END,
+                              prev_v)
+                ELSE prev_v END AS pv
+    FROM m
+    """,
+)
+def interpolate_time(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Time-weighted interpolate (reference core/missing.py:227
+    clean_interp_method, method='time'): interior NULLs fill
+    proportionally to the event-time gap, not the row count."""
+    events = _t(spark, sf_dir, "events")
+    sparse = DataFrame(
+        events.spark.withColumn(
+            "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+        )
+    ).sort_values("event_id")
+    out = sparse.interpolate(subset=["pv"], by=["user_id"], method="time", on="ts")
     return out.select(["event_id", "user_id", "pv"]).to_spark()
 
 
@@ -2191,11 +2250,27 @@ def tail_after_sort(spark: SparkSession, sf_dir: str) -> SparkDF:
     return orders.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False]).tail(50).to_spark()
 
 
-@query("groupby_sample")  # rows-only: per-group RNG differs across engines
+@query(
+    "groupby_sample",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM (
+        SELECT o_orderkey, o_orderstatus,
+               row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY md5('42' || o_orderkey::VARCHAR), o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 100
+    """,
+)
 def groupby_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """groupby.sample(n=) (reference groupby.py:5622) — exact n per
+    group by deterministic md5 hash-rank, oracle-reproducible."""
     orders = _t(spark, sf_dir, "orders")
-    sampled = DataFrame(orders.spark.sampleBy("o_orderstatus", {"F": 0.1, "O": 0.1, "P": 0.5}, seed=42))
-    return sampled.select(["o_orderkey", "o_orderstatus"]).to_spark()
+    return (
+        orders.groupby("o_orderstatus")
+        .sample(n=100, seed=42, id_col="o_orderkey")
+        .select(["o_orderkey", "o_orderstatus"])
+        .to_spark()
+    )
 
 
 # ---------------------------------------------------------------------------
