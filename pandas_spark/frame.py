@@ -40,7 +40,32 @@ def _warn_unkeyed_window(op: str) -> None:
     no partition key compile to a single ordered partition — correct at
     any size, but one task executes it. Warn once per op so pipelines
     reach for the keyed variants (``groupby(...).<op>``) before the
-    100× scale-up turns this into the bottleneck (SCALE.md)."""
+    100× scale-up turns this into the bottleneck (SCALE.md).
+
+    Scale-bound pipelines can escalate the warning to a hard error
+    with ``spark.conf.set('pandas_spark.strict_scale', 'true')`` (or
+    env ``PANDAS_SPARK_STRICT_SCALE=1``) so an accidental global
+    window fails fast at plan time instead of serializing a 100 TB
+    stage onto one task."""
+    import os
+
+    strict = os.environ.get("PANDAS_SPARK_STRICT_SCALE", "") in ("1", "true")
+    if not strict:
+        try:
+            from pyspark.sql import SparkSession
+
+            s = SparkSession.getActiveSession()
+            strict = s is not None and s.conf.get(
+                "pandas_spark.strict_scale", "false"
+            ).lower() == "true"
+        except Exception:
+            strict = False
+    if strict:
+        raise RuntimeError(
+            f"{op}: unkeyed global window would run as a single ordered "
+            f"partition (pandas_spark.strict_scale=true); use "
+            f"groupby(...).{op} or pass a key"
+        )
     if op in _warned_unkeyed:
         return
     _warned_unkeyed.add(op)
@@ -563,15 +588,48 @@ class DataFrame:
             order_col=None,
         )
 
-    def mode(self, col: str) -> "DataFrame":
-        """Frame-level mode (series.py:2094): every maximally-frequent
-        value (pandas returns all ties). One groupBy + a broadcast max —
-        no global window, scales to any cardinality the groupBy does."""
-        cnt = self.spark.groupBy(col).agg(F.count(F.lit(1)).alias("__c__"))
-        mx = cnt.agg(F.max("__c__").alias("__m__"))
+    def mode(self, col: str | Sequence[str] | None = None) -> "DataFrame":
+        """Frame-level mode (series.py:2094 / frame.py:18792): every
+        maximally-frequent value (pandas returns all ties).
+
+        Single column: one groupBy + a broadcast max — no global
+        window, scales to any cardinality the groupBy does.
+
+        Multiple columns (or ``None`` = all): pandas returns a wide
+        frame NaN-padded to the longest mode list — an index artifact;
+        the Spark-native shape is long form ``(col_name, value)`` with
+        values as strings (mixed source dtypes share one column). ONE
+        scan: melt to (col_name, value) pairs in-plan, one groupBy,
+        per-column max filter."""
+        if isinstance(col, str):
+            cnt = self.spark.groupBy(col).agg(F.count(F.lit(1)).alias("__c__"))
+            mx = cnt.agg(F.max("__c__").alias("__m__"))
+            out = (
+                cnt.join(F.broadcast(mx), F.col("__c__") == F.col("__m__"))
+                .select(col)
+            )
+            return DataFrame(out)
+        cols = list(col) if col is not None else self.columns
+        pair = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+        long = (
+            self._sdf.select(pair)
+            .select("p.col_name", "p.value")
+            .filter(F.col("value").isNotNull())
+        )
+        cnt = long.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("__c__"))
+        w = W.partitionBy("col_name")
         out = (
-            cnt.join(F.broadcast(mx), F.col("__c__") == F.col("__m__"))
-            .select(col)
+            cnt.withColumn("__m__", F.max("__c__").over(w))
+            .filter(F.col("__c__") == F.col("__m__"))
+            .select("col_name", "value")
         )
         return DataFrame(out)
 

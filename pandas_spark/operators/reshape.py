@@ -112,9 +112,34 @@ def _only_data_col(sdf_like, idx):
     return data[0] if data else "value"
 
 
-def pivot(frame: DataFrame, index: str | Sequence[str], columns: str, values: str) -> DataFrame:
-    """``pd.pivot`` — spread without aggregation (first() on unique cells)."""
+def pivot(
+    frame: DataFrame,
+    index: str | Sequence[str],
+    columns: str,
+    values: str,
+    strict: bool = False,
+) -> DataFrame:
+    """``pd.pivot`` — spread without aggregation (first() on unique cells).
+
+    ``strict=True`` matches pandas' posture (reference
+    reshape/pivot.py:747 raises "Index contains duplicate entries,
+    cannot reshape"): any index×column cell holding more than one row
+    raises instead of silently taking first(). One extra count
+    aggregation over the same grouping — same shuffle key, cheap."""
     idx = [index] if isinstance(index, str) else list(index)
+    if strict:
+        dup = (
+            frame.spark.groupBy(*idx, columns)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "Index contains duplicate entries, cannot reshape "
+                "(some index×column cell has >1 row; use pivot_table to aggregate)"
+            )
     out = frame.spark.groupBy(*idx).pivot(columns).agg(F.first(values))
     return DataFrame(out)
 

@@ -1864,6 +1864,51 @@ def pivot_plain(spark: SparkSession, sf_dir: str) -> SparkDF:
                  index="o_orderkey", columns="o_orderstatus", values="o_totalprice").to_spark()
 
 
+@query(
+    "pivot_strict",
+    oracle="""
+    SELECT o_orderkey,
+           max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS F,
+           max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS O,
+           max(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS P
+    FROM orders GROUP BY o_orderkey
+    """,
+)
+def pivot_strict(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.pivot with pandas' duplicate check (reshape/pivot.py:747
+    raise-on-dup): verifies cell uniqueness before spreading —
+    (o_orderkey, o_orderstatus) is unique, so this succeeds; the
+    raise path is unit-tested."""
+    from pandas_spark.operators.reshape import pivot
+
+    orders = _t(spark, sf_dir, "orders")
+    return pivot(orders.select(["o_orderkey", "o_orderstatus", "o_totalprice"]),
+                 index="o_orderkey", columns="o_orderstatus", values="o_totalprice",
+                 strict=True).to_spark()
+
+
+@query(
+    "frame_mode_multi",
+    oracle="""
+    WITH long AS (
+        SELECT 'o_orderstatus' AS col_name, o_orderstatus::VARCHAR AS value
+        FROM orders WHERE o_orderstatus IS NOT NULL
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority::VARCHAR
+        FROM orders WHERE o_orderpriority IS NOT NULL
+    ),
+    c AS (SELECT col_name, value, count(*) AS n FROM long GROUP BY col_name, value)
+    SELECT col_name, value FROM c
+    QUALIFY n = max(n) OVER (PARTITION BY col_name)
+    """,
+)
+def frame_mode_multi(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Frame-wide per-column mode (frame.py:18792) in long form —
+    one scan, one shuffle, all tie values."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.mode(["o_orderstatus", "o_orderpriority"]).to_spark()
+
+
 # ---------------------------------------------------------------------------
 # batch 11: frame describe, per-group resample
 # ---------------------------------------------------------------------------

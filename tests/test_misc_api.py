@@ -330,3 +330,50 @@ def test_neardup_clusters_match_union_find(spark):
             for r in neardup_clusters(pairs, driver_threshold=0).collect()
         }
         assert got_d == expected, f"trial {trial} (distributed): {got_d} != {expected}"
+
+
+def test_pivot_strict_raises_on_duplicates(spark):
+    from pandas_spark.operators.reshape import pivot
+    import pandas_spark as ps
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"k": [1, 1, 2], "c": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]}
+    )
+    f = ps.from_pandas(spark, pdf)
+    with pytest.raises(ValueError, match="duplicate"):
+        pivot(f, index="k", columns="c", values="v", strict=True)
+    # unique cells pass
+    pdf2 = pd.DataFrame({"k": [1, 2], "c": ["a", "b"], "v": [1.0, 3.0]})
+    out = pivot(ps.from_pandas(spark, pdf2), index="k", columns="c", values="v", strict=True)
+    assert len(out.to_spark().collect()) == 2
+
+
+def test_strict_scale_escalates_unkeyed_window(spark):
+    import pandas_spark as ps
+    import pandas as pd
+
+    f = ps.from_pandas(spark, pd.DataFrame({"i": [1, 2], "v": [1.0, None]})).sort_values("i")
+    spark.conf.set("pandas_spark.strict_scale", "true")
+    try:
+        with pytest.raises(RuntimeError, match="single ordered partition"):
+            f.ffill()
+    finally:
+        spark.conf.set("pandas_spark.strict_scale", "false")
+    f.ffill()  # warning-only path works again
+
+
+def test_groupby_sample_deterministic(spark):
+    import pandas_spark as ps
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": ["a"] * 50 + ["b"] * 5, "id": range(55)})
+    f = ps.from_pandas(spark, pdf)
+    s1 = f.groupby("k").sample(n=10, seed=7, id_col="id").to_spark().collect()
+    s2 = f.groupby("k").sample(n=10, seed=7, id_col="id").to_spark().collect()
+    assert sorted(r["id"] for r in s1) == sorted(r["id"] for r in s2)
+    by_k = {}
+    for r in s1:
+        by_k.setdefault(r["k"], []).append(r["id"])
+    assert len(by_k["a"]) == 10
+    assert len(by_k["b"]) == 5  # min(n, group size)
