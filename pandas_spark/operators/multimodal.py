@@ -20,6 +20,16 @@ from pyspark.sql import functions as F
 
 from pandas_spark.frame import DataFrame
 
+# Imaging extras probe: when Pillow is installed (cluster deployments),
+# decode_image / real_decode_features activate; this container ships
+# without it, so the deterministic fake is the tested default.
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PIL_Image
+except ImportError:
+    _PIL_Image = None
+
+HAS_IMAGING = _PIL_Image is not None
+
 METADATA_SCHEMA = (
     "struct<modality:string,codec:string,width:int,height:int,"
     "duration_ms:int,sample_rate:int>"
@@ -59,16 +69,37 @@ def attach_binary_payload(
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB: real implementation decodes JPEG/PNG → HxWxC array.
+    """Decode JPEG/PNG bytes → HxWxC uint8 array via Pillow when the
+    imaging extra is installed (``HAS_IMAGING``); raises otherwise.
 
-    The container has no imaging libraries; a cluster deployment plugs
-    PIL/libjpeg-turbo here. Until then this raises, and pipelines use
-    ``fake_decode_features`` for deterministic tests.
+    The container has no imaging libraries, so the fake path is what
+    tests exercise; a cluster deployment only needs `pip install
+    pillow` — no plan changes.
     """
-    raise NotImplementedError(
-        "image decode requires an imaging library (PIL/opencv) — "
-        "not available in this environment; use fake_decode_features"
-    )
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "image decode requires an imaging library (pillow) — "
+            "not available in this environment; use fake_decode_features"
+        )
+    import io
+
+    import numpy as np
+
+    with _PIL_Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"))
+
+
+def real_decode_features(payload: bytes) -> dict:
+    """Pillow-backed drop-in for ``fake_decode_features``: same output
+    schema (FEATURE_SCHEMA), real dimensions."""
+    h = hashlib.sha256(payload).digest()
+    arr = decode_image(payload)
+    return {
+        "byte_len": len(payload),
+        "digest": h.hex()[:16],
+        "pseudo_width": int(arr.shape[1]),
+        "pseudo_height": int(arr.shape[0]),
+    }
 
 
 def fake_decode_features(payload: bytes) -> dict:
@@ -93,18 +124,22 @@ def extract_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     batch_size_hint: int = 1024,
+    features_fn=None,
 ) -> DataFrame:
     """Arrow-batched per-partition feature extraction (mapInPandas).
 
     Only (id, payload) flow into Python — column pruning keeps the rest
-    JVM-side. Swap ``fake_decode_features`` for a real decoder without
-    touching the plan shape.
+    JVM-side. ``features_fn`` (payload bytes → FEATURE_SCHEMA dict)
+    defaults to the deterministic fake; pass
+    ``real_decode_features`` on a cluster with the imaging extra —
+    the plan shape is identical either way.
     """
+    fn = features_fn or fake_decode_features
     src = frame.spark.select(F.col(id_col).alias("id"), F.col(payload_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode_features(p) for p in pdf[payload_col]]
+            feats = [fn(p) for p in pdf[payload_col]]
             out = pd.DataFrame(feats)
             out.insert(0, "id", pdf["id"].values)
             yield out

@@ -377,3 +377,40 @@ def test_groupby_sample_deterministic(spark):
         by_k.setdefault(r["k"], []).append(r["id"])
     assert len(by_k["a"]) == 10
     assert len(by_k["b"]) == 5  # min(n, group size)
+
+
+def test_decode_image_both_paths(monkeypatch):
+    """decode_image raises without the imaging extra; with a (stub)
+    imaging module present it decodes and real_decode_features emits
+    the FEATURE_SCHEMA dict with real dimensions."""
+    from pandas_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_PIL_Image", None)
+    with pytest.raises(NotImplementedError, match="imaging"):
+        mm.decode_image(b"\x89PNG")
+
+    import numpy as np
+
+    class _FakeImg:
+        def __init__(self, arr):
+            self._arr = arr
+        def convert(self, mode):
+            return self
+        def __array__(self, dtype=None, copy=None):
+            return self._arr
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    class _FakePIL:
+        @staticmethod
+        def open(buf):
+            return _FakeImg(np.zeros((7, 9, 3), dtype=np.uint8))
+
+    monkeypatch.setattr(mm, "_PIL_Image", _FakePIL)
+    arr = mm.decode_image(b"\x89PNG")
+    assert arr.shape == (7, 9, 3)
+    feats = mm.real_decode_features(b"\x89PNG")
+    assert feats["pseudo_width"] == 9 and feats["pseudo_height"] == 7
+    assert set(feats) == {"byte_len", "digest", "pseudo_width", "pseudo_height"}
