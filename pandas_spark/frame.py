@@ -1085,17 +1085,34 @@ class DataFrame:
 
         return self._drop_internal(self._sdf).limit(n or INFER_SAMPLE).toPandas()
 
-    def apply(self, fn: Callable, axis: int = 1, alias: str = "result", dtype: str | None = None) -> "DataFrame":
+    def apply(self, fn: Callable, axis: int = 1, alias: str = "result", dtype: str | None = None, subset: Sequence[str] | None = None) -> "DataFrame":
         """``DataFrame.apply(fn, axis=1)`` — arbitrary row-wise callable
         (reference core/apply.py:915 FrameApply). Arrow-batched
         ``mapInPandas``; every input column is kept and the result is
         appended as ``alias``. ``dtype`` skips the one-off sample job
-        used for result-type inference. axis=0 (column reductions) is
-        ``agg``'s job — pass callables there."""
+        used for result-type inference.
+
+        ``axis=0`` applies ``fn`` to each column as a Series reduction
+        (reference apply.py:1654 area) — one global GROUPED_AGG pass
+        over every column at once (Arrow-vectorized, distributed
+        partial aggregation), returning a single wide row, the lazy
+        analog of pandas' Series result."""
         from pandas_spark.functions import callables as C
 
+        if axis == 0:
+            cols = list(subset) if subset else [
+                n for n, t in self.dtypes
+                if t in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            ]
+            if not cols:
+                raise ValueError("apply(axis=0): no numeric columns (pass subset=)")
+            u = C.grouped_agg_udf(fn, dtype or "double")
+            return self._with(
+                self._sdf.agg(*[u(F.col(c)).alias(c) for c in cols]),
+                order_col=None,
+            )
         if axis != 1:
-            raise NotImplementedError("apply(axis=0): use agg(callable) instead")
+            raise NotImplementedError("apply axis must be 0 or 1")
         if dtype is None:
             dtype = C.infer_row_apply_dtype(fn, self._infer_sample())
         out = C.row_apply(self._sdf, fn, alias, dtype)

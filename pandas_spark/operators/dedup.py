@@ -257,30 +257,86 @@ def minhash_dedup_pairs(
     rows: int = 2,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """End-to-end near-duplicate pairs: MinHash → LSH buckets → exact
-    Jaccard verification at ``threshold``. Deterministic output.
+    """End-to-end near-duplicate pairs: exact-duplicate collapse →
+    MinHash → LSH buckets → exact Jaccard verification at
+    ``threshold`` → expand back to document pairs. Deterministic.
 
-    The corpus text is scanned ONCE: a single cached base holds
-    (id, shingle set, signature); it feeds both sides of the bucket
-    self-join AND both sides of the Jaccard verification. At
-    production scale this materialization is the standard pattern —
-    signatures/shingles are written once and reused across dedup runs.
+    **Exact-collapse first** (the structure every production dedup
+    pipeline uses): documents are grouped by text hash so the whole
+    MinHash/LSH/verify machinery runs on UNIQUE texts only. Without
+    it, a corpus where the same document appears m times pays
+    O(m²·bands) redundant candidate pairs — the same clone pair
+    rediscovered in every band (measured: >30× blowup at 100 clones).
+    With it, clone pairs are reconstructed map-side:
+
+    * within-group: identical texts → jaccard exactly 1.0; pairs come
+      from an array HOF over the member list, no join at all.
+    * cross-group: jaccard(memberᵢ, memberⱼ) = jaccard(rep₁, rep₂)
+      (identical texts ⇒ identical shingle sets), so the verified
+      rep-pair table — tiny — broadcasts into the member lists and
+      explodes to output pairs map-side.
+
+    The unique-text base (id, shingle set, signature) is still scanned
+    once and cached, feeding the bucket aggregation and both sides of
+    the verification.
     """
     sdf = frame.spark
+    groups = _cache_once(
+        sdf.groupBy(F.md5(F.col(text_col)).alias("__k__")).agg(
+            F.min(id_col).alias("__rep__"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__members__"),
+            F.first(F.col(text_col)).alias(text_col),
+        )
+    )
+    reps = groups.select(F.col("__rep__").alias(id_col), text_col)
     base = _cache_once(
-        minhash_signature(sdf, text_col, num_hashes, shingle_n).select(
+        minhash_signature(reps, text_col, num_hashes, shingle_n).select(
             id_col,
             "minhash",
             F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
         )
     )
     cands = lsh_candidate_pairs(base, id_col, "minhash", bands, rows)
-    return DataFrame(
-        jaccard_verify(
-            cands, sdf, id_col, text_col, shingle_n, threshold,
-            shingle_sets=base.select(id_col, "__s__"),
+    rep_pairs = jaccard_verify(
+        cands, reps, id_col, text_col, shingle_n, threshold,
+        shingle_sets=base.select(id_col, "__s__"),
+    )
+
+    m = F.col("__members__")
+    n = F.size(m)
+    # within-group pairs (i < j over the sorted member list), jaccard 1.0
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, n), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
         )
     )
+    within = (
+        groups.filter(n > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a").alias("id1"),
+            F.col("p.b").alias("id2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross-group pairs: broadcast the (tiny) verified rep pairs into
+    # the member lists and explode both sides map-side
+    g1 = groups.select(F.col("__rep__").alias("id1"), m.alias("__m1__"))
+    g2 = groups.select(F.col("__rep__").alias("id2"), m.alias("__m2__"))
+    cross = (
+        F.broadcast(rep_pairs).join(g1, "id1").join(g2, "id2")
+        .select(F.explode("__m1__").alias("a"), "__m2__", "jaccard")
+        .select("a", F.explode("__m2__").alias("b"), "jaccard")
+        .select(
+            F.least("a", "b").alias("id1"),
+            F.greatest("a", "b").alias("id2"),
+            "jaccard",
+        )
+    )
+    return DataFrame(within.unionByName(cross))
 
 
 def ngram_jaccard_pairs(

@@ -2633,6 +2633,25 @@ def agg_udaf(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "apply_axis0",
+    oracle="""
+    SELECT max(l_quantity) - min(l_quantity) AS l_quantity,
+           max(l_extendedprice) - min(l_extendedprice) AS l_extendedprice
+    FROM lineitem
+    """,
+)
+def apply_axis0(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DataFrame.apply(fn, axis=0) — per-column Series reduction
+    (apply.py:1654 area): one global GROUPED_AGG pass, wide row out."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.apply(
+        lambda s: float(s.max() - s.min()),
+        axis=0,
+        subset=["l_quantity", "l_extendedprice"],
+    ).to_spark()
+
+
+@query(
     "transform_callable",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -34,7 +34,10 @@ import sys
 DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1ish"
 SRC = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REPS = 10
+# replication factor: 10 → ~sf1 (6M-row lineitem); 100 → ~sf10 (60M).
+# The key-shift spacings below support up to 1000 replicas without
+# collisions (10M spacing vs ≤600k source keys).
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 sys.path.insert(0, REPO)
 
@@ -56,7 +59,7 @@ COPY = ["nation", "region"]
 def ensure_data(spark):
     from pyspark.sql import functions as F
 
-    done = f"{DIR}/.complete_v2"
+    done = f"{DIR}/.complete_v2" if REPS == 10 else f"{DIR}/.complete_v2_r{REPS}"
     if os.path.exists(done):
         return
     for t, shifts in SHIFTS.items():
@@ -88,7 +91,13 @@ def main():
     ensure_data(spark)
     spark.stop()
 
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=DIR)
+    runs = os.environ.get("CROSSOVER_RUNS", "5" if REPS <= 10 else "3")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=DIR,
+        SPARK_GRAFT_BENCH_RUNS=runs,
+        PANDAS_REF_RUNS=runs,
+    )
     eng = subprocess.run(
         [sys.executable, f"{REPO}/bench.py"], env=env, capture_output=True, text=True
     )
@@ -96,6 +105,7 @@ def main():
 
     ref = subprocess.run(
         [sys.executable, f"{REPO}/tools/bench_pandas_ref.py", DIR],
+        env=env,
         capture_output=True,
         text=True,
     )

@@ -25,7 +25,11 @@ def load(name: str, columns=None) -> pd.DataFrame:
     return pd.read_parquet(f"{SF_DIR}/{name}.parquet", columns=columns)
 
 
-def bench(fn, runs: int = 5) -> float:
+def bench(fn, runs: int | None = None) -> float:
+    if runs is None:
+        import os
+
+        runs = int(os.environ.get("PANDAS_REF_RUNS", "5"))
     fn()  # warmup
     times = []
     for _ in range(runs):
