@@ -311,21 +311,52 @@ class DataFrame:
     def replace(self, to_replace, value=None, subset=None) -> "DataFrame":
         return self._with(self._sdf.replace(to_replace, value, subset))
 
-    def ffill(self, subset: Sequence[str] | None = None) -> "DataFrame":
+    def ffill(self, subset: Sequence[str] | None = None, limit: int | None = None) -> "DataFrame":
+        """Forward fill over the declared order (generic.py:7292 ffill).
+        ``limit`` caps the fill at that many consecutive NULLs after the
+        last valid value (the gap's first ``limit`` rows fill)."""
         _warn_unkeyed_window("ffill")
         this, order_exprs = self._ordered()
-        w = W.orderBy(*order_exprs).rowsBetween(W.unboundedPreceding, 0)
+        wo = W.orderBy(*order_exprs)
+        w = wo.rowsBetween(W.unboundedPreceding, 0)
         cols = subset or this.columns
-        filled = {c: F.last(c, ignorenulls=True).over(w) for c in cols}
-        return this._with(this._sdf.withColumns(filled))
+        if limit is None:
+            filled = {c: F.last(c, ignorenulls=True).over(w) for c in cols}
+            return this._with(this._sdf.withColumns(filled))
+        sdf = this._sdf.withColumn("__rn__", F.row_number().over(wo))
+        filled = {}
+        for c in cols:
+            pv = F.last(c, ignorenulls=True).over(w)
+            prn = F.last(
+                F.when(F.col(c).isNotNull(), F.col("__rn__")), ignorenulls=True
+            ).over(w)
+            filled[c] = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                F.when(F.col("__rn__") - prn <= F.lit(int(limit)), pv)
+            )
+        return this._with(sdf.withColumns(filled).drop("__rn__"))
 
-    def bfill(self, subset: Sequence[str] | None = None) -> "DataFrame":
+    def bfill(self, subset: Sequence[str] | None = None, limit: int | None = None) -> "DataFrame":
+        """Backward fill over the declared order; ``limit`` caps
+        consecutive fills before the next valid value."""
         _warn_unkeyed_window("bfill")
         this, order_exprs = self._ordered()
-        w = W.orderBy(*order_exprs).rowsBetween(0, W.unboundedFollowing)
+        wo = W.orderBy(*order_exprs)
+        w = wo.rowsBetween(0, W.unboundedFollowing)
         cols = subset or this.columns
-        filled = {c: F.first(c, ignorenulls=True).over(w) for c in cols}
-        return this._with(this._sdf.withColumns(filled))
+        if limit is None:
+            filled = {c: F.first(c, ignorenulls=True).over(w) for c in cols}
+            return this._with(this._sdf.withColumns(filled))
+        sdf = this._sdf.withColumn("__rn__", F.row_number().over(wo))
+        filled = {}
+        for c in cols:
+            nv = F.first(c, ignorenulls=True).over(w)
+            nrn = F.first(
+                F.when(F.col(c).isNotNull(), F.col("__rn__")), ignorenulls=True
+            ).over(w)
+            filled[c] = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                F.when(nrn - F.col("__rn__") <= F.lit(int(limit)), nv)
+            )
+        return this._with(sdf.withColumns(filled).drop("__rn__"))
 
     # -- dedup (SURVEY §2.2: duplicated/drop_duplicates) --------------------
     def take(self, positions: Sequence[int]) -> "DataFrame":
@@ -464,6 +495,7 @@ class DataFrame:
         method: str = "linear",
         by: Sequence[str] | None = None,
         on: str | None = None,
+        limit: int | None = None,
     ) -> "DataFrame":
         """Interpolation of interior NULLs (generic.py:8113, default
         limit_direction='forward': leading NULLs stay, trailing NULLs
@@ -476,7 +508,11 @@ class DataFrame:
         ``'values'`` (reference core/missing.py:227
         clean_interp_method) weight by the ``on`` column — timestamp
         or numeric — so unevenly spaced gaps interpolate
-        proportionally to the gap width. Other scipy methods raise."""
+        proportionally to the gap width. Other scipy methods raise.
+
+        ``limit`` (generic.py:8113 limit=) fills at most that many
+        consecutive NULLs after the last valid value — measured in
+        ROWS (pandas semantics) regardless of the x weighting."""
         if method in ("time", "index", "values") and not on:
             raise ValueError(f"method={method!r} requires on=<timestamp or numeric column>")
         if method not in ("linear", "time", "index", "values"):
@@ -511,11 +547,15 @@ class DataFrame:
             # would divide by zero — ANSI-fatal; fall back to ffill
             ratio = F.when(nx != px, (x - px) / (nx - px))
             interior = pv + (nv - pv) * ratio
-            out[c] = F.when(v.isNotNull(), v).otherwise(
-                F.when(
-                    pv.isNotNull() & nv.isNotNull(), F.coalesce(interior, pv)
-                ).otherwise(pv)
-            )
+            fill = F.when(
+                pv.isNotNull() & nv.isNotNull(), F.coalesce(interior, pv)
+            ).otherwise(pv)
+            if limit is not None:
+                prn = F.last(
+                    F.when(v.isNotNull(), F.col("__rn__")), ignorenulls=True
+                ).over(w_prev)
+                fill = F.when(F.col("__rn__") - prn <= F.lit(int(limit)), fill)
+            out[c] = F.when(v.isNotNull(), v).otherwise(fill)
         return this._with(sdf.withColumns(out).drop("__rn__"))
 
     def drop_duplicates(

@@ -514,19 +514,43 @@ class GroupBy:
             frame._sdf.withColumn(alias or col, (F.col(col) - prev) / prev)
         )
 
-    def ffill(self, col: str, alias: str | None = None, order_by: str | None = None):
+    def ffill(self, col: str, alias: str | None = None, order_by: str | None = None,
+              limit: int | None = None):
+        """Per-group forward fill (groupby.pyx:545 group_fillna_indexer).
+        ``limit`` caps the fill at that many consecutive NULLs after the
+        last valid value (pandas limit semantics): the gap's first
+        ``limit`` rows fill, the rest stay NULL."""
         frame, w = self._ordered_part(order_by)
         wf = w.rowsBetween(W.unboundedPreceding, 0)
-        return frame._with(
-            frame._sdf.withColumn(alias or col, F.last(col, ignorenulls=True).over(wf))
+        pv = F.last(col, ignorenulls=True).over(wf)
+        if limit is None:
+            return frame._with(frame._sdf.withColumn(alias or col, pv))
+        sdf = frame._sdf.withColumn("__rn__", F.row_number().over(w))
+        prn = F.last(
+            F.when(F.col(col).isNotNull(), F.col("__rn__")), ignorenulls=True
+        ).over(wf)
+        filled = F.when(F.col(col).isNotNull(), F.col(col)).otherwise(
+            F.when(F.col("__rn__") - prn <= F.lit(int(limit)), pv)
         )
+        return frame._with(sdf.withColumn(alias or col, filled).drop("__rn__"))
 
-    def bfill(self, col: str, alias: str | None = None, order_by: str | None = None):
+    def bfill(self, col: str, alias: str | None = None, order_by: str | None = None,
+              limit: int | None = None):
+        """Per-group backward fill; ``limit`` caps consecutive fills
+        before the next valid value (mirror of :meth:`ffill`)."""
         frame, w = self._ordered_part(order_by)
         wf = w.rowsBetween(0, W.unboundedFollowing)
-        return frame._with(
-            frame._sdf.withColumn(alias or col, F.first(col, ignorenulls=True).over(wf))
+        nv = F.first(col, ignorenulls=True).over(wf)
+        if limit is None:
+            return frame._with(frame._sdf.withColumn(alias or col, nv))
+        sdf = frame._sdf.withColumn("__rn__", F.row_number().over(w))
+        nrn = F.first(
+            F.when(F.col(col).isNotNull(), F.col("__rn__")), ignorenulls=True
+        ).over(wf)
+        filled = F.when(F.col(col).isNotNull(), F.col(col)).otherwise(
+            F.when(nrn - F.col("__rn__") <= F.lit(int(limit)), nv)
         )
+        return frame._with(sdf.withColumn(alias or col, filled).drop("__rn__"))
 
     def rank(self, col: str, method: str = "average", ascending: bool = True,
              pct: bool = False, alias: str | None = None):

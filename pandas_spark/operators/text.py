@@ -216,6 +216,84 @@ def hash_sample_expr(
     return bucket < thr
 
 
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB,
+# re2 portability) accept: no lookaround, no backrefs. Order matters —
+# emails carry dots and digits, so they redact before IPs/phones.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii_expr(text: Column) -> Column:
+    """Regex PII redaction (emails, IPv4, US-style phone numbers) as a
+    chain of ``regexp_replace`` — map-only Catalyst, zero Python, zero
+    shuffle: the standard pre-training scrub applied at ingest where it
+    costs one pass over the bytes already being read."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii(frame: DataFrame, text_col: str = "text") -> DataFrame:
+    return frame._with(
+        frame._sdf.withColumn(text_col, redact_pii_expr(F.col(text_col)))
+    )
+
+
+def strip_boilerplate_lines(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet / RefinedWeb line
+    dedup stage): delete every line whose exact text occurs in at least
+    ``min_docs`` DISTINCT documents (navigation chrome, cookie banners,
+    license footers), preserving remaining line order. Blank lines are
+    never counted as boilerplate.
+
+    Scale shape: explode to narrow (id, pos, line) rows; ONE groupBy on
+    the line text counts distinct docs (partial aggregation map-side);
+    the surviving-line join keys on the line text again — co-partitioned
+    with the count shuffle under AQE; rebuild is one groupBy(id) with
+    sort_array over (pos, line) structs. Documents whose every line was
+    boilerplate survive with empty text (left join back on ids).
+    """
+    sdf = spread(frame._sdf)
+    others = [c for c in sdf.columns if c != text_col]
+    lines = sdf.select(
+        *others,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__line__"),
+    )
+    common = (
+        lines.filter(F.trim(F.col("__line__")) != "")
+        .groupBy("__line__")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+        .filter(F.col("__nd__") >= F.lit(int(min_docs)))
+        .select("__line__")
+    )
+    kept = lines.join(common, "__line__", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__pos__"), F.col("__line__")))
+                ),
+                lambda s: s["__line__"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    base = sdf.drop(text_col)
+    out = base.join(rebuilt, id_col, "left").withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
+    return frame._with(out.select(*sdf.columns))
+
+
 def contamination_ratios(corpus, bench, id_col="doc_id", text_col="text", shingle_n=8):
     """Benchmark decontamination: per-document n-gram overlap against a
     benchmark set (the standard pre-training hygiene stage — drop or

@@ -271,7 +271,9 @@ def read_sql(
     reader = spark.read.format("jdbc").option("url", con)
     q = sql.strip()
     if q.lower().startswith("select"):
-        reader = reader.option("dbtable", f"({q}) AS __src__")
+        # alias must not start with '_' — Derby (and other strict SQL
+        # dialects) reject unquoted leading-underscore identifiers
+        reader = reader.option("dbtable", f"({q}) AS srcq")
     else:
         reader = reader.option("dbtable", q)
     if partition_column is not None:

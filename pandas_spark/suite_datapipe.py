@@ -987,3 +987,95 @@ def adaptive_length_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
         .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
         .select("doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus scrubbing: PII redaction + line-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+# synthetic PII suffix built identically on both sides (the driver's
+# documents table carries no PII); redaction SQL is generated from the
+# same PII_PATTERNS list the Spark expression chain uses — no drift.
+_PII_AUG_SQL = (
+    "text || ' contact u' || doc_id || '@mail.example.org or 10.0.' "
+    "|| (doc_id % 200) || '.7 call 555-010-' "
+    "|| lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+_PII_REDACT_SQL = _PII_AUG_SQL
+for _pat, _repl in text.PII_PATTERNS:
+    _PII_REDACT_SQL = f"regexp_replace({_PII_REDACT_SQL}, '{_pat}', '{_repl}', 'g')"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"SELECT doc_id, {_PII_REDACT_SQL} AS text FROM documents",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Regex PII scrub (emails / IPv4 / phone numbers) — map-only
+    regexp_replace chain (text.py redact_pii_expr), zero shuffle; the
+    entry appends deterministic synthetic PII so the redaction is
+    observable against the oracle."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.spark.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 call 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text.redact_pii(DataFrame(aug)).to_spark()
+
+
+_BOILER_ORACLE = """
+WITH aug AS (
+    SELECT doc_id,
+           'NAV: site menu ' || source || chr(10) || text || chr(10)
+           || 'Copyright 2024 Example Corp' AS text
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           unnest(range(len(string_split(text, chr(10))))) AS pos
+    FROM aug
+),
+common AS (
+    SELECT line FROM lines WHERE trim(line) <> ''
+    GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+),
+kept AS (
+    SELECT * FROM lines WHERE line NOT IN (SELECT line FROM common)
+)
+SELECT a.doc_id, coalesce(k.text, '') AS text
+FROM aug a LEFT JOIN (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+@query("boilerplate_line_dedup", oracle=_BOILER_ORACLE)
+def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: lines
+    occurring in >= 10 distinct documents (here a synthetic per-source
+    nav header + a global copyright footer wrapped around every doc)
+    are deleted corpus-wide, preserving the remaining line order. One
+    groupBy on line text + one anti-join + one per-doc rebuild."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.spark.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("NAV: site menu "), F.col("source")),
+            F.col("text"),
+            F.lit("Copyright 2024 Example Corp"),
+        ).alias("text"),
+    )
+    out = text.strip_boilerplate_lines(
+        DataFrame(aug), text_col="text", id_col="doc_id", min_docs=10
+    )
+    return out.to_spark()

@@ -3315,3 +3315,88 @@ def expanding_skew_kurt(spark: SparkSession, sf_dir: str) -> SparkDF:
     out = Expanding(events, on="event_id", by=["user_id"]).skew("value", alias="v_skew")
     out = Expanding(out, on="event_id", by=["user_id"]).kurt("value", alias="v_kurt")
     return out.select(["event_id", "user_id", "v_skew", "v_kurt"]).to_spark()
+
+
+@query(
+    "ffill_limit",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               last_value(pv IGNORE NULLS) OVER wp AS pv_f,
+               last_value(CASE WHEN pv IS NOT NULL THEN rn END IGNORE NULLS)
+                   OVER wp AS prn
+        FROM s
+        WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN pv IS NOT NULL THEN pv
+                WHEN rn - prn <= 2 THEN pv_f END AS pv_lim
+    FROM m
+    """,
+)
+def ffill_limit(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-group ffill with limit=2 (generic.py:7292 ffill limit=):
+    only the first two rows of each NULL gap fill — a row-distance
+    window predicate on top of the plain last(ignorenulls) fill."""
+    events = _t(spark, sf_dir, "events")
+    sparse = DataFrame(
+        events.spark.withColumn(
+            "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+        )
+    )
+    out = sparse.groupby("user_id").ffill(
+        "pv", alias="pv_lim", order_by="event_id", limit=2
+    )
+    return out.select(["event_id", "user_id", "pv_lim"]).to_spark()
+
+
+@query(
+    "interpolate_limit",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               last_value(pv IGNORE NULLS) OVER wp AS prev_v,
+               first_value(pv IGNORE NULLS) OVER wn AS next_v,
+               last_value(CASE WHEN pv IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS prev_r,
+               first_value(CASE WHEN pv IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS next_r
+        FROM s
+        WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN pv IS NOT NULL THEN pv
+                WHEN rn - prev_r <= 2 THEN
+                    CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                         THEN prev_v + (next_v - prev_v) * (rn - prev_r) / (next_r - prev_r)
+                         ELSE prev_v END
+           END AS pv
+    FROM m
+    """,
+)
+def interpolate_limit(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """interpolate(limit=2) (generic.py:8113): at most two consecutive
+    NULLs fill after each valid value — row-distance cap on both the
+    interior linear fill and the trailing ffill."""
+    events = _t(spark, sf_dir, "events")
+    sparse = DataFrame(
+        events.spark.withColumn(
+            "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+        )
+    ).sort_values("event_id")
+    out = sparse.interpolate(subset=["pv"], by=["user_id"], limit=2)
+    return out.select(["event_id", "user_id", "pv"]).to_spark()

@@ -414,3 +414,47 @@ def test_decode_image_both_paths(monkeypatch):
     feats = mm.real_decode_features(b"\x89PNG")
     assert feats["pseudo_width"] == 9 and feats["pseudo_height"] == 7
     assert set(feats) == {"byte_len", "digest", "pseudo_width", "pseudo_height"}
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, frame):
+    """read_sql/to_sql against the Derby embedded driver Spark ships
+    for its Hive metastore — a real JDBC round-trip (plain read, SELECT
+    wrapping, and a partitioned range-scan read), no external DB."""
+    from pandas_spark.sources.io import read_sql, to_sql
+
+    url = "jdbc:derby:memory:psjdbc;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    small = frame.select(["c_custkey", "c_name", "c_acctbal"]).head(50)
+    to_sql(small, "cust", url, if_exists="replace", **drv)
+
+    back = read_sql(spark, "cust", url, **drv)
+    assert back.spark.count() == 50
+    assert set(back.columns) == {"c_custkey", "c_name", "c_acctbal"}
+
+    # Spark's JDBC writer quotes identifiers, so raw SQL against the
+    # written table quotes them too (Derby folds unquoted names upper)
+    sel = read_sql(
+        spark,
+        'SELECT "c_custkey", "c_acctbal" FROM cust WHERE "c_acctbal" > 0',
+        url,
+        **drv,
+    )
+    assert set(sel.columns) == {"c_custkey", "c_acctbal"}
+
+    part = read_sql(
+        spark,
+        "cust",
+        url,
+        partition_column="c_custkey",
+        lower_bound=0,
+        upper_bound=10000,
+        num_partitions=4,
+        **drv,
+    )
+    assert part.spark.rdd.getNumPartitions() == 4
+    assert part.spark.count() == 50
+
+    to_sql(small, "cust", url, if_exists="append", **drv)
+    assert read_sql(spark, "cust", url, **drv).spark.count() == 100
+    with pytest.raises(Exception):
+        to_sql(small, "cust", url, if_exists="fail", **drv)

@@ -479,3 +479,94 @@ def test_rolling_nunique_matches_pandas(spark):
     r = Rolling(f, 5, on="i", by=["k"], min_periods=1)
     got = r.nunique("v", alias="n").to_spark().toPandas().sort_values("i")
     assert_col_matches(got, want["n"], "n")
+
+
+def test_ffill_bfill_limit_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": range(12),
+            "k": [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1],
+            "v": [1.0, np.nan, np.nan, np.nan, 5.0, np.nan,
+                  np.nan, 2.0, np.nan, np.nan, np.nan, 8.0],
+        }
+    )
+    g = pdf.groupby("k")["v"]
+    want = pdf.assign(ff=g.ffill(limit=2), bf=g.bfill(limit=1)).sort_values("i")
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = (
+        f.groupby("k")
+        .ffill("v", alias="ff", order_by="i", limit=2)
+        .groupby("k")
+        .bfill("v", alias="bf", order_by="i", limit=1)
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert_col_matches(got, want.ff, "ff")
+    assert_col_matches(got, want.bf, "bf")
+
+
+def test_frame_ffill_limit_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {"i": range(7), "v": [np.nan, 3.0, np.nan, np.nan, np.nan, 7.0, np.nan]}
+    )
+    want = pdf.assign(v=pdf.v.ffill(limit=1)).sort_values("i")
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = f.ffill(subset=["v"], limit=1).sort_values("i").to_pandas()
+    assert_col_matches(got, want.v, "v")
+
+
+def test_interpolate_limit_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": range(10),
+            "v": [np.nan, 1.0, np.nan, np.nan, np.nan, 5.0, np.nan, 7.0,
+                  np.nan, np.nan],
+        }
+    )
+    want = pdf.assign(v=pdf.v.interpolate("linear", limit=2)).sort_values("i")
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = f.interpolate(subset=["v"], limit=2).sort_values("i").to_pandas()
+    assert_col_matches(got, want.v, "v")
+
+
+def test_redact_pii(spark):
+    from pandas_spark.operators.text import redact_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail me at jo.doe+x@corp.example.com today",
+                "server 192.168.0.12 and phone 555-123-4567",
+                "clean text, no pii here",
+            ],
+        }
+    )
+    f = ps.from_pandas(spark, pdf)
+    got = redact_pii(f, "text").sort_values("doc_id").to_pandas()
+    assert got.text.tolist() == [
+        "mail me at <EMAIL> today",
+        "server <IP> and phone <PHONE>",
+        "clean text, no pii here",
+    ]
+
+
+def test_strip_boilerplate_lines(spark):
+    from pandas_spark.operators.text import strip_boilerplate_lines
+
+    header, footer = "SITE NAV", "(c) corp"
+    rows = []
+    for i in range(12):
+        body = f"unique body {i}"
+        rows.append((i, "\n".join([header, body, footer])))
+    # one doc that is ONLY boilerplate
+    rows.append((12, "\n".join([header, footer])))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        strip_boilerplate_lines(f, "text", "doc_id", min_docs=10)
+        .sort_values("doc_id")
+        .to_pandas()
+    )
+    assert got.text.tolist()[:12] == [f"unique body {i}" for i in range(12)]
+    assert got.text.tolist()[12] == ""
