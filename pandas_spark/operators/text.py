@@ -216,6 +216,95 @@ def hash_sample_expr(
     return bucket < thr
 
 
+def pack_sequences(
+    frame: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """GPT-style training sequence packing: documents are concatenated
+    in id order and sliced into fixed ``seq_len``-token windows; each
+    doc gets its (shard, seq_id, offset_in_seq) placement plus a
+    ``spans_boundary`` flag (doc straddles two sequences — the consumer
+    either splits it or inserts it into the next sequence).
+
+    Deterministic and shuffle-minimal by design: docs hash to
+    ``n_shards`` independent shards (id mod — reproducible in any
+    engine), and the running token offset is ONE window cumsum per
+    shard. Shard count bounds the window parallelism, so at cluster
+    scale you raise ``n_shards`` to O(cores) and every shard packs
+    independently — no global sequential pass, no driver state.
+    """
+    sdf = frame._sdf
+    shard = (F.col(id_col) % F.lit(int(n_shards))).alias("shard")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = (
+        sdf.select(F.col(id_col), shard, F.col(tokens_col).alias("__nt__"))
+        .withColumn("__off__", F.coalesce(F.sum("__nt__").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "shard",
+            F.floor(F.col("__off__") / F.lit(int(seq_len))).cast("long").alias("seq_id"),
+            (F.col("__off__") % F.lit(int(seq_len))).cast("long").alias("offset_in_seq"),
+            ((F.col("__off__") % F.lit(int(seq_len))) + F.col("__nt__") > F.lit(int(seq_len)))
+            .alias("spans_boundary"),
+        )
+    )
+    return DataFrame(out)
+
+
+def chunk_documents(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the RAG /
+    embedding-index preparation stage): chunk starts every
+    ``chunk_size - overlap`` tokens; each chunk carries its id, start
+    offset, text, and token count. Map-only (tokenize + sequence +
+    slice HOFs, then one explode) — no shuffle, scales with the scan.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    step = chunk_size - overlap
+    sdf = frame._sdf
+    toks = tokens_expr(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - F.lit(1), F.lit(0)),
+        F.lit(step),
+    )
+    out = (
+        sdf.select(F.col(id_col), toks.alias("__toks__"), starts.alias("__starts__"))
+        .select(
+            id_col,
+            F.posexplode("__starts__").alias("chunk_id", "__s__"),
+            F.col("__toks__"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("__s__").cast("long").alias("start_tok"),
+            F.array_join(
+                F.slice(F.col("__toks__"), F.col("__s__") + 1, F.lit(int(chunk_size))), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks__") - F.col("__s__"), F.lit(int(chunk_size))
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+    return DataFrame(out)
+
+
 # PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB,
 # re2 portability) accept: no lookaround, no backrefs. Order matters —
 # emails carry dots and digits, so they redact before IPs/phones.

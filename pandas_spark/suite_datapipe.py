@@ -1079,3 +1079,69 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
         DataFrame(aug), text_col="text", id_col="doc_id", min_docs=10
     )
     return out.to_spark()
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing + RAG chunking
+# ---------------------------------------------------------------------------
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKS}) AS nt FROM documents
+    ),
+    o AS (
+        SELECT doc_id, doc_id % 8 AS shard, nt,
+               coalesce(sum(nt) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM t
+    )
+    SELECT doc_id, shard::BIGINT AS shard, (off // 2048)::BIGINT AS seq_id,
+           (off % 2048)::BIGINT AS offset_in_seq,
+           (off % 2048) + nt > 2048 AS spans_boundary
+    FROM o
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """GPT-style sequence packing (docs concatenated in id order per
+    shard, sliced into 2048-token windows): placement = one window
+    cumsum per shard, fully deterministic, no driver state. Shards pack
+    independently, so parallelism is n_shards — raised to O(cores) at
+    cluster scale."""
+    docs = _docs(spark, sf_dir)
+    sized = DataFrame(
+        docs.spark.select(
+            "doc_id", text.token_count_expr(F.col("text")).alias("nt")
+        )
+    )
+    return text.pack_sequences(
+        sized, "nt", id_col="doc_id", seq_len=2048, n_shards=8
+    ).to_spark()
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks), 1), 48)) AS st
+        FROM t
+    )
+    SELECT doc_id, (st // 48)::BIGINT AS chunk_id, st::BIGINT AS start_tok,
+           array_to_string(toks[st+1 : st+64], ' ') AS chunk_text,
+           least(len(toks) - st, 64)::BIGINT AS n_tokens
+    FROM s
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Overlapping token-window chunking (chunk_size=64, overlap=16 —
+    the embedding-index/RAG preparation stage): tokenize + sequence +
+    slice HOFs then one explode; map-only, zero shuffle."""
+    docs = _docs(spark, sf_dir)
+    return text.chunk_documents(
+        docs, "text", "doc_id", chunk_size=64, overlap=16
+    ).to_spark()

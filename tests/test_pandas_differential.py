@@ -570,3 +570,38 @@ def test_strip_boilerplate_lines(spark):
     )
     assert got.text.tolist()[:12] == [f"unique body {i}" for i in range(12)]
     assert got.text.tolist()[12] == ""
+
+
+def test_pack_sequences_placement(spark):
+    from pandas_spark.operators.text import pack_sequences
+
+    pdf = pd.DataFrame({"doc_id": [0, 2, 4, 6], "nt": [100, 80, 50, 40]})
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        pack_sequences(f, "nt", id_col="doc_id", seq_len=128, n_shards=1)
+        .sort_values("doc_id")
+        .to_pandas()
+    )
+    # offsets 0, 100, 180, 230 → seq 0,0,1,1; doc 2 straddles 128
+    assert got.seq_id.tolist() == [0, 0, 1, 1]
+    assert got.offset_in_seq.tolist() == [0, 100, 52, 102]
+    assert got.spans_boundary.tolist() == [False, True, False, True]
+
+
+def test_chunk_documents_overlap(spark):
+    from pandas_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    pdf = pd.DataFrame({"doc_id": [1], "text": [words]})
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        chunk_documents(f, "text", "doc_id", chunk_size=4, overlap=2)
+        .sort_values("chunk_id")
+        .to_pandas()
+    )
+    assert got.start_tok.tolist() == [0, 2, 4, 6, 8]
+    assert got.chunk_text.tolist()[0] == "w0 w1 w2 w3"
+    assert got.chunk_text.tolist()[-1] == "w8 w9"
+    assert got.n_tokens.tolist() == [4, 4, 4, 4, 2]
+    with pytest.raises(ValueError):
+        chunk_documents(f, "text", "doc_id", chunk_size=4, overlap=4)
