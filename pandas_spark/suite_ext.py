@@ -3400,3 +3400,33 @@ def interpolate_limit(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).sort_values("event_id")
     out = sparse.interpolate(subset=["pv"], by=["user_id"], limit=2)
     return out.select(["event_id", "user_id", "pv"]).to_spark()
+
+
+@query(
+    "expanding_quantile",
+    oracle="""
+    SELECT event_id, user_id,
+           quantile_cont(value, 0.5) OVER w AS v_med,
+           quantile_cont(value, 0.9) OVER w AS v_p90
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def expanding_quantile(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """expanding().quantile(q) per key — inherited from the rolling
+    sorted-frame kernel (aggregations.pyx:1404 roll_quantile over an
+    unbounded-preceding frame). O(n log n) per row on the growing
+    frame — the documented cost of exact expanding quantiles; the
+    mergeable GK sketch (groupby.quantile approx=True) is the
+    scale path when the frame grows unbounded."""
+    from pandas_spark.window import Expanding
+
+    events = _t(spark, sf_dir, "events")
+    out = Expanding(events, on="event_id", by=["user_id"]).quantile(
+        "value", 0.5, alias="v_med"
+    )
+    out = Expanding(out, on="event_id", by=["user_id"]).quantile(
+        "value", 0.9, alias="v_p90"
+    )
+    return out.select(["event_id", "user_id", "v_med", "v_p90"]).to_spark()

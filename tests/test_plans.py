@@ -156,3 +156,33 @@ def test_left_join_broadcasts_preserved_dim(spark):
     assert "BroadcastHashJoin" in plan
     # the inner part must build (broadcast) the LEFT/dim side
     assert "BuildLeft" in plan
+
+
+def test_corpus_scrub_ops_are_map_only(spark):
+    """PII redaction and chunking must stay shuffle-free — they run at
+    ingest over the full corpus, where any Exchange would re-move 100 TB."""
+    from pandas_spark.operators.text import chunk_documents, redact_pii
+
+    docs = ps.read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    p1 = plan_of(redact_pii(docs, "text").to_spark())
+    assert "Exchange" not in p1
+    p2 = plan_of(chunk_documents(docs, "text", "doc_id").to_spark())
+    assert "Exchange" not in p2
+
+
+def test_pack_sequences_is_one_shuffle(spark):
+    """Packing shuffles once on the shard key; placement is window math
+    inside the shard partitions — no second exchange, no global sort."""
+    from pandas_spark.operators.text import pack_sequences
+
+    docs = ps.read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    sized = ps.DataFrame(docs.spark.select("doc_id", F.length("text").alias("nt")))
+    import re
+
+    plan = plan_of(pack_sequences(sized, "nt", n_shards=8).to_spark())
+    # formatted mode lists each node once as "(n) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
