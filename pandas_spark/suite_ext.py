@@ -3430,3 +3430,32 @@ def expanding_quantile(spark: SparkSession, sf_dir: str) -> SparkDF:
         "value", 0.9, alias="v_p90"
     )
     return out.select(["event_id", "user_id", "v_med", "v_p90"]).to_spark()
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id,
+           (sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+    FROM g
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Batch gap-sessionization (30min) per user — the batch twin of
+    streaming_session_windows with the SAME break rule, so history and
+    live tail assign aligned session ordinals. lag → break flag →
+    running sum; one shuffle on the key."""
+    from pandas_spark.window import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    out = sessionize(events, on="ts", gap="30min", by=["user_id"])
+    return out.select(["event_id", "user_id", "session_id"]).to_spark()

@@ -625,3 +625,44 @@ def ewm_corr(frame, col, col2, alpha=None, span=None, by=None, order_by=None, al
     """ewm.corr (window/ewm.py:747) — pairwise kernel, ``stat='corr'``."""
     return ewm_cov(frame, col, col2, alpha=alpha, span=span, by=by, order_by=order_by,
                    alias=alias or f"{col}_{col2}_ewm_corr", stat="corr")
+
+
+def sessionize(
+    frame: DataFrame,
+    on: str,
+    gap: str = "30min",
+    by: Sequence[str] | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch gap-based sessionization (the classic gaps-and-islands):
+    a new session starts when the time since the previous event (per
+    ``by`` key) is >= ``gap``; ``session_col`` is the 0-based session
+    ordinal within the key. The batch twin of
+    ``streaming.session_window_stream`` — same break condition
+    (``>= gap``, matching Spark's session_window merge rule), so a
+    pipeline can sessionize history in batch and the live tail in
+    streaming and the ids line up per key.
+
+    One window over (by, ts): lag → break flag → running sum. Single
+    shuffle on the key; per-row state is O(1), any per-key cardinality.
+    """
+    gap_us = parse_offset_seconds(gap) * 1_000_000
+    keys = list(by) if by else []
+    if not keys:
+        from pandas_spark.frame import _warn_unkeyed_window
+
+        _warn_unkeyed_window("sessionize")
+    w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
+        epoch_micros(F.col(on))
+    )
+    ts = epoch_micros(F.col(on))
+    prev = F.lag(ts).over(w)
+    brk = F.when(prev.isNull() | (ts - prev >= F.lit(gap_us)), 1).otherwise(0)
+    run = W.partitionBy(*keys).orderBy(ts).rowsBetween(W.unboundedPreceding, 0) if keys else (
+        W.partitionBy().orderBy(ts).rowsBetween(W.unboundedPreceding, 0)
+    )
+    sdf = frame._sdf.withColumn("__brk__", brk)
+    out = sdf.withColumn(
+        session_col, (F.sum("__brk__").over(run) - 1).cast("long")
+    ).drop("__brk__")
+    return frame._with(out)
