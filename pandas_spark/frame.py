@@ -1021,11 +1021,37 @@ class DataFrame:
         sort: bool = True,
         ascending: bool = False,
         dropna: bool = True,
+        bins: int | None = None,
+        bin_labels: Sequence[str] | None = None,
     ) -> "DataFrame":
         cols = [subset] if isinstance(subset, str) else list(subset or self.columns)
         sdf = self.spark
         if dropna:
             sdf = sdf.na.drop(subset=cols)
+        if bins is not None:
+            # Series.value_counts(bins=n) (base.py:834 → tile.py): equal-
+            # width bins over [min, max], leftmost edge extended by 0.1%
+            # of the range so the minimum lands in the first (right-
+            # closed) interval. min/max is a 2-scalar bounded collect;
+            # the binning itself is a codegen'd chained-when (cut).
+            if len(cols) != 1:
+                raise ValueError("bins= requires exactly one numeric column")
+            from pandas_spark.operators.reshape import cut
+
+            c = cols[0]
+            row = sdf.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).first()
+            mn, mx = float(row["mn"]), float(row["mx"])
+            if mn == mx:  # degenerate range, pandas widens both sides
+                mn -= 0.001 * abs(mn) if mn != 0 else 0.001
+                mx += 0.001 * abs(mx) if mx != 0 else 0.001
+            w = (mx - mn) / bins
+            edges = [mn + i * w for i in range(bins)] + [mx]
+            edges[0] = mn - (mx - mn) * 0.001
+            binned = cut(
+                DataFrame(sdf), c, edges, labels=bin_labels, right=True, alias="__bin__"
+            )
+            sdf = binned.spark.select(F.col("__bin__").alias(c))
+            cols = [c]
         out = sdf.groupBy(*cols).agg(F.count("*").alias("count"))
         if normalize:
             total = W.partitionBy()

@@ -3459,3 +3459,29 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> SparkDF:
     events = _t(spark, sf_dir, "events")
     out = sessionize(events, on="ts", gap="30min", by=["user_id"])
     return out.select(["event_id", "user_id", "session_id"]).to_spark()
+
+
+@query(
+    "value_counts_bins",
+    oracle="""
+    WITH b AS (
+        SELECT min(l_quantity)::DOUBLE AS mn, max(l_quantity)::DOUBLE AS mx
+        FROM lineitem
+    )
+    SELECT 'q' || (greatest(ceil((l_quantity - mn) / ((mx - mn) / 4)), 1))::INT
+               AS l_quantity,
+           count(*)::BIGINT AS count
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def value_counts_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Series.value_counts(bins=4) (base.py:834 -> tile.py): equal-width
+    right-closed bins over [min, max] with the leftmost edge extended —
+    a 2-scalar bounded collect for the range, then a codegen'd
+    chained-when bin + one groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.value_counts(
+        subset="l_quantity", bins=4, bin_labels=["q1", "q2", "q3", "q4"], sort=False
+    )
+    return out.to_spark()

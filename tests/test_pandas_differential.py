@@ -605,3 +605,17 @@ def test_chunk_documents_overlap(spark):
     assert got.n_tokens.tolist() == [4, 4, 4, 4, 2]
     with pytest.raises(ValueError):
         chunk_documents(f, "text", "doc_id", chunk_size=4, overlap=4)
+
+
+def test_value_counts_bins_matches_pandas(spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 2.5, 7.0, 9.9, 10.0, 3.3, 5.5]})
+    # exactly-representable edges (w = 2.25) so the bin boundaries agree
+    # bitwise between numpy linspace and the engine's mn + i*w
+    want = pdf.v.value_counts(bins=4).sort_index()
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        f.value_counts(subset="v", bins=4, bin_labels=["b0", "b1", "b2", "b3"])
+        .sort_values("v")
+        .to_pandas()
+    )
+    assert got["count"].tolist() == want.tolist()
