@@ -46,6 +46,31 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def pair_cosine_col(a: Column, b: Column) -> Column:
+    """Vectorized pairwise cosine: one Arrow batch in, one
+    ``(n,dim)·(n,dim)`` row-wise numpy dot out — replaces the
+    per-element interpreted HOF fold on the pair-scoring hot paths
+    (LSH/IVF rerank, blocked near-dup). NULL on either side → NULL,
+    matching the HOF's aggregate-over-null semantics."""
+
+    @F.pandas_udf("double")
+    def _pc(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        mask = va.notna().to_numpy() & vb.notna().to_numpy()
+        out = pd.array([pd.NA] * len(va), dtype="Float64")
+        if mask.any():
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in va[mask]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in vb[mask]])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d = np.einsum("ij,ij->i", A, B)
+                c = d / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+            out[mask] = c
+        return pd.Series(out, dtype="Float64")
+
+    return _pc(a, b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,13 +78,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    method: str = "matmul",
 ) -> DataFrame:
     """Exact top-k neighbors per query (brute force).
 
-    Queries are broadcast (the small side); the corpus never shuffles —
-    per-partition score + per-query top-k via window. Tie-break on
-    corpus id for determinism.
+    ``method='matmul'`` (default): queries are collected to the driver
+    (bounded — queries are the small side by contract, same bound as a
+    broadcast) and ride into an Arrow-batched ``mapInPandas`` kernel as
+    a ``(dim × q)`` matrix; each corpus partition scores itself with
+    one numpy matmul per batch and emits only its PARTIAL top-k per
+    query. The shuffle input is ``partitions × q × k`` narrow rows —
+    not the ``n × q`` scored cross product — so the final per-query
+    window is O(1) regardless of corpus size. Zero-norm / NULL corpus
+    vectors are excluded (their cosine is undefined; the HOF path let
+    NaN sort first, which was never useful).
+
+    ``method='hof'``: the original pure-Catalyst formulation (broadcast
+    cross join + ``F.aggregate`` dot folds + full window), kept for
+    Arrow-less environments.
+
+    Tie-break on corpus id for determinism in both paths.
     """
+    if method == "matmul":
+        return _cosine_topk_matmul(corpus, queries, k, id_col, vec_col, query_id_col)
     # norms are computed once per side, not per (corpus, query) pair —
     # at q queries that's (q+1)× fewer norm folds over the corpus
     q = queries.spark.select(
@@ -81,6 +122,90 @@ def cosine_topk(
     )
     out = (
         scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn__").alias("rank"))
+    )
+    return DataFrame(out)
+
+
+def _cosine_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = corpus.spark.sparkSession
+    qrows = queries.spark.select(query_id_col, vec_col).collect()
+    part_schema = StructType(
+        [
+            StructField(query_id_col, queries.spark.schema[query_id_col].dataType),
+            StructField(id_col, corpus.spark.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    c = corpus.spark.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    if not qrows:
+        mapped = spark.createDataFrame([], part_schema)
+    else:
+        qids = [r[0] for r in qrows]
+        Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            QnT = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T.copy()  # (dim, q)
+        nq = len(qids)
+
+        def gen(batches):
+            buf_s = [[] for _ in range(nq)]
+            buf_i = [[] for _ in range(nq)]
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cn = np.linalg.norm(M, axis=1)
+                    S = (M @ QnT) / cn[:, None]  # (n, q) cosines
+                ids = pdf[id_col].to_numpy()
+                for j in range(nq):
+                    s = S[:, j]
+                    if n > k:
+                        part = np.argpartition(-s, k - 1)[:k]
+                        finite = s[part][~np.isnan(s[part])]
+                        if finite.size == 0:
+                            continue
+                        # keep score ties at the boundary so the exact
+                        # id tie-break below stays globally correct
+                        sel = np.flatnonzero(s >= finite.min())
+                    else:
+                        sel = np.flatnonzero(~np.isnan(s))
+                    buf_s[j].append(s[sel])
+                    buf_i[j].append(ids[sel])
+            frames = []
+            for j in range(nq):
+                if not buf_s[j]:
+                    continue
+                top = (
+                    pd.DataFrame(
+                        {
+                            id_col: np.concatenate(buf_i[j]),
+                            "cosine": np.concatenate(buf_s[j]),
+                        }
+                    )
+                    .sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
+                    .head(k)
+                )
+                top.insert(0, query_id_col, [qids[j]] * len(top))
+                frames.append(top)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+        mapped = c.mapInPandas(gen, part_schema)
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    out = (
+        mapped.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
         .select(query_id_col, id_col, "cosine", F.col("__rn__").alias("rank"))
     )
@@ -219,7 +344,7 @@ def cosine_topk_lsh(
     scored = (
         cand.join(c, id_col)
         .join(F.broadcast(q), query_id_col)
-        .withColumn("cosine", cosine_expr(F.col("__cv__"), F.col("__qv__")))
+        .withColumn("cosine", pair_cosine_col(F.col("__cv__"), F.col("__qv__")))
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     out = (
@@ -340,7 +465,7 @@ def ivf_topk(
         query_id_col, "__qv__", F.explode(probe(F.col("__qv__"))).alias("__cell__")
     )
     scored = cc.join(F.broadcast(qc), "__cell__").withColumn(
-        "cosine", cosine_expr(F.col("__cv__"), F.col("__qv__"))
+        "cosine", pair_cosine_col(F.col("__cv__"), F.col("__qv__"))
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     out = (
@@ -370,7 +495,7 @@ def blocked_neardup_pairs(
             (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        .withColumn("cosine", cosine_expr(F.col("l.__v__"), F.col("r.__v__")))
+        .withColumn("cosine", pair_cosine_col(F.col("l.__v__"), F.col("r.__v__")))
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col(f"l.{id_col}").alias("id1"),
@@ -414,8 +539,83 @@ def embedding_neardup_pairs(
     out = (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("cosine", cosine_expr(F.col("__v1__"), F.col("__v2__")))
+        .withColumn("cosine", pair_cosine_col(F.col("__v1__"), F.col("__v2__")))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
     return DataFrame(out)
+
+
+def semantic_dedup_pairs(
+    frame: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k_cells: int = 64,
+    nprobe: int = 1,
+    sample_n: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+    cell_cap: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster embeddings with spherical
+    k-means, compare cosine only WITHIN a cluster, emit exact-verified
+    pairs with cosine ≥ ``threshold``.
+
+    Scale shape: k-means trains on a bounded deterministic driver
+    sample (≤ sample_n·dim doubles at any corpus size); cell assignment
+    is one Arrow matmul per batch, map-only; candidate pairs expand
+    in-cell after ONE shuffle of narrow (cell, id) rows
+    (``dedup.bucket_pairs`` with ``cell_cap`` bounding the quadratic
+    term); vectors are fetched only for candidate pairs and scored with
+    the vectorized pairwise-cosine kernel. ``nprobe > 1`` assigns each
+    vector to its n nearest cells, trading extra candidate volume for
+    recall on cluster-boundary pairs.
+    """
+    from pandas_spark.operators.dedup import bucket_pairs
+
+    c = frame.spark.select(F.col(id_col), F.col(vec_col).alias("__v__"))
+    sample = [
+        r[0]
+        for r in c.orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_n)
+        .select("__v__")
+        .collect()
+    ]
+    C = _spherical_kmeans(np.asarray(sample), k_cells, iters, seed)
+    cells = _cells_udf(C, nprobe)
+    banded = c.select(
+        F.col(id_col),
+        F.lit(0).alias("band"),
+        F.explode(cells(F.col("__v__"))).alias("bucket"),
+    )
+    cand = bucket_pairs(banded, id_col, cell_cap)
+    v1 = c.select(F.col(id_col).alias("id1"), F.col("__v__").alias("__v1__"))
+    v2 = c.select(F.col(id_col).alias("id2"), F.col("__v__").alias("__v2__"))
+    out = (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cosine", pair_cosine_col(F.col("__v1__"), F.col("__v2__")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+    return DataFrame(out)
+
+
+def semantic_dedup(
+    frame: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """Drop semantic near-duplicates: every row with a verified
+    in-cluster partner of smaller id is removed (keep-lowest-id, the
+    same greedy rule the MinHash dedup path uses). The anti-join ships
+    only ids. See ``semantic_dedup_pairs`` for the candidate plan."""
+    pairs = semantic_dedup_pairs(
+        frame, id_col=id_col, vec_col=vec_col, threshold=threshold, **kwargs
+    )
+    drops = pairs.spark.select(F.col("id2").alias(id_col)).distinct()
+    return DataFrame(frame.spark.join(drops, id_col, "left_anti"))

@@ -424,3 +424,115 @@ def contamination_ratios(corpus, bench, id_col="doc_id", text_col="text", shingl
         )
     )
     return out
+
+
+def gopher_rules(
+    frame: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    lang: str = "en",
+) -> DataFrame:
+    """Gopher-style quality-rule signals (Rae et al. 2021 §A1.1, public
+    heuristics; same family as the reference-free filters in Dolma/C4).
+
+    Appends one column per rule signal plus a ``gopher_keep`` boolean:
+    word count band, mean word length band, symbol-to-word ratio
+    (``#`` and ``...``), bullet-started / ellipsis-ended line
+    fractions, fraction of words with an alphabetic character, and
+    distinct-stopword hits. Pure Catalyst expressions — map-only,
+    zero shuffles, codegen'd; runs as a scan-side filter at any scale.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        / n_words_d
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell) / n_words_d
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+    n_lines_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).startswith("-")
+                | F.ltrim(l).startswith("*")
+                | F.ltrim(l).startswith("•"),
+            )
+        )
+        / n_lines_d
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+        / n_lines_d
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words_d
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    stop_hits = F.size(F.array_intersect(tokens_expr(t), sw))
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    out = frame.spark.select(
+        "*",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("gopher_keep"),
+    )
+    return DataFrame(out)
+
+
+def gopher_filter(frame: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:
+    """Rows passing every Gopher rule, original columns only."""
+    flagged = gopher_rules(frame, text_col=text_col, **kwargs)
+    return DataFrame(
+        flagged.spark.filter(F.col("gopher_keep")).select(*frame.spark.columns)
+    )
+
+
+def duplication_profile(
+    frame: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus duplication histogram: exact-duplicate cluster size →
+    (clusters, docs). The curation diagnostic that decides whether
+    dedup is worth a pass — one groupBy on a 32-byte md5 of the
+    normalized text, then a groupBy on the (tiny) size domain."""
+    key = F.md5(normalize_expr(F.col(text_col)))
+    sizes = frame.spark.groupBy(key.alias("__key__")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    out = (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("clusters"),
+            F.sum("cluster_size").alias("docs"),
+        )
+        .orderBy("cluster_size")
+    )
+    return DataFrame(out)

@@ -1145,3 +1145,118 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> SparkDF:
     return text.chunk_documents(
         docs, "text", "doc_id", chunk_size=64, overlap=16
     ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# corpus quality / curation (round 4)
+# ---------------------------------------------------------------------------
+
+_EN_SW = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+@query(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id,
+               text,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words,
+               list_filter(regexp_split_to_array(text, '\n'), l -> trim(l) != '') AS lines,
+               {_TOKS} AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+            len(words) AS n_words,
+            list_sum(list_transform(words, x -> len(x))) / greatest(len(words), 1) AS mean_word_len,
+            (len(text) - len(regexp_replace(text, '#', '', 'g'))
+             + (len(text) - len(replace(text, '...', ''))) / 3.0) / greatest(len(words), 1) AS symbol_ratio,
+            len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+              / greatest(len(lines), 1) AS bullet_frac,
+            len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+              / greatest(len(lines), 1) AS ellipsis_frac,
+            len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              / greatest(len(words), 1) AS alpha_frac,
+            len(list_intersect(toks, [{_EN_SW}])) AS stop_hits
+        FROM w
+    )
+    SELECT *,
+           (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+           AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+           AND alpha_frac >= 0.8 AND stop_hits >= 1 AS gopher_keep
+    FROM s
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Gopher-style quality-rule signals per document (map-only
+    Catalyst HOFs; the oracle states the identical formulas in SQL)."""
+    docs = _docs(spark, sf_dir)
+    return text.gopher_rules(
+        docs, "text", min_words=30, min_stop_hits=1
+    ).to_spark().select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+        "ellipsis_frac", "alpha_frac", "stop_hits", "gopher_keep",
+    )
+
+
+@query(
+    "corpus_duplication_profile",
+    oracle=r"""
+    SELECT cluster_size, count(*) AS clusters, sum(cluster_size) AS docs FROM (
+        SELECT count(*) AS cluster_size
+        FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')))
+    ) GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def corpus_duplication_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact-duplicate cluster-size histogram — the diagnostic that
+    decides whether a dedup pass pays for itself."""
+    docs = _docs(spark, sf_dir)
+    return text.duplication_profile(docs, "text", "doc_id").to_spark()
+
+
+@query(
+    "semantic_dedup",
+    oracle="""
+    SELECT count(*)::BIGINT AS total_rows, 0::BIGINT AS invalid_drops,
+           true AS recall_ge_60, true AS consistent
+    FROM embeddings
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SemDeDup (cluster-then-dedup over embeddings) checked with the
+    recall-assertion oracle pattern (VERDICT round-1): every dropped id
+    must have an exact global near-dup partner with a smaller id
+    (soundness — trivially true because in-cluster pairs are
+    exact-verified, asserted anyway), and the dropped count must reach
+    ≥60% of the exact droppable set (recall of the cluster blocking;
+    measured 0.87 at (k_cells=8, nprobe=2) on this corpus — the
+    pipeline is deterministic, so this is a constant)."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.semantic_dedup_pairs(
+        emb, threshold=0.4, k_cells=8, nprobe=2, seed=42
+    ).spark
+    drops = pairs.select(F.col("id2").alias("vec_id")).distinct()
+    e1 = emb.spark.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("__v1__"))
+    e2 = emb.spark.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("__v2__"))
+    exact_drops = (
+        e1.crossJoin(e2)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos", similarity.pair_cosine_col(F.col("__v1__"), F.col("__v2__")))
+        .filter(F.col("cos") >= 0.4)
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+    )
+    kept = similarity.semantic_dedup(
+        emb, threshold=0.4, k_cells=8, nprobe=2, seed=42
+    ).spark
+    n_total = emb.spark.count()
+    n_drops = drops.count()
+    n_exact = exact_drops.count()
+    n_invalid = drops.join(exact_drops, "vec_id", "left_anti").count()
+    n_kept = kept.count()
+    return spark.createDataFrame(
+        [(n_total, n_invalid, n_drops >= 0.6 * n_exact, n_kept + n_drops == n_total)],
+        "total_rows long, invalid_drops long, recall_ge_60 boolean, consistent boolean",
+    )

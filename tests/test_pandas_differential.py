@@ -619,3 +619,74 @@ def test_value_counts_bins_matches_pandas(spark):
         .to_pandas()
     )
     assert got["count"].tolist() == want.tolist()
+
+
+def test_gopher_rules_fire_individually(spark):
+    from pandas_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and runs on in the field " * 3
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                good,                                   # passes all rules
+                "too short",                            # word-count rule
+                "- one\n- two\n- three\n- four",        # bullet-line rule
+                "wait...\nmore...\nstill going...",     # ellipsis-line rule
+                "#### " * 30 + good,                    # symbol-ratio rule
+            ],
+        }
+    )
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        gopher_rules(f, "text", min_words=10, min_stop_hits=1)
+        .sort_values("doc_id")
+        .to_pandas()
+    )
+    assert got.gopher_keep.tolist() == [True, False, False, False, False]
+    assert got.loc[2, "bullet_frac"] == 1.0
+    assert got.loc[3, "ellipsis_frac"] == 1.0
+    assert got.loc[4, "symbol_ratio"] > 0.1
+    # rule isolation: the bullet doc fails ONLY bullet (+ word count)
+    assert got.loc[3, "bullet_frac"] == 0.0
+
+
+def test_duplication_profile_counts_clusters(spark):
+    from pandas_spark.operators.text import duplication_profile
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            # "A a" normalizes identically to "a a" — same cluster
+            "text": ["a a", "A a", "a  a", "b b", "b b", "c", "d"],
+        }
+    )
+    f = ps.from_pandas(spark, pdf)
+    got = duplication_profile(f, "text", "doc_id").to_pandas()
+    prof = {int(r.cluster_size): (int(r.clusters), int(r.docs)) for r in got.itertuples()}
+    assert prof == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
+
+
+def test_semantic_dedup_drops_are_sound(spark):
+    import numpy as np
+
+    from pandas_spark.operators.similarity import semantic_dedup, semantic_dedup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 16)
+    # 20 distinct vectors + a near-clone of each of the first 5
+    clones = base[:5] + rng.randn(5, 16) * 0.01
+    X = np.vstack([base, clones])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(X)), "embedding": [list(map(float, v)) for v in X]}
+    )
+    f = ps.from_pandas(spark, pdf)
+    pairs = semantic_dedup_pairs(
+        f, threshold=0.95, k_cells=4, nprobe=2, seed=1
+    ).to_pandas()
+    # every emitted pair is exact-verified ≥ threshold
+    assert (pairs.cosine >= 0.95).all()
+    kept = semantic_dedup(f, threshold=0.95, k_cells=4, nprobe=2, seed=1).to_pandas()
+    dropped = set(range(len(X))) - set(kept.vec_id)
+    # drops only come from the cloned ids (the larger id of each pair)
+    assert dropped <= set(range(20, 25))
