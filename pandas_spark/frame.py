@@ -1007,6 +1007,72 @@ class DataFrame:
             raise ValueError("agg requires a spec")
         return DataFrame(self._sdf.agg(*exprs))
 
+    def reduce_rows(
+        self,
+        func: str = "sum",
+        subset: Sequence[str] | None = None,
+        skipna: bool = True,
+        ddof: int = 1,
+        alias: str | None = None,
+    ) -> "DataFrame":
+        """Row-wise reductions — pandas ``df.sum/mean/min/max/count/
+        var/std/any/all(axis=1)`` (reference generic.py ``_stat_function``
+        / ``_logical_func`` with ``axis=1`` over nanops kernels).
+
+        Pure Catalyst array HOFs over the numeric columns (boolean
+        columns for any/all) — map-only, codegen'd, zero shuffle; the
+        result is appended as ``alias`` (default ``row_<func>``).
+        ``skipna=True`` drops NULLs per row (pandas NaN-skipping: empty
+        row → sum 0.0 / count 0 / others NULL); ``skipna=False`` nulls
+        the result when any input is NULL (NaN propagation). any/all
+        always skip NULLs (empty → False / True, pandas defaults).
+        """
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        if func in ("any", "all"):
+            cols = list(subset) if subset else [
+                n for n, t in self.dtypes if t == "boolean"
+            ]
+            if not cols:
+                raise ValueError(f"reduce_rows({func!r}): no boolean columns (pass subset=)")
+            vals = F.filter(
+                F.array(*[F.col(c) for c in cols]), lambda x: x.isNotNull()
+            )
+            expr = F.exists(vals, lambda x: x) if func == "any" else F.forall(vals, lambda x: x)
+            return self._with(self._sdf.withColumn(alias or f"row_{func}", expr))
+        cols = list(subset) if subset else [
+            n for n, t in self.dtypes if t in numeric or t.startswith("decimal")
+        ]
+        if not cols:
+            raise ValueError(f"reduce_rows({func!r}): no numeric columns (pass subset=)")
+        arr = F.array(*[F.col(c).cast("double") for c in cols])
+        vals = F.filter(arr, lambda x: x.isNotNull())
+        n = F.size(vals)
+        nd = n.cast("double")
+        total = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x)
+        if func == "sum":
+            expr = total
+        elif func == "count":
+            expr = n.cast("long")
+        elif func == "mean":
+            expr = F.when(n > 0, total / nd)
+        elif func == "min":
+            expr = F.array_min(vals)
+        elif func == "max":
+            expr = F.array_max(vals)
+        elif func in ("var", "std"):
+            # two cheap folds over a row-local array; the cancellation
+            # risk of the sumsq form is bounded by row width, not data
+            m = total / F.greatest(nd, F.lit(1.0))
+            sq = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + (x - m) * (x - m))
+            expr = F.when(n > ddof, sq / (nd - F.lit(float(ddof))))
+            if func == "std":
+                expr = F.sqrt(expr)
+        else:
+            raise NotImplementedError(f"reduce_rows: unsupported func {func!r}")
+        if not skipna and func != "count":
+            expr = F.when(F.exists(arr, lambda x: x.isNull()), F.lit(None)).otherwise(expr)
+        return self._with(self._sdf.withColumn(alias or f"row_{func}", expr))
+
     # -- groupby (SURVEY §2.4) -----------------------------------------------
     def groupby(self, by: str | Sequence[str], dropna: bool = True) -> "GroupBy":
         from pandas_spark.groupby import GroupBy

@@ -3485,3 +3485,30 @@ def value_counts_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         subset="l_quantity", bins=4, bin_labels=["q1", "q2", "q3", "q4"], sort=False
     )
     return out.to_spark()
+
+
+@query(
+    "row_reductions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity + l_extendedprice + l_discount + l_tax AS row_sum,
+           (l_quantity + l_extendedprice + l_discount + l_tax) / 4 AS row_mean,
+           greatest(l_quantity, l_extendedprice, l_discount, l_tax) AS row_max,
+           least(l_quantity, l_extendedprice, l_discount, l_tax) AS row_min,
+           4::BIGINT AS row_count
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def row_reductions(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """df.sum/mean/max/min/count(axis=1) (generic.py _stat_function
+    axis=1 over nanops kernels): row-wise reductions as map-only array
+    HOFs — no shuffle, codegen'd, scan-width pruned to the 4 inputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    sub = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = li.filter(col("l_orderkey") < 1000)
+    for fn in ("sum", "mean", "max", "min", "count"):
+        out = out.reduce_rows(fn, subset=sub)
+    return out.select(
+        ["l_orderkey", "l_linenumber", "row_sum", "row_mean", "row_max", "row_min", "row_count"]
+    ).to_spark()

@@ -690,3 +690,48 @@ def test_semantic_dedup_drops_are_sound(spark):
     dropped = set(range(len(X))) - set(kept.vec_id)
     # drops only come from the cloned ids (the larger id of each pair)
     assert dropped <= set(range(20, 25))
+
+
+def test_reduce_rows_matches_pandas_axis1(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": range(6),
+            "a": [1.0, np.nan, 3.0, np.nan, 5.0, 2.0],
+            "b": [2.0, np.nan, np.nan, 4.0, 1.0, 2.0],
+            "c": [3.0, np.nan, 1.0, 6.0, 9.0, 2.0],
+        }
+    )
+    f = ps.from_pandas(spark, pdf)
+    sub = ["a", "b", "c"]
+    got = f
+    for fn in ("sum", "mean", "min", "max", "count", "var", "std"):
+        got = got.reduce_rows(fn, subset=sub)
+    got = got.reduce_rows("sum", subset=sub, skipna=False, alias="sum_noskip")
+    g = got.sort_values("i").to_pandas().set_index("i")
+    num = pdf.set_index("i")[sub]
+    for fn in ("sum", "mean", "min", "max", "count", "var", "std"):
+        want = getattr(num, fn)(axis=1)
+        pd.testing.assert_series_equal(
+            g[f"row_{fn}"], want, check_names=False, check_dtype=False
+        )
+    want_ns = num.sum(axis=1, skipna=False)
+    pd.testing.assert_series_equal(g["sum_noskip"], want_ns, check_names=False, check_dtype=False)
+
+
+def test_reduce_rows_any_all(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": range(4),
+            "x": [True, False, None, False],
+            "y": [False, False, None, True],
+        }
+    ).astype({"x": "boolean", "y": "boolean"})
+    f = ps.from_pandas(spark, pdf)
+    g = (
+        f.reduce_rows("any", subset=["x", "y"])
+        .reduce_rows("all", subset=["x", "y"])
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert g.row_any.tolist() == [True, False, False, True]
+    assert g.row_all.tolist() == [False, False, True, False]
