@@ -186,3 +186,40 @@ def test_pack_sequences_is_one_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_gopher_and_row_reductions_are_map_only(spark):
+    """Quality rules and axis=1 reductions are scan-side filters —
+    any Exchange here would re-move the whole corpus at ingest."""
+    from pandas_spark.operators.text import gopher_rules
+
+    docs = ps.read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    assert "Exchange" not in plan_of(gopher_rules(docs, "text").to_spark())
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    sub = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    r = li.reduce_rows("sum", subset=sub).reduce_rows("mean", subset=sub)
+    assert "Exchange" not in plan_of(r.to_spark())
+
+
+def test_cosine_topk_shuffles_partial_topk_not_cross_product(spark):
+    """The matmul top-k plan must window over the mapInPandas partial
+    top-k output (partitions×q×k rows), NOT shuffle an n×q scored
+    cross join — and the corpus scan itself must not exchange before
+    the kernel."""
+    import re
+
+    from pandas_spark.operators.similarity import cosine_topk
+    from pyspark.sql import functions as F
+
+    emb = ps.read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    emb = ps.DataFrame(emb.spark.withColumn("embedding", F.col("embedding").cast("array<double>")))
+    q = ps.DataFrame(
+        emb.spark.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    plan = plan_of(cosine_topk(emb, q, k=10).to_spark())
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    # exactly one exchange: the per-query window over the partial top-k
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
