@@ -515,9 +515,21 @@ class DataFrame:
         ROWS (pandas semantics) regardless of the x weighting."""
         if method in ("time", "index", "values") and not on:
             raise ValueError(f"method={method!r} requires on=<timestamp or numeric column>")
-        if method not in ("linear", "time", "index", "values"):
+        if method in ("pad", "ffill"):
+            # missing.py:227 clean_interp_method: 'pad' routes to fill
+            if by:
+                out = self
+                for c in list(subset) if subset else [
+                    n for n, t in self.dtypes
+                    if t in ("double", "float", "int", "bigint") and n != on
+                ]:
+                    out = out.groupby(list(by)).ffill(c, limit=limit)
+                return out
+            return self.ffill(subset=subset, limit=limit)
+        if method not in ("linear", "time", "index", "values", "nearest"):
             raise NotImplementedError(
-                "methods: linear, time, index, values (scipy spline/poly methods are UDF territory)"
+                "methods: linear, time, index, values, nearest, pad "
+                "(scipy spline/poly methods are UDF territory)"
             )
         this, order_exprs = self._ordered()
         part = W.partitionBy(*by) if by else W.partitionBy()
@@ -525,7 +537,7 @@ class DataFrame:
             order_exprs = [F.col(on).asc(), *order_exprs]
         rn = F.row_number().over(part.orderBy(*order_exprs))
         sdf = this._sdf.withColumn("__rn__", rn)
-        if method in ("time", "index", "values"):
+        if method in ("time", "index", "values") or (method == "nearest" and on):
             from pandas_spark.dtypes import ordinal_seconds
 
             x = ordinal_seconds(F.col(on), this._sdf.schema[on].dataType)
@@ -543,10 +555,15 @@ class DataFrame:
             nv = F.first(v, ignorenulls=True).over(w_next)
             px = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(w_prev)
             nx = F.first(F.when(v.isNotNull(), x), ignorenulls=True).over(w_next)
-            # duplicate x coordinates (possible under method='time')
-            # would divide by zero — ANSI-fatal; fall back to ffill
-            ratio = F.when(nx != px, (x - px) / (nx - px))
-            interior = pv + (nv - pv) * ratio
+            if method == "nearest":
+                # closer neighbor by x distance, tie → previous (scipy
+                # interp1d kind='nearest' rounds down at the midpoint)
+                interior = F.when((x - px) <= (nx - x), pv).otherwise(nv)
+            else:
+                # duplicate x coordinates (possible under method='time')
+                # would divide by zero — ANSI-fatal; fall back to ffill
+                ratio = F.when(nx != px, (x - px) / (nx - px))
+                interior = pv + (nv - pv) * ratio
             fill = F.when(
                 pv.isNotNull() & nv.isNotNull(), F.coalesce(interior, pv)
             ).otherwise(pv)

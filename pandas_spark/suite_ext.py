@@ -3512,3 +3512,47 @@ def row_reductions(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.select(
         ["l_orderkey", "l_linenumber", "row_sum", "row_mean", "row_max", "row_min", "row_count"]
     ).to_spark()
+
+
+@query(
+    "interpolate_nearest",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv,
+               epoch_us(ts) / 1000000.0 AS x,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               last_value(pv IGNORE NULLS) OVER wp AS prev_v,
+               first_value(pv IGNORE NULLS) OVER wn AS next_v,
+               last_value(CASE WHEN pv IS NOT NULL THEN x END IGNORE NULLS) OVER wp AS prev_x,
+               first_value(CASE WHEN pv IS NOT NULL THEN x END IGNORE NULLS) OVER wn AS next_x
+        FROM s
+        WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN pv IS NOT NULL THEN pv
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                     CASE WHEN (x - prev_x) <= (next_x - x) THEN prev_v ELSE next_v END
+                ELSE prev_v END AS pv
+    FROM m
+    """,
+)
+def interpolate_nearest(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """interpolate(method='nearest') (missing.py:227 NP_METHODS):
+    interior NULLs take the time-closer neighbor, midpoint ties round
+    down to the previous value (scipy interp1d kind='nearest')."""
+    events = _t(spark, sf_dir, "events")
+    sparse = DataFrame(
+        events.spark.withColumn(
+            "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+        )
+    ).sort_values("event_id")
+    out = sparse.interpolate(subset=["pv"], by=["user_id"], method="nearest", on="ts")
+    return out.select(["event_id", "user_id", "pv"]).to_spark()

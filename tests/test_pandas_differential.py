@@ -735,3 +735,31 @@ def test_reduce_rows_any_all(spark):
     )
     assert g.row_any.tolist() == [True, False, False, True]
     assert g.row_all.tolist() == [False, False, True, False]
+
+
+def test_interpolate_nearest_and_pad(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": range(8),
+            "x": [0.0, 1.0, 2.0, 3.0, 7.0, 8.0, 9.0, 10.0],
+            "v": [10.0, np.nan, np.nan, np.nan, np.nan, 20.0, np.nan, np.nan],
+        }
+    )
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = f.interpolate(subset=["v"], method="nearest", on="x").sort_values("i").to_pandas()
+    # x-distances to the valid points at x=0 (10.0) and x=8 (20.0):
+    # x=1,2,3 → nearer 0; x=7 → nearer 8; midpoint tie x=4 absent;
+    # trailing x=9,10 carry the last valid (forward bias)
+    assert got.v.tolist() == [10.0, 10.0, 10.0, 10.0, 20.0, 20.0, 20.0, 20.0]
+    pad = f.interpolate(subset=["v"], method="pad", limit=1).sort_values("i").to_pandas()
+    want = pdf.v.ffill(limit=1)
+    pd.testing.assert_series_equal(pad.v, want, check_names=False)
+
+
+def test_interpolate_nearest_midpoint_rounds_down(spark):
+    pdf = pd.DataFrame(
+        {"i": range(3), "x": [0.0, 5.0, 10.0], "v": [1.0, np.nan, 2.0]}
+    )
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = f.interpolate(subset=["v"], method="nearest", on="x").sort_values("i").to_pandas()
+    assert got.v.tolist() == [1.0, 1.0, 2.0]

@@ -31,13 +31,18 @@ import os
 import subprocess
 import sys
 
-DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1ish"
+ARGS = [a for a in sys.argv[1:] if a != "--engine-only"]
+# --engine-only skips the pandas reference side — the 1000× decade
+# (600M-row lineitem ≈ sf100) needs ~30 GB per pruned query in pandas,
+# which stops being a comparison and starts being an OOM experiment
+ENGINE_ONLY = "--engine-only" in sys.argv[1:]
+DIR = ARGS[0] if len(ARGS) > 0 else "/root/repo/.scratch/sf1ish"
 SRC = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # replication factor: 10 → ~sf1 (6M-row lineitem); 100 → ~sf10 (60M).
 # The key-shift spacings below support up to 1000 replicas without
 # collisions (10M spacing vs ≤600k source keys).
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+REPS = int(ARGS[1]) if len(ARGS) > 1 else 10
 
 sys.path.insert(0, REPO)
 
@@ -65,16 +70,28 @@ def ensure_data(spark):
     for t, shifts in SHIFTS.items():
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
         cols = set(src.columns)
-        reps = []
-        for i in range(REPS):
-            r = src
+        if REPS <= 20:
+            reps = []
+            for i in range(REPS):
+                r = src
+                for col, step in shifts:
+                    if col in cols:
+                        r = r.withColumn(col, F.col(col) + F.lit(i * step))
+                reps.append(r)
+            out = reps[0]
+            for r in reps[1:]:
+                out = out.unionAll(r)
+        else:
+            # a REPS-way union makes Catalyst analyze a REPS-node plan;
+            # at 100-1000 replicas, explode a replica index instead —
+            # one map-side row multiplier, O(1) plan size
+            out = src.withColumn(
+                "__rep__", F.explode(F.sequence(F.lit(0), F.lit(REPS - 1)))
+            )
             for col, step in shifts:
                 if col in cols:
-                    r = r.withColumn(col, F.col(col) + F.lit(i * step))
-            reps.append(r)
-        out = reps[0]
-        for r in reps[1:]:
-            out = out.unionAll(r)
+                    out = out.withColumn(col, F.col(col) + F.col("__rep__") * F.lit(step))
+            out = out.drop("__rep__").repartition(256)
         out.write.mode("overwrite").parquet(f"{DIR}/{t}.parquet")
     for t in COPY:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
@@ -102,6 +119,21 @@ def main():
         [sys.executable, f"{REPO}/bench.py"], env=env, capture_output=True, text=True
     )
     engine = json.loads(eng.stdout.strip().splitlines()[-1])
+
+    if ENGINE_ONLY:
+        print(
+            json.dumps(
+                {
+                    "dir": DIR,
+                    "replication": REPS,
+                    "protocol": "engine only: bench.py (target-sf warmup, "
+                    f"median of {runs}); pandas side skipped (--engine-only)",
+                    "engine_only": engine["queries"],
+                    "total": len(engine["queries"]),
+                }
+            )
+        )
+        return
 
     ref = subprocess.run(
         [sys.executable, f"{REPO}/tools/bench_pandas_ref.py", DIR],
