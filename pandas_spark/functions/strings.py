@@ -9,6 +9,7 @@ built-in JVM expression (whole-stage codegen) — no Python UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -158,7 +159,19 @@ class StringMethods:
         return self._wrap(F.translate(self._c, src, dst))
 
     def normalize(self, form: str = "NFC"):
-        raise NotImplementedError("unicode normalization requires a UDF; out of hot path")
+        """str.normalize (accessor.py:3100): unicode normalization has
+        no Catalyst builtin — Arrow-batched pandas_udf over
+        unicodedata.normalize (slow path by design; nulls pass through)."""
+        import unicodedata
+
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"invalid normalization form: {form!r}")
+
+        @F.pandas_udf("string")
+        def _norm(s: pd.Series) -> pd.Series:
+            return s.map(lambda x: unicodedata.normalize(form, x), na_action="ignore")
+
+        return self._wrap(_norm(self._c))
 
     # -- split / extract ---------------------------------------------------
     def split(self, pat: str = r"\s+", n: int = -1, regex: bool = True):
@@ -265,8 +278,20 @@ class StringMethods:
         MultiIndex shape."""
         return self._wrap(F.regexp_extract_all(self._c, F.lit(pat), F.lit(group)))
 
-    def wrap(self, width: int):
-        raise NotImplementedError("str.wrap is a formatting op; driver-side")
+    def wrap(self, width: int, **kwargs):
+        """str.wrap (accessor.py:2449): textwrap.TextWrapper with
+        pandas' defaults (expand_tabs/replace_whitespace/
+        drop_whitespace True, no long-word breaking unless asked) —
+        Arrow-batched pandas_udf, the declared slow path."""
+        import textwrap
+
+        tw = textwrap.TextWrapper(width=width, **kwargs)
+
+        @F.pandas_udf("string")
+        def _wrap_udf(s: pd.Series) -> pd.Series:
+            return s.map(lambda x: "\n".join(tw.wrap(x)), na_action="ignore")
+
+        return self._wrap(_wrap_udf(self._c))
 
     def decode(self, encoding: str = "utf-8"):
         return self._wrap(F.decode(self._c, encoding))

@@ -763,3 +763,29 @@ def test_interpolate_nearest_midpoint_rounds_down(spark):
     f = ps.from_pandas(spark, pdf).sort_values("i")
     got = f.interpolate(subset=["v"], method="nearest", on="x").sort_values("i").to_pandas()
     assert got.v.tolist() == [1.0, 1.0, 2.0]
+
+
+def test_str_normalize_and_wrap_match_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": [0, 1, 2],
+            "s": ["café não", "ﬁne ①", None],
+            "long": ["the quick brown fox jumps over the lazy dog", "short", None],
+        }
+    )
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = (
+        f.assign(
+            nfc=ps.col("s").str.normalize("NFC"),
+            nfkc=ps.col("s").str.normalize("NFKC"),
+            w=ps.col("long").str.wrap(10),
+        )
+        .sort_values("i")
+        .to_pandas()
+    )
+    want_nfc = pdf.s.str.normalize("NFC")
+    want_nfkc = pdf.s.str.normalize("NFKC")
+    want_w = pdf.long.str.wrap(10)
+    pd.testing.assert_series_equal(got.nfc, want_nfc, check_names=False)
+    pd.testing.assert_series_equal(got.nfkc, want_nfkc, check_names=False)
+    pd.testing.assert_series_equal(got.w, want_w, check_names=False)
