@@ -251,7 +251,10 @@ class DataFrame:
         cols = [cols] if isinstance(cols, str) else list(cols)
         return self._with(self._sdf.drop(*cols))
 
-    def rename(self, columns: Mapping[str, str]) -> "DataFrame":
+    def rename(self, columns: Mapping[str, str] | Callable[[str], str]) -> "DataFrame":
+        # frame.py:12039 rename: a mapping or a callable applied per label
+        if callable(columns):
+            columns = {c: columns(c) for c in self.columns}
         return self._with(self._sdf.withColumnsRenamed(dict(columns)))
 
     def add_prefix(self, prefix: str) -> "DataFrame":

@@ -21,10 +21,25 @@ def concat(
     axis: int = 0,
     join: str = "outer",
     ignore_index: bool = True,
+    keys: Sequence | None = None,
+    names: Sequence[str] | None = None,
 ) -> DataFrame:
     frames = list(frames)
     if not frames:
         raise ValueError("concat of empty sequence")
+    if keys is not None and axis == 0:
+        # concat(keys=) (reshape/concat.py:149): pandas builds an outer
+        # MultiIndex level tagging each row's source frame; the no-index
+        # analog is a literal label column (names[0] or 'key') — a
+        # zero-cost map-side constant, partition-pruning-friendly when
+        # the result is written partitioned by it
+        if len(keys) != len(frames):
+            raise ValueError("concat: len(keys) must equal len(frames)")
+        label = (list(names) or ["key"])[0] if names else "key"
+        frames = [
+            DataFrame(f.spark.select(F.lit(k).alias(label), "*"))
+            for k, f in zip(keys, frames)
+        ]
     if axis == 0:
         if join == "inner":
             common = [c for c in frames[0].columns if all(c in f.columns for f in frames)]

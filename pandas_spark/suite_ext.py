@@ -3556,3 +3556,21 @@ def interpolate_nearest(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).sort_values("event_id")
     out = sparse.interpolate(subset=["pv"], by=["user_id"], method="nearest", on="ts")
     return out.select(["event_id", "user_id", "pv"]).to_spark()
+
+
+@query(
+    "concat_keys",
+    oracle="""
+    SELECT 'hi' AS src, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT 'lo' AS src, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 20000
+    """,
+)
+def concat_keys(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.concat(keys=, names=) (reshape/concat.py:149): the source tag
+    becomes a literal label column — map-side constant, and the natural
+    partition column when the result is written out."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(col("o_totalprice") > 200000).select(["o_orderkey", "o_totalprice"])
+    lo = orders.filter(col("o_totalprice") < 20000).select(["o_orderkey", "o_totalprice"])
+    return ps.concat([hi, lo], keys=["hi", "lo"], names=["src"]).to_spark()

@@ -458,3 +458,13 @@ def test_jdbc_roundtrip_embedded_derby(spark, frame):
     assert read_sql(spark, "cust", url, **drv).spark.count() == 100
     with pytest.raises(Exception):
         to_sql(small, "cust", url, if_exists="fail", **drv)
+
+
+def test_rename_callable(spark):
+    import pandas as pd
+
+    import pandas_spark as ps
+
+    pdf = pd.DataFrame({"a": [1], "b": [2]})
+    f = ps.from_pandas(spark, pdf)
+    assert f.rename(str.upper).columns == ["A", "B"]
