@@ -593,6 +593,32 @@ class GroupBy:
         )
         return frame._with(out)
 
+    def nlargest(self, col: str, n: int = 5, keep: str = "first"):
+        """SeriesGroupBy.nlargest (groupby/generic.py) — top-n rows per
+        group by ``col``. ``keep='first'`` breaks value ties by the
+        declared row order (row_number); ``keep='all'`` keeps every row
+        tied with the boundary (rank). One window over the group
+        partition — the per-group analog of TakeOrderedAndProject."""
+        return self._group_topn(col, n, keep, desc=True)
+
+    def nsmallest(self, col: str, n: int = 5, keep: str = "first"):
+        """SeriesGroupBy.nsmallest — bottom-n rows per group."""
+        return self._group_topn(col, n, keep, desc=False)
+
+    def _group_topn(self, col: str, n: int, keep: str, desc: bool):
+        frame, order_exprs = self._frame._ordered()
+        key = F.col(col).desc() if desc else F.col(col).asc()
+        w = W.partitionBy(*self._keys).orderBy(key, *order_exprs)
+        fn = {"first": F.row_number, "all": F.rank}.get(keep)
+        if fn is None:
+            raise ValueError(f"keep must be 'first' or 'all', got {keep!r}")
+        out = (
+            frame._sdf.withColumn("__rn__", fn().over(w))
+            .filter(F.col("__rn__") <= n)
+            .drop("__rn__")
+        )
+        return frame._with(out)
+
     def sample(
         self,
         n: int | None = None,

@@ -3574,3 +3574,27 @@ def concat_keys(spark: SparkSession, sf_dir: str) -> SparkDF:
     hi = orders.filter(col("o_totalprice") > 200000).select(["o_orderkey", "o_totalprice"])
     lo = orders.filter(col("o_totalprice") < 20000).select(["o_orderkey", "o_totalprice"])
     return ps.concat([hi, lo], keys=["hi", "lo"], names=["src"]).to_spark()
+
+
+@query(
+    "groupby_nlargest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def groupby_nlargest(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SeriesGroupBy.nlargest: top-3 orders per customer by price —
+    one group-partition window, ties broken by the declared order."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.select(["o_custkey", "o_orderkey", "o_totalprice"])
+        .sort_values("o_orderkey")
+        .groupby("o_custkey")
+        .nlargest("o_totalprice", 3)
+    )
+    return out.to_spark()
