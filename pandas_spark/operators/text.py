@@ -10,6 +10,7 @@ plan runs map-only over 100 TB of parquet with zero shuffles.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column
@@ -536,3 +537,47 @@ def duplication_profile(
         .orderBy("cluster_size")
     )
     return DataFrame(out)
+
+
+def rebalance_mixture(
+    frame: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Down-sample-only rebalancing of a corpus to target source
+    shares (the mixture-adjustment step of training-data curation).
+
+    With per-source counts n_s and normalized target shares p_s, the
+    largest achievable total is T = min_s(n_s / p_s); each source
+    keeps rate_s = p_s·T / n_s of its docs (the binding source keeps
+    everything). Sources absent from ``targets`` are dropped. The
+    keep-decision is the deterministic md5-bucket rule
+    (``hash_sample_expr``) — reproducible across reruns/retries and
+    recomputable row-for-row by any md5-capable oracle.
+
+    Scale shape: one tiny groupBy(source) aggregate collected to the
+    driver (bounded by the number of sources), then a map-only filter —
+    the corpus itself never shuffles.
+    """
+    counts = {
+        r[0]: float(r[1])
+        for r in frame.spark.groupBy(source_col).count().collect()
+        if r[0] in targets
+    }
+    if not counts:
+        raise ValueError("rebalance_mixture: no rows match any target source")
+    psum = sum(targets[s] for s in counts)
+    shares = {s: targets[s] / psum for s in counts}
+    T = min(counts[s] / shares[s] for s in counts)
+    rates = {
+        # half-up quantization to the 1/10000 bucket grid, mirrored
+        # verbatim by SQL floor(x*10000 + 0.5) on the oracle side
+        s: math.floor(min(1.0, shares[s] * T / counts[s]) * 10_000 + 0.5) / 10_000.0
+        for s in counts
+    }
+    keep = hash_sample_expr(
+        F.col(id_col), F.col(source_col), rates, default_frac=0.0, seed=seed
+    )
+    return DataFrame(frame.spark.filter(keep))

@@ -1260,3 +1260,40 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
         [(n_total, n_invalid, n_drops >= 0.6 * n_exact, n_kept + n_drops == n_total)],
         "total_rows long, invalid_drops long, recall_ge_60 boolean, consistent boolean",
     )
+
+
+@query(
+    "rebalance_mixture",
+    oracle="""
+    WITH c AS (
+        SELECT source, count(*)::DOUBLE AS n,
+               CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                           WHEN 'src2' THEN 0.25 END AS tgt
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        GROUP BY source
+    ),
+    norm AS (
+        SELECT source, n, tgt / (SELECT sum(tgt) FROM c) AS ps FROM c
+    ),
+    thr AS (
+        SELECT source,
+               floor(least(1.0, ps * (SELECT min(n / ps) FROM norm) / n)
+                     * 10000 + 0.5) AS t
+        FROM norm
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE ('0x' || substr(md5('bal1' || doc_id::VARCHAR), 1, 8))::UBIGINT % 10000 < t
+    """,
+)
+def rebalance_mixture(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Down-sample-only mixture rebalancing to target source shares
+    (text.rebalance_mixture): the binding source keeps everything,
+    the rest hash-downsample to p_s·T/n_s — deterministic, map-only,
+    oracle recomputes the identical rates and md5 rule in SQL."""
+    docs = _docs(spark, sf_dir)
+    sub = DataFrame(docs.spark.filter(F.col("source").isin("src0", "src1", "src2")))
+    out = text.rebalance_mixture(
+        sub, {"src0": 0.5, "src1": 0.25, "src2": 0.25}, seed="bal1"
+    )
+    return out.spark.select("doc_id", "source")
