@@ -826,6 +826,34 @@ class DataFrame:
         ).select("d.*")
         return DataFrame(stacked)
 
+    def cov(self, subset: Sequence[str] | None = None, ddof: int = 1) -> "DataFrame":
+        """Pairwise covariance matrix (frame.py:15902) in long form
+        (col1, col2, cov) — all n² pairs in ONE aggregation pass,
+        pairwise-complete rows per pair (covar_samp's null handling,
+        matching pandas min_periods semantics at default)."""
+        if ddof != 1:
+            raise NotImplementedError("cov: only ddof=1 (covar_samp)")
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        cols = list(subset) if subset else [n for n, t in self.dtypes if t in num]
+        exprs = [F.covar_samp(a, b).alias(f"{a}__{b}") for a in cols for b in cols]
+        row = self._sdf.agg(*exprs)
+        stacked = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("col1"),
+                            F.lit(b).alias("col2"),
+                            F.col(f"{a}__{b}").alias("cov"),
+                        )
+                        for a in cols
+                        for b in cols
+                    ]
+                )
+            ).alias("d")
+        ).select("d.*")
+        return DataFrame(stacked)
+
     def filter_labels(
         self,
         items: Sequence[str] | None = None,

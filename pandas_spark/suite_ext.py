@@ -3598,3 +3598,27 @@ def groupby_nlargest(spark: SparkSession, sf_dir: str) -> SparkDF:
         .nlargest("o_totalprice", 3)
     )
     return out.to_spark()
+
+
+@query(
+    "frame_cov_matrix",
+    oracle="""
+    WITH cols AS (SELECT l_quantity q, l_extendedprice p, l_discount d FROM lineitem)
+    SELECT * FROM (
+        SELECT 'l_quantity' AS col1, 'l_quantity' AS col2, covar_samp(q, q) AS cov FROM cols
+        UNION ALL SELECT 'l_quantity', 'l_extendedprice', covar_samp(q, p) FROM cols
+        UNION ALL SELECT 'l_quantity', 'l_discount', covar_samp(q, d) FROM cols
+        UNION ALL SELECT 'l_extendedprice', 'l_quantity', covar_samp(p, q) FROM cols
+        UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', covar_samp(p, p) FROM cols
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', covar_samp(p, d) FROM cols
+        UNION ALL SELECT 'l_discount', 'l_quantity', covar_samp(d, q) FROM cols
+        UNION ALL SELECT 'l_discount', 'l_extendedprice', covar_samp(d, p) FROM cols
+        UNION ALL SELECT 'l_discount', 'l_discount', covar_samp(d, d) FROM cols
+    )
+    """,
+)
+def frame_cov_matrix(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """df.cov() (frame.py:15902): the full pairwise covariance matrix
+    in long form, all pairs in one Tungsten aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cov(subset=["l_quantity", "l_extendedprice", "l_discount"]).to_spark()
