@@ -1210,7 +1210,31 @@ class DataFrame:
 
         return pivot_table(self, **kwargs)
 
-    def explode(self, column: str, outer: bool = True) -> "DataFrame":
+    def explode(self, column: str | Sequence[str], outer: bool = True) -> "DataFrame":
+        """``DataFrame.explode`` (frame.py:10586). A LIST of columns
+        zip-explodes them in lockstep (pandas 1.3+ multi-column
+        explode: arrays must be same-length per row — enforced, pandas
+        raises ValueError too); ``arrays_zip`` + one generator, no
+        join."""
+        if not isinstance(column, str):
+            cols = list(column)
+            if len(cols) == 1:
+                return self.explode(cols[0], outer=outer)
+            same_len = None
+            for c in cols[1:]:
+                eq = F.size(F.col(cols[0])) == F.size(F.col(c))
+                same_len = eq if same_len is None else (same_len & eq)
+            guard = F.when(
+                same_len | F.col(cols[0]).isNull(), F.arrays_zip(*cols)
+            ).otherwise(
+                F.raise_error(F.lit("explode: columns must have matching element counts"))
+            )
+            fn = F.explode_outer if outer else F.explode
+            others = [c for c in self._sdf.columns if c not in set(cols)]
+            z = self._sdf.select(*others, fn(guard).alias("__z__"))
+            return self._with(
+                z.select(*others, *[F.col(f"__z__.{c}").alias(c) for c in cols])
+            )
         fn = F.explode_outer if outer else F.explode
         others = [c for c in self._sdf.columns if c != column]
         return self._with(self._sdf.select(*others, fn(column).alias(column)))

@@ -468,3 +468,29 @@ def test_rename_callable(spark):
     pdf = pd.DataFrame({"a": [1], "b": [2]})
     f = ps.from_pandas(spark, pdf)
     assert f.rename(str.upper).columns == ["A", "B"]
+
+
+def test_explode_multi_column_zip(spark):
+    import pandas as pd
+    import pytest
+
+    import pandas_spark as ps
+
+    pdf = pd.DataFrame(
+        {
+            "i": [0, 1],
+            "a": [[1, 2], [3]],
+            "b": [["x", "y"], ["z"]],
+        }
+    )
+    f = ps.from_pandas(spark, pdf)
+    got = f.explode(["a", "b"]).sort_values(["i", "a"]).to_pandas()
+    want = pdf.explode(["a", "b"])
+    assert got.a.tolist() == [int(x) for x in want.a]
+    assert got.b.tolist() == want.b.tolist()
+    # mismatched element counts raise, like pandas
+    bad = ps.from_pandas(
+        spark, pd.DataFrame({"i": [0], "a": [[1, 2]], "b": [["x"]]})
+    )
+    with pytest.raises(Exception, match="matching element counts"):
+        bad.explode(["a", "b"]).to_pandas()
