@@ -494,3 +494,36 @@ def test_explode_multi_column_zip(spark):
     )
     with pytest.raises(Exception, match="matching element counts"):
         bad.explode(["a", "b"]).to_pandas()
+
+
+def test_cosine_topk_matmul_matches_hof_with_ties(spark):
+    import numpy as np
+    import pandas as pd
+
+    import pandas_spark as ps
+    from pandas_spark.operators.similarity import cosine_topk
+
+    # many exact duplicates => heavy score ties at the top-k boundary;
+    # the partial top-k must keep boundary ties so the global id
+    # tie-break matches the full-window HOF path exactly
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 8)
+    X = np.vstack([base[i % 6] for i in range(60)])  # 10 copies of each
+    pdf = pd.DataFrame(
+        {"vec_id": range(60), "embedding": [list(map(float, v)) for v in X]}
+    )
+    f = ps.from_pandas(spark, pdf)
+    f = ps.DataFrame(f.spark.repartition(8))  # force multi-partition partials
+    q = ps.DataFrame(f.spark.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding"))
+    a = (
+        cosine_topk(f, q, k=7, method="matmul")
+        .sort_values(["query_id", "rank"])
+        .to_pandas()
+    )
+    b = (
+        cosine_topk(f, q, k=7, method="hof")
+        .sort_values(["query_id", "rank"])
+        .to_pandas()
+    )
+    assert a.vec_id.tolist() == b.vec_id.tolist()
+    assert np.allclose(a.cosine, b.cosine, atol=1e-9)
