@@ -51,6 +51,15 @@ def main() -> None:
     spark = get_spark("bench")
     qs = suite.queries()
     names = [n for n in HEADLINE if n in qs]
+    # SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the set (giant-scale
+    # engine-only decades time a subset; the default set is the stable
+    # BASELINE.md protocol)
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        chosen = [s.strip() for s in only.split(",")]
+        names = [n for n in names if n in chosen] + [
+            n for n in chosen if n in qs and n not in HEADLINE
+        ]
     # Warmup (BASELINE.md protocol: 1 warmup before timed runs): one
     # untimed pass of every headline query AT THE TARGET SCALE. This
     # compiles the whole-stage-codegen classes, JIT-compiles the hot
