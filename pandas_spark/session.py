@@ -52,10 +52,18 @@ def get_spark(app_name: str = "pandas_spark", **extra: str) -> SparkSession:
     their own value via ``extra``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the core-count default:
+    # giant local runs (e.g. the 1000x crossover decade, ~20 GB
+    # lineitem) need more initial shuffle partitions than cores so a
+    # partition stays within executor memory — AQE then coalesces
+    # whatever turns out small. Same knob a cluster deployment tunes.
+    shuffle = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(_shuffle_partitions(cpus))
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(_shuffle_partitions(cpus)))
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in {**_DEFAULTS, **extra}.items():
