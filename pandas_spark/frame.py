@@ -1361,8 +1361,41 @@ class DataFrame:
     def cache(self) -> "DataFrame":
         return self._with(self._sdf.cache())
 
-    def to_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] | None = None) -> None:
-        w = self.spark.write.mode(mode)
+    def to_parquet(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: Sequence[str] | None = None,
+        sort_by: Sequence[str] | None = None,
+        max_records_per_file: int | None = None,
+        compression: str | None = None,
+    ) -> None:
+        """Write parquet with dataset-layout control — the knobs that
+        decide whether a 100 TB table reads back fast:
+
+        * ``partition_by`` — hive-style directory partitioning
+          (partition PRUNING on read: equality/range filters on these
+          columns skip whole directories).
+        * ``sort_by`` — range-cluster the data before writing
+          (``repartitionByRange`` + in-partition sort): every output
+          file carries a tight min/max on these columns in its footer,
+          so filtered scans skip whole files/row-groups. The write
+          costs one range shuffle; every subsequent filtered read
+          repays it.
+        * ``max_records_per_file`` — bound file size (compaction
+          control: many small files ruin scan scheduling, one giant
+          file ruins parallelism).
+        * ``compression`` — codec override (snappy default; ``zstd``
+          for archival density).
+        """
+        sdf = self._sdf
+        if sort_by:
+            sdf = sdf.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
+        w = sdf.write.mode(mode)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
+        if compression:
+            w = w.option("compression", compression)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)

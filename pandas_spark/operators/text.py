@@ -427,6 +427,122 @@ def contamination_ratios(corpus, bench, id_col="doc_id", text_col="text", shingl
     return out
 
 
+def neardup_contamination_pairs(
+    corpus,
+    bench,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    rows: int = 2,
+    shingle_n: int = 5,
+):
+    """FUZZY benchmark decontamination, stage 1: (corpus_id, bench_id,
+    jaccard) for every corpus/benchmark document pair with shingle
+    Jaccard ≥ ``threshold``.
+
+    ``contamination_ratios`` catches verbatim n-gram overlap; this
+    catches the paraphrased/reformatted eval leakage that survives it
+    (whitespace changes, shuffled fields, partial copies) — the same
+    MinHash→LSH→exact-verify machinery as near-dup dedup
+    (``operators/dedup.py minhash_dedup_pairs``), run across two
+    corpora instead of within one.
+
+    Mechanics: both sides get a side-tagged STRING id (``c:<id>`` /
+    ``b:<id>`` — id spaces may overlap), union into one frame, one
+    near-dup pair pass, then keep only cross-side pairs and strip the
+    tags. The benchmark side is small by nature, so its rows add
+    nothing to the one groupBy-(band,bucket) shuffle the pair pass
+    costs; exact-duplicate collapse inside the pair pass means a
+    benchmark doc cloned verbatim into the corpus is caught at
+    jaccard 1.0 without ever reaching the LSH stage.
+    """
+    from pandas_spark.operators import dedup
+
+    c_sdf = corpus.spark if hasattr(corpus, "spark") else corpus
+    b_sdf = bench.spark if hasattr(bench, "spark") else bench
+    id_type = c_sdf.schema[id_col].dataType
+    tagged = (
+        c_sdf.select(
+            F.concat(F.lit("c:"), F.col(id_col).cast("string")).alias("__uid__"),
+            F.col(text_col),
+        )
+        .unionByName(
+            b_sdf.select(
+                F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias("__uid__"),
+                F.col(text_col),
+            )
+        )
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        DataFrame(tagged),
+        text_col,
+        "__uid__",
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        rows=rows,
+        shingle_n=shingle_n,
+    ).spark
+    # keep pairs with exactly one corpus-side member; ('b:' < 'c:', so
+    # mixed pairs always arrive as id1=bench, id2=corpus — but match by
+    # tag, not position, to stay robust to ordering changes)
+    tag1 = F.substring("id1", 1, 2)
+    tag2 = F.substring("id2", 1, 2)
+    cross = pairs.filter(tag1 != tag2).select(
+        F.when(tag1 == "c:", F.expr("substring(id1, 3)"))
+        .otherwise(F.expr("substring(id2, 3)"))
+        .cast(id_type)
+        .alias("corpus_id"),
+        F.when(tag1 == "b:", F.expr("substring(id1, 3)"))
+        .otherwise(F.expr("substring(id2, 3)"))
+        .cast(id_type)
+        .alias("bench_id"),
+        "jaccard",
+    )
+    return DataFrame(cross)
+
+
+def neardup_contamination(
+    corpus,
+    bench,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kwargs,
+):
+    """Per-corpus-doc fuzzy contamination: (id, max_jaccard) for every
+    corpus document near-duplicating ANY benchmark document at
+    ``threshold``. One tiny groupBy over the (already small) verified
+    pair set."""
+    pairs = neardup_contamination_pairs(
+        corpus, bench, id_col, text_col, threshold, **kwargs
+    ).spark
+    out = pairs.groupBy(F.col("corpus_id").alias(id_col)).agg(
+        F.max("jaccard").alias("max_jaccard")
+    )
+    return DataFrame(out)
+
+
+def decontaminate_neardup(
+    corpus,
+    bench,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kwargs,
+):
+    """Drop corpus documents that near-duplicate a benchmark document
+    (fuzzy decontamination, the drop stage). The anti-join ships only
+    contaminated ids; the corpus passes through untouched otherwise."""
+    flagged = neardup_contamination(
+        corpus, bench, id_col, text_col, threshold, **kwargs
+    ).spark.select(id_col)
+    c_sdf = corpus.spark if hasattr(corpus, "spark") else corpus
+    return DataFrame(c_sdf.join(flagged, id_col, "left_anti"))
+
+
 def gopher_rules(
     frame: DataFrame,
     text_col: str = "text",

@@ -56,6 +56,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
+def _t_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/events.parquet")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return DataFrame(f.spark.withColumn("embedding", F.col("embedding").cast("array<double>")))
@@ -872,6 +876,94 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> SparkDF:
     return contamination_ratios(docs, bench, "doc_id", "text", shingle_n=8).select(
         "doc_id", "n_shingles", "n_matched", "contamination"
     )
+
+
+@query(
+    "decontaminate_fuzzy",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, {_shingle_sql(5)} AS s FROM t
+    ),
+    c AS (SELECT * FROM sh WHERE doc_id >= 100),
+    b AS (SELECT * FROM sh WHERE doc_id < 100),
+    j AS (
+        SELECT c.doc_id,
+               len(list_intersect(c.s, b.s))::DOUBLE
+                   / len(list_distinct(c.s || b.s)) AS jac
+        FROM c JOIN b
+          ON len(c.s) >= 0.7 * len(b.s) AND len(b.s) >= 0.7 * len(c.s)
+    )
+    SELECT doc_id, max(jac) AS max_jaccard
+    FROM j WHERE jac >= 0.7 GROUP BY doc_id
+    """,
+)
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """FUZZY decontamination (text.neardup_contamination): corpus docs
+    near-duplicating any benchmark doc at Jaccard ≥ 0.7 — catches the
+    paraphrased eval leakage that verbatim n-gram overlap
+    (decontaminate_overlap) misses. Same MinHash→LSH→exact-verify
+    machinery as dedup_minhash_lsh, across two corpora; with
+    (bands=32, rows=2) a 0.7-similar pair is missed w.p. < 1e-9, so
+    the output equals the exact pairwise oracle."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    bench = docs.filter(F.col("doc_id") < 100)
+    return text.neardup_contamination(corpus, bench, threshold=0.7).to_spark()
+
+
+@query(
+    "skew_report_users",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id
+    ),
+    t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS groups FROM c)
+    SELECT user_id, cnt,
+           cnt::DOUBLE / total AS share,
+           (cnt * groups::DOUBLE) / total AS skew
+    FROM c, t
+    ORDER BY cnt DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+def skew_report_users(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Heavy-hitter key profile (diagnostics.skew_report): the
+    pre-shuffle diagnosis that decides salt/broadcast/repartition at
+    the 100 TB design point. One value_counts-cost shuffle + a
+    broadcast of two scalars; top-n bounded by TakeOrderedAndProject."""
+    from pandas_spark.operators import diagnostics
+
+    events = _t_events(spark, sf_dir)
+    return diagnostics.skew_report(events, "user_id", top_n=20).to_spark()
+
+
+@query(
+    "key_distribution_users",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id
+    )
+    SELECT count(*)::BIGINT AS n_groups,
+           avg(cnt) AS mean_size,
+           max(cnt)::BIGINT AS max_size,
+           quantile_cont(cnt, 0.5) AS p50_size,
+           quantile_cont(cnt, 0.9) AS p90_size,
+           quantile_cont(cnt, 0.99) AS p99_size,
+           quantile_cont(cnt, 1.0) AS p100_size
+    FROM c
+    """,
+)
+def key_distribution_users(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Group-size distribution for a candidate shuffle key
+    (diagnostics.key_distribution): exact percentiles over the
+    already-reduced per-key counts — cheap at any corpus size."""
+    from pandas_spark.operators import diagnostics
+
+    events = _t_events(spark, sf_dir)
+    return diagnostics.key_distribution(events, "user_id").to_spark()
 
 
 @query(

@@ -3433,6 +3433,64 @@ def expanding_quantile(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "expanding_rank",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lst
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN value IS NOT NULL
+                THEN (len(list_filter(lst, v -> v < value))
+                      + len(list_filter(lst, v -> v <= value)) + 1) / 2.0
+           END AS value_rank
+    FROM l
+    """,
+)
+def expanding_rank(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """expanding().rank() per key (aggregations.pyx:1528 roll_rank on
+    an unbounded-preceding frame) — inherited from the rolling lt/le
+    HOF kernel via the Expanding frame spec."""
+    from pandas_spark.window import Expanding
+
+    events = _t(spark, sf_dir, "events")
+    e = Expanding(events, on="event_id", by=["user_id"])
+    return e.rank("value", alias="value_rank").select(
+        ["event_id", "user_id", "value_rank"]
+    ).to_spark()
+
+
+@query(
+    "expanding_nunique",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id,
+               list(event_type) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lst
+        FROM events
+    )
+    SELECT event_id, user_id,
+           len(list_distinct(list_filter(lst, v -> v IS NOT NULL)))::BIGINT
+               AS et_nunique
+    FROM l
+    """,
+)
+def expanding_nunique(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """expanding().nunique() per key (aggregations.pyx:1636
+    roll_nunique, unbounded frame) — running distinct-count of event
+    types seen so far per user."""
+    from pandas_spark.window import Expanding
+
+    events = _t(spark, sf_dir, "events")
+    e = Expanding(events, on="event_id", by=["user_id"])
+    return e.nunique("event_type", alias="et_nunique").select(
+        ["event_id", "user_id", "et_nunique"]
+    ).to_spark()
+
+
+@query(
     "sessionize_events",
     oracle="""
     WITH g AS (

@@ -527,3 +527,84 @@ def test_cosine_topk_matmul_matches_hof_with_ties(spark):
     )
     assert a.vec_id.tolist() == b.vec_id.tolist()
     assert np.allclose(a.cosine, b.cosine, atol=1e-9)
+
+
+def test_to_parquet_layout_clustered(tmp_path, spark):
+    """sort_by range-clusters output files: disjoint min/max footer
+    stats per file (the property filtered scans prune on), file count
+    bounded by max_records_per_file, lossless roundtrip."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    li = ps.read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    n = li.spark.count()
+    path = str(tmp_path / "clustered")
+    li.to_parquet(path, sort_by=["l_orderkey"], max_records_per_file=1000,
+                  compression="zstd")
+    files = sorted(_glob.glob(f"{path}/*.parquet"))
+    assert len(files) >= 2  # 6k rows / 1000 cap
+    back = ps.read_parquet(spark, path)
+    assert back.spark.count() == n
+    # footer min/max on the sort key must not overlap across files
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("l_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # range-partitioned: no interleaving
+
+
+def test_skew_report_shares_sum(spark):
+    from pandas_spark.operators import diagnostics
+
+    ev = ps.read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    full = diagnostics.skew_report(ev, "user_id", top_n=10**9).spark.collect()
+    assert abs(sum(r["share"] for r in full) - 1.0) < 1e-9
+    total = ev.spark.count()
+    assert sum(r["cnt"] for r in full) == total
+    # skew == cnt / mean group size
+    mean = total / len(full)
+    for r in full[:5]:
+        assert abs(r["skew"] - r["cnt"] / mean) < 1e-9
+
+
+def test_decontaminate_neardup_drops_flagged(spark):
+    from pandas_spark.operators import text
+    from pyspark.sql import functions as F
+
+    docs = ps.read_parquet(spark, "/root/testdata/sf0.01/documents.parquet")
+    corpus = docs.filter(ps.col("doc_id") >= 100)
+    bench = docs.filter(ps.col("doc_id") < 100)
+    flagged = text.neardup_contamination(corpus, bench, threshold=0.7)
+    ids = {r["doc_id"] for r in flagged.spark.collect()}
+    assert ids  # sf0.01 corpus contains cross-boundary near-dups
+    clean = text.decontaminate_neardup(corpus, bench, threshold=0.7)
+    n_corpus = corpus.spark.count()
+    assert clean.spark.count() == n_corpus - len(ids)
+    left = {r["doc_id"] for r in clean.spark.select("doc_id").collect()}
+    assert not (ids & left)
+
+
+def test_neardup_contamination_string_ids(spark):
+    """Side-tagging must survive non-numeric id columns (schema derives
+    from the corpus id dtype)."""
+    from pandas_spark.operators import text
+    from pyspark.sql import functions as F
+
+    docs = ps.read_parquet(spark, "/root/testdata/sf0.01/documents.parquet")
+    sdocs = DataFrame(
+        docs.spark.withColumn("doc_id", F.concat(F.lit("d-"), F.col("doc_id")))
+    )
+    corpus = sdocs.filter(ps.col("doc_id") != "d-245")
+    bench = sdocs.filter(ps.col("doc_id") == "d-245")
+    out = text.neardup_contamination(corpus, bench, threshold=0.7).spark
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert out.count() >= 1  # doc 245 has a near-dup partner in-corpus

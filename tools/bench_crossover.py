@@ -84,14 +84,18 @@ def ensure_data(spark):
         else:
             # a REPS-way union makes Catalyst analyze a REPS-node plan;
             # at 100-1000 replicas, explode a replica index instead —
-            # one map-side row multiplier, O(1) plan size
-            out = src.withColumn(
+            # one map-side row multiplier, O(1) plan size. Repartition
+            # BEFORE the explode (the source has only a few row groups
+            # → a few tasks; 64-way spread gives every core a slice of
+            # the multiplication) and write the exploded rows straight
+            # out — no post-explode shuffle of REPS× the data.
+            out = src.repartition(64).withColumn(
                 "__rep__", F.explode(F.sequence(F.lit(0), F.lit(REPS - 1)))
             )
             for col, step in shifts:
                 if col in cols:
                     out = out.withColumn(col, F.col(col) + F.col("__rep__") * F.lit(step))
-            out = out.drop("__rep__").repartition(256)
+            out = out.drop("__rep__")
         out.write.mode("overwrite").parquet(f"{DIR}/{t}.parquet")
     for t in COPY:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
