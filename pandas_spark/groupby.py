@@ -211,8 +211,30 @@ class GroupBy:
         exprs = [resolve_agg(func, c, self._dt(c)).alias(c) for c in cols]
         return self._result(self._grouped().agg(*exprs))
 
-    def sum(self, numeric_only: bool = True):      return self._simple("sum", numeric_only)
-    def prod(self, numeric_only: bool = True):     return self._simple("prod", numeric_only)
+    def _min_count_agg(self, func: str, numeric_only: bool, min_count: int):
+        """pandas ``min_count`` (groupby/groupby.py:3052 sum/prod): the
+        aggregate is NULL for any group holding fewer than ``min_count``
+        non-null values. One extra count per column inside the same
+        Tungsten hash-agg pass — no second shuffle."""
+        cols = self._value_cols(numeric_only=numeric_only)
+        exprs = [
+            F.when(
+                F.count(F.col(c)) >= F.lit(min_count),
+                resolve_agg(func, c, self._dt(c)),
+            ).alias(c)
+            for c in cols
+        ]
+        return self._result(self._grouped().agg(*exprs))
+
+    def sum(self, numeric_only: bool = True, min_count: int = 0):
+        if min_count > 0:
+            return self._min_count_agg("sum", numeric_only, min_count)
+        return self._simple("sum", numeric_only)
+
+    def prod(self, numeric_only: bool = True, min_count: int = 0):
+        if min_count > 0:
+            return self._min_count_agg("prod", numeric_only, min_count)
+        return self._simple("prod", numeric_only)
     def mean(self, numeric_only: bool = True):     return self._simple("mean", numeric_only)
     def median(self, numeric_only: bool = True):   return self._simple("median", numeric_only)
     def min(self, numeric_only: bool = False):     return self._simple("min", numeric_only)

@@ -24,6 +24,133 @@ from pyspark.sql import functions as F
 from pandas_spark.frame import DataFrame
 
 
+class PlanScaleError(RuntimeError):
+    """Raised by ``assert_scalable`` when a plan contains a construct
+    that will not survive a 100×–1000× scale-up."""
+
+
+def _plan_text(sdf: SparkDF, mode: str = "formatted") -> str:
+    return sdf._sc._jvm.PythonSQLUtils.explainString(sdf._jdf.queryExecution(), mode)
+
+
+def plan_report(frame) -> dict:
+    """Machine-readable audit of the physical plan — the facts that
+    decide whether a query survives the jump from test data to 100 TB:
+
+    * ``shuffles`` — data-moving Exchange nodes (hash/range); each is
+      a full network pass over its input
+    * ``single_partition_exchanges`` — ``Exchange SinglePartition``:
+      the whole dataset serializes through ONE task (the unkeyed-window
+    scale trap ``strict_scale`` guards against)
+    * ``broadcast_joins`` / ``sortmerge_joins`` / ``nested_loop_joins``
+      — join strategy mix; nested-loop/cartesian is almost always a
+      missing equi-key
+    * ``arrow_python_nodes`` — vectorized Python crossings
+      (pandas_udf / mapInPandas / applyInPandas): the sanctioned slow
+      path
+    * ``row_python_nodes`` — ``BatchEvalPython`` row-at-a-time UDFs:
+      the UNsanctioned one (the engine itself never emits these)
+    * ``scans`` — per-scan (read_schema, pushed_filters) so column
+      pruning and predicate pushdown are checkable
+    * ``codegen_stages`` — whole-stage-codegen span count (from the
+      ``simple`` explain)
+
+    Pure plan introspection — nothing is executed. The programmatic
+    twin of eyeballing ``df.explain("formatted")``, usable in tests and
+    CI gates (see ``assert_scalable``).
+    """
+    import re
+
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    text = _plan_text(sdf, "formatted")
+    nodes = re.findall(r"^\((\d+)\) (\S+)", text, re.M)
+    counts: dict[str, int] = {}
+    for _, name in nodes:
+        counts[name] = counts.get(name, 0) + 1
+    # Exchange arguments distinguish hash/range vs SinglePartition
+    single = len(re.findall(r"Arguments: SinglePartition", text))
+    exchanges = counts.get("Exchange", 0)
+    scans = []
+    for m in re.finditer(
+        r"^\(\d+\) Scan [^\n]*\n(?:.*\n)*?ReadSchema: ([^\n]+)", text, re.M
+    ):
+        block = m.group(0)
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        loc = re.search(r"Location: \S+ \[([^\]]*)\]", block)
+        scans.append(
+            {
+                "location": loc.group(1) if loc else None,
+                "read_schema": m.group(1),
+                "pushed_filters": pf.group(1) if pf else "",
+            }
+        )
+    simple = _plan_text(sdf, "simple")
+    codegen = len(set(re.findall(r"\*\((\d+)\)", simple)))
+    return {
+        "shuffles": exchanges - single,
+        "single_partition_exchanges": single,
+        "broadcast_exchanges": counts.get("BroadcastExchange", 0),
+        "broadcast_joins": counts.get("BroadcastHashJoin", 0),
+        "sortmerge_joins": counts.get("SortMergeJoin", 0),
+        "shuffled_hash_joins": counts.get("ShuffledHashJoin", 0),
+        "nested_loop_joins": counts.get("BroadcastNestedLoopJoin", 0)
+        + counts.get("CartesianProduct", 0),
+        "arrow_python_nodes": sum(
+            counts.get(k, 0)
+            for k in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "FlatMapGroupsInPandasWithState",
+                "MapInArrow",
+            )
+        ),
+        "row_python_nodes": counts.get("BatchEvalPython", 0),
+        "scans": scans,
+        "codegen_stages": codegen,
+    }
+
+
+def assert_scalable(
+    frame,
+    max_shuffles: int | None = None,
+    allow_single_partition: bool = False,
+    allow_row_python: bool = False,
+    allow_nested_loop: bool = False,
+) -> dict:
+    """CI gate over ``plan_report``: raise ``PlanScaleError`` if the
+    plan contains a scale-killer. Returns the report on success, so a
+    test can gate and inspect in one call.
+
+    Defaults flag the three constructs that are *never* what you want
+    on big data — single-partition exchanges, row-at-a-time Python,
+    cartesian joins — and leave shuffle budgeting opt-in
+    (``max_shuffles=``), since the right number is query-specific.
+    """
+    r = plan_report(frame)
+    problems = []
+    if not allow_single_partition and r["single_partition_exchanges"]:
+        problems.append(
+            f"{r['single_partition_exchanges']} SinglePartition exchange(s): "
+            "the full dataset serializes through one task"
+        )
+    if not allow_row_python and r["row_python_nodes"]:
+        problems.append(
+            f"{r['row_python_nodes']} row-at-a-time Python node(s) "
+            "(BatchEvalPython): use pandas_udf / mapInPandas"
+        )
+    if not allow_nested_loop and r["nested_loop_joins"]:
+        problems.append(
+            f"{r['nested_loop_joins']} nested-loop/cartesian join(s): "
+            "missing equi-join key?"
+        )
+    if max_shuffles is not None and r["shuffles"] > max_shuffles:
+        problems.append(f"{r['shuffles']} shuffles > budget {max_shuffles}")
+    if problems:
+        raise PlanScaleError("; ".join(problems))
+    return r
+
+
 def skew_report(
     frame: DataFrame,
     keys: str | Sequence[str],

@@ -3433,6 +3433,74 @@ def expanding_quantile(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "rolling_closed_left",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND INTERVAL 1 MICROSECOND PRECEDING) AS v_prev_1h
+    FROM events
+    """,
+)
+def rolling_closed_left(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling('1h', closed='left') — the look-BEHIND window that
+    excludes the current observation (leakage-free feature windows;
+    window/rolling.py closed= endpoint rules): [t-1h, t) per user."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, "1h", on="ts", by=["user_id"], min_periods=1, closed="left")
+    return r.mean("value", alias="v_prev_1h").select(
+        ["event_id", "user_id", "ts", "v_prev_1h"]
+    ).to_spark()
+
+
+@query(
+    "rolling_closed_both",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS v_mean6
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_closed_both(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling(5, closed='both') — fixed window keeping BOTH endpoints
+    ([i-5, i], six rows; indexers/objects.py:108 endpoint table),
+    min_periods inherits the window size (5)."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 5, on="event_id", by=["user_id"], closed="both")
+    return r.mean("value", alias="v_mean6").select(
+        ["event_id", "user_id", "v_mean6"]
+    ).to_spark()
+
+
+@query(
+    "groupby_sum_min_count",
+    oracle=f"""
+    SELECT user_id,
+           CASE WHEN count(value) >= 67 THEN {ESUM('value')} END AS value
+    FROM events GROUP BY user_id
+    """,
+)
+def groupby_sum_min_count(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """groupby().sum(min_count=) (groupby/groupby.py:3052): NULL for
+    groups with fewer than min_count non-null values — one extra count
+    inside the same hash-agg pass."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(["user_id", "value"])
+        .groupby("user_id")
+        .sum(min_count=67)
+        .to_spark()
+    )
+
+
+@query(
     "expanding_rank",
     oracle="""
     WITH l AS (

@@ -69,12 +69,16 @@ class Rolling:
         by: Sequence[str] | None = None,
         min_periods: int | None = None,
         center: bool = False,
+        closed: str | None = None,
     ):
         self._frame = frame
         self._window = window
         self._on = on
         self._by = list(by or [])
         self._center = center
+        if closed not in (None, "right", "left", "both", "neither"):
+            raise ValueError(f"closed must be right/left/both/neither, got {closed!r}")
+        self._closed = closed or "right"
         if isinstance(window, int):
             self._min_periods = min_periods if min_periods is not None else window
         else:
@@ -86,7 +90,15 @@ class Rolling:
             if self._center:
                 lo, hi = -(n // 2), n - 1 - n // 2
             else:
+                # pandas closed= endpoint rules for fixed windows
+                # (window/rolling.py:140 area; indexers/objects.py:108):
+                # right (default) [i-n+1, i]; left [i-n, i-1];
+                # both [i-n, i] (n+1 rows); neither [i-n+1, i-1]
                 lo, hi = -(n - 1), 0
+                if self._closed in ("left", "both"):
+                    lo -= 1
+                if self._closed in ("left", "neither"):
+                    hi -= 1
             base = W.partitionBy(*self._by) if self._by else W.partitionBy()
             if self._on:
                 return base.orderBy(F.col(self._on).asc()).rowsBetween(lo, hi)
@@ -97,7 +109,13 @@ class Rolling:
             raise ValueError("time-based rolling requires on=<timestamp col>")
         span = parse_offset_seconds(self._window) * 1_000_000
         base = W.partitionBy(*self._by) if self._by else W.partitionBy()
-        return base.orderBy(epoch_micros(F.col(self._on))).rangeBetween(-span + 1, 0)
+        # closed= on the range frame: endpoints in µs around
+        # [t-span, t]; right (default) excludes the left edge, both
+        # includes both, left excludes the current-time edge, neither
+        # excludes both edges (window/rolling.py closed semantics)
+        lo = -span + 1 if self._closed in ("right", "neither") else -span
+        hi = 0 if self._closed in ("right", "both") else -1
+        return base.orderBy(epoch_micros(F.col(self._on))).rangeBetween(lo, hi)
 
     def _apply(self, func: str, col: str, alias: str | None):
         frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()

