@@ -1,4 +1,5 @@
 from pandas_spark.streaming.core import (
+    heavy_hitters_stream,
     read_stream_parquet,
     read_stream_json,
     resample_stream,
@@ -13,6 +14,7 @@ from pandas_spark.streaming.core import (
 )
 
 __all__ = [
+    "heavy_hitters_stream",
     "dedup_stream",
     "exact_dedup_stream",
     "read_stream_json",

@@ -195,6 +195,39 @@ def exact_dedup_stream(
     return dedup_stream(hashed, ["__h__"], on=on, watermark=watermark).drop("__h__")
 
 
+def heavy_hitters_stream(
+    sdf: SparkDF,
+    keys: Sequence[str],
+    on: str,
+    rule: str = "1h",
+    min_count: int = 1,
+    watermark: str = "1 hour",
+) -> SparkDF:
+    """Streaming heavy-hitter detection — the live twin of
+    ``diagnostics.skew_report``: per event-time window, emit every key
+    whose row count reaches ``min_count`` (hot users, hot join keys,
+    abuse spikes) as ``(window_start, keys..., cnt)``.
+
+    Watermark-bounded tumbling-window counts, so the state store holds
+    only open windows and results append exactly once per closed
+    window. The threshold is an absolute count (a per-window share
+    would need a second aggregation joined against the first, which
+    streaming disallows; callers wanting share divide by the known
+    window volume downstream). Batch twin: ``groupBy(window(ts),
+    keys).count()`` — parity-tested."""
+    secs = parse_offset_seconds(rule)
+    src = _with_watermark(sdf, on, watermark)
+    key_list = list(keys)
+    out = (
+        src.groupBy(
+            F.window(F.col(on), f"{secs} seconds").alias("__win__"), *key_list
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return out.select(F.col("__win__.start").alias(on), *key_list, "cnt")
+
+
 def run_to_memory(
     stream: SparkDF,
     name: str,

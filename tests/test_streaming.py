@@ -201,3 +201,28 @@ def test_running_agg_state_across_micro_batches(spark, tmp_path):
     )
     want = {r["event_id"]: round(r["rs"], 6) for r in batch}
     assert got == want
+
+
+def test_heavy_hitters_stream_matches_batch(spark, events_stream):
+    out = pss.heavy_hitters_stream(
+        events_stream, ["user_id"], on="ts", rule="1D", min_count=4
+    )
+    assert out.isStreaming
+    pss.run_to_memory(out, "t_hh", output_mode="complete")
+    got = {
+        (r["ts"], r["user_id"]): r["cnt"] for r in spark.table("t_hh").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.window("ts", "86400 seconds").alias("w"), "user_id")
+        .count()
+        .filter(F.col("count") >= 4)
+        .select(F.col("w.start").alias("ts"), "user_id", F.col("count"))
+        .collect()
+    )
+    want = {(r["ts"], r["user_id"]): r["count"] for r in batch}
+    assert got == want
+    assert got  # threshold chosen to keep some hitters at sf0.001
