@@ -820,6 +820,29 @@ def pivot_margins(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "resample_offset",
+    oracle=f"""
+    SELECT (to_timestamp(floor((epoch(ts) - 600) / 900) * 900 + 600))::TIMESTAMP
+               AS ts,
+           {ESUM('value')} AS value_sum,
+           count(value)::BIGINT AS value_count
+    FROM events
+    GROUP BY 1
+    """,
+)
+def resample_offset(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample('15min', offset='10min') — pandas bucket anchoring
+    (core/resample.py:2466 origin/offset edges → Spark F.window
+    startTime): boundaries land at :10/:25/:40/:55 instead of the
+    epoch grid."""
+    events = _t(spark, sf_dir, "events")
+    from pandas_spark.window import Resampler
+
+    r = Resampler(events, "15min", on="ts", offset="10min")
+    return r.agg({"value": ["sum", "count"]}).to_spark()
+
+
+@query(
     "upsample_ffill",
     oracle=f"""
     WITH agg AS (

@@ -383,16 +383,64 @@ class Resampler:
     (pandas_spark/streaming) — batch and stream share semantics.
     """
 
-    def __init__(self, frame: DataFrame, rule: str, on: str, by: Sequence[str] | None = None):
+    def __init__(
+        self,
+        frame: DataFrame,
+        rule: str,
+        on: str,
+        by: Sequence[str] | None = None,
+        origin: str = "epoch",
+        offset: str | None = None,
+    ):
         self._frame = frame
         self._rule = rule
         self._on = on
         self._by = list(by or [])
+        self._origin = origin
+        self._offset = offset
+
+    def _start_seconds(self) -> int:
+        """Bucket-boundary shift in seconds (pandas ``origin``/``offset``,
+        core/resample.py:2466 _get_timestamp_range_edges → Spark
+        ``F.window(..., startTime=)``).
+
+        ``origin='epoch'`` (default) anchors to 1970-01-01;
+        ``'start'``/``'start_day'`` anchor to the data's first
+        timestamp / its midnight — those need min(ts), ONE scalar agg
+        collected before planning (bounded, any data size); an ISO
+        timestamp string anchors without any job. ``offset`` adds on
+        top, as in pandas."""
+        secs = parse_offset_seconds(self._rule)
+        base = 0
+        if self._origin in ("start", "start_day"):
+            row = self._frame.spark.agg(
+                F.min(epoch_micros(F.col(self._on))).alias("m")
+            ).collect()[0]
+            first_s = (row["m"] or 0) // 1_000_000
+            if self._origin == "start_day":
+                first_s -= first_s % 86400
+            base = first_s % secs
+        elif self._origin != "epoch":
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(self._origin)
+            base = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp()) % secs
+        if self._offset:
+            base += parse_offset_seconds(self._offset)
+        return base % secs
+
+    def _win(self):
+        secs = parse_offset_seconds(self._rule)
+        start = self._start_seconds()
+        if start:
+            return F.window(
+                F.col(self._on), f"{secs} seconds", f"{secs} seconds",
+                f"{start} seconds",
+            )
+        return F.window(F.col(self._on), f"{secs} seconds")
 
     def _bucketed(self):
-        secs = parse_offset_seconds(self._rule)
-        win = F.window(F.col(self._on), f"{secs} seconds")
-        return self._frame.spark.groupBy(*self._by, win.alias("__win__"))
+        return self._frame.spark.groupBy(*self._by, self._win().alias("__win__"))
 
     def agg(self, spec) -> DataFrame:
         from pandas_spark.groupby import resolve_agg
@@ -426,9 +474,8 @@ class Resampler:
     def max(self):   return self.agg("max")
 
     def ohlc(self, col: str) -> DataFrame:
-        secs = parse_offset_seconds(self._rule)
         w = (
-            W.partitionBy(*self._by, F.window(F.col(self._on), f"{secs} seconds"))
+            W.partitionBy(*self._by, self._win())
             .orderBy(F.col(self._on).asc())
         )
         sdf = (
@@ -437,7 +484,7 @@ class Resampler:
             .withColumn("__last__", F.last(col).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
         )
         out = (
-            sdf.groupBy(*self._by, F.window(F.col(self._on), f"{secs} seconds").alias("__win__"))
+            sdf.groupBy(*self._by, self._win().alias("__win__"))
             .agg(
                 F.first("__first__").alias("open"),
                 F.max(col).alias("high"),
@@ -455,10 +502,12 @@ class Resampler:
         ``F.window``/``date_trunc`` buckets) so spine keys join exactly
         against resampled aggregates."""
         secs = parse_offset_seconds(self._rule)
+        start = self._start_seconds()
 
         def bucket(c):
             return F.timestamp_seconds(
-                F.floor(F.unix_timestamp(c) / secs).cast("long") * secs
+                F.floor((F.unix_timestamp(c) - start) / secs).cast("long") * secs
+                + start
             )
 
         bounds = self._frame.spark.agg(

@@ -866,3 +866,36 @@ def test_groupby_sum_min_count_matches_pandas(spark, min_count):
         got = got[got["v"].notna()].reset_index(drop=True)
         want = want[want["v"] != 0.0].reset_index(drop=True) if got.shape[0] != want.shape[0] else want
     assert_col_matches(got, want["v"], "v")
+
+
+@pytest.mark.parametrize("origin,offset", [
+    ("epoch", "10min"), ("start", None), ("start_day", "5min"),
+    ("2024-01-01T00:07:00", None),
+])
+def test_resample_origin_offset_matches_pandas(spark, origin, offset):
+    rng = np.random.default_rng(23)
+    ts = pd.to_datetime("2024-01-03 04:11:00") + pd.to_timedelta(
+        np.sort(rng.choice(720000, 80, replace=False)), unit="s"
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": rng.normal(size=80).round(3)})
+    porigin = origin if origin in ("epoch", "start", "start_day") else pd.Timestamp(origin)
+    want = (
+        pdf.resample("15min", on="ts", origin=porigin,
+                     offset=pd.Timedelta(offset) if offset else None)["v"]
+        .sum()
+        .loc[lambda s: s != 0.0]  # pandas emits 0.0 for empty buckets; engine emits no row
+        .rename("v")
+        .reset_index()
+    )
+
+    from pandas_spark.window import Resampler
+
+    f = ps.from_pandas(spark, pdf)
+    r = Resampler(f, "15min", on="ts", origin=origin, offset=offset)
+    got = (
+        r.agg({"v": "sum"}).to_spark().toPandas()
+        .sort_values("ts").reset_index(drop=True)
+    )
+    want = want.sort_values("ts").reset_index(drop=True)
+    assert list(got["ts"]) == list(want["ts"])
+    assert_col_matches(got, want["v"], "v")
