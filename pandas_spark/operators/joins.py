@@ -228,6 +228,8 @@ def merge_asof(
     tolerance=None,
     allow_exact_matches: bool = True,
     suffixes: tuple[str, str] = ("_x", "_y"),
+    left_by: str | Sequence[str] | None = None,
+    right_by: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """pandas ``merge_asof`` via union + ordered window (no range explosion).
 
@@ -240,6 +242,15 @@ def merge_asof(
     """
     by_keys = _aslist(by)
     lsdf, rsdf = left.spark, right.spark
+    if left_by or right_by:
+        # pandas left_by/right_by (merge.py:644): differently-named
+        # group keys per side — normalize by renaming the right side to
+        # the left's names, then proceed as by=
+        lb, rb = _aslist(left_by), _aslist(right_by)
+        if by_keys or len(lb) != len(rb):
+            raise ValueError("pass either by= or matching left_by=/right_by= lists")
+        rsdf = rsdf.withColumnsRenamed(dict(zip(rb, lb)))
+        by_keys = lb
     # gap/tolerance math needs an epoch number; TIMESTAMP_NTZ (how the
     # driver session reads unannotated parquet) rejects a double cast,
     # so go through the dtype-aware helper

@@ -3524,6 +3524,70 @@ def groupby_sum_min_count(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "rolling_sem",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w >= 5
+                THEN stddev_samp(value) OVER w / sqrt(count(value) OVER w) END
+               AS v_sem
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_sem(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling.sem() (window/rolling.py sem: s/sqrt(n)) — both
+    components frame-legal window aggregates, one pass."""
+    from pandas_spark.window import Rolling
+
+    events = _t(spark, sf_dir, "events")
+    r = Rolling(events, 5, on="event_id", by=["user_id"])
+    return r.sem("value", alias="v_sem").select(
+        ["event_id", "user_id", "v_sem"]
+    ).to_spark()
+
+
+@query(
+    "merge_asof_left_by",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS uid_l, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id AS uid_r, ts, value AS pvalue FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT c.uid_l, c.ts, c.event_id, p.pvalue
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.uid_l = p.uid_r AND c.ts >= p.ts
+    """,
+)
+def merge_asof_left_by(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """merge_asof(left_by=, right_by=) (merge.py:644): differently-named
+    per-side group keys, normalized by renaming the right side - the
+    same union+window plan as by=."""
+    from pandas_spark.operators.joins import merge_asof
+
+    events = _t(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(["user_id", "ts", "event_id"])
+        .rename({"user_id": "uid_l"})
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(["user_id", "ts", "value"])
+        .rename({"user_id": "uid_r", "value": "pvalue"})
+    )
+    out = merge_asof(
+        clicks, purchases, on="ts", left_by="uid_l", right_by="uid_r",
+        direction="backward",
+    )
+    return out.select(["uid_l", "ts", "event_id", "pvalue"]).to_spark()
+
+
+@query(
     "expanding_rank",
     oracle="""
     WITH l AS (

@@ -130,6 +130,12 @@ class Rolling:
             lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
             hi = F.element_at(arr, F.floor((n + 2) / 2).cast("int"))
             val = F.when(n > 0, (lo + hi) / 2.0)
+        elif func == "sem":
+            # std error of the mean (window/rolling.py sem): s / sqrt(n),
+            # both frame-legal aggregates — one window pass
+            val = F.stddev_samp(F.col(col)).over(w) / F.sqrt(
+                F.count(F.col(col)).over(w)
+            )
         else:
             val = _AGGS[func](F.col(col)).over(w)
         if self._min_periods and self._min_periods > 1:
@@ -306,6 +312,7 @@ class Rolling:
     def median(self, col: str, alias: str | None = None): return self._apply("median", col, alias)
     def std(self, col: str, alias: str | None = None):    return self._apply("std", col, alias)
     def var(self, col: str, alias: str | None = None):    return self._apply("var", col, alias)
+    def sem(self, col: str, alias: str | None = None):    return self._apply("sem", col, alias)
 
     def _pairwise(self, kind: str, x: str, y: str, alias: str | None):
         """rolling.cov/.corr (window/rolling.py:1715,1780): Spark's
@@ -368,7 +375,12 @@ class Expanding(Rolling):
         frame = self._frame if self._on else self._frame._ensure_order()
         w = self._spec(frame)
         name = alias or f"{col}_{func}"
-        val = _AGGS[func](F.col(col)).over(w)
+        if func == "sem":
+            val = F.stddev_samp(F.col(col)).over(w) / F.sqrt(
+                F.count(F.col(col)).over(w)
+            )
+        else:
+            val = _AGGS[func](F.col(col)).over(w)
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(F.col(col)).over(w)
             val = F.when(cnt >= self._min_periods, val)
