@@ -1115,6 +1115,14 @@ class DataFrame:
             expr = F.when(n > ddof, sq / (nd - F.lit(float(ddof))))
             if func == "std":
                 expr = F.sqrt(expr)
+        elif func == "median":
+            # row-wise median (df.median(axis=1)): sort the row-local
+            # array, average the middle pair — O(width log width) per
+            # row, still map-only
+            sv = F.sort_array(vals)
+            lo = F.element_at(sv, F.floor((n + 1) / 2).cast("int"))
+            hi = F.element_at(sv, F.floor((n + 2) / 2).cast("int"))
+            expr = F.when(n > 0, (lo + hi) / 2.0)
         else:
             raise NotImplementedError(f"reduce_rows: unsupported func {func!r}")
         if not skipna and func != "count":

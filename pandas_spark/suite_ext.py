@@ -3708,7 +3708,10 @@ def value_counts_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
            (l_quantity + l_extendedprice + l_discount + l_tax) / 4 AS row_mean,
            greatest(l_quantity, l_extendedprice, l_discount, l_tax) AS row_max,
            least(l_quantity, l_extendedprice, l_discount, l_tax) AS row_min,
-           4::BIGINT AS row_count
+           4::BIGINT AS row_count,
+           (list_sort([l_quantity, l_extendedprice, l_discount, l_tax])[2]
+            + list_sort([l_quantity, l_extendedprice, l_discount, l_tax])[3]) / 2.0
+               AS row_median
     FROM lineitem
     WHERE l_orderkey < 1000
     """,
@@ -3720,10 +3723,10 @@ def row_reductions(spark: SparkSession, sf_dir: str) -> SparkDF:
     li = _t(spark, sf_dir, "lineitem")
     sub = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     out = li.filter(col("l_orderkey") < 1000)
-    for fn in ("sum", "mean", "max", "min", "count"):
+    for fn in ("sum", "mean", "max", "min", "count", "median"):
         out = out.reduce_rows(fn, subset=sub)
     return out.select(
-        ["l_orderkey", "l_linenumber", "row_sum", "row_mean", "row_max", "row_min", "row_count"]
+        ["l_orderkey", "l_linenumber", "row_sum", "row_mean", "row_max", "row_min", "row_count", "row_median"]
     ).to_spark()
 
 

@@ -899,3 +899,25 @@ def test_resample_origin_offset_matches_pandas(spark, origin, offset):
     want = want.sort_values("ts").reset_index(drop=True)
     assert list(got["ts"]) == list(want["ts"])
     assert_col_matches(got, want["v"], "v")
+
+
+@pytest.mark.parametrize("skipna", [True, False])
+def test_row_median_matches_pandas(spark, skipna):
+    pdf = pd.DataFrame(
+        {
+            "i": range(6),
+            "a": [1.0, np.nan, 3.0, -2.0, np.nan, 0.0],
+            "b": [2.0, 5.0, np.nan, -8.0, np.nan, 0.5],
+            "c": [9.0, 7.0, 1.0, -4.0, np.nan, -0.5],
+        }
+    )
+    want = pdf.assign(
+        m=pdf[["a", "b", "c"]].median(axis=1, skipna=skipna)
+    ).sort_values("i")
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = (
+        f.reduce_rows("median", subset=["a", "b", "c"], skipna=skipna, alias="m")
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert_col_matches(got, want["m"], "m")
