@@ -22,7 +22,7 @@ import warnings
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame as SparkDF
+from pyspark.sql import Column, DataFrame as SparkDF, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -628,16 +628,45 @@ def dedup_keep_representatives(
     bands: int = 32,
     rows: int = 2,
     shingle_n: int = 5,
+    keep: str = "min_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Full near-dup dedup: MinHash→LSH→verified pairs → connected
-    components → drop every document except each cluster's min-id
-    representative. The anti-join ships only (id) keys; the corpus
-    passes through untouched except for dropped rows."""
+    components → drop every document except one representative per
+    cluster. The anti-join ships only (id) keys; the corpus passes
+    through untouched except for dropped rows.
+
+    ``keep='min_id'`` (default) keeps the smallest id — deterministic
+    and cheap. ``keep='best'`` keeps the member maximizing
+    ``score_col`` (ties → smallest id): the production curation rule —
+    when near-dups differ in quality (truncation, boilerplate, OCR
+    noise), keep the best copy, not the earliest-crawled one. Cost:
+    one row_number window over the LABELED docs only (docs inside
+    clusters — a small fraction of the corpus by construction), never
+    the full corpus."""
     pairs = minhash_dedup_pairs(
         frame, text_col, id_col, threshold, num_hashes, bands, rows, shingle_n
     ).spark
     labels = neardup_clusters(pairs)
-    drop = labels.filter(F.col("cluster") != F.col("doc_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if keep == "min_id":
+        drop = labels.filter(F.col("cluster") != F.col("doc_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    elif keep == "best":
+        if not score_col:
+            raise ValueError("keep='best' requires score_col=")
+        scores = frame.spark.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("__score__")
+        )
+        lab = labels.join(scores, "doc_id")
+        w = W.partitionBy("cluster").orderBy(
+            F.col("__score__").desc(), F.col("doc_id").asc()
+        )
+        drop = (
+            lab.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") > 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
+    else:
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
     return DataFrame(frame.spark.join(drop, id_col, "left_anti"))

@@ -427,6 +427,41 @@ def contamination_ratios(corpus, bench, id_col="doc_id", text_col="text", shingl
     return out
 
 
+def unigram_logprob(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alias: str = "logprob",
+) -> DataFrame:
+    """Corpus-relative unigram log-probability per document — the
+    cheap, self-contained stand-in for the KenLM perplexity filter in
+    CCNet-style pipelines (no external LM in this environment): score =
+    mean over token occurrences of ln(count(token)/total_tokens) under
+    the corpus' own unigram MLE. Unusually low scores mark gibberish,
+    OCR noise, and boilerplate soups; unusually high ones mark
+    repetitive/templated text. Filter on quantiles of this column.
+
+    Two shuffles regardless of corpus size: token-count aggregation
+    (vocabulary-sized output), then tokens⋈vocab + per-doc mean. The
+    mean uses the order-independent fixed-point fold so the score is
+    partitioning-stable (hash-gate safe). Docs with zero tokens emit
+    no row (same rule as the SQL mirror)."""
+    from pandas_spark.functions import stats
+
+    toks = spread(frame.spark if hasattr(frame, "spark") else frame).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("__t__")
+    ).filter(F.length("__t__") > 0)
+    vocab = toks.groupBy("__t__").agg(F.count(F.lit(1)).alias("__c__"))
+    total = vocab.agg(F.sum("__c__").alias("__n__"))
+    scored = toks.join(vocab, "__t__").crossJoin(F.broadcast(total))
+    out = scored.groupBy(id_col).agg(
+        stats.exact_mean(
+            F.log(F.col("__c__").cast("double") / F.col("__n__").cast("double"))
+        ).alias(alias)
+    )
+    return DataFrame(out)
+
+
 def neardup_contamination_pairs(
     corpus,
     bench,

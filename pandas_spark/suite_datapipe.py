@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pandas_spark import read_parquet
 from pandas_spark.frame import DataFrame
 from pandas_spark.operators import dedup, multimodal, similarity, text
-from pandas_spark.suite import ESUM, query
+from pandas_spark.suite import EAVG, ESUM, query
 
 # ---------------------------------------------------------------------------
 # shared DuckDB SQL fragments (kept in lockstep with the Spark exprs)
@@ -786,6 +786,66 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "dedup_cluster_reps_best",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {_shingle_sql(5)} AS s
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    prs AS (
+        SELECT l.doc_id AS id1, r.doc_id AS id2
+        FROM sh l JOIN sh r
+          ON l.doc_id < r.doc_id
+         AND len(l.s) >= 0.8 * len(r.s) AND len(r.s) >= 0.8 * len(l.s)
+        WHERE len(list_intersect(l.s, r.s)) / len(list_distinct(l.s || r.s)) >= 0.8
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    ),
+    scored AS (
+        SELECT l.doc_id, l.cluster, length(d.text) AS score
+        FROM labels l JOIN documents d USING (doc_id)
+    ),
+    keepers AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY cluster ORDER BY score DESC, doc_id ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM scored)
+       OR d.doc_id IN (SELECT doc_id FROM keepers)
+    """,
+)
+def dedup_cluster_reps_best(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Cluster-representative dedup with keep='best': per near-dup
+    cluster keep the LONGEST member (score_col=n_chars, ties → min id)
+    — the production curation rule when near-dups differ in quality.
+    Same pair/cluster machinery; one row_number window over labeled
+    docs only."""
+    docs = _docs(spark, sf_dir).assign(
+        n_chars2=F.length(F.col("text")).cast("bigint")
+    )
+    out = dedup.dedup_keep_representatives(
+        docs, "text", "doc_id", threshold=0.8, num_hashes=64, bands=32,
+        rows=2, shingle_n=5, keep="best", score_col="n_chars2",
+    )
+    return out.assign(n_chars=F.length(F.col("text")).cast("bigint")).select(
+        ["doc_id", "n_chars"]
+    ).to_spark()
+
+
+@query(
     "train_test_split",
     oracle="""
     WITH b AS (
@@ -876,6 +936,31 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> SparkDF:
     return contamination_ratios(docs, bench, "doc_id", "text", shingle_n=8).select(
         "doc_id", "n_shingles", "n_matched", "contamination"
     )
+
+
+@query(
+    "unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+        ) WHERE length(t) > 0
+    ),
+    vocab AS (
+        SELECT t, count(*)::BIGINT AS c FROM toks GROUP BY t
+    ),
+    total AS (SELECT sum(c)::BIGINT AS n FROM vocab)
+    SELECT toks.doc_id, {EAVG("ln(c::DOUBLE / n::DOUBLE)")} AS logprob
+    FROM toks JOIN vocab USING (t), total
+    GROUP BY toks.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus-relative unigram log-probability (text.unigram_logprob)
+    — the KenLM-perplexity stand-in for CCNet-style quality filtering;
+    fixed-point mean keeps the score partitioning-stable."""
+    docs = _docs(spark, sf_dir)
+    return text.unigram_logprob(docs).to_spark()
 
 
 @query(

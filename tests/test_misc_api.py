@@ -608,3 +608,47 @@ def test_neardup_contamination_string_ids(spark):
     out = text.neardup_contamination(corpus, bench, threshold=0.7).spark
     assert dict(out.dtypes)["doc_id"] == "string"
     assert out.count() >= 1  # doc 245 has a near-dup partner in-corpus
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    from pandas_spark.operators import dedup
+    from pandas_spark.sources.io import from_pandas
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            # 1 and 2 near-dup; 2 is longer (higher quality score)
+            "text": [base, base + "extra tail words here", "completely different content " * 10],
+        }
+    )
+    f = from_pandas(spark, pdf).assign(
+        n=ps.col("text").str.len()
+    )
+    out = dedup.dedup_keep_representatives(
+        f, "text", "doc_id", threshold=0.5, keep="best", score_col="n"
+    )
+    kept = sorted(r["doc_id"] for r in out.spark.select("doc_id").collect())
+    assert kept == [2, 3]  # best (longest) clone survives, not min-id
+    # min_id default keeps 1
+    out2 = dedup.dedup_keep_representatives(f, "text", "doc_id", threshold=0.5)
+    kept2 = sorted(r["doc_id"] for r in out2.spark.select("doc_id").collect())
+    assert kept2 == [1, 3]
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark):
+    from pandas_spark.operators import text as T
+    from pandas_spark.sources.io import from_pandas
+    import pandas as pd
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [common, "zxqv jkwpf mnbvt qqrrz aapls"],
+        }
+    )
+    f = from_pandas(spark, pdf)
+    got = {r["doc_id"]: r["logprob"] for r in T.unigram_logprob(f).spark.collect()}
+    assert got[2] < got[1]  # rare-token gibberish scores lower
