@@ -149,8 +149,25 @@ def crosstab(
     index: str,
     columns: str,
     normalize: bool | str = False,
+    values: str | None = None,
+    aggfunc: str | None = None,
 ) -> DataFrame:
-    """Frequency table (pivot.py:982); normalize ∈ {False,'all','index','columns'}."""
+    """Frequency table (pivot.py:982); normalize ∈ {False,'all','index','columns'}.
+    ``values=``/``aggfunc=`` aggregate a value column per cell instead of
+    counting (pandas crosstab's pivot_table mode — empty cells stay NULL
+    there, unlike the count mode's 0)."""
+    if (values is None) != (aggfunc is None):
+        raise ValueError("pass values= and aggfunc= together")
+    if values is not None:
+        from pandas_spark.groupby import resolve_agg
+
+        dt = dict(frame.dtypes).get(values)
+        out = frame.spark.groupBy(index).pivot(columns).agg(
+            resolve_agg(aggfunc, values, dt)
+        )
+        if normalize:
+            raise ValueError("normalize is only for the count mode")
+        return DataFrame(out)
     out = frame.spark.groupBy(index).pivot(columns).agg(F.count(F.lit(1)))
     data_cols = [c for c in out.columns if c != index]
     out = out.na.fill(0, subset=data_cols)

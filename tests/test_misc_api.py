@@ -652,3 +652,27 @@ def test_unigram_logprob_ranks_gibberish_low(spark):
     f = from_pandas(spark, pdf)
     got = {r["doc_id"]: r["logprob"] for r in T.unigram_logprob(f).spark.collect()}
     assert got[2] < got[1]  # rare-token gibberish scores lower
+
+
+def test_crosstab_values_aggfunc_matches_pandas(spark):
+    from pandas_spark.operators.reshape import crosstab
+    from pandas_spark.sources.io import from_pandas
+    import pandas as pd
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "r": ["a", "a", "b", "b", "a", "b"],
+            "c": ["x", "y", "x", "x", "x", "y"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    want = pd.crosstab(pdf.r, pdf.c, values=pdf.v, aggfunc="mean")
+    f = from_pandas(spark, pdf)
+    got = crosstab(f, "r", "c", values="v", aggfunc="mean").spark.toPandas()
+    got = got.set_index("r").sort_index()
+    for r in want.index:
+        for c in want.columns:
+            w = want.loc[r, c]
+            g = got.loc[r, c]
+            assert (pd.isna(w) and pd.isna(g)) or abs(w - g) < 1e-9
