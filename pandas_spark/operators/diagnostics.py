@@ -85,7 +85,12 @@ def plan_report(frame) -> dict:
             }
         )
     simple = _plan_text(sdf, "simple")
-    codegen = len(set(re.findall(r"\*\((\d+)\)", simple)))
+    codegen: int | None = len(set(re.findall(r"\*\((\d+)\)", simple)))
+    if codegen == 0 and "AdaptiveSparkPlan" in simple:
+        # under AQE the codegen spans only materialize in the FINAL
+        # plan (post-execution); pre-execution audits can't see them —
+        # report unknown rather than a misleading 0
+        codegen = None
     return {
         "shuffles": exchanges - single,
         "single_partition_exchanges": single,
