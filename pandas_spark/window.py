@@ -79,6 +79,14 @@ class Rolling:
         if closed not in (None, "right", "left", "both", "neither"):
             raise ValueError(f"closed must be right/left/both/neither, got {closed!r}")
         self._closed = closed or "right"
+        if self._closed == "neither" and window == 1:
+            # pandas returns all-NaN here (an empty window every row);
+            # Spark cannot declare an empty rows frame — fail loudly
+            # rather than with an opaque AnalysisException
+            raise ValueError(
+                "window=1 with closed='neither' selects no rows "
+                "(pandas yields all-NaN); use a larger window"
+            )
         if isinstance(window, int):
             self._min_periods = min_periods if min_periods is not None else window
         else:

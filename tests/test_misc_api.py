@@ -676,3 +676,11 @@ def test_crosstab_values_aggfunc_matches_pandas(spark):
             w = want.loc[r, c]
             g = got.loc[r, c]
             assert (pd.isna(w) and pd.isna(g)) or abs(w - g) < 1e-9
+
+
+def test_rolling_window1_closed_neither_raises(spark):
+    from pandas_spark.window import Rolling
+
+    f = ps.read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="selects no rows"):
+        Rolling(f, 1, on="event_id", closed="neither")
