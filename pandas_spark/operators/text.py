@@ -498,6 +498,7 @@ def neardup_contamination_pairs(
     c_sdf = corpus.spark if hasattr(corpus, "spark") else corpus
     b_sdf = bench.spark if hasattr(bench, "spark") else bench
     id_type = c_sdf.schema[id_col].dataType
+    b_id_type = b_sdf.schema[id_col].dataType
     tagged = (
         c_sdf.select(
             F.concat(F.lit("c:"), F.col(id_col).cast("string")).alias("__uid__"),
@@ -532,7 +533,7 @@ def neardup_contamination_pairs(
         .alias("corpus_id"),
         F.when(tag1 == "b:", F.expr("substring(id1, 3)"))
         .otherwise(F.expr("substring(id2, 3)"))
-        .cast(id_type)
+        .cast(b_id_type)
         .alias("bench_id"),
         "jaccard",
     )
