@@ -427,6 +427,31 @@ def contamination_ratios(corpus, bench, id_col="doc_id", text_col="text", shingl
     return out
 
 
+def shuffle_rows(
+    frame: DataFrame,
+    id_col: str = "doc_id",
+    seed: str | int = "",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic corpus shuffle — reproducible training-data order:
+    global sort by ``md5(seed || id)``. The order is a pure function of
+    (seed, id): the same on any cluster, any partitioning, any rerun —
+    the property a resumable training run needs from its data order
+    (an RNG shuffle is partitioning-dependent in Spark). Different
+    ``seed`` → an independent order per epoch.
+
+    Plan: ONE range exchange (Spark's distributed sort) — fully
+    parallel, no single-task ordering step. Pass ``key_col`` to also
+    materialize the shuffle key (e.g. to bucket the output into
+    size-balanced shards with ``to_parquet(max_records_per_file=)``)."""
+    key = F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+    sdf = frame.spark
+    if key_col:
+        sdf = sdf.withColumn(key_col, key)
+        return DataFrame(sdf.orderBy(F.col(key_col)))
+    return DataFrame(sdf.orderBy(key))
+
+
 def unigram_logprob(
     frame: DataFrame,
     text_col: str = "text",

@@ -939,6 +939,22 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "shuffle_deterministic",
+    oracle="""
+    SELECT doc_id, md5('ep1' || doc_id::VARCHAR) AS shuffle_key
+    FROM documents
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic epoch shuffle (text.shuffle_rows): order is a pure
+    function of (seed, id) — same on any cluster/partitioning/rerun;
+    one range exchange, no single-task sort."""
+    docs = _docs(spark, sf_dir)
+    out = text.shuffle_rows(docs, "doc_id", seed="ep1", key_col="shuffle_key")
+    return out.select(["doc_id", "shuffle_key"]).to_spark()
+
+
+@query(
     "unigram_logprob",
     oracle=f"""
     WITH toks AS (
