@@ -843,6 +843,28 @@ def resample_offset(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "resample_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS ts,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close
+    FROM events
+    GROUP BY 1
+    """,
+)
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample('1h').ohlc() (core/resample.py ohlc): per-bucket
+    open/high/low/close by event time — first/last window over the
+    bucket plus min/max aggregates, one shuffle."""
+    events = _t(spark, sf_dir, "events")
+    from pandas_spark.window import Resampler
+
+    return Resampler(events, "1h", on="ts").ohlc("value").to_spark()
+
+
+@query(
     "upsample_ffill",
     oracle=f"""
     WITH agg AS (
