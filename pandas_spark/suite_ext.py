@@ -843,6 +843,114 @@ def resample_offset(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "groupby_cumminmax",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN value IS NOT NULL THEN min(value) OVER w END AS run_min,
+           CASE WHEN value IS NOT NULL THEN max(value) OVER w END AS run_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def groupby_cumminmax(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """groupby.cummin/cummax (groupby.py:485,493): running extrema per
+    key — unbounded-preceding frame, NaN rows stay NaN (pandas cum*
+    rule)."""
+    events = _t(spark, sf_dir, "events")
+    out = (
+        events.groupby("user_id")
+        .cummin("value", alias="run_min", order_by="event_id")
+        .groupby("user_id")
+        .cummax("value", alias="run_max", order_by="event_id")
+    )
+    return out.select(["event_id", "user_id", "run_min", "run_max"]).to_spark()
+
+
+@query(
+    "datetime_flags",
+    oracle="""
+    SELECT event_id,
+           (ts::DATE = last_day(ts::DATE)) AS m_end,
+           (day(ts) = 1 AND month(ts) IN (1, 4, 7, 10)) AS q_start,
+           (ts::DATE = last_day(ts::DATE) AND month(ts) IN (3, 6, 9, 12)) AS q_end,
+           (dayofyear(ts) = 1) AS y_start,
+           (month(ts) = 12 AND day(ts) = 31) AS y_end,
+           ((year(ts) % 4 = 0 AND year(ts) % 100 <> 0) OR year(ts) % 400 = 0)
+               AS leap,
+           day(last_day(ts::DATE))::INTEGER AS dim,
+           weekofyear(ts)::INTEGER AS iso_week,
+           (epoch_us(ts) % 1000000)::INTEGER AS micro
+    FROM events
+    """,
+)
+def datetime_flags(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """.dt boundary flags (accessors.py:271 DatetimeProperties):
+    is_month_end / is_quarter_start/end / is_year_start/end /
+    is_leap_year / days_in_month / isocalendar week / microsecond —
+    all built-in Catalyst field expressions, map-only."""
+    events = _t(spark, sf_dir, "events")
+    ts = col("ts")
+    return events.assign(
+        m_end=ts.dt.is_month_end,
+        q_start=ts.dt.is_quarter_start,
+        q_end=ts.dt.is_quarter_end,
+        y_start=ts.dt.is_year_start,
+        y_end=ts.dt.is_year_end,
+        leap=ts.dt.is_leap_year,
+        dim=ts.dt.days_in_month,
+        iso_week=ts.dt.isocalendar_week(),
+        micro=ts.dt.microsecond,
+    ).select(
+        ["event_id", "m_end", "q_start", "q_end", "y_start", "y_end",
+         "leap", "dim", "iso_week", "micro"]
+    ).to_spark()
+
+
+@query(
+    "string_ops4",
+    oracle="""
+    SELECT p_partkey,
+           ends_with(p_name, 'd') AS e_d,
+           regexp_full_match(p_name, '[a-z ]+') AS fm,
+           CASE WHEN starts_with(p_name, 'golden')
+                THEN p_name[7:] ELSE p_name END AS noprefix,
+           CASE WHEN ends_with(p_name, 'd')
+                THEN p_name[1:length(p_name)-1] ELSE p_name END AS nosuffix,
+           CASE WHEN length(p_name) >= 30 THEN p_name
+                ELSE rpad(p_name, 30, '.') END AS lj,
+           CASE WHEN length(p_name) >= 30 THEN p_name
+                ELSE lpad(p_name, 30, '.') END AS rj,
+           trim(LEADING 'golden' FROM p_name) AS lst,
+           array_to_string(
+               list_transform(string_split(p_name, ' '),
+                   w -> CASE WHEN length(w) = 0 THEN w
+                        ELSE upper(w[1]) || lower(w[2:]) END),
+               ' ') AS ttl
+    FROM part
+    """,
+)
+def string_ops4(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """String tail batch 4 (strings accessor): endswith, fullmatch,
+    removeprefix/removesuffix, ljust/rjust (pandas no-truncate rule),
+    lstrip(chars), title — all built-in Catalyst string expressions."""
+    part = _t(spark, sf_dir, "part")
+    s = col("p_name")
+    return part.assign(
+        e_d=s.str.endswith("d"),
+        fm=s.str.fullmatch("[a-z ]+"),
+        noprefix=s.str.removeprefix("golden"),
+        nosuffix=s.str.removesuffix("d"),
+        lj=s.str.ljust(30, "."),
+        rj=s.str.rjust(30, "."),
+        lst=s.str.lstrip("golden"),
+        ttl=s.str.title(),
+    ).select(
+        ["p_partkey", "e_d", "fm", "noprefix", "nosuffix", "lj", "rj", "lst", "ttl"]
+    ).to_spark()
+
+
+@query(
     "resample_ohlc",
     oracle="""
     SELECT date_trunc('hour', ts)::TIMESTAMP AS ts,

@@ -684,3 +684,15 @@ def test_rolling_window1_closed_neither_raises(spark):
     f = ps.read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
     with pytest.raises(ValueError, match="selects no rows"):
         Rolling(f, 1, on="event_id", closed="neither")
+
+
+def test_get_group_and_swapcase(spark):
+    import pandas as pd
+    from pandas_spark.sources.io import from_pandas
+
+    pdf = pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3], "s": ["AbC", "xY", "z"]})
+    f = from_pandas(spark, pdf)
+    g = f.groupby("k").get_group("a")
+    assert sorted(r["v"] for r in g.spark.collect()) == [1, 3]
+    got = [r["w"] for r in f.assign(w=ps.col("s").str.swapcase()).spark.orderBy("v").collect()]
+    assert got == ["aBc", "Xy", "Z"]
