@@ -843,6 +843,25 @@ def resample_offset(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "frame_asof",
+    oracle="""
+    SELECT event_id, user_id, ts, value
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-06-01 00:00:00' AND value IS NOT NULL
+    ORDER BY ts DESC LIMIT 1
+    """,
+)
+def frame_asof(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DataFrame.asof (generic.py:8338): last row at-or-before a point
+    with non-null subset — filter + TakeOrderedAndProject(1), no
+    global sort at any scale."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(["event_id", "user_id", "ts", "value"]).asof(
+        "2024-06-01 00:00:00", on="ts", subset="value"
+    ).to_spark()
+
+
+@query(
     "groupby_cumminmax",
     oracle="""
     SELECT event_id, user_id,
