@@ -355,7 +355,8 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
     SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity
     FROM lineitem
     QUALIFY row_number() OVER (
-        PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) = 1
+        PARTITION BY l_suppkey
+        ORDER BY l_orderkey, l_linenumber, l_quantity) = 1
     """,
 )
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> SparkDF:

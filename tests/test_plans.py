@@ -76,12 +76,32 @@ def test_sorted_dedup_prunes_before_shuffle(spark):
         .to_spark()
     )
     plan = plan_of(q)
-    # partial WindowGroupLimit = per-task top-1 pruning before the shuffle
-    assert "WindowGroupLimit" in plan
-    # the user's global sort must NOT execute against the input: no
-    # range partitioning below the window's hash partitioning
-    window_part = plan.split("Window")[0]
-    assert "rangepartitioning" not in window_part.lower()
+    # keep=first under an ascending sort compiles to min_by hash
+    # aggregation: partial agg prunes per task BEFORE the exchange and
+    # there is no map-side sort at all (the former WindowGroupLimit
+    # plan sorted every task's rows first)
+    # (struct-valued min_by buffers are not unsafe-row mutable, so the
+    # agg is SortAggregate — still partial+final with map-side
+    # reduction, sorted by the GROUP KEY only, not the window path's
+    # (key, order...) sort plus window evaluation)
+    simple = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple"
+    )
+    assert "partial_min_by" in simple
+    assert "WindowGroupLimit" not in simple
+    # map-side partial reduction: the partial agg sits BELOW the hash
+    # exchange (simple tree prints top-down, deeper = later)
+    assert simple.index("partial_min_by") > simple.index("hashpartitioning")
+    # the user's global sort orders only the DEDUPED output: its range
+    # exchange sits ABOVE the dedup hash exchange
+    assert simple.index("rangepartitioning") < simple.index("hashpartitioning")
+    # desc sort specs still take the window path (no generic inversion)
+    q2 = (
+        li.sort_values(["l_orderkey"], ascending=False)
+        .drop_duplicates(subset=["l_suppkey"], keep="first")
+        .to_spark()
+    )
+    assert "WindowGroupLimit" in plan_of(q2)
 
 
 def test_sorted_head_is_top_k(spark):
