@@ -295,11 +295,52 @@ class GroupBy:
         return self._nth_like(order_by, desc=True)
 
     def _nth_like(self, order_by: str | None, desc: bool):
-        if order_by:
-            frame = self._frame
-            order_exprs = [F.col(order_by).desc() if desc else F.col(order_by).asc()]
-        else:
-            frame, order_exprs = self._frame._ordered(desc=desc)
+        # min_by/max_by aggregation fast path (same plan upgrade as
+        # drop_duplicates keep=first): partial+final agg with map-side
+        # reduction, no per-task (key, order) sort + window pass.
+        # Applies when the order is an explicit column (nulls-first
+        # asc, Spark's default → encoded (isNotNull, v)) or an
+        # all-ascending nulls-last frame sort spec (pandas rule →
+        # encoded (isNull, v)). Ties resolve to the smallest full row
+        # — deterministic under any partitioning.
+        spec = self._frame._sort_spec
+        if order_by or (spec and all(a and p == "last" for _, a, p in spec)):
+            sdf = self._frame._sdf
+            if self._dropna:
+                sdf = sdf.na.drop(subset=self._keys)
+            cols = [c for c in self._frame.columns]
+            if order_by:
+                keyparts = [
+                    F.struct(F.col(order_by).isNotNull().alias("n"), F.col(order_by).alias("v"))
+                ]
+                spec_cols = [order_by]
+            else:
+                keyparts = [
+                    F.struct(F.col(c).isNull().alias("n"), F.col(c).alias("v"))
+                    for c, _, _ in spec
+                ]
+                spec_cols = [c for c, _, _ in spec]
+            tie_cols = [
+                c
+                for c, t in self._frame.dtypes
+                if c not in spec_cols and not t.startswith("map")
+            ]
+            ord_key = F.struct(
+                *[kp.alias(f"k{i}") for i, kp in enumerate(keyparts)],
+                *[
+                    F.struct(F.col(c).isNull().alias("n"), F.col(c).alias("v")).alias(f"t{i}")
+                    for i, c in enumerate(tie_cols)
+                ],
+            )
+            payload = F.struct(*[F.col(c) for c in cols])
+            pick = F.max_by(payload, ord_key) if desc else F.min_by(payload, ord_key)
+            out = (
+                sdf.groupBy(*[F.col(k) for k in self._keys])
+                .agg(pick.alias("__p__"))
+                .select("__p__.*")
+            )
+            return self._result(out)
+        frame, order_exprs = self._frame._ordered(desc=desc)
         sdf = frame._sdf
         if self._dropna:
             sdf = sdf.na.drop(subset=self._keys)
