@@ -843,6 +843,35 @@ def resample_offset(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "frame_duplicated",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           row_number() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_orderkey, l_linenumber, l_quantity) > 1 AS duplicated
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    """,
+)
+def frame_duplicated(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """duplicated(keep='first') (frame.py:471 area): flag every row
+    after the first per subset key in the declared order — the
+    row_number window twin of drop_duplicates (sort keys chosen
+    tie-free so the flagged row is deterministic)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        ["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    out = (
+        li.filter(col("l_orderkey") < 2000)
+        .sort_values(["l_orderkey", "l_linenumber", "l_quantity"])
+        .duplicated(subset=["l_suppkey"], keep="first")
+    )
+    return out.select(
+        ["l_suppkey", "l_orderkey", "l_linenumber", "duplicated"]
+    ).to_spark()
+
+
+@query(
     "frame_asof",
     oracle="""
     SELECT event_id, user_id, ts, value
