@@ -921,3 +921,25 @@ def test_row_median_matches_pandas(spark, skipna):
         .to_pandas()
     )
     assert_col_matches(got, want["m"], "m")
+
+
+@pytest.mark.parametrize("which", ["first", "last"])
+def test_groupby_first_last_order_by_matches_window(spark, which):
+    """The min_by fast path must pick the same rows the window plan
+    picks (tie-free data; explicit order_by branch)."""
+    rng = np.random.default_rng(29)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 40),
+            "o": rng.permutation(40),  # unique order key
+            "v": rng.normal(size=40).round(3),
+        }
+    )
+    f = ps.from_pandas(spark, pdf)
+    got = getattr(f.groupby("k"), which)(order_by="o").to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    asc = pdf.sort_values("o")
+    want = (asc.groupby("k").head(1) if which == "first" else asc.groupby("k").tail(1))
+    want = want.sort_values("k").reset_index(drop=True)
+    assert list(got["o"]) == list(want["o"])
+    assert list(got["v"]) == list(want["v"])
