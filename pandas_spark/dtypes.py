@@ -110,3 +110,19 @@ def ordinal_seconds(col: Column, dtype: T.DataType) -> Column:
         # epoch micros like the timestamp branch does.
         return epoch_micros(col.cast("timestamp")) / _F.lit(1_000_000.0)
     return col.cast("double")
+
+
+def is_orderable(dtype: T.DataType) -> bool:
+    """Whether Spark can sort/compare this type — MapType is unorderable
+    at ANY nesting depth (array<map<...>>, struct with a map field), so
+    the check walks the type tree. Used to keep unorderable columns out
+    of min_by/max_by ordering-key structs: a dtype-string prefix test
+    ('map<...') misses nested maps and would turn a query that worked
+    on the window path into an AnalysisException on the fast path."""
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return is_orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(is_orderable(f.dataType) for f in dtype.fields)
+    return True

@@ -519,16 +519,20 @@ class DataFrame:
         if method in ("time", "index", "values") and not on:
             raise ValueError(f"method={method!r} requires on=<timestamp or numeric column>")
         if method in ("pad", "ffill"):
-            # missing.py:227 clean_interp_method: 'pad' routes to fill
+            # missing.py:227 clean_interp_method: 'pad' routes to fill.
+            # Like every other method here, honor on=: fill in on-order,
+            # not the frame's declared row order (they differ when the
+            # frame isn't already sorted by on).
             if by:
                 out = self
                 for c in list(subset) if subset else [
                     n for n, t in self.dtypes
                     if t in ("double", "float", "int", "bigint") and n != on
                 ]:
-                    out = out.groupby(list(by)).ffill(c, limit=limit)
+                    out = out.groupby(list(by)).ffill(c, order_by=on, limit=limit)
                 return out
-            return self.ffill(subset=subset, limit=limit)
+            this = self.sort_values(on) if on else self
+            return this.ffill(subset=subset, limit=limit)
         if method not in ("linear", "time", "index", "values", "nearest"):
             raise NotImplementedError(
                 "methods: linear, time, index, values, nearest, pad "
@@ -602,11 +606,13 @@ class DataFrame:
             # deterministic and partitioning-independent (the window
             # path's tie pick is whatever arrives first in a task,
             # which silently varies with partitioning).
+            from pandas_spark.dtypes import is_orderable
+
             spec_cols = [c for c, _, _ in self._sort_spec]
             tie_cols = [
-                c
-                for c, t in self.dtypes
-                if c not in spec_cols and not t.startswith("map")
+                f.name
+                for f in self._sdf.schema.fields
+                if f.name not in spec_cols and is_orderable(f.dataType)
             ]
             ord_key = F.struct(
                 *[
@@ -1265,13 +1271,22 @@ class DataFrame:
             cols = list(column)
             if len(cols) == 1:
                 return self.explode(cols[0], outer=outer)
-            same_len = None
+            # pandas' rule (frame.py:10586): per row, lengths must
+            # match across ALL listed columns, and a NULL cell matches
+            # only another NULL (mylen(NaN) = -1). Symmetric by
+            # construction — a NULL in cols[0] vs an array in cols[2]
+            # raises just like the reverse (the old size()-based guard
+            # let cols[0]-NULL rows silently collapse to one all-null
+            # row, dropping the other column's elements).
+            c0 = F.col(cols[0])
+            ok = None
             for c in cols[1:]:
-                eq = F.size(F.col(cols[0])) == F.size(F.col(c))
-                same_len = eq if same_len is None else (same_len & eq)
-            guard = F.when(
-                same_len | F.col(cols[0]).isNull(), F.arrays_zip(*cols)
-            ).otherwise(
+                cc = F.col(c)
+                eq = (c0.isNull() & cc.isNull()) | (
+                    c0.isNotNull() & cc.isNotNull() & (F.size(c0) == F.size(cc))
+                )
+                ok = eq if ok is None else (ok & eq)
+            guard = F.when(ok, F.arrays_zip(*cols)).otherwise(
                 F.raise_error(F.lit("explode: columns must have matching element counts"))
             )
             fn = F.explode_outer if outer else F.explode

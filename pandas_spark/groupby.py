@@ -320,10 +320,12 @@ class GroupBy:
                     for c, _, _ in spec
                 ]
                 spec_cols = [c for c, _, _ in spec]
+            from pandas_spark.dtypes import is_orderable
+
             tie_cols = [
-                c
-                for c, t in self._frame.dtypes
-                if c not in spec_cols and not t.startswith("map")
+                f.name
+                for f in self._frame._sdf.schema.fields
+                if f.name not in spec_cols and is_orderable(f.dataType)
             ]
             ord_key = F.struct(
                 *[kp.alias(f"k{i}") for i, kp in enumerate(keyparts)],
@@ -669,14 +671,26 @@ class GroupBy:
         return self._group_topn(col, n, keep, desc=False)
 
     def _group_topn(self, col: str, n: int, keep: str, desc: bool):
+        # pandas nlargest/nsmallest excludes NaN entirely — without the
+        # pre-filter, asc() puts NULLs FIRST and they'd occupy top-n
+        # slots ahead of real values (and desc still surfaces them when
+        # a group has < n non-null rows).
         frame, order_exprs = self._frame._ordered()
+        sdf = frame._sdf.filter(F.col(col).isNotNull())
         key = F.col(col).desc() if desc else F.col(col).asc()
-        w = W.partitionBy(*self._keys).orderBy(key, *order_exprs)
-        fn = {"first": F.row_number, "all": F.rank}.get(keep)
-        if fn is None:
+        if keep == "first":
+            w = W.partitionBy(*self._keys).orderBy(key, *order_exprs)
+            fn = F.row_number
+        elif keep == "all":
+            # rank over the VALUE ordering only: appending tie-breaker
+            # exprs would make every rank distinct (degenerating rank
+            # into row_number) and silently drop boundary-tied rows.
+            w = W.partitionBy(*self._keys).orderBy(key)
+            fn = F.rank
+        else:
             raise ValueError(f"keep must be 'first' or 'all', got {keep!r}")
         out = (
-            frame._sdf.withColumn("__rn__", fn().over(w))
+            sdf.withColumn("__rn__", fn().over(w))
             .filter(F.col("__rn__") <= n)
             .drop("__rn__")
         )
@@ -718,15 +732,32 @@ class GroupBy:
                     self._frame._sdf.filter(bucket < int(round(frac * 10_000)))
                 )
             raise ValueError("sample requires n or frac")
-        if frac is not None:
-            keys = self._keys
-            if len(keys) != 1:
-                raise ValueError("RNG sample supports a single group key; pass id_col for the deterministic path")
-            vals = [r[0] for r in self._frame._sdf.select(keys[0]).distinct().collect()]
-            return self._frame._with(
-                self._frame._sdf.sampleBy(keys[0], {v: frac for v in vals}, seed=seed or 0)
-            )
-        raise ValueError("exact-n RNG sampling is not distributed-reproducible; pass id_col for the deterministic hash-rank path")
+        if frac is None and n is None:
+            raise ValueError("sample requires n or frac")
+        # RNG path, pandas semantics (exact count per group, without
+        # replacement): rank rows by rand(seed) inside each group and
+        # keep the first n (or round(frac·group_size)). ONE window
+        # shuffle, no driver collect at any key cardinality — the
+        # previous sampleBy path collected the DISTINCT KEY SET to the
+        # driver, O(groups) memory, the exact unbounded-collect pattern
+        # this engine bans. The draw depends on Spark's
+        # partition-seeded RNG stream, so it is run-reproducible only
+        # under a fixed partitioning; pass id_col for the cross-engine
+        # deterministic path.
+        part = W.partitionBy(*self._keys)
+        w = part.orderBy(F.rand(seed if seed is not None else 0).asc())
+        cap = (
+            F.lit(n)
+            if n is not None
+            else F.round(F.count(F.lit(1)).over(part) * F.lit(float(frac)))
+        )
+        out = (
+            self._frame._sdf.withColumn("__rn__", F.row_number().over(w))
+            .withColumn("__cap__", cap)
+            .filter(F.col("__rn__") <= F.col("__cap__"))
+            .drop("__rn__", "__cap__")
+        )
+        return self._frame._with(out)
 
     def tail(self, n: int = 5, order_by: str | None = None):
         if order_by:

@@ -156,14 +156,25 @@ def assert_scalable(
     return r
 
 
+# Above this many requested rows, ``orderBy().limit(n)`` is the wrong
+# physical plan: Spark lowers it to TakeOrderedAndProject, whose top-k
+# selector EAGERLY allocates a 2·n-element buffer per partition —
+# top_n=10⁹ means ~16 GB of object references before reading a single
+# row (reproduced: default-heap JVM OOM in TopKSelector.<init>).
+# Past the threshold we switch to a rank-filter plan whose memory is
+# O(rows-per-partition) with spillable sort, independent of top_n.
+_TAKE_ORDERED_MAX = 1 << 20
+
+
 def skew_report(
     frame: DataFrame,
     keys: str | Sequence[str],
-    top_n: int = 20,
+    top_n: int | None = 20,
 ) -> DataFrame:
     """Heavy-hitter profile of a prospective shuffle/join key.
 
-    Returns the ``top_n`` most frequent key values with:
+    Returns the ``top_n`` most frequent key values (``top_n=None`` for
+    ALL keys) with:
 
     * ``cnt``   — rows carrying the key value
     * ``share`` — fraction of all rows (1.0 == every row is this key)
@@ -172,8 +183,17 @@ def skew_report(
 
     Plan shape: ONE shuffle (partial-count then final over the keys —
     the same cost as ``value_counts``), then a two-row broadcast of the
-    (total, n_groups) scalars and a top-n sort that TakeOrderedAndProject
-    bounds at ``top_n`` rows per partition. No driver collect.
+    (total, n_groups) scalars, then the bounded top-n:
+
+    * small ``top_n`` (≤ 2²⁰): ``TakeOrderedAndProject`` — per-partition
+      top-k then a k-row merge on the driver; memory O(top_n)
+    * large ``top_n``: a ``row_number() <= n`` rank filter — the sort is
+      spillable external sort, so memory stays O(partition), never
+      O(top_n) (``orderBy().limit(huge)`` would eagerly allocate a
+      2·top_n buffer and OOM — the exact plan class this module exists
+      to catch)
+    * ``top_n=None``: no limit at all — a fully parallel range-exchange
+      sort over the (already reduced) per-key counts
 
     Deterministic order: cnt desc, then key asc (ties at the cut line
     resolve identically in any engine).
@@ -183,21 +203,31 @@ def skew_report(
     totals = counts.agg(
         F.sum("cnt").alias("__total__"), F.count(F.lit(1)).alias("__groups__")
     )
-    out = (
-        counts.crossJoin(F.broadcast(totals))
-        .select(
-            *key_list,
-            F.col("cnt"),
-            (F.col("cnt") / F.col("__total__")).alias("share"),
-            (
-                F.col("cnt")
-                * F.col("__groups__").cast("double")
-                / F.col("__total__")
-            ).alias("skew"),
-        )
-        .orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in key_list])
-        .limit(top_n)
+    order = [F.col("cnt").desc(), *[F.col(k).asc() for k in key_list]]
+    enriched = counts.crossJoin(F.broadcast(totals)).select(
+        *key_list,
+        F.col("cnt"),
+        (F.col("cnt") / F.col("__total__")).alias("share"),
+        (
+            F.col("cnt")
+            * F.col("__groups__").cast("double")
+            / F.col("__total__")
+        ).alias("skew"),
     )
+    if top_n is None:
+        out = enriched.orderBy(*order)
+    elif top_n <= _TAKE_ORDERED_MAX:
+        out = enriched.orderBy(*order).limit(top_n)
+    else:
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(W.orderBy(*order))
+        out = (
+            enriched.withColumn("__rn__", rn)
+            .filter(F.col("__rn__") <= top_n)
+            .drop("__rn__")
+            .orderBy(*order)
+        )
     return DataFrame(out)
 
 

@@ -545,6 +545,9 @@ def ewm_mean(
     col: str,
     alpha: float | None = None,
     span: float | None = None,
+    halflife: float | str | None = None,
+    adjust: bool = True,
+    times: str | None = None,
     by: Sequence[str] | None = None,
     order_by: str | None = None,
     alias: str | None = None,
@@ -560,13 +563,34 @@ def ewm_mean(
     (repartition on the key), so the per-partition pandas groupby is
     exact. Without ``by`` the whole series lands in one task
     (documented pandas-parity constraint; use a key for scale).
-    """
+
+    Full decay surface (window/ewm.py:127): ``alpha`` / ``span`` /
+    ``halflife`` (scalar → α = 1−exp(ln½/hl)); ``adjust=False`` for
+    the recursive form yₜ = (1−α)yₜ₋₁ + αxₜ (the streaming-friendly
+    recurrence — pandas' adjust=True divides by the weight sum
+    instead); ``times=<ts column>`` with a timedelta-string
+    ``halflife`` for irregularly-spaced decay (pandas restricts
+    times= to mean/sum)."""
     import pandas as pd  # noqa: F401 (worker-side)
 
-    if alpha is None:
-        if span is None:
-            raise ValueError("need alpha or span")
-        alpha = 2.0 / (span + 1.0)
+    if times is not None:
+        if halflife is None or not isinstance(halflife, str):
+            raise ValueError(
+                "times= requires halflife as a timedelta string, e.g. '2s' "
+                "(pandas window/ewm.py times semantics)"
+            )
+        if stat not in ("mean", "sum"):
+            raise ValueError(f"times= supports mean/sum only (pandas parity), got {stat!r}")
+        alpha = None
+    elif alpha is None:
+        if span is not None:
+            alpha = 2.0 / (span + 1.0)
+        elif halflife is not None:
+            import math as _math
+
+            alpha = 1.0 - _math.exp(_math.log(0.5) / float(halflife))
+        else:
+            raise ValueError("need alpha, span, or halflife")
     keys = list(by or [])
     name = alias or f"{col}_ewm"
     sdf = frame.spark
@@ -594,6 +618,9 @@ def ewm_mean(
     order_spark = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, sort_asc)]
 
     stat_ = stat
+    adjust_ = bool(adjust)
+    times_ = times
+    halflife_ = halflife
 
     def fn(batches):
         # whole partition → one pandas frame (groups never span
@@ -605,10 +632,21 @@ def ewm_mean(
         pdf = pdf.sort_values(keys_eff + sort_cols,
                               ascending=[True] * len(keys_eff) + list(sort_asc),
                               kind="stable")
-        pdf[name] = (
-            pdf.groupby(keys_eff, sort=False)[col]
-            .transform(lambda s: getattr(s.ewm(alpha=a, adjust=True), stat_)())
-        )
+        if times_ is not None:
+            parts = []
+            for _, g in pdf.groupby(keys_eff, sort=False):
+                ew = g[col].ewm(
+                    halflife=pd.Timedelta(halflife_),
+                    times=pd.DatetimeIndex(g[times_]),
+                    adjust=adjust_,
+                )
+                parts.append(getattr(ew, stat_)())
+            pdf[name] = pd.concat(parts)
+        else:
+            pdf[name] = (
+                pdf.groupby(keys_eff, sort=False)[col]
+                .transform(lambda s: getattr(s.ewm(alpha=a, adjust=adjust_), stat_)())
+            )
         yield pdf
 
     out = (
@@ -620,22 +658,28 @@ def ewm_mean(
     return DataFrame(out.drop(*drop))
 
 
-def ewm_std(frame, col, alpha=None, span=None, by=None, order_by=None, alias=None):
+def ewm_std(frame, col, alpha=None, span=None, halflife=None, adjust=True,
+            by=None, order_by=None, alias=None):
     """ewm.std (window/ewm.py bias-corrected) — same partition-level
     mapInPandas path as ewm_mean."""
-    return ewm_mean(frame, col, alpha=alpha, span=span, by=by,
+    return ewm_mean(frame, col, alpha=alpha, span=span, halflife=halflife,
+                    adjust=adjust, by=by,
                     order_by=order_by, alias=alias or f"{col}_ewm_std", stat="std")
 
 
-def ewm_var(frame, col, alpha=None, span=None, by=None, order_by=None, alias=None):
+def ewm_var(frame, col, alpha=None, span=None, halflife=None, adjust=True,
+            by=None, order_by=None, alias=None):
     """ewm.var (window/ewm.py:473) — same kernel, ``stat='var'``."""
-    return ewm_mean(frame, col, alpha=alpha, span=span, by=by,
+    return ewm_mean(frame, col, alpha=alpha, span=span, halflife=halflife,
+                    adjust=adjust, by=by,
                     order_by=order_by, alias=alias or f"{col}_ewm_var", stat="var")
 
 
-def ewm_sum(frame, col, alpha=None, span=None, by=None, order_by=None, alias=None):
+def ewm_sum(frame, col, alpha=None, span=None, halflife=None, adjust=True,
+            times=None, by=None, order_by=None, alias=None):
     """ewm.sum (window/ewm.py:590) — same kernel, ``stat='sum'``."""
-    return ewm_mean(frame, col, alpha=alpha, span=span, by=by,
+    return ewm_mean(frame, col, alpha=alpha, span=span, halflife=halflife,
+                    adjust=adjust, times=times, by=by,
                     order_by=order_by, alias=alias or f"{col}_ewm_sum", stat="sum")
 
 

@@ -13,12 +13,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# Bench-session knobs that must NEVER leak into the test gate: a
+# lingering `SPARK_GRAFT_DRIVER_MEM=48g` from a big-decade bench run
+# once masked a default-heap OOM (the skew_report top_n bug) — the
+# suite passed locally and died on a clean machine. Tests always run
+# the DEFAULT session config.
+_SCRUBBED_ENV = ("SPARK_GRAFT_DRIVER_MEM", "SPARK_GRAFT_SHUFFLE_PARTITIONS")
+
+
 @pytest.fixture(scope="session")
 def spark():
+    for var in _SCRUBBED_ENV:
+        if var in os.environ:
+            print(f"[conftest] scrubbing {var}={os.environ.pop(var)!r} "
+                  "(tests run the default session config)")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
     from pandas_spark import get_spark
 
-    return get_spark("tests")
+    s = get_spark("tests")
+    print(f"[conftest] effective driver.memory="
+          f"{s.conf.get('spark.driver.memory', '(default)')} "
+          f"shuffle.partitions={s.conf.get('spark.sql.shuffle.partitions')}")
+    return s
 
 
 @pytest.fixture(scope="session")

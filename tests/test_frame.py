@@ -215,3 +215,120 @@ def test_ewm_empty_and_single_row(spark):
     one = ev.limit(1)
     rows = ewm_mean(one, "value", alpha=0.5, by=["user_id"], order_by="event_id").to_spark().collect()
     assert len(rows) == 1 and abs(rows[0]["value_ewm"] - rows[0]["value"]) < 1e-9
+
+
+def test_groupby_nlargest_keep_all_boundary_ties(spark):
+    """keep='all' must keep rows tied with the boundary value — rank
+    over the VALUE only (tie-breaker exprs would degenerate rank into
+    row_number and silently drop the tied rows)."""
+    sdf = spark.createDataFrame(
+        [Row(g="a", i=1, v=5.0), Row(g="a", i=2, v=5.0), Row(g="a", i=3, v=3.0),
+         Row(g="a", i=4, v=1.0), Row(g="b", i=5, v=2.0), Row(g="b", i=6, v=2.0)]
+    )
+    gb = DataFrame(sdf).groupby("g")
+    out = gb.nlargest("v", n=1, keep="all").to_pandas()
+    assert sorted(out["i"]) == [1, 2, 5, 6]  # all boundary ties kept
+    first = gb.nlargest("v", n=1, keep="first").to_pandas()
+    assert len(first) == 2  # exactly one row per group
+
+
+def test_groupby_nsmallest_excludes_nulls(spark):
+    """pandas nsmallest/nlargest drops NaN entirely; Spark asc() puts
+    NULLs FIRST, so without a pre-filter NULL rows would occupy the
+    top-n slots ahead of real smallest values."""
+    sdf = spark.createDataFrame(
+        [Row(g="a", i=1, v=None), Row(g="a", i=2, v=7.0), Row(g="a", i=3, v=9.0),
+         Row(g="b", i=4, v=None), Row(g="b", i=5, v=None), Row(g="b", i=6, v=4.0)]
+    )
+    gb = DataFrame(sdf).groupby("g")
+    small = gb.nsmallest("v", n=2).to_pandas()
+    assert sorted(small["i"]) == [2, 3, 6]  # no NULL row anywhere
+    # nlargest: group b has 1 non-null < n=2 — must NOT pad with NULLs
+    large = gb.nlargest("v", n=2).to_pandas()
+    assert sorted(large["i"]) == [2, 3, 6]
+
+
+def test_interpolate_pad_honors_on(spark):
+    """pad must fill in on= order like every other method, not the
+    frame's declared row order."""
+    # declared order (no sort) differs from ts order
+    sdf = spark.createDataFrame(
+        [Row(rid=1, ts=30, v=None), Row(rid=2, ts=10, v=1.0),
+         Row(rid=3, ts=20, v=None), Row(rid=4, ts=40, v=4.0)]
+    )
+    out = (
+        DataFrame(sdf).interpolate(subset=["v"], method="pad", on="ts")
+        .to_pandas().set_index("rid")["v"]
+    )
+    # in ts order: 10→1.0, 20→pad 1.0, 30→pad 1.0, 40→4.0
+    assert out[2] == 1.0 and out[3] == 1.0 and out[1] == 1.0 and out[4] == 4.0
+    byg = spark.createDataFrame(
+        [Row(g="x", rid=1, ts=30, v=None), Row(g="x", rid=2, ts=10, v=2.0),
+         Row(g="x", rid=3, ts=20, v=None)]
+    )
+    outg = (
+        DataFrame(byg).interpolate(subset=["v"], method="pad", on="ts", by=["g"])
+        .to_pandas().set_index("rid")["v"]
+    )
+    assert outg[1] == 2.0 and outg[3] == 2.0
+
+
+def test_explode_multi_null_asymmetry(spark):
+    """NULL matches only NULL (pandas mylen(NaN) = -1): a NULL in the
+    FIRST column vs an array in the second must raise exactly like the
+    reverse; all-NULL rows survive as one all-null row."""
+    import pandas as pd
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    ok = spark.createDataFrame(
+        pd.DataFrame({"a": [[1, 2], None], "b": [[10, 20], None], "k": [1, 2]})
+    )
+    out = DataFrame(ok).explode(["a", "b"]).to_pandas()
+    assert len(out) == 3  # 2 zipped + 1 null row
+    bad_first = spark.createDataFrame(
+        pd.DataFrame({"a": [None], "b": [[10, 20]], "k": [1]})
+    )
+    with pytest.raises(SparkRuntimeException):
+        DataFrame(bad_first).explode(["a", "b"]).to_spark().collect()
+    bad_second = spark.createDataFrame(
+        pd.DataFrame({"a": [[1, 2]], "b": [None], "k": [1]})
+    )
+    with pytest.raises(SparkRuntimeException):
+        DataFrame(bad_second).explode(["a", "b"]).to_spark().collect()
+
+
+def test_dedup_fast_path_skips_nested_unorderable(spark):
+    """array<map> / struct-with-map columns must stay out of the min_by
+    ordering struct (AnalysisException on unorderable comparison) —
+    nested maps pass a naive dtype-prefix test."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(
+        [Row(k=1, s=2), Row(k=1, s=1), Row(k=2, s=3)]
+    ).withColumn("am", F.array(F.create_map(F.lit("x"), F.col("s")))) \
+     .withColumn("st", F.struct(F.create_map(F.lit("y"), F.col("s")).alias("m")))
+    out = (
+        DataFrame(sdf).sort_values("s").drop_duplicates(subset=["k"])
+        .to_pandas().set_index("k")
+    )
+    assert out.loc[1, "s"] == 1 and out.loc[2, "s"] == 3
+    gout = (
+        DataFrame(sdf).groupby("k").first(order_by="s").to_pandas()
+    )
+    assert sorted(gout["s"]) == [1, 3]
+
+
+def test_groupby_sample_rng_exact_counts(spark):
+    """RNG path: exact min(n, group_size) per group (n=) and exact
+    round(frac·group_size) per group (frac=) — no driver collect of the
+    key set."""
+    rows = [Row(g=f"g{i % 7}", i=i) for i in range(140)]
+    gb = DataFrame(spark.createDataFrame(rows)).groupby("g")
+    out_n = gb.sample(n=3, seed=42).to_pandas()
+    assert out_n.groupby("g").size().tolist() == [3] * 7
+    out_small = DataFrame(
+        spark.createDataFrame([Row(g="a", i=1), Row(g="b", i=2), Row(g="b", i=3)])
+    ).groupby("g").sample(n=5, seed=0).to_pandas()
+    assert len(out_small) == 3  # min(n, size), never padded
+    out_f = gb.sample(frac=0.25, seed=7).to_pandas()
+    assert out_f.groupby("g").size().tolist() == [5] * 7  # round(20*0.25)

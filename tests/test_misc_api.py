@@ -566,7 +566,9 @@ def test_skew_report_shares_sum(spark):
     from pandas_spark.operators import diagnostics
 
     ev = ps.read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
-    full = diagnostics.skew_report(ev, "user_id", top_n=10**9).spark.collect()
+    # top_n=None == all keys, with NO limit() in the plan (a huge
+    # orderBy().limit() would eagerly allocate an O(top_n) buffer)
+    full = diagnostics.skew_report(ev, "user_id", top_n=None).spark.collect()
     assert abs(sum(r["share"] for r in full) - 1.0) < 1e-9
     total = ev.spark.count()
     assert sum(r["cnt"] for r in full) == total
@@ -574,6 +576,30 @@ def test_skew_report_shares_sum(spark):
     mean = total / len(full)
     for r in full[:5]:
         assert abs(r["skew"] - r["cnt"] / mean) < 1e-9
+
+
+def test_skew_report_large_top_n_avoids_take_ordered(spark):
+    """Regression: top_n past the TakeOrderedAndProject threshold must
+    compile to the rank-filter plan (memory O(partition), not O(top_n))
+    — asking for 10⁹ rows used to OOM the default-heap JVM before
+    touching any data. All three plan variants must agree on results."""
+    from pandas_spark.operators import diagnostics
+
+    ev = ps.read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    big = diagnostics.skew_report(ev, "user_id", top_n=10**9)
+    plan = big.spark._sc._jvm.PythonSQLUtils.explainString(
+        big.spark._jdf.queryExecution(), "simple"
+    )
+    assert "TakeOrderedAndProject" not in plan
+    rows_big = big.spark.collect()
+    rows_none = diagnostics.skew_report(ev, "user_id", top_n=None).spark.collect()
+    assert rows_big == rows_none
+    small = diagnostics.skew_report(ev, "user_id", top_n=5)
+    plan_small = small.spark._sc._jvm.PythonSQLUtils.explainString(
+        small.spark._jdf.queryExecution(), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan_small
+    assert small.spark.collect() == rows_none[:5]
 
 
 def test_decontaminate_neardup_drops_flagged(spark):

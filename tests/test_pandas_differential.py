@@ -943,3 +943,85 @@ def test_groupby_first_last_order_by_matches_window(spark, which):
     want = want.sort_values("k").reset_index(drop=True)
     assert list(got["o"]) == list(want["o"])
     assert list(got["v"]) == list(want["v"])
+
+
+def test_ewm_adjust_false_halflife_match_pandas(spark):
+    """Round-5 decay surface: adjust=False recursion and halflife=
+    scalar must match pandas bit-for-bit through the same kernel."""
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame(
+        {
+            "i": range(80),
+            "k": rng.integers(0, 4, 80),
+            "v": rng.normal(size=80).round(3),
+        }
+    )
+    from pandas_spark.window import ewm_mean, ewm_std
+
+    f = ps.from_pandas(spark, pdf)
+    for kwargs in (
+        dict(alpha=0.35, adjust=False),
+        dict(halflife=2.5),
+        dict(halflife=1.5, adjust=False),
+        dict(span=4, adjust=False),
+    ):
+        want = pdf.assign(
+            m=pdf.groupby("k")["v"].transform(lambda s: s.ewm(**kwargs).mean())
+        ).sort_values("i")
+        got = (
+            ewm_mean(f, "v", by=["k"], order_by="i", alias="m", **kwargs)
+            .sort_values("i")
+            .to_pandas()
+        )
+        assert_col_matches(got, want["m"], "m")
+    want_sd = pdf.assign(
+        s=pdf.groupby("k")["v"].transform(
+            lambda s: s.ewm(halflife=2.0, adjust=False).std()
+        )
+    ).sort_values("i")
+    got_sd = (
+        ewm_std(f, "v", halflife=2.0, adjust=False, by=["k"], order_by="i", alias="s")
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert_col_matches(got_sd, want_sd["s"], "s")
+
+
+def test_ewm_times_matches_pandas(spark):
+    """times= + timedelta halflife: irregular-spacing decay (pandas
+    restricts times= to mean/sum)."""
+    rng = np.random.default_rng(5)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 3600, 50)), unit="s"
+    )
+    pdf = pd.DataFrame(
+        {
+            "i": range(50),
+            "k": rng.integers(0, 2, 50),
+            "t": ts,
+            "v": rng.normal(size=50).round(3),
+        }
+    )
+    from pandas_spark.window import ewm_mean
+
+    def want_col(g):
+        return g["v"].ewm(
+            halflife=pd.Timedelta("90s"), times=pd.DatetimeIndex(g["t"])
+        ).mean()
+
+    want = pdf.assign(
+        m=pd.concat([want_col(g) for _, g in pdf.groupby("k", sort=False)])
+    ).sort_values("i")
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        ewm_mean(f, "v", halflife="90s", times="t", by=["k"], order_by="i", alias="m")
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert_col_matches(got, want["m"], "m")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ewm_mean(f, "v", halflife="90s", times="t", by=["k"], order_by="i", stat="std")
+    with _pytest.raises(ValueError):
+        ewm_mean(f, "v", halflife=2.0, times="t", by=["k"], order_by="i")

@@ -23,6 +23,14 @@ sys.path.insert(0, "/root/repo")
 
 import os
 
+# Scrub bench-session knobs so a lingering big-decade export (e.g.
+# SPARK_GRAFT_DRIVER_MEM=48g) can never mask a default-config failure;
+# this gate mirrors the driver, which runs the default session.
+for _var in ("SPARK_GRAFT_DRIVER_MEM", "SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+    if _var in os.environ:
+        print(f"[verify_oracle] scrubbing {_var}={os.environ.pop(_var)!r} "
+              "(gate runs the default session config)")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
