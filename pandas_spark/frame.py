@@ -1308,10 +1308,10 @@ class DataFrame:
         return DataFrame(self._sdf, order_col=self._order_col, index_cols=())
 
     # -- window conveniences (frame-level; SURVEY §2.5) -----------------------
-    def rolling(self, window, on: str | None = None, by: Sequence[str] | None = None, min_periods: int | None = None, center: bool = False, closed: str | None = None):
+    def rolling(self, window, on: str | None = None, by: Sequence[str] | None = None, min_periods: int | None = None, center: bool = False, closed: str | None = None, win_type: str | None = None):
         from pandas_spark.window import Rolling
 
-        return Rolling(self, window, on=on, by=by, min_periods=min_periods, center=center, closed=closed)
+        return Rolling(self, window, on=on, by=by, min_periods=min_periods, center=center, closed=closed, win_type=win_type)
 
     def expanding(self, min_periods: int = 1, on: str | None = None, by: Sequence[str] | None = None):
         from pandas_spark.window import Expanding

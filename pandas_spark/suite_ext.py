@@ -4016,3 +4016,96 @@ def frame_cov_matrix(spark: SparkSession, sf_dir: str) -> SparkDF:
     in long form, all pairs in one Tungsten aggregation pass."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cov(subset=["l_quantity", "l_extendedprice", "l_discount"]).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# Round 5: win_type tapers + ewm adjust=False / halflife
+# ---------------------------------------------------------------------------
+
+# gaussian(m=5, std=2) taper, sym form: exp(-(i-2)^2 / (2*std^2))
+_G5 = (0.6065306597126334, 0.8824969025845955, 1.0,
+       0.8824969025845955, 0.6065306597126334)
+
+
+@query(
+    "rolling_win_type_gaussian",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN row_number() OVER w >= 5 THEN
+               ({_G5[0]}*lag(value, 4) OVER w + {_G5[1]}*lag(value, 3) OVER w
+                + {_G5[2]}*lag(value, 2) OVER w + {_G5[3]}*lag(value, 1) OVER w
+                + {_G5[4]}*value) / {sum(_G5)!r}
+           END AS value_wm
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def rolling_win_type_gaussian(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling(win_type='gaussian').mean(std=2) — engine-generated
+    scipy-style taper (window/rolling.py:862) feeding the array-HOF
+    weighted-dot kernel; full windows only (pandas' default
+    min_periods == window). Oracle spells out the 5-tap convolution."""
+    events = _t(spark, sf_dir, "events").select(["event_id", "user_id", "value"])
+    out = events.rolling(5, by=["user_id"], on="event_id", win_type="gaussian").mean(
+        "value", alias="value_wm", std=2.0
+    )
+    return out.select(["event_id", "user_id", "value_wm"]).to_spark()
+
+
+@query(
+    "ewm_adjust_false",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lst
+        FROM events
+    )
+    SELECT event_id, user_id,
+           lst[1] * 0.7 ** (len(lst) - 1)
+           + coalesce(list_sum(list_transform(range(2, len(lst) + 1),
+                               i -> 0.3 * 0.7 ** (len(lst) - i) * lst[i])), 0)
+               AS value_ewm
+    FROM l
+    """,
+)
+def ewm_adjust_false(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """ewm(adjust=False).mean (window/ewm.py:127) — the streaming
+    recurrence y_t = (1-a)y_{t-1} + a*x_t. Oracle is its closed form:
+    y_t = (1-a)^t x_0 + a * sum (1-a)^(t-i) x_i."""
+    from pandas_spark.window import ewm_mean as ewm
+
+    events = _t(spark, sf_dir, "events").select(["event_id", "user_id", "value"])
+    out = ewm(events, "value", alpha=0.3, adjust=False, by=["user_id"],
+              order_by="event_id", alias="value_ewm")
+    return out.select(["event_id", "user_id", "value_ewm"]).to_spark()
+
+
+@query(
+    "ewm_halflife",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lst
+        FROM events
+    )
+    SELECT event_id, user_id,
+           list_sum(list_transform(range(1, len(lst)+1),
+                    i -> lst[i] * 0.7071067811865476 ** (len(lst)-i)))
+           / list_sum(list_transform(range(1, len(lst)+1),
+                      i -> 0.7071067811865476 ** (len(lst)-i)))
+               AS value_ewm
+    FROM l
+    """,
+)
+def ewm_halflife(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """ewm(halflife=2).mean — decay parameterized by halflife:
+    1-a = exp(ln(1/2)/hl) = 2^(-1/2) for hl=2; oracle is the
+    adjust=True weighted form with that ratio."""
+    from pandas_spark.window import ewm_mean as ewm
+
+    events = _t(spark, sf_dir, "events").select(["event_id", "user_id", "value"])
+    out = ewm(events, "value", halflife=2.0, by=["user_id"],
+              order_by="event_id", alias="value_ewm")
+    return out.select(["event_id", "user_id", "value_ewm"]).to_spark()

@@ -46,6 +46,59 @@ _FREQ_SECONDS = {
 }
 
 
+def get_window_weights(win_type: str, m: int, **kwargs) -> list[float]:
+    """scipy-style taper generation (reference window/rolling.py:862
+    delegates to scipy.signal.get_window; formulas reproduced here with
+    numpy so the engine has no scipy dependency — symmetric variants,
+    matching scipy's ``sym=True``, which is what pandas requests).
+
+    Supported: boxcar, triang, bartlett, hamming, hann, blackman,
+    gaussian (requires ``std=``), exponential (``tau=``, center=...).
+    """
+    import numpy as np
+
+    wt = win_type.lower()
+    if m <= 0:
+        return []
+    if wt == "boxcar":
+        w = np.ones(m)
+    elif wt == "triang":
+        # scipy.signal.windows.triang sym=True
+        n = np.arange(1, (m + 1) // 2 + 1)
+        if m % 2 == 0:
+            half = (2 * n - 1.0) / m
+            w = np.concatenate([half, half[::-1]])
+        else:
+            half = 2 * n / (m + 1.0)
+            w = np.concatenate([half, half[-2::-1]])
+    elif wt == "bartlett":
+        w = np.bartlett(m)
+    elif wt == "hamming":
+        w = np.hamming(m)
+    elif wt in ("hann", "hanning"):
+        w = np.hanning(m)
+    elif wt == "blackman":
+        w = np.blackman(m)
+    elif wt == "gaussian":
+        if "std" not in kwargs:
+            raise ValueError("win_type='gaussian' requires std=")
+        std = float(kwargs["std"])
+        n = np.arange(m) - (m - 1) / 2.0
+        w = np.exp(-(n**2) / (2.0 * std * std))
+    elif wt == "exponential":
+        tau = float(kwargs.get("tau", 1.0))
+        center = kwargs.get("center")
+        c = (m - 1) / 2.0 if center is None else float(center)
+        n = np.arange(m)
+        w = np.exp(-np.abs(n - c) / tau)
+    else:
+        raise ValueError(
+            f"unsupported win_type {win_type!r}; supported: boxcar, triang, "
+            "bartlett, hamming, hann, blackman, gaussian(std=), exponential(tau=)"
+        )
+    return [float(x) for x in w]
+
+
 def parse_offset_seconds(freq: str) -> int:
     """'10s' / '5min' / '1h' / '2D' → seconds."""
     import re
@@ -70,12 +123,16 @@ class Rolling:
         min_periods: int | None = None,
         center: bool = False,
         closed: str | None = None,
+        win_type: str | None = None,
     ):
         self._frame = frame
         self._window = window
         self._on = on
         self._by = list(by or [])
         self._center = center
+        if win_type is not None and not isinstance(window, int):
+            raise ValueError("win_type requires a fixed int window")
+        self._win_type = win_type
         if closed not in (None, "right", "left", "both", "neither"):
             raise ValueError(f"closed must be right/left/both/neither, got {closed!r}")
         self._closed = closed or "right"
@@ -154,15 +211,19 @@ class Rolling:
     def weighted_mean(self, col: str, weights, alias: str | None = None):
         """Weighted rolling mean (pandas ``win_type`` windows,
         window/rolling.py:862 — scipy supplies the weight shape there;
-        here the caller passes the weight vector explicitly, e.g. a
-        triangular or gaussian taper). Σw_i·x_i / Σw_i over FULL
-        windows only (pandas emits NaN until the frame fills) — a
-        dot-product via array HOFs over the collected frame, no UDF."""
-        if not isinstance(self._window, int) or len(list(weights)) != self._window:
-            raise ValueError("weighted_mean needs an int window matching len(weights)")
+        here the caller passes the weight vector explicitly, or uses
+        ``rolling(win_type=...)`` to have the engine generate it via
+        ``get_window_weights``). Σw_i·x_i / Σw_i over FULL windows only
+        (pandas' default min_periods == window emits NaN until the
+        frame fills) — a dot-product via array HOFs over the collected
+        frame, no UDF."""
+        return self._weighted_dot(col, list(weights), alias or f"{col}_wmean", True)
+
+    def _weighted_dot(self, col: str, weights: list, name: str, normalize: bool):
+        if not isinstance(self._window, int) or len(weights) != self._window:
+            raise ValueError("weighted window needs an int window matching len(weights)")
         frame = self._frame if self._on else self._frame._ensure_order()
         w = self._spec(frame)
-        name = alias or f"{col}_wmean"
         warr = F.array(*[F.lit(float(x)) for x in weights])
         arr = F.collect_list(F.col(col)).over(w)
         dot = F.aggregate(
@@ -170,9 +231,15 @@ class Rolling:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        wsum = float(sum(weights))
-        val = F.when(F.size(arr) == self._window, dot / F.lit(wsum))
+        val = dot / F.lit(float(sum(weights))) if normalize else dot
+        val = F.when(F.size(arr) == self._window, val)
         return frame._with(frame._sdf.withColumn(name, val))
+
+    def _win_type_agg(self, col: str, alias: str | None, func: str, win_kwargs):
+        weights = get_window_weights(self._win_type, self._window, **win_kwargs)
+        return self._weighted_dot(
+            col, weights, alias or f"{col}_{func}", normalize=(func == "mean")
+        )
 
     def apply(self, fn, col: str, alias: str | None = None, dtype: str = "double", raw: bool = True):
         """``rolling.apply(fn)`` — arbitrary callable over each window
@@ -312,8 +379,17 @@ class Rolling:
             val = F.when(cnt >= self._min_periods, val)
         return frame._with(frame._sdf.withColumn(name, val))
 
-    def sum(self, col: str, alias: str | None = None):    return self._apply("sum", col, alias)
-    def mean(self, col: str, alias: str | None = None):   return self._apply("mean", col, alias)
+    def sum(self, col: str, alias: str | None = None, **win_kwargs):
+        # pandas win_type sum = Σw_i·x_i (no normalization); taper
+        # params (std=, tau=) arrive as agg kwargs, like pandas
+        if self._win_type:
+            return self._win_type_agg(col, alias, "sum", win_kwargs)
+        return self._apply("sum", col, alias)
+
+    def mean(self, col: str, alias: str | None = None, **win_kwargs):
+        if self._win_type:
+            return self._win_type_agg(col, alias, "mean", win_kwargs)
+        return self._apply("mean", col, alias)
     def min(self, col: str, alias: str | None = None):    return self._apply("min", col, alias)
     def max(self, col: str, alias: str | None = None):    return self._apply("max", col, alias)
     def count(self, col: str, alias: str | None = None):  return self._apply("count", col, alias)

@@ -1025,3 +1025,63 @@ def test_ewm_times_matches_pandas(spark):
         ewm_mean(f, "v", halflife="90s", times="t", by=["k"], order_by="i", stat="std")
     with _pytest.raises(ValueError):
         ewm_mean(f, "v", halflife=2.0, times="t", by=["k"], order_by="i")
+
+
+def test_win_type_tapers_match_scipy_values():
+    """Engine-generated tapers vs scipy.signal.get_window reference
+    values (scipy itself is absent from this container — values are
+    the sym=True closed forms)."""
+    from pandas_spark.window import get_window_weights
+
+    assert np.allclose(
+        get_window_weights("triang", 5), [1 / 3, 2 / 3, 1.0, 2 / 3, 1 / 3]
+    )
+    assert np.allclose(get_window_weights("triang", 4), [0.25, 0.75, 0.75, 0.25])
+    assert np.allclose(
+        get_window_weights("gaussian", 5, std=1.0),
+        [np.exp(-2.0), np.exp(-0.5), 1.0, np.exp(-0.5), np.exp(-2.0)],
+    )
+    assert np.allclose(get_window_weights("hamming", 6), np.hamming(6))
+    assert np.allclose(get_window_weights("blackman", 7), np.blackman(7))
+    assert np.allclose(get_window_weights("hann", 5), np.hanning(5))
+    assert np.allclose(get_window_weights("bartlett", 5), np.bartlett(5))
+    assert np.allclose(get_window_weights("boxcar", 3), [1, 1, 1])
+    with pytest.raises(ValueError):
+        get_window_weights("gaussian", 5)  # std required
+    with pytest.raises(ValueError):
+        get_window_weights("kaiser", 5)  # unsupported
+
+
+@pytest.mark.parametrize("win_type,kw", [
+    ("gaussian", {"std": 2.0}),
+    ("triang", {}),
+    ("hamming", {}),
+    ("blackman", {}),
+])
+def test_rolling_win_type_mean_matches_convolution(spark, win_type, kw):
+    """rolling(win_type=).mean/sum vs the pandas weighted-kernel
+    formula: Σw·x / Σw over each full trailing window (pandas'
+    default min_periods == window → NaN until the frame fills)."""
+    from pandas_spark.window import get_window_weights
+
+    rng = np.random.default_rng(11)
+    n, m = 40, 5
+    pdf = pd.DataFrame({"i": range(n), "v": rng.normal(size=n).round(3)})
+    w = np.asarray(get_window_weights(win_type, m, **kw))
+    want_mean = np.full(n, np.nan)
+    want_sum = np.full(n, np.nan)
+    for i in range(m - 1, n):
+        x = pdf["v"].values[i - m + 1 : i + 1]
+        want_sum[i] = float(np.dot(w, x))
+        want_mean[i] = want_sum[i] / w.sum()
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = (
+        f.rolling(m, win_type=win_type)
+        .mean("v", alias="wm", **kw)
+        .rolling(m, win_type=win_type)
+        .sum("v", alias="ws", **kw)
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert_col_matches(got, pd.Series(want_mean), "wm")
+    assert_col_matches(got, pd.Series(want_sum), "ws")
