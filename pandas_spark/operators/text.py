@@ -72,10 +72,11 @@ def token_count_expr(text: Column, toks: Column | None = None) -> Column:
 
 def bpe_ish_token_count_expr(text: Column) -> Column:
     """BPE-style subword estimate: count word pieces + digits + punctuation
-    runs (a public regex approximation of tokenizer output size)."""
-    return F.size(
-        F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))
-    )
+    runs (a public regex approximation of tokenizer output size).
+    ``regexp_count`` counts matches without materializing them — the
+    ``size(regexp_extract_all(...))`` form allocated ~len/3 small
+    strings per document just to take the array length."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"))
 
 
 def stopword_ratio_expr(text: Column, lang: str = "en", toks: Column | None = None) -> Column:
@@ -113,7 +114,7 @@ def quality_score_expr(text: Column, toks: Column | None = None) -> Column:
     toks = toks if toks is not None else tokens_expr(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
-    alpha_ratio = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / F.greatest(n_chars, F.lit(1))
+    alpha_ratio = F.regexp_count(text, F.lit(r"[A-Za-z]")) / F.greatest(n_chars, F.lit(1))
     mean_word_len = n_chars / F.greatest(n_tok, F.lit(1))
     sw_ratio = stopword_ratio_expr(text, toks=toks)
     len_ok = (n_tok >= 10) & (n_tok <= 100000)
@@ -146,33 +147,87 @@ def shingles_expr(text: Column, n: int = 5) -> Column:
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def _hits_expr(toks: Column, words: Sequence[str]) -> Column:
+    """Stopword hit COUNT via an int-accumulator fold — unlike
+    ``size(filter(...))`` it allocates no intermediate array per row
+    (the filtered-array churn was the dominant GC load in the
+    giant-corpus regime)."""
+    sw = F.array(*[F.lit(w) for w in words])
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.array_contains(sw, x), 1).otherwise(0),
+    )
+
+
 def add_text_stats(frame: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-analysis columns, map-only.
 
-    The normalized text and the token array are materialized ONCE in a
-    lower projection and shared by every statistic (Catalyst keeps the
-    two projections separate because the shared columns are expensive
-    and multiply referenced — CollapseProject's duplication guard);
-    without the split each stat re-ran the normalize-regex + split over
-    the full document (~30% of the query at bench scale, more in the
-    GC-bound giant-corpus regime)."""
+    Allocation discipline for the GC-bound giant-corpus regime (the
+    1000×-decade tail diagnosed in SCALE.md):
+
+    * normalized text + token array materialized ONCE in a lower
+      projection, shared by every statistic (Catalyst keeps the
+      projections separate for multiply-referenced expensive columns —
+      CollapseProject's duplication guard)
+    * per-language stopword hit counts computed ONCE each as int-fold
+      ``aggregate`` (no filtered-array allocation); en-hits feed
+      stopword_ratio, quality, AND the en lang score — previously three
+      independent ``size(filter(...))`` passes
+    * counting regexes use ``regexp_count`` — the old
+      ``size(regexp_extract_all(...))`` BPE count materialized every
+      match (~len/3 small strings per document) just to take the
+      length, and alpha_ratio built a full stripped copy of the text
+    """
     t = F.col(text_col)
     toks = F.col("__toks__")
+    langs = list(STOPWORDS)
     base = (
         spread(frame._sdf)
         .withColumn("__norm__", normalize_expr(t))
         .withColumn("__toks__", F.split(F.col("__norm__"), " "))
     )
-    out = base.withColumns(
+    mid = base.withColumns(
         {
-            "n_tokens": token_count_expr(t, toks=toks),
-            "n_tokens_bpe": bpe_ish_token_count_expr(t),
-            "stopword_ratio": stopword_ratio_expr(t, toks=toks),
-            "lang_pred": lang_id_expr(t, toks=toks),
-            "quality": quality_score_expr(t, toks=toks),
+            "__ntok__": F.size(toks),
+            **{f"__hits_{lang}__": _hits_expr(toks, STOPWORDS[lang]) for lang in langs},
+        }
+    )
+    ntok = F.col("__ntok__")
+    n1 = F.greatest(ntok, F.lit(1))
+    n_chars = F.length(t)
+    # identical values to the former length(regexp_replace(…, '')) form
+    alpha_ratio = F.regexp_count(t, F.lit(r"[A-Za-z]")) / F.greatest(n_chars, F.lit(1))
+    mean_word_len = n_chars / n1
+    sw_ratio = F.col("__hits_en__") / n1
+    len_ok = (ntok >= 10) & (ntok <= 100000)
+    word_len_ok = (mean_word_len >= 3) & (mean_word_len <= 12)
+    quality = (
+        len_ok.cast("double") * 0.25
+        + word_len_ok.cast("double") * 0.25
+        + F.least(alpha_ratio * 0.5, F.lit(0.25)) * 2
+        + F.least(sw_ratio * 2.5, F.lit(0.25))
+    )
+    pairs = F.array(
+        *[
+            F.struct((F.col(f"__hits_{lang}__") / n1).alias("s"), F.lit(lang).alias("l"))
+            for lang in langs
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: by s, then l
+    lang_pred = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    out = mid.withColumns(
+        {
+            "n_tokens": ntok,
+            "n_tokens_bpe": F.regexp_count(
+                t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")
+            ),
+            "stopword_ratio": sw_ratio,
+            "lang_pred": lang_pred,
+            "quality": quality,
             "fingerprint": F.xxhash64(F.col("__norm__")),
         }
-    ).drop("__norm__", "__toks__")
+    ).drop("__norm__", "__toks__", "__ntok__", *[f"__hits_{lang}__" for lang in langs])
     return frame._with(out)
 
 
