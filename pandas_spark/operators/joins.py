@@ -114,14 +114,14 @@ def _disambiguate_and_join(
     l_ren = {c: c + suffixes[0] for c in overlap - same_key}
     r_ren = {c: c + suffixes[1] for c in overlap - same_key}
     # internal aliases for the join keys to build explicit conditions
-    lsdf2 = lsdf.withColumnsRenamed(l_ren)
-    rsdf2 = rsdf.withColumnsRenamed(r_ren)
+    # (skip empty/batched renames — each withColumnRenamed is a py4j
+    # round trip and analysis pass; chains of merges add them up)
+    lsdf2 = lsdf.withColumnsRenamed(l_ren) if l_ren else lsdf
+    rsdf2 = rsdf.withColumnsRenamed(r_ren) if r_ren else rsdf
     lk2 = [l_ren.get(c, c) for c in lk]
     rk2 = [r_ren.get(c, c) for c in rk]
     # null-safe equality: pandas matches NULL keys (merge.py:177)
-    rtag = rsdf2
-    for c in rk2:
-        rtag = rtag.withColumnRenamed(c, "__rk_" + c)
+    rtag = rsdf2.withColumnsRenamed({c: "__rk_" + c for c in rk2}) if rk2 else rsdf2
     if indicator:
         lsdf2 = lsdf2.withColumn("__lp__", F.lit(True))
         rtag = rtag.withColumn("__rp__", F.lit(True))

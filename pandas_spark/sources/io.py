@@ -50,6 +50,27 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+# (session, path, mtime-signature) -> base scan DataFrame. Re-reading
+# the same static table re-ran a pyarrow footer probe AND a JVM file
+# listing + schema read per call (~80 ms/table — 40% of a broadcast
+# star-join's wall at the 100x decade was plan construction). A real
+# deployment gets this from catalog-table metadata caching; local
+# paths get it here. The mtime signature invalidates on overwrite
+# (directory mtime changes when files are added/replaced), so
+# write-then-reread roundtrips stay correct.
+_SCAN_CACHE: dict = {}
+
+
+def _path_signature(path: str):
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,
@@ -62,16 +83,23 @@ def read_parquet(
     truncated to µs: the scan reads them as long (nanosAsLong) and a
     projection converts — stays distributed, pushdown-friendly.
     """
-    ns_cols = _nanos_timestamp_cols(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sdf = spark.read.parquet(path)
-    if ns_cols:
-        from pyspark.sql import functions as F
+    key = (id(spark), path, _path_signature(path))
+    sdf = _SCAN_CACHE.get(key) if key[2] is not None else None
+    if sdf is None:
+        ns_cols = _nanos_timestamp_cols(path)
+        if ns_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        sdf = spark.read.parquet(path)
+        if ns_cols:
+            from pyspark.sql import functions as F
 
-        sdf = sdf.withColumns(
-            {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
-        )
+            sdf = sdf.withColumns(
+                {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
+            )
+        if key[2] is not None:
+            if len(_SCAN_CACHE) > 256:
+                _SCAN_CACHE.clear()
+            _SCAN_CACHE[key] = sdf
     if filters:
         sdf = sdf.filter(filters)
     if columns:
