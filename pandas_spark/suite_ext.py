@@ -4109,3 +4109,82 @@ def ewm_halflife(spark: SparkSession, sf_dir: str) -> SparkDF:
     out = ewm(events, "value", halflife=2.0, by=["user_id"],
               order_by="event_id", alias="value_ewm")
     return out.select(["event_id", "user_id", "value_ewm"]).to_spark()
+
+
+@query(
+    "groupby_nlargest_all",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC) AS rk
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ) WHERE rk <= 2
+    """,
+)
+def groupby_nlargest_all(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """nlargest(keep='all') (groupby/generic.py): rank over the VALUE
+    only, so rows tied with the boundary all survive; NULL values are
+    excluded entirely (pandas drops NaN from nlargest/nsmallest)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.select(["o_custkey", "o_orderkey", "o_totalprice"])
+        .sort_values("o_orderkey")
+        .groupby("o_custkey")
+        .nlargest("o_totalprice", 2, keep="all")
+    )
+    return out.to_spark()
+
+
+@query(
+    "skew_report_full",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), t AS (
+        SELECT sum(cnt) AS total, count(*) AS groups FROM c
+    )
+    SELECT c.user_id, c.cnt,
+           c.cnt / t.total AS share,
+           c.cnt * t.groups / t.total AS skew
+    FROM c, t
+    ORDER BY c.cnt DESC, c.user_id
+    """,
+)
+def skew_report_full(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """skew_report(top_n=None) — the FULL key profile with no limit()
+    in the plan (a parallel range sort over the reduced counts; the
+    round-4 OOM came from orderBy().limit(10^9) eagerly allocating an
+    O(top_n) buffer)."""
+    from pandas_spark.operators import diagnostics
+
+    events = _t(spark, sf_dir, "events")
+    return diagnostics.skew_report(events, "user_id", top_n=None).to_spark()
+
+
+@query(
+    "interpolate_pad_on",
+    oracle="""
+    SELECT event_id, user_id,
+           coalesce(value,
+                    last_value(value IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS value
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+          FROM events)
+    """,
+)
+def interpolate_pad_on(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """interpolate(method='pad', on='ts') — pad must fill in on= order
+    (missing.py:227 clean_interp_method), matching the other methods,
+    not the frame's declared row order."""
+    events = _t(spark, sf_dir, "events").select(["event_id", "user_id", "ts", "value"])
+    holey = events.assign(
+        value=F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    out = holey.sort_values("event_id").interpolate(
+        subset=["value"], method="pad", on="ts", by=["user_id"]
+    )
+    return out.select(["event_id", "user_id", "value"]).to_spark()

@@ -65,6 +65,7 @@ SINGLE_PARTITION_OK = {
     "pivot_margins",
     "qcut_quartiles",
     "searchsorted_probes",
+    "skew_report_full",
     "skew_report_users",
     "spearman_corr",
     "take_positions",
@@ -81,6 +82,7 @@ NESTED_LOOP_OK = {
     "frame_idx_mode",
     "interval_join_bands",
     "pivot_margins",
+    "skew_report_full",
     "skew_report_users",
     "unigram_logprob",
 }
