@@ -826,3 +826,60 @@ def rebalance_mixture(
         F.col(id_col), F.col(source_col), rates, default_frac=0.0, seed=seed
     )
     return DataFrame(frame.spark.filter(keep))
+
+
+def tfidf_top_terms(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the standard keyword/topic
+    signal for corpus curation (near-dup triage, topic mixing,
+    quality auditing). No pandas analog; the formula is sklearn's
+    smooth-idf convention: tf · (ln((1+N)/(1+df)) + 1).
+
+    100 TB plan shape: explode to a long (doc, term) table map-side,
+    ONE shuffle for per-doc term counts, ONE vocabulary-sized shuffle
+    for document frequencies (vocab ≪ corpus — it grows
+    sub-linearly), a term-keyed join to attach idf, and a per-doc
+    window for the top-k. The corpus text itself crosses the wire
+    once, as (doc_id, term) pairs; N rides along as a broadcast
+    scalar. Ties at the cut line break by term asc — deterministic
+    under any partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    sdf = spread(frame._sdf)
+    pairs = sdf.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_t = df_t.filter(F.col("df") >= min_df)
+    n_docs = sdf.select(F.count_distinct(F.col(id_col)).alias("__n__"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            (
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("__n__")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    out = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+    return frame._with(out)

@@ -1490,3 +1490,36 @@ def rebalance_mixture(spark: SparkSession, sf_dir: str) -> SparkDF:
         sub, {"src0": 0.5, "src1": 0.25, "src2": 0.25}, seed="bal1"
     )
     return out.spark.select("doc_id", "source")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY doc_id, term
+    ),
+    dft AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+    SELECT doc_id, term, tf, tfidf FROM (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * (ln((1.0 + n.nd) / (1.0 + dft.df)) + 1.0) AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * (ln((1.0 + n.nd) / (1.0 + dft.df)) + 1.0) DESC,
+                                           tf.term) AS rn
+        FROM tf JOIN dft USING (term), n
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-document top-3 TF-IDF keywords (sklearn smooth-idf formula):
+    explode -> one (doc,term) shuffle -> vocab-sized df shuffle ->
+    per-doc window. See operators/text.py tfidf_top_terms."""
+    docs = _docs(spark, sf_dir)
+    return text.tfidf_top_terms(docs, k=3).select(
+        ["doc_id", "term", "tf", "tfidf"]
+    ).to_spark()

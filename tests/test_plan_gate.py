@@ -69,6 +69,7 @@ SINGLE_PARTITION_OK = {
     "skew_report_users",
     "spearman_corr",
     "take_positions",
+    "tfidf_top_terms",
     "unigram_logprob",
     "upsample_ffill",
     "value_counts_normalize",
@@ -84,6 +85,7 @@ NESTED_LOOP_OK = {
     "pivot_margins",
     "skew_report_full",
     "skew_report_users",
+    "tfidf_top_terms",
     "unigram_logprob",
 }
 
