@@ -57,15 +57,27 @@ def pair_cosine_col(a: Column, b: Column) -> Column:
     def _pc(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        mask = va.notna().to_numpy() & vb.notna().to_numpy()
         out = pd.array([pd.NA] * len(va), dtype="Float64")
-        if mask.any():
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in va[mask]])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in vb[mask]])
+        # process the Arrow batch in slices: a 65k-row batch of two
+        # 64-dim vector columns would np.stack ~70 MB per side per
+        # call, and the glibc high-water mark never returns to the OS —
+        # at 32-64 concurrent workers that is tens of GB of resident
+        # Python (the 1000×-decade kernel-OOM). 8k slices bound each
+        # worker's numpy peak at ~8 MB with identical results.
+        step = 8192
+        for lo in range(0, len(va), step):
+            sa = va.iloc[lo : lo + step]
+            sb = vb.iloc[lo : lo + step]
+            mask = sa.notna().to_numpy() & sb.notna().to_numpy()
+            if not mask.any():
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in sa[mask]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in sb[mask]])
             with np.errstate(divide="ignore", invalid="ignore"):
                 d = np.einsum("ij,ij->i", A, B)
                 c = d / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-            out[mask] = c
+            idx = np.flatnonzero(mask) + lo
+            out[idx] = c
         return pd.Series(out, dtype="Float64")
 
     return _pc(a, b)
@@ -407,12 +419,49 @@ def _cells_udf(C: np.ndarray, nprobe: int):
     def _cells(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        S = M @ CT  # (n, k)
-        top = np.argsort(-S, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
-        return pd.Series(list(top))
+        # sliced like pair_cosine_col: bound each worker's numpy peak
+        # regardless of the Arrow batch size (vector columns make big
+        # batches expensive — see the 1000×-decade OOM note there)
+        parts = []
+        step = 8192
+        for lo in range(0, len(vs), step):
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vs.iloc[lo : lo + step]])
+            S = M @ CT  # (n, k)
+            top = np.argsort(-S, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+            parts.extend(list(top))
+        return pd.Series(parts)
 
     return _cells
+
+
+def _bounded_hash_sample(c: SparkDF, id_col: str, vec_alias: str, sample_n: int) -> list:
+    """Deterministic k-means training sample whose DRIVER RECEIPT is
+    O(sample_n) at any corpus size.
+
+    A bare ``orderBy(hash).limit(sample_n).collect()`` compiles to
+    TakeOrderedAndProject, whose executeCollect ships each task's own
+    top-``sample_n`` to the driver — 30 tasks × 100k × 64-dim vectors
+    ≈ 1 GB, which blew spark.driver.maxResultSize at the 1000× decade.
+    Prefiltering to the smallest ~1.2·sample_n hash values first (one
+    cheap count + a map-only filter) caps every task's contribution at
+    its filtered partition size, so the driver receives ~1.2·sample_n
+    rows total; the final ordered limit over that thin set returns the
+    exact same deterministic sample (the hash-threshold filter keeps a
+    superset of the global hash-order top-sample_n with 20% headroom).
+    """
+    m = 1 << 31
+    h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(m))
+    n = c.count()
+    if n > sample_n:
+        frac = min(1.0, 1.2 * sample_n / n)
+        c = c.filter(h < int(frac * m))
+    rows = (
+        c.orderBy(h.asc(), F.col(id_col).asc())
+        .limit(sample_n)
+        .select(vec_alias)
+        .collect()
+    )
+    return [r[0] for r in rows]
 
 
 def ivf_topk(
@@ -448,13 +497,7 @@ def ivf_topk(
     training-pipeline similarity-search requirement (IVF variant).
     """
     c = corpus.spark.select(F.col(id_col), F.col(vec_col).alias("__cv__"))
-    sample = [
-        r[0]
-        for r in c.orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample_n)
-        .select("__cv__")
-        .collect()
-    ]
+    sample = _bounded_hash_sample(c, id_col, "__cv__", sample_n)
     C = _spherical_kmeans(np.asarray(sample), k_cells, iters, seed)
 
     assign1 = _cells_udf(C, 1)
@@ -464,12 +507,30 @@ def ivf_topk(
     qc = q.select(
         query_id_col, "__qv__", F.explode(probe(F.col("__qv__"))).alias("__cell__")
     )
-    scored = cc.join(F.broadcast(qc), "__cell__").withColumn(
-        "cosine", pair_cosine_col(F.col("__cv__"), F.col("__qv__"))
+    # score, then IMMEDIATELY project to (query, id, cosine): the
+    # rerank windows must shuffle 24-byte rows, not rows still carrying
+    # two dim-sized vectors (at the 1000× decade that difference is an
+    # 8 GB shuffle vs a 180 MB one)
+    scored = (
+        cc.join(F.broadcast(qc), "__cell__")
+        .withColumn("cosine", pair_cosine_col(F.col("__cv__"), F.col("__qv__")))
+        .select(query_id_col, "__cell__", F.col(id_col), "cosine")
+    )
+    # two-level top-k: first per (query, probed cell) — queries×nprobe
+    # partitions, so no single task ever sorts a whole query's
+    # candidate set (≈ corpus·nprobe/k_cells rows) — then a trivial
+    # global pass over ≤ queries·nprobe·k survivors
+    w_cell = W.partitionBy(query_id_col, "__cell__").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        scored.withColumn("__rn__", F.row_number().over(w_cell))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__", "__cell__")
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     out = (
-        scored.withColumn("__rn__", F.row_number().over(w))
+        survivors.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
         .select(query_id_col, id_col, "cosine", F.col("__rn__").alias("rank"))
     )
@@ -576,13 +637,7 @@ def semantic_dedup_pairs(
     from pandas_spark.operators.dedup import bucket_pairs
 
     c = frame.spark.select(F.col(id_col), F.col(vec_col).alias("__v__"))
-    sample = [
-        r[0]
-        for r in c.orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample_n)
-        .select("__v__")
-        .collect()
-    ]
+    sample = _bounded_hash_sample(c, id_col, "__v__", sample_n)
     C = _spherical_kmeans(np.asarray(sample), k_cells, iters, seed)
     cells = _cells_udf(C, nprobe)
     banded = c.select(
