@@ -56,7 +56,11 @@ SHIFTS = {
     "supplier": [("s_suppkey", 100_000)],
     "events": [("event_id", 10_000_000), ("user_id", 1_000_000)],
     "documents": [("doc_id", 1_000_000)],
-    "embeddings": [("emb_id", 1_000_000)],
+    # vec_id, not emb_id: the wrong name silently skipped the shift
+    # (the `col in cols` guard), leaving every vec_id duplicated REPS×
+    # — which turned a 5-query probe set into 5·REPS rows and blew the
+    # sim entries' candidate joins up by REPS× at every decade
+    "embeddings": [("vec_id", 1_000_000)],
 }
 COPY = ["nation", "region"]
 
