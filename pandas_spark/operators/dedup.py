@@ -247,6 +247,47 @@ def jaccard_verify(
     return j
 
 
+def _collapsed_rep_pairs(
+    frame: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    rows: int,
+    shingle_n: int,
+):
+    """Shared exact-collapse + MinHash/LSH/verify core: returns
+    (groups, rep_pairs) where ``groups`` is one row per UNIQUE text
+    (__k__, __rep__ = min member id, __members__, text) and
+    ``rep_pairs`` the verified near-dup pairs AMONG REPS ONLY —
+    O(unique texts), never expanded by clone multiplicity. Pair-listing
+    callers expand to document pairs (quadratic in clones by
+    definition); clustering callers must stay at the rep level."""
+    sdf = frame.spark
+    groups = _cache_once(
+        sdf.groupBy(F.md5(F.col(text_col)).alias("__k__")).agg(
+            F.min(id_col).alias("__rep__"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__members__"),
+            F.first(F.col(text_col)).alias(text_col),
+        )
+    )
+    reps = groups.select(F.col("__rep__").alias(id_col), text_col)
+    base = _cache_once(
+        minhash_signature(reps, text_col, num_hashes, shingle_n).select(
+            id_col,
+            "minhash",
+            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
+        )
+    )
+    cands = lsh_candidate_pairs(base, id_col, "minhash", bands, rows)
+    rep_pairs = jaccard_verify(
+        cands, reps, id_col, text_col, shingle_n, threshold,
+        shingle_sets=base.select(id_col, "__s__"),
+    )
+    return groups, rep_pairs
+
+
 def minhash_dedup_pairs(
     frame: DataFrame,
     text_col: str = "text",
@@ -280,26 +321,8 @@ def minhash_dedup_pairs(
     once and cached, feeding the bucket aggregation and both sides of
     the verification.
     """
-    sdf = frame.spark
-    groups = _cache_once(
-        sdf.groupBy(F.md5(F.col(text_col)).alias("__k__")).agg(
-            F.min(id_col).alias("__rep__"),
-            F.sort_array(F.collect_list(F.col(id_col))).alias("__members__"),
-            F.first(F.col(text_col)).alias(text_col),
-        )
-    )
-    reps = groups.select(F.col("__rep__").alias(id_col), text_col)
-    base = _cache_once(
-        minhash_signature(reps, text_col, num_hashes, shingle_n).select(
-            id_col,
-            "minhash",
-            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
-        )
-    )
-    cands = lsh_candidate_pairs(base, id_col, "minhash", bands, rows)
-    rep_pairs = jaccard_verify(
-        cands, reps, id_col, text_col, shingle_n, threshold,
-        shingle_sets=base.select(id_col, "__s__"),
+    groups, rep_pairs = _collapsed_rep_pairs(
+        frame, text_col, id_col, threshold, num_hashes, bands, rows, shingle_n
     )
 
     m = F.col("__members__")
@@ -643,22 +666,52 @@ def dedup_keep_representatives(
     noise), keep the best copy, not the earliest-crawled one. Cost:
     one row_number window over the LABELED docs only (docs inside
     clusters — a small fraction of the corpus by construction), never
-    the full corpus."""
-    pairs = minhash_dedup_pairs(
+    the full corpus.
+
+    Clustering runs at the COLLAPSED-REP level: connected components
+    over the verified rep pairs (O(unique texts)), then the rep→cluster
+    label joins back through the exact-clone membership map-side. The
+    previous structure consumed the expanded document-pair list, which
+    is quadratic in clone multiplicity by definition — a corpus where
+    every doc has 1000 exact copies produced 2.5 B pairs and killed
+    the block manager before clustering even started; the same corpus
+    now clusters over the ~unique-count pair list."""
+    groups, rep_pairs = _collapsed_rep_pairs(
         frame, text_col, id_col, threshold, num_hashes, bands, rows, shingle_n
-    ).spark
-    labels = neardup_clusters(pairs)
+    )
+    # rep-level components: (doc_id=rep, cluster=min rep in component).
+    # Since each rep is the min id of its clone group, the component's
+    # min rep IS the global min doc id of the full cluster.
+    rep_clusters = neardup_clusters(rep_pairs).withColumnsRenamed(
+        {"doc_id": "__rep__", "cluster": "__cluster__"}
+    )
+    # doc → rep (map-side explode of the member lists), + clone-group
+    # size; then rep → cluster (rep-level table, broadcastable)
+    memb = groups.select(
+        F.col("__rep__"),
+        F.size("__members__").alias("__gn__"),
+        F.explode("__members__").alias("doc_id"),
+    )
+    final = memb.join(F.broadcast(rep_clusters), "__rep__", "left").select(
+        "doc_id",
+        "__gn__",
+        F.col("__cluster__").isNotNull().alias("__linked__"),
+        F.coalesce("__cluster__", "__rep__").alias("cluster"),
+    )
     if keep == "min_id":
-        drop = labels.filter(F.col("cluster") != F.col("doc_id")).select(
+        drop = final.filter(F.col("cluster") != F.col("doc_id")).select(
             F.col("doc_id").alias(id_col)
         )
     elif keep == "best":
         if not score_col:
             raise ValueError("keep='best' requires score_col=")
+        # docs inside a ≥2-member cluster: clone-group members (gn>1)
+        # or members of a near-dup-linked rep
+        involved = final.filter((F.col("__gn__") > 1) | F.col("__linked__"))
         scores = frame.spark.select(
             F.col(id_col).alias("doc_id"), F.col(score_col).alias("__score__")
         )
-        lab = labels.join(scores, "doc_id")
+        lab = involved.join(scores, "doc_id")
         w = W.partitionBy("cluster").orderBy(
             F.col("__score__").desc(), F.col("doc_id").asc()
         )
