@@ -406,6 +406,47 @@ def _spherical_kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarra
     return C
 
 
+def _cells_expr(C: np.ndarray, nprobe: int, v: Column) -> Column:
+    """JVM-side centroid assignment: top-``nprobe`` cells by dot
+    product as a pure Catalyst expression — the centroid matrix rides
+    as literal arrays (k·dim doubles), one HOF dot per cell.
+
+    Replaces the Arrow-UDF assignment on the big-corpus paths: the
+    per-row object churn of converting millions of vector cells into
+    numpy objects retained gigabytes of worker RSS (glibc high-water)
+    at the 10⁴× decade, while the interpreted HOF fold is
+    allocation-free and comparable in wall time. Tie-break matches
+    ``np.argsort(-S, kind='stable')``: equal dot → smaller cell index
+    first (encoded as (score, -index) struct ordering)."""
+    # ONE nested-array literal node for the whole centroid matrix —
+    # spelling it as k·dim scalar literals made the optimizer traverse
+    # a 4096-node tree on every rule pass (~4 s of fixed analysis cost
+    # per plan that referenced it)
+    c_lit = F.lit([[float(x) for x in row] for row in C])
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(C) - 1)),
+        lambda j: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.element_at(c_lit, j + 1),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            (-j).alias("ni"),
+        ),
+    )
+    if nprobe == 1:
+        best = F.array_max(pairs)
+        return F.array((-best["ni"]).cast("int"))
+    srt = F.reverse(F.array_sort(pairs))
+    return F.transform(
+        F.slice(srt, 1, nprobe), lambda p: (-p["ni"]).cast("int")
+    )
+
+
 def _cells_udf(C: np.ndarray, nprobe: int):
     """Arrow-batched assignment: one (batch × dim) @ (dim × k) matmul
     per batch, top-``nprobe`` cells by dot product (cells are unit-norm
@@ -500,20 +541,31 @@ def ivf_topk(
     sample = _bounded_hash_sample(c, id_col, "__cv__", sample_n)
     C = _spherical_kmeans(np.asarray(sample), k_cells, iters, seed)
 
-    assign1 = _cells_udf(C, 1)
-    probe = _cells_udf(C, nprobe)
-    cc = c.withColumn("__cell__", F.element_at(assign1(F.col("__cv__")), 1))
+    cc = c.withColumn(
+        "__cell__", F.element_at(_cells_expr(C, 1, F.col("__cv__")), 1)
+    ).withColumn("__cn__", norm_expr(F.col("__cv__")))
     q = queries.spark.select(F.col(query_id_col), F.col(vec_col).alias("__qv__"))
     qc = q.select(
-        query_id_col, "__qv__", F.explode(probe(F.col("__qv__"))).alias("__cell__")
+        query_id_col,
+        "__qv__",
+        norm_expr(F.col("__qv__")).alias("__qn__"),
+        F.explode(_cells_expr(C, nprobe, F.col("__qv__"))).alias("__cell__"),
     )
-    # score, then IMMEDIATELY project to (query, id, cosine): the
-    # rerank windows must shuffle 24-byte rows, not rows still carrying
-    # two dim-sized vectors (at the 1000× decade that difference is an
-    # 8 GB shuffle vs a 180 MB one)
+    # Candidate scoring stays JVM-SIDE (HOF dot over the zipped
+    # vectors, norms precomputed once per side before the join): the
+    # candidate set is corpus·nprobe/k_cells rows, and routing it
+    # through an Arrow python UDF made every resident worker buffer
+    # gigabytes of vector batches (kernel OOM at the 10⁴× decade).
+    # Then IMMEDIATELY project to (query, id, cosine): the rerank
+    # windows must shuffle 24-byte rows, not rows still carrying two
+    # dim-sized vectors.
     scored = (
         cc.join(F.broadcast(qc), "__cell__")
-        .withColumn("cosine", pair_cosine_col(F.col("__cv__"), F.col("__qv__")))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("__cv__"), F.col("__qv__"))
+            / (F.col("__cn__") * F.col("__qn__")),
+        )
         .select(query_id_col, "__cell__", F.col(id_col), "cosine")
     )
     # two-level top-k: first per (query, probed cell) — queries×nprobe
@@ -639,11 +691,10 @@ def semantic_dedup_pairs(
     c = frame.spark.select(F.col(id_col), F.col(vec_col).alias("__v__"))
     sample = _bounded_hash_sample(c, id_col, "__v__", sample_n)
     C = _spherical_kmeans(np.asarray(sample), k_cells, iters, seed)
-    cells = _cells_udf(C, nprobe)
     banded = c.select(
         F.col(id_col),
         F.lit(0).alias("band"),
-        F.explode(cells(F.col("__v__"))).alias("bucket"),
+        F.explode(_cells_expr(C, nprobe, F.col("__v__"))).alias("bucket"),
     )
     cand = bucket_pairs(banded, id_col, cell_cap)
     v1 = c.select(F.col(id_col).alias("id1"), F.col("__v__").alias("__v1__"))
