@@ -98,7 +98,16 @@ def ensure_data(spark):
             )
             for col, step in shifts:
                 if col in cols:
-                    out = out.withColumn(col, F.col(col) + F.col("__rep__") * F.lit(step))
+                    # cast BEFORE multiplying: int __rep__ × int step
+                    # wraps at rep·step > 2³¹ (silent in non-ANSI) —
+                    # rep ≥ 215 with a 10M step produced NEGATIVE keys
+                    # and hundreds of millions of key collisions in the
+                    # 1000× decade data
+                    out = out.withColumn(
+                        col,
+                        F.col(col)
+                        + F.col("__rep__").cast("bigint") * F.lit(step).cast("bigint"),
+                    )
             out = out.drop("__rep__")
         out.write.mode("overwrite").parquet(f"{DIR}/{t}.parquet")
     for t in COPY:
