@@ -169,18 +169,46 @@ def _cosine_topk_matmul(
             QnT = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T.copy()  # (dim, q)
         nq = len(qids)
 
+        def _vec_matrix(va):
+            """Arrow list-of-float column → (n, dim) float64 matrix,
+            zero-copy from the flat values buffer. The previous
+            mapInPandas form converted every cell into its own small
+            numpy object (65k allocations per batch) — the resident
+            high-water of that churn across 32 workers was one of the
+            10⁴×-decade kernel-OOMs."""
+            import pyarrow as pa
+
+            t = va.type
+            if pa.types.is_fixed_size_list(t):
+                flat = va.values.to_numpy(zero_copy_only=False)
+                return flat.reshape(len(va), t.list_size).astype(np.float64, copy=False)
+            offsets = va.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            if len(widths) and (widths == widths[0]).all():
+                flat = va.values.to_numpy(zero_copy_only=False)
+                return (
+                    flat[offsets[0] : offsets[-1]]
+                    .reshape(len(va), widths[0])
+                    .astype(np.float64, copy=False)
+                )
+            return np.stack([np.asarray(v, dtype=np.float64) for v in va.to_pylist()])
+
         def gen(batches):
+            import pyarrow as pa
+
             buf_s = [[] for _ in range(nq)]
             buf_i = [[] for _ in range(nq)]
-            for pdf in batches:
-                n = len(pdf)
+            for rb in batches:
+                n = rb.num_rows
                 if n == 0:
                     continue
-                M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                M = _vec_matrix(rb.column(rb.schema.get_field_index(vec_col)))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cn = np.linalg.norm(M, axis=1)
                     S = (M @ QnT) / cn[:, None]  # (n, q) cosines
-                ids = pdf[id_col].to_numpy()
+                ids = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
+                    zero_copy_only=False
+                )
                 for j in range(nq):
                     s = S[:, j]
                     if n > k:
@@ -212,9 +240,14 @@ def _cosine_topk_matmul(
                 top.insert(0, query_id_col, [qids[j]] * len(top))
                 frames.append(top)
             if frames:
-                yield pd.concat(frames, ignore_index=True)
+                from pyspark.sql.pandas.types import to_arrow_schema
 
-        mapped = c.mapInPandas(gen, part_schema)
+                out_pdf = pd.concat(frames, ignore_index=True)
+                yield pa.RecordBatch.from_pandas(
+                    out_pdf, schema=to_arrow_schema(part_schema), preserve_index=False
+                )
+
+        mapped = c.mapInArrow(gen, part_schema)
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     out = (
         mapped.withColumn("__rn__", F.row_number().over(w))
