@@ -240,7 +240,7 @@ def test_cosine_topk_shuffles_partial_topk_not_cross_product(spark):
     )
     plan = plan_of(cosine_topk(emb, q, k=10).to_spark())
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan  # round-5 zero-copy rewrite (was MapInPandas)
     # exactly one exchange: the per-query window over the partial top-k
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
