@@ -99,6 +99,7 @@ class DataFrame:
         order_col: str | None = None,
         index_cols: tuple[str, ...] = (),
         sort_spec: tuple = (),
+        nonnull: frozenset = frozenset(),
     ):
         self._sdf = sdf
         self._order_col = order_col
@@ -108,9 +109,21 @@ class DataFrame:
         # window on directly, with no materialized row-id and no global
         # sort in their plans (SURVEY §7.0 ordering layer)
         self._sort_spec = tuple(sort_spec)
+        # columns PROVEN null-free (parquet footer statistics at scan
+        # time, propagated only through null-preserving ops: filter,
+        # name-only select, sort). merge() uses this to emit plain `=`
+        # instead of the pandas-semantics `<=>` when both key sides are
+        # proven — `=` lets Catalyst inject IsNotNull scan filters and
+        # skips the null-safe key wrapping. Conservative by default:
+        # any op that could introduce NULLs drops the set.
+        self._nonnull = (
+            frozenset(nonnull) & set(sdf.columns) if nonnull else frozenset()
+        )
 
     # -- plumbing --------------------------------------------------------
-    def _with(self, sdf: SparkDF, order_col: str | None = "keep") -> "DataFrame":
+    def _with(
+        self, sdf: SparkDF, order_col: str | None = "keep", nonnull: frozenset | None = None
+    ) -> "DataFrame":
         oc = self._order_col if order_col == "keep" else order_col
         if oc is not None and oc not in sdf.columns:
             oc = None
@@ -122,6 +135,7 @@ class DataFrame:
             order_col=oc,
             index_cols=tuple(c for c in self._index_cols if c in sdf.columns),
             sort_spec=spec,
+            nonnull=nonnull if nonnull is not None else frozenset(),
         )
 
     def _ensure_order(self) -> "DataFrame":
@@ -155,6 +169,24 @@ class DataFrame:
         )
         k = F.col(this._order_col)
         return this, [k.desc() if desc else k.asc()]
+
+    def _order_pairs(self, desc: bool = False) -> tuple["DataFrame", list]:
+        """Like :meth:`_ordered` but returns raw ``(column, ascending,
+        na_position)`` triples instead of baked sort expressions, for
+        callers that need to GATE the order columns (e.g. apply them
+        only to a subset of rows via ``F.when``)."""
+        if self._sort_spec:
+            pairs = []
+            for c, a, napos in self._sort_spec:
+                a2, p2 = (not a, "first" if napos == "last" else "last") if desc else (a, napos)
+                pairs.append((F.col(c), a2, p2))
+            return self, pairs
+        this = self if self._order_col else DataFrame(
+            self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
+            order_col=ORDER_COL,
+            index_cols=self._index_cols,
+        )
+        return this, [(F.col(this._order_col), not desc, "last")]
 
     def _drop_internal(self, sdf: SparkDF) -> SparkDF:
         return sdf.drop(ORDER_COL) if ORDER_COL in sdf.columns else sdf
@@ -217,10 +249,14 @@ class DataFrame:
         exprs = [self._to_col(c) for c in cols]
         if self._order_col:
             exprs = exprs + [F.col(self._order_col)]
-        return self._with(self._sdf.select(*exprs))
+        # a pure name projection can't introduce NULLs; computed or
+        # renamed exprs could shadow a proven column — drop the proof
+        nn = self._nonnull if all(isinstance(c, str) for c in cols) else frozenset()
+        return self._with(self._sdf.select(*exprs), nonnull=nn)
 
     def filter(self, cond) -> "DataFrame":
-        return self._with(self._sdf.filter(_cond(cond)))
+        # removing rows can't introduce NULLs — null-free proofs survive
+        return self._with(self._sdf.filter(_cond(cond)), nonnull=self._nonnull)
 
     where = filter
 
@@ -228,7 +264,10 @@ class DataFrame:
         """pandas query dialect (``and``/``&``, ``@var``, chained cmp) → Spark SQL."""
         from pandas_spark.computation.eval import translate_query
 
-        return self._with(self._sdf.filter(F.expr(translate_query(expr, scope))))
+        return self._with(
+            self._sdf.filter(F.expr(translate_query(expr, scope))),
+            nonnull=self._nonnull,
+        )
 
     def assign(self, **kwargs) -> "DataFrame":
         cols = {}
@@ -755,6 +794,7 @@ class DataFrame:
             order_col=None,
             index_cols=self._index_cols,
             sort_spec=tuple((c, a, na_position) for c, a in zip(by, asc)),
+            nonnull=self._nonnull,
         )
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
@@ -763,23 +803,80 @@ class DataFrame:
         return self.sort_values(list(self._index_cols), ascending=ascending)
 
     def nlargest(self, n: int, columns: str | Sequence[str], keep: str = "first") -> "DataFrame":
-        cols = [columns] if isinstance(columns, str) else list(columns)
-        keys = [F.col(c).desc_nulls_last() for c in cols]
-        if keep == "all":
-            w = W.orderBy(*keys)
-            marked = self._sdf.withColumn("__rk__", F.rank().over(w))
-            return self._with(marked.filter(F.col("__rk__") <= n).drop("__rk__"))
-        # orderBy().limit() → Catalyst TakeOrderedAndProject (no full sort)
-        return self._with(self._sdf.orderBy(*keys).limit(n))
+        """``DataFrame.nlargest`` (reference frame.py:9069; algorithm
+        core/methods/selectn.py SelectNSeries.compute). pandas'
+        exact selection rule: NULL/NaN rows in the primary column are
+        EXCLUDED from the value ranking, then PAD the result (in
+        forward row order) when fewer than n non-null values exist.
+        ``keep='first'/'last'`` break value ties by the declared row
+        order (forward/reverse); ``keep='all'`` keeps every
+        boundary-tied row and, when non-null rows run out, appends
+        every missing row (selectn.py's findex rule)."""
+        return self._frame_topn(n, columns, keep, desc=True)
 
     def nsmallest(self, n: int, columns: str | Sequence[str], keep: str = "first") -> "DataFrame":
+        """``DataFrame.nsmallest`` — see :meth:`nlargest`."""
+        return self._frame_topn(n, columns, keep, desc=False)
+
+    def _missing_pred(self, colname: str) -> Column:
+        """NULL-or-NaN predicate: Spark double NaN is NOT NULL and
+        sorts ABOVE every value, but pandas treats it as missing."""
+        miss = F.col(colname).isNull()
+        if dict(self._sdf.dtypes).get(colname) in ("float", "double"):
+            miss = miss | F.isnan(F.col(colname))
+        return miss
+
+    def _frame_topn(self, n: int, columns, keep: str, desc: bool) -> "DataFrame":
         cols = [columns] if isinstance(columns, str) else list(columns)
-        keys = [F.col(c).asc_nulls_last() for c in cols]
-        if keep == "all":
-            w = W.orderBy(*keys)
-            marked = self._sdf.withColumn("__rk__", F.rank().over(w))
-            return self._with(marked.filter(F.col("__rk__") <= n).drop("__rk__"))
-        return self._with(self._sdf.orderBy(*keys).limit(n))
+        missing = self._missing_pred(cols[0])
+        mk = (lambda c: c.desc_nulls_last()) if desc else (lambda c: c.asc_nulls_last())
+        keys = [mk(F.col(c)) for c in cols]
+        if keep in ("first", "last"):
+            # ONE ordered limit reproduces pandas' concat([selected,
+            # nan_index])[:n]: missing-flag first (non-null block, then
+            # missing block), value keys gated to the non-null block,
+            # selection tie-break = declared row order (reversed for
+            # 'last') gated to non-null, pad order = FORWARD row order
+            # gated to missing (pandas pads positionally regardless of
+            # keep). orderBy().limit() → TakeOrderedAndProject.
+            this, rev_pairs = self._order_pairs(desc=(keep == "last"))
+            _, fwd_pairs = this._order_pairs(False)
+            gated_keys = [mk(F.when(~missing, F.col(c))) for c in cols]
+            sel_tie = [_sort_key(F.when(~missing, c), a, p) for c, a, p in rev_pairs]
+            pad_tie = [_sort_key(F.when(missing, c), a, p) for c, a, p in fwd_pairs]
+            out = this._sdf.orderBy(
+                missing.asc(), *gated_keys, *sel_tie, *pad_tie
+            ).limit(n)
+            return this._with(out)
+        if keep != "all":
+            raise ValueError(f"keep must be 'first', 'last' or 'all', got {keep!r}")
+        # keep='all' two-phase: rank(r) <= n over non-null rows  ⟺  r's
+        # key tuple is >= the n-th best tuple under the value order.
+        # Phase 1 fetches that boundary tuple with an ordered limit
+        # whose driver receipt is bounded (per-task top-n, n small);
+        # phase 2 — the plan this method RETURNS — is a map-only
+        # literal-threshold filter: fully parallel, no single-partition
+        # window, survives any frame size (the old plan ranked the
+        # whole frame through one task).
+        sdf = self._sdf.filter(~missing)
+        boundary = sdf.select(*cols).orderBy(*keys).limit(n).collect()
+        if len(boundary) < n:
+            # pandas findex rule: non-null rows exhausted before n →
+            # result = all non-null rows + ALL missing rows = the frame
+            return self._with(self._sdf)
+        t = boundary[-1]
+        ge = F.lit(True)
+        for c, tv in reversed(list(zip(cols, t))):
+            col = F.col(c)
+            if tv is None:
+                # threshold NULL sorts last: any non-null beats it
+                better, equal = col.isNotNull(), col.isNull()
+            else:
+                cmp = (col > F.lit(tv)) if desc else (col < F.lit(tv))
+                better = F.coalesce(cmp, F.lit(False))
+                equal = col.eqNullSafe(F.lit(tv))
+            ge = better | (equal & ge)
+        return self._with(sdf.filter(ge))
 
     def head(self, n: int = 5) -> "DataFrame":
         # after sort_values this is top-k: orderBy+limit fuses into

@@ -660,10 +660,11 @@ class GroupBy:
 
     def nlargest(self, col: str, n: int = 5, keep: str = "first"):
         """SeriesGroupBy.nlargest (groupby/generic.py) — top-n rows per
-        group by ``col``. ``keep='first'`` breaks value ties by the
-        declared row order (row_number); ``keep='all'`` keeps every row
-        tied with the boundary (rank). One window over the group
-        partition — the per-group analog of TakeOrderedAndProject."""
+        group by ``col``. ``keep='first'``/``'last'`` break value ties
+        by the declared row order (row_number, forward/reverse);
+        ``keep='all'`` keeps every row tied with the boundary (rank).
+        One window over the group partition — the per-group analog of
+        TakeOrderedAndProject."""
         return self._group_topn(col, n, keep, desc=True)
 
     def nsmallest(self, col: str, n: int = 5, keep: str = "first"):
@@ -671,28 +672,51 @@ class GroupBy:
         return self._group_topn(col, n, keep, desc=False)
 
     def _group_topn(self, col: str, n: int, keep: str, desc: bool):
-        # pandas nlargest/nsmallest excludes NaN entirely — without the
-        # pre-filter, asc() puts NULLs FIRST and they'd occupy top-n
-        # slots ahead of real values (and desc still surfaces them when
-        # a group has < n non-null rows).
-        frame, order_exprs = self._frame._ordered()
-        sdf = frame._sdf.filter(F.col(col).isNotNull())
-        key = F.col(col).desc() if desc else F.col(col).asc()
-        if keep == "first":
-            w = W.partitionBy(*self._keys).orderBy(key, *order_exprs)
-            fn = F.row_number
-        elif keep == "all":
-            # rank over the VALUE ordering only: appending tie-breaker
-            # exprs would make every rank distinct (degenerating rank
-            # into row_number) and silently drop boundary-tied rows.
-            w = W.partitionBy(*self._keys).orderBy(key)
-            fn = F.rank
-        else:
-            raise ValueError(f"keep must be 'first' or 'all', got {keep!r}")
+        """pandas SelectNSeries.compute semantics per group (reference
+        core/methods/selectn.py): missing rows — NULL *and* double NaN
+        (Spark NaN is not NULL and sorts above every value) — are
+        excluded from the value ranking but PAD each group's result in
+        forward row order when the group has fewer than n non-null
+        values. keep='all' ranks over the VALUE ordering only
+        (tie-break exprs would degenerate rank into row_number and
+        drop boundary ties) and, when non-null rows run out, returns
+        ALL of the group's rows (selectn.py's findex rule)."""
+        from pandas_spark.frame import _sort_key
+
+        frame = self._frame
+        missing = frame._missing_pred(col)
+        raw = F.when(~missing, F.col(col))
+        key = raw.desc_nulls_last() if desc else raw.asc_nulls_last()
+        if keep in ("first", "last"):
+            # one window: non-null block ordered by value (declared row
+            # order breaks ties, reversed for 'last'), then the missing
+            # block in FORWARD row order (pandas pads positionally
+            # regardless of keep) — row_number <= n is exactly
+            # concat([selected, nan_index])[:n] per group.
+            this, rev_pairs = frame._order_pairs(desc=(keep == "last"))
+            _, fwd_pairs = this._order_pairs(False)
+            sel_tie = [_sort_key(F.when(~missing, c), a, p) for c, a, p in rev_pairs]
+            pad_tie = [_sort_key(F.when(missing, c), a, p) for c, a, p in fwd_pairs]
+            w = W.partitionBy(*self._keys).orderBy(
+                missing.asc(), key, *sel_tie, *pad_tie
+            )
+            out = (
+                this._sdf.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") <= n)
+                .drop("__rn__")
+            )
+            return this._with(out)
+        if keep != "all":
+            raise ValueError(f"keep must be 'first', 'last' or 'all', got {keep!r}")
+        w = W.partitionBy(*self._keys).orderBy(missing.asc(), key)
+        nonnull = F.sum(F.when(~missing, F.lit(1)).otherwise(F.lit(0))).over(
+            W.partitionBy(*self._keys)
+        )
         out = (
-            sdf.withColumn("__rn__", fn().over(w))
-            .filter(F.col("__rn__") <= n)
-            .drop("__rn__")
+            frame._sdf.withColumn("__rk__", F.rank().over(w))
+            .withColumn("__nn__", nonnull)
+            .filter((~missing & (F.col("__rk__") <= n)) | (F.col("__nn__") < n))
+            .drop("__rk__", "__nn__")
         )
         return frame._with(out)
 
@@ -749,7 +773,10 @@ class GroupBy:
         cap = (
             F.lit(n)
             if n is not None
-            else F.round(F.count(F.lit(1)).over(part) * F.lit(float(frac)))
+            # bround = HALF_EVEN, matching pandas' Python round(frac*len)
+            # (banker's rounding); F.round's HALF_UP gave groups landing
+            # exactly on .5 one extra row vs pandas.
+            else F.bround(F.count(F.lit(1)).over(part) * F.lit(float(frac)))
         )
         out = (
             self._frame._sdf.withColumn("__rn__", F.row_number().over(w))

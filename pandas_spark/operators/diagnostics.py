@@ -221,9 +221,24 @@ def skew_report(
     else:
         from pyspark.sql import Window as W
 
+        # Two-level cut. A bare row_number over W.orderBy(*order) is a
+        # single-partition window — every per-key count row through ONE
+        # task. Level 1 takes each input partition's local top_n (the
+        # order is strict/total, so any global top-n row is in its own
+        # partition's top-n → the local cut keeps a superset); the
+        # global rank then runs over ≤ n_partitions·top_n survivors.
+        # (materialized in a projection first — Window.partitionBy
+        # rejects nondeterministic expressions like spark_partition_id)
+        local = W.partitionBy("__pid__").orderBy(*order)
+        survivors = (
+            enriched.withColumn("__pid__", F.spark_partition_id())
+            .withColumn("__lrn__", F.row_number().over(local))
+            .filter(F.col("__lrn__") <= top_n)
+            .drop("__lrn__", "__pid__")
+        )
         rn = F.row_number().over(W.orderBy(*order))
         out = (
-            enriched.withColumn("__rn__", rn)
+            survivors.withColumn("__rn__", rn)
             .filter(F.col("__rn__") <= top_n)
             .drop("__rn__")
             .orderBy(*order)

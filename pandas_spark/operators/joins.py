@@ -64,9 +64,29 @@ def merge(
         raise ValueError(f"how must be one of {sorted(_HOWS)}, got {how!r}")
     lsdf, rsdf = left.spark, right.spark
 
+    def _out_nonnull(lk: list[str], rk: list[str], spark_how: str) -> frozenset:
+        """Null-free proofs surviving the join, under the output's
+        suffix renames: the preserved side(s) can't gain NULLs."""
+        overlap = set(lsdf.columns) & set(rsdf.columns)
+        same_key = {l for l, r in zip(lk, rk) if l == r}
+        ren = overlap - same_key
+        l_out = {c + suffixes[0] if c in ren else c for c in left._nonnull}
+        r_out = {c + suffixes[1] if c in ren else c
+                 for c in right._nonnull if c not in same_key}
+        if spark_how in ("inner", "cross"):
+            return frozenset(l_out | r_out)
+        if spark_how in ("left", "left_semi", "left_anti"):
+            return frozenset(l_out)
+        if spark_how == "right":
+            return frozenset(r_out)
+        return frozenset()
+
     if how == "cross":
-        out = _disambiguate_and_join(lsdf, rsdf, [], [], "cross", suffixes, indicator, broadcast)
-        return DataFrame(out)
+        out = _disambiguate_and_join(
+            lsdf, rsdf, [], [], "cross", suffixes, indicator, broadcast,
+            left._nonnull, right._nonnull,
+        )
+        return DataFrame(out, nonnull=_out_nonnull([], [], "cross"))
 
     lk = _aslist(left_on) or _aslist(on)
     rk = _aslist(right_on) or _aslist(on)
@@ -93,8 +113,11 @@ def merge(
         return merge(right, left, left_on=rk, right_on=lk, how="left_anti",
                      suffixes=(suffixes[1], suffixes[0]))
 
-    out = _disambiguate_and_join(lsdf, rsdf, lk, rk, _HOWS[how], suffixes, indicator, broadcast)
-    return DataFrame(out)
+    out = _disambiguate_and_join(
+        lsdf, rsdf, lk, rk, _HOWS[how], suffixes, indicator, broadcast,
+        left._nonnull, right._nonnull,
+    )
+    return DataFrame(out, nonnull=_out_nonnull(lk, rk, _HOWS[how]))
 
 
 def _disambiguate_and_join(
@@ -106,6 +129,8 @@ def _disambiguate_and_join(
     suffixes: tuple[str, str],
     indicator: bool,
     broadcast: str | None,
+    l_nonnull: frozenset = frozenset(),
+    r_nonnull: frozenset = frozenset(),
 ) -> SparkDF:
     semi_like = how in ("left_semi", "left_anti")
     # rename overlapping non-key output columns with pandas suffixes
@@ -126,8 +151,17 @@ def _disambiguate_and_join(
         lsdf2 = lsdf2.withColumn("__lp__", F.lit(True))
         rtag = rtag.withColumn("__rp__", F.lit(True))
     cond = None
-    for lc, rc in zip(lk2, rk2):
-        term = lsdf2[lc].eqNullSafe(rtag["__rk_" + rc])
+    for (lc0, rc0), (lc, rc) in zip(zip(lk, rk), zip(lk2, rk2)):
+        if lc0 in l_nonnull and rc0 in r_nonnull:
+            # both key columns PROVEN null-free (parquet footer stats,
+            # propagated through null-preserving ops): plain `=` is
+            # row-identical to pandas' NULL-matches-NULL `<=>` here,
+            # and lets Catalyst push IsNotNull into both scans and
+            # skip the null-safe key wrapping in the hash join.
+            term = lsdf2[lc] == rtag["__rk_" + rc]
+        else:
+            # null-safe equality: pandas matches NULL keys (merge.py:177)
+            term = lsdf2[lc].eqNullSafe(rtag["__rk_" + rc])
         cond = term if cond is None else (cond & term)
 
     if broadcast == "right":

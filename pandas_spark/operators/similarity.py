@@ -521,20 +521,35 @@ def _bounded_hash_sample(c: SparkDF, id_col: str, vec_alias: str, sample_n: int)
     its filtered partition size, so the driver receives ~1.2·sample_n
     rows total; the final ordered limit over that thin set returns the
     exact same deterministic sample (the hash-threshold filter keeps a
-    superset of the global hash-order top-sample_n with 20% headroom).
+    superset of the global hash-order top-sample_n; headroom is
+    20% + 6·√sample_n so shortfall is ~impossible even at small
+    sample_n, and an exact fallback re-collects unfiltered if the
+    thin set still comes up short — at that point sample_n is tiny,
+    so the TakeOrderedAndProject receipt is bounded anyway).
     """
     m = 1 << 31
     h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(m))
     n = c.count()
+    filtered = c
     if n > sample_n:
-        frac = min(1.0, 1.2 * sample_n / n)
-        c = c.filter(h < int(frac * m))
+        headroom = 1.2 * sample_n + 6.0 * sample_n ** 0.5
+        frac = min(1.0, headroom / n)
+        filtered = c.filter(h < int(frac * m))
     rows = (
-        c.orderBy(h.asc(), F.col(id_col).asc())
+        filtered.orderBy(h.asc(), F.col(id_col).asc())
         .limit(sample_n)
         .select(vec_alias)
         .collect()
     )
+    if len(rows) < min(sample_n, n) and filtered is not c:
+        # Headroom filter under-delivered (probabilistically rare):
+        # fall back to the exact unfiltered ordered limit.
+        rows = (
+            c.orderBy(h.asc(), F.col(id_col).asc())
+            .limit(sample_n)
+            .select(vec_alias)
+            .collect()
+        )
     return [r[0] for r in rows]
 
 

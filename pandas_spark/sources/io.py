@@ -55,10 +55,20 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 # listing + schema read per call (~80 ms/table — 40% of a broadcast
 # star-join's wall at the 100x decade was plan construction). A real
 # deployment gets this from catalog-table metadata caching; local
-# paths get it here. The mtime signature invalidates on overwrite
-# (directory mtime changes when files are added/replaced), so
-# write-then-reread roundtrips stay correct.
+# paths get it here. The signature invalidates on overwrite: for a
+# plain file/flat directory the root (mtime, size) changes when files
+# are added or replaced; for PARTITIONED layouts rewriting a partition
+# subdirectory (dynamic partition overwrite of path/part=X/) does NOT
+# touch the root's mtime, so the signature also folds in each immediate
+# child entry's (name, mtime) — one extra scandir, no recursion. Deeper
+# nesting than one partition level is rare locally; clear_scan_cache()
+# is the explicit escape hatch.
 _SCAN_CACHE: dict = {}
+
+
+def clear_scan_cache() -> None:
+    """Drop the parquet scan-metadata cache (all sessions, all paths)."""
+    _SCAN_CACHE.clear()
 
 
 def _path_signature(path: str):
@@ -66,9 +76,55 @@ def _path_signature(path: str):
 
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
+        sig = (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            children = tuple(
+                sorted(
+                    (e.name, e.stat(follow_symlinks=False).st_mtime_ns)
+                    for e in os.scandir(path)
+                )
+            )
+            sig = (sig, children)
+        return sig
     except OSError:
         return None
+
+
+def _nonnull_stat_cols(path: str, max_files: int = 32) -> frozenset:
+    """Top-level columns PROVEN null-free by parquet footer statistics
+    (null_count == 0 in every row group of every file). Driver-side
+    footer reads only — skipped beyond ``max_files`` so a 100 TB
+    many-file table never pays a driver-side footer sweep (the proof
+    is an optimization, never a requirement)."""
+    try:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        files = list(pads.dataset(path, format="parquet").files)
+        if not files or len(files) > max_files:
+            return frozenset()
+        proven: set | None = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            file_ok: set | None = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                rg_ok = set()
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if "." in name:  # nested leaf — skip
+                        continue
+                    st = col.statistics
+                    if st is not None and st.null_count == 0:
+                        rg_ok.add(name)
+                # a column must be proven in EVERY row group
+                file_ok = rg_ok if file_ok is None else (file_ok & rg_ok)
+            file_ok = file_ok or set()
+            proven = file_ok if proven is None else (proven & file_ok)
+        return frozenset(proven or ())
+    except Exception:
+        return frozenset()
 
 
 def read_parquet(
@@ -84,8 +140,8 @@ def read_parquet(
     projection converts — stays distributed, pushdown-friendly.
     """
     key = (id(spark), path, _path_signature(path))
-    sdf = _SCAN_CACHE.get(key) if key[2] is not None else None
-    if sdf is None:
+    hit = _SCAN_CACHE.get(key) if key[2] is not None else None
+    if hit is None:
         ns_cols = _nanos_timestamp_cols(path)
         if ns_cols:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -96,15 +152,18 @@ def read_parquet(
             sdf = sdf.withColumns(
                 {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
             )
+        nonnull = _nonnull_stat_cols(path)
         if key[2] is not None:
             if len(_SCAN_CACHE) > 256:
                 _SCAN_CACHE.clear()
-            _SCAN_CACHE[key] = sdf
+            _SCAN_CACHE[key] = (sdf, nonnull)
+    else:
+        sdf, nonnull = hit
     if filters:
         sdf = sdf.filter(filters)
     if columns:
         sdf = sdf.select(*columns)
-    return DataFrame(sdf)
+    return DataFrame(sdf, nonnull=nonnull)
 
 
 def read_csv(

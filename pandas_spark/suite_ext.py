@@ -4117,15 +4117,19 @@ def ewm_halflife(spark: SparkSession, sf_dir: str) -> SparkDF:
     SELECT o_custkey, o_orderkey, o_totalprice FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                rank() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC) AS rk
-        FROM orders WHERE o_totalprice IS NOT NULL
-    ) WHERE rk <= 2
+                            ORDER BY o_totalprice DESC NULLS LAST) AS rk,
+               count(o_totalprice) OVER (PARTITION BY o_custkey) AS nn
+        FROM orders
+    ) WHERE (o_totalprice IS NOT NULL AND rk <= 2) OR nn < 2
     """,
 )
 def groupby_nlargest_all(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """nlargest(keep='all') (groupby/generic.py): rank over the VALUE
-    only, so rows tied with the boundary all survive; NULL values are
-    excluded entirely (pandas drops NaN from nlargest/nsmallest)."""
+    """nlargest(keep='all') (groupby/generic.py; selectn.py): rank over
+    the VALUE only, so rows tied with the boundary all survive; NULL
+    values are excluded from the ranking, and a group whose non-null
+    rows run out before n returns all its rows (pandas' findex rule —
+    vacuous on this NULL-free column, encoded in the oracle so the SQL
+    states the full semantics)."""
     orders = _t(spark, sf_dir, "orders")
     out = (
         orders.select(["o_custkey", "o_orderkey", "o_totalprice"])

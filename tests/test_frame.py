@@ -233,19 +233,26 @@ def test_groupby_nlargest_keep_all_boundary_ties(spark):
 
 
 def test_groupby_nsmallest_excludes_nulls(spark):
-    """pandas nsmallest/nlargest drops NaN entirely; Spark asc() puts
-    NULLs FIRST, so without a pre-filter NULL rows would occupy the
-    top-n slots ahead of real smallest values."""
+    """pandas selectn.py: NULLs are excluded from the value RANKING
+    (Spark asc() would otherwise put them FIRST, ahead of real smallest
+    values) but PAD each group's result in forward row order when the
+    group has fewer than n non-null values — group b here has one
+    non-null, so pandas returns [6, 4] for n=2 (differentially
+    verified: pdf.groupby('g')['v'].nsmallest(2) keeps index 4)."""
     sdf = spark.createDataFrame(
         [Row(g="a", i=1, v=None), Row(g="a", i=2, v=7.0), Row(g="a", i=3, v=9.0),
          Row(g="b", i=4, v=None), Row(g="b", i=5, v=None), Row(g="b", i=6, v=4.0)]
     )
     gb = DataFrame(sdf).groupby("g")
     small = gb.nsmallest("v", n=2).to_pandas()
-    assert sorted(small["i"]) == [2, 3, 6]  # no NULL row anywhere
-    # nlargest: group b has 1 non-null < n=2 — must NOT pad with NULLs
+    # group a: [7.0, 9.0] (no pad); group b: [4.0] + first NULL row (i=4)
+    assert sorted(small["i"]) == [2, 3, 4, 6]
+    assert sorted(small[~small["v"].isna()]["i"]) == [2, 3, 6]
     large = gb.nlargest("v", n=2).to_pandas()
-    assert sorted(large["i"]) == [2, 3, 6]
+    assert sorted(large["i"]) == [2, 3, 4, 6]
+    # ranked slots are never occupied by NULL: n=1 → no padding anywhere
+    one = gb.nsmallest("v", n=1).to_pandas()
+    assert sorted(one["i"]) == [2, 6] and not one["v"].isna().any()
 
 
 def test_interpolate_pad_honors_on(spark):
@@ -332,3 +339,96 @@ def test_groupby_sample_rng_exact_counts(spark):
     assert len(out_small) == 3  # min(n, size), never padded
     out_f = gb.sample(frac=0.25, seed=7).to_pandas()
     assert out_f.groupby("g").size().tolist() == [5] * 7  # round(20*0.25)
+
+
+def test_frame_nlargest_null_nan_and_keep_last(spark):
+    """pandas parity (selectn.py SelectNSeries.compute): NULL and
+    double-NaN rows are excluded from the value RANKING but PAD the
+    result in forward row order when fewer than n non-null values
+    exist; keep='last' prefers the last occurrence among value ties.
+    Differential against pandas itself — the spec by construction."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"i": [1, 2, 3, 4, 5, 6],
+         "v": [5.0, float("nan"), 3.0, None, 5.0, 1.0]}
+    )
+    eng = DataFrame(spark.createDataFrame(pdf))
+    # 4 non-null values + 1 NaN pad (the FIRST missing row, i=2)
+    got = eng.nlargest(5, "v").to_pandas()
+    exp = pdf.nlargest(5, "v")
+    assert sorted(got["i"]) == sorted(exp["i"].tolist()) == [1, 2, 3, 5, 6]
+    # n <= non-null count: no padding at all
+    got3 = eng.nlargest(3, "v").to_pandas()
+    exp3 = pdf.nlargest(3, "v")
+    assert sorted(got3["i"]) == sorted(exp3["i"].tolist()) == [1, 3, 5]
+    # keep='last': boundary tie (two 5.0s) resolved to the LAST row
+    got_last = eng.nlargest(1, "v", keep="last").to_pandas()
+    exp_last = pdf.nlargest(1, "v", keep="last")
+    assert got_last["i"].tolist() == exp_last["i"].tolist() == [5]
+    got_first = eng.nlargest(1, "v", keep="first").to_pandas()
+    assert got_first["i"].tolist() == [1]
+    # nsmallest symmetric: missing rows never occupy RANKED slots even
+    # though Spark asc() sorts NULL first, but do pad at the end
+    got_small = eng.nsmallest(5, "v").to_pandas()
+    exp_small = pdf.nsmallest(5, "v")
+    assert sorted(got_small["i"]) == sorted(exp_small["i"].tolist()) == [1, 2, 3, 5, 6]
+    assert got_small[~got_small["v"].isna()]["i"].tolist()[:1] == [6]
+
+
+def test_frame_nlargest_keep_all_two_phase_threshold(spark):
+    """keep='all': boundary ties kept via the literal-threshold filter
+    (map-only phase-2 plan — no whole-frame single-partition window).
+    Covers: ties AT the boundary, all-rows-tied, < n rows total, and
+    multi-column lexicographic thresholds."""
+    sdf = spark.createDataFrame(
+        [Row(i=1, a=3, b=1), Row(i=2, a=3, b=2), Row(i=3, a=3, b=2),
+         Row(i=4, a=2, b=9), Row(i=5, a=1, b=0)]
+    )
+    eng = DataFrame(sdf)
+    out = eng.nlargest(2, ["a", "b"], keep="all").to_pandas()
+    # boundary tuple is (3,2) at rank 2 — rows 2,3 tie; row 1 (3,1) is rank 3
+    assert sorted(out["i"]) == [2, 3]
+    out2 = eng.nlargest(3, ["a", "b"], keep="all").to_pandas()
+    assert sorted(out2["i"]) == [1, 2, 3]
+    # all tied
+    tied = DataFrame(spark.createDataFrame([Row(i=k, v=7) for k in range(4)]))
+    assert len(tied.nlargest(1, "v", keep="all").to_pandas()) == 4
+    # fewer rows than n
+    assert len(eng.nlargest(99, "a", keep="all").to_pandas()) == 5
+    # pandas findex rule: non-null rows run out before n → ALL missing
+    # rows are appended (pdf.nlargest(2, 'v', keep='all') returns 3 rows)
+    import pandas as pd
+
+    pdf = pd.DataFrame({"i": [1, 2, 3], "v": [9.0, None, float("nan")]})
+    got = DataFrame(spark.createDataFrame(pdf)).nlargest(2, "v", keep="all").to_pandas()
+    exp = pdf.nlargest(2, "v", keep="all")
+    assert len(got) == len(exp) == 3
+    # plan shape: returned plan is a filter, not a single-partition window
+    from pandas_spark.operators.diagnostics import plan_report
+    r = plan_report(eng.nlargest(2, ["a", "b"], keep="all"))
+    assert r["single_partition_exchanges"] == 0
+
+
+def test_groupby_nlargest_nan_and_keep_last(spark):
+    """Spark double-NaN is NOT NULL and sorts above every value — the
+    group top-n must exclude it like pandas; keep='last' supported."""
+    sdf = spark.createDataFrame(
+        [Row(g="a", i=1, v=2.0), Row(g="a", i=2, v=float("nan")),
+         Row(g="a", i=3, v=9.0), Row(g="b", i=4, v=1.0), Row(g="b", i=5, v=1.0)]
+    )
+    gb = DataFrame(sdf).groupby("g")
+    out = gb.nlargest("v", n=1).to_pandas()
+    assert sorted(out["i"]) == [3, 4]  # NaN row 2 never surfaces
+    last = gb.nlargest("v", n=1, keep="last").to_pandas()
+    assert sorted(last["i"]) == [3, 5]  # tie in group b → last row
+
+
+def test_groupby_sample_frac_bankers_rounding(spark):
+    """frac cap uses HALF_EVEN (pandas round(frac*len)): 5 rows at
+    frac=0.5 → round(2.5) = 2 rows, not HALF_UP's 3."""
+    rows = [Row(g="a", i=i) for i in range(5)]
+    out = DataFrame(spark.createDataFrame(rows)).groupby("g").sample(
+        frac=0.5, seed=1
+    ).to_pandas()
+    assert len(out) == 2 == round(0.5 * 5)

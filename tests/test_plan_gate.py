@@ -61,7 +61,6 @@ SINGLE_PARTITION_OK = {
     "key_distribution_users",
     "merge_ordered_ffill",
     "mixture_summary",
-    "nlargest_keep_all",
     "pivot_margins",
     "qcut_quartiles",
     "searchsorted_probes",
