@@ -299,6 +299,70 @@ def running_agg_stream(
     )
 
 
+def ewm_mean_stream(
+    sdf: SparkDF,
+    keys: Sequence[str],
+    value_col: str,
+    order_col: str,
+    alpha: float,
+    adjust: bool = True,
+    timeout: str = "NoTimeout",
+) -> SparkDF:
+    """Streaming EWM mean — the incremental twin of pandas'
+    ``ewm.online`` (reference window/ewm.py:413
+    ``OnlineExponentialMovingWindow``, pandas' one online operator).
+
+    Per-key state = the (numerator, denominator) of the weighted-mean
+    recursion, carried across micro-batches::
+
+        adjust=True:  numₜ = xₜ + (1−α)·numₜ₋₁ ;  denₜ = 1 + (1−α)·denₜ₋₁
+                      mean = num/den           (pandas ewm default)
+        adjust=False: mₜ  = α·xₜ + (1−α)·mₜ₋₁  (den pinned at 1)
+
+    NULL values emit the current mean and leave state untouched
+    (pandas ``ignore_na=True`` semantics — the online-friendly rule).
+    Within a batch rows are ordered by ``order_col``; on a bounded
+    single-batch source the output equals the batch
+    :func:`pandas_spark.window.ewm_mean` exactly (parity test in
+    tests/test_streaming.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields)
+        + f", `{value_col}_ewm` double"
+    )
+    state_schema = "num double, den double"
+    in_cols = [f.name for f in sdf.schema.fields]
+    a = float(alpha)
+
+    def fn(key, pdfs, state):
+        num, den = state.get if state.exists else (0.0, 0.0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(order_col, kind="stable")
+        vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+        out = np.empty(len(vals))
+        for i, x in enumerate(vals):
+            if not np.isnan(x):
+                if adjust:
+                    num = x + (1.0 - a) * num
+                    den = 1.0 + (1.0 - a) * den
+                else:
+                    num = x if den == 0.0 else a * x + (1.0 - a) * num
+                    den = 1.0
+            out[i] = num / den if den else np.nan
+        pdf[f"{value_col}_ewm"] = out
+        state.update((float(num), float(den)))
+        yield pdf[in_cols + [f"{value_col}_ewm"]]
+
+    timeout_conf = getattr(GroupStateTimeout, timeout)
+    return (
+        sdf.groupBy(*keys)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
+    )
+
+
 def tolerance_join_stream(
     left: SparkDF,
     right: SparkDF,

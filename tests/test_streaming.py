@@ -226,3 +226,82 @@ def test_heavy_hitters_stream_matches_batch(spark, events_stream):
     want = {(r["ts"], r["user_id"]): r["count"] for r in batch}
     assert got == want
     assert got  # threshold chosen to keep some hitters at sf0.001
+
+
+def test_ewm_mean_stream_matches_batch(spark, events_stream):
+    """Streaming EWM (the ewm.online analog) on a bounded single-batch
+    source equals the batch ewm_mean row-for-row (adjust=True default
+    recursion: num/den carried per key)."""
+    out = pss.ewm_mean_stream(
+        events_stream, keys=["user_id"], value_col="value",
+        order_col="event_id", alpha=0.3,
+    )
+    assert out.isStreaming
+    pss.run_to_memory(out, "t_ewm_stream", output_mode="append")
+    got = {
+        r["event_id"]: round(r["value_ewm"], 9)
+        for r in spark.table("t_ewm_stream").collect()
+    }
+
+    import pandas_spark as ps
+    from pandas_spark.window import ewm_mean
+
+    ev = ps.read_parquet(spark, f"{SF_DIR}/events.parquet")
+    batch = ewm_mean(
+        ev, "value", alpha=0.3, by=["user_id"], order_by="event_id",
+        alias="value_ewm",
+    ).select(["event_id", "value_ewm"]).to_spark().collect()
+    want = {r["event_id"]: round(r["value_ewm"], 9) for r in batch}
+    assert got == want
+
+
+def test_ewm_mean_stream_state_across_micro_batches(spark, tmp_path):
+    """The EWM num/den state must carry across micro-batches: split the
+    source into 3 trigger files (contiguous event_id ranges), result
+    must equal the single-batch EWM."""
+    import pandas_spark as ps
+
+    src_dir = str(tmp_path / "events_ewm_split")
+    ev_all = ps.read_parquet(spark, f"{SF_DIR}/events.parquet")
+    n = ev_all.to_spark().agg({"event_id": "max"}).collect()[0][0] + 1
+    q_sz = n // 3 + 1
+    for i in range(3):
+        (
+            ev_all.filter(f"event_id >= {i * q_sz} AND event_id < {(i + 1) * q_sz}")
+            .to_spark()
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = pss.ewm_mean_stream(
+        stream, keys=["user_id"], value_col="value",
+        order_col="event_id", alpha=0.4, adjust=False,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ewm_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        r["event_id"]: round(r["value_ewm"], 9)
+        for r in spark.table("t_ewm_multibatch").collect()
+    }
+    from pandas_spark.window import ewm_mean
+
+    ev = ps.read_parquet(spark, src_dir)
+    batch = ewm_mean(
+        ev, "value", alpha=0.4, adjust=False, by=["user_id"],
+        order_by="event_id", alias="value_ewm",
+    ).select(["event_id", "value_ewm"]).to_spark().collect()
+    want = {r["event_id"]: round(r["value_ewm"], 9) for r in batch}
+    assert got == want
