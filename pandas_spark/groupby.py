@@ -461,6 +461,30 @@ class GroupBy:
         frame, order_exprs = self._frame._ordered()
         return frame, W.partitionBy(*self._keys).orderBy(*order_exprs)
 
+    def _keys_nonnull(self):
+        """All-group-keys-non-null predicate, or None when dropna=False.
+        pandas' dropna=True (the default) excludes NULL-key rows from
+        the group machinery; transform-shaped ops (cum*/shift/rank/
+        fill/ngroup) KEEP those rows but emit NULL for them
+        (groupby.ngroup docs; verified against pandas 2.2)."""
+        if not self._dropna:
+            return None
+        cond = None
+        for k in self._keys:
+            t = F.col(k).isNotNull()
+            cond = t if cond is None else (cond & t)
+        return cond
+
+    def _mask_dropped(self, val):
+        cond = self._keys_nonnull()
+        return val if cond is None else F.when(cond, val)
+
+    def _filter_dropped(self, sdf):
+        """Row-subset ops (head/tail/sample/topn) EXCLUDE NULL-key
+        rows entirely under dropna=True, like their pandas twins."""
+        cond = self._keys_nonnull()
+        return sdf if cond is None else sdf.filter(cond)
+
     def transform(self, func, col: str, alias: str | None = None, dtype: str | None = None):
         """Broadcast an aggregate back to rows — a partition window, not
         a join. With a *callable*, runs the pandas-shaped
@@ -522,7 +546,7 @@ class GroupBy:
         wf = w.rowsBetween(W.unboundedPreceding, 0)
         # pandas cum* leave NaN at missing rows while the running value
         # skips them (nanops skipna) — mask the window result
-        val = F.when(F.col(col).isNotNull(), F.sum(col).over(wf))
+        val = self._mask_dropped(F.when(F.col(col).isNotNull(), F.sum(col).over(wf)))
         return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def cummax(self, col: str, alias: str | None = None, order_by: str | None = None):
@@ -530,7 +554,7 @@ class GroupBy:
         wf = w.rowsBetween(W.unboundedPreceding, 0)
         # pandas cum* leave NaN at missing rows while the running value
         # skips them (nanops skipna) — mask the window result
-        val = F.when(F.col(col).isNotNull(), F.max(col).over(wf))
+        val = self._mask_dropped(F.when(F.col(col).isNotNull(), F.max(col).over(wf)))
         return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def cummin(self, col: str, alias: str | None = None, order_by: str | None = None):
@@ -538,7 +562,7 @@ class GroupBy:
         wf = w.rowsBetween(W.unboundedPreceding, 0)
         # pandas cum* leave NaN at missing rows while the running value
         # skips them (nanops skipna) — mask the window result
-        val = F.when(F.col(col).isNotNull(), F.min(col).over(wf))
+        val = self._mask_dropped(F.when(F.col(col).isNotNull(), F.min(col).over(wf)))
         return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def cumprod(self, col: str, alias: str | None = None, order_by: str | None = None):
@@ -551,33 +575,36 @@ class GroupBy:
         negs = F.sum(F.when(c < 0, 1).otherwise(0)).over(wf)
         sign = F.when(negs % 2 == 0, 1.0).otherwise(-1.0)
         val = F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(logsum))
-        val = F.when(c.isNotNull(), val)
+        val = self._mask_dropped(F.when(c.isNotNull(), val))
         return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def cumcount(self, alias: str = "cumcount", order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
-        return frame._with(frame._sdf.withColumn(alias, F.row_number().over(w) - 1))
+        val = self._mask_dropped(F.row_number().over(w) - 1)
+        return frame._with(frame._sdf.withColumn(alias, val))
 
     def ngroup(self, alias: str = "ngroup"):
-        w = W.orderBy(*self._keys)
-        return self._frame._with(self._frame._sdf.withColumn(alias, F.dense_rank().over(w) - 1))
+        # nulls_last so NULL-key groups (masked to NULL under dropna)
+        # never shift the numbering of real groups, matching pandas
+        w = W.orderBy(*[F.col(k).asc_nulls_last() for k in self._keys])
+        val = self._mask_dropped(F.dense_rank().over(w) - 1)
+        return self._frame._with(self._frame._sdf.withColumn(alias, val))
 
     def shift(self, col: str, periods: int = 1, alias: str | None = None, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
-        return frame._with(frame._sdf.withColumn(alias or col, F.lag(col, periods).over(w)))
+        val = self._mask_dropped(F.lag(col, periods).over(w))
+        return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def diff(self, col: str, periods: int = 1, alias: str | None = None, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
-        return frame._with(
-            frame._sdf.withColumn(alias or col, F.col(col) - F.lag(col, periods).over(w))
-        )
+        val = self._mask_dropped(F.col(col) - F.lag(col, periods).over(w))
+        return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def pct_change(self, col: str, periods: int = 1, alias: str | None = None, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
         prev = F.lag(col, periods).over(w)
-        return frame._with(
-            frame._sdf.withColumn(alias or col, (F.col(col) - prev) / prev)
-        )
+        val = self._mask_dropped((F.col(col) - prev) / prev)
+        return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def ffill(self, col: str, alias: str | None = None, order_by: str | None = None,
               limit: int | None = None):
@@ -589,7 +616,7 @@ class GroupBy:
         wf = w.rowsBetween(W.unboundedPreceding, 0)
         pv = F.last(col, ignorenulls=True).over(wf)
         if limit is None:
-            return frame._with(frame._sdf.withColumn(alias or col, pv))
+            return frame._with(frame._sdf.withColumn(alias or col, self._mask_dropped(pv)))
         sdf = frame._sdf.withColumn("__rn__", F.row_number().over(w))
         prn = F.last(
             F.when(F.col(col).isNotNull(), F.col("__rn__")), ignorenulls=True
@@ -597,7 +624,7 @@ class GroupBy:
         filled = F.when(F.col(col).isNotNull(), F.col(col)).otherwise(
             F.when(F.col("__rn__") - prn <= F.lit(int(limit)), pv)
         )
-        return frame._with(sdf.withColumn(alias or col, filled).drop("__rn__"))
+        return frame._with(sdf.withColumn(alias or col, self._mask_dropped(filled)).drop("__rn__"))
 
     def bfill(self, col: str, alias: str | None = None, order_by: str | None = None,
               limit: int | None = None):
@@ -607,7 +634,7 @@ class GroupBy:
         wf = w.rowsBetween(0, W.unboundedFollowing)
         nv = F.first(col, ignorenulls=True).over(wf)
         if limit is None:
-            return frame._with(frame._sdf.withColumn(alias or col, nv))
+            return frame._with(frame._sdf.withColumn(alias or col, self._mask_dropped(nv)))
         sdf = frame._sdf.withColumn("__rn__", F.row_number().over(w))
         nrn = F.first(
             F.when(F.col(col).isNotNull(), F.col("__rn__")), ignorenulls=True
@@ -615,7 +642,7 @@ class GroupBy:
         filled = F.when(F.col(col).isNotNull(), F.col(col)).otherwise(
             F.when(nrn - F.col("__rn__") <= F.lit(int(limit)), nv)
         )
-        return frame._with(sdf.withColumn(alias or col, filled).drop("__rn__"))
+        return frame._with(sdf.withColumn(alias or col, self._mask_dropped(filled)).drop("__rn__"))
 
     def rank(self, col: str, method: str = "average", ascending: bool = True,
              pct: bool = False, alias: str | None = None):
@@ -646,13 +673,13 @@ class GroupBy:
             n = F.count(col).over(W.partitionBy(*self._keys))
             r = r / n
         name = alias or f"{col}_rank"
-        r = F.when(F.col(col).isNotNull(), r)
+        r = self._mask_dropped(F.when(F.col(col).isNotNull(), r))
         return self._frame._with(self._frame._sdf.withColumn(name, r))
 
     def head(self, n: int = 5, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
         out = (
-            frame._sdf.withColumn("__rn__", F.row_number().over(w))
+            self._filter_dropped(frame._sdf).withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= n)
             .drop("__rn__")
         )
@@ -701,7 +728,8 @@ class GroupBy:
                 missing.asc(), key, *sel_tie, *pad_tie
             )
             out = (
-                this._sdf.withColumn("__rn__", F.row_number().over(w))
+                self._filter_dropped(this._sdf)
+                .withColumn("__rn__", F.row_number().over(w))
                 .filter(F.col("__rn__") <= n)
                 .drop("__rn__")
             )
@@ -713,7 +741,8 @@ class GroupBy:
             W.partitionBy(*self._keys)
         )
         out = (
-            frame._sdf.withColumn("__rk__", F.rank().over(w))
+            self._filter_dropped(frame._sdf)
+            .withColumn("__rk__", F.rank().over(w))
             .withColumn("__nn__", nonnull)
             .filter((~missing & (F.col("__rk__") <= n)) | (F.col("__nn__") < n))
             .drop("__rk__", "__nn__")
@@ -745,7 +774,8 @@ class GroupBy:
             if n is not None:
                 w = W.partitionBy(*self._keys).orderBy(h.asc(), F.col(id_col).asc())
                 out = (
-                    self._frame._sdf.withColumn("__rn__", F.row_number().over(w))
+                    self._filter_dropped(self._frame._sdf)
+                    .withColumn("__rn__", F.row_number().over(w))
                     .filter(F.col("__rn__") <= n)
                     .drop("__rn__")
                 )
@@ -753,7 +783,9 @@ class GroupBy:
             if frac is not None:
                 bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10_000
                 return self._frame._with(
-                    self._frame._sdf.filter(bucket < int(round(frac * 10_000)))
+                    self._filter_dropped(self._frame._sdf).filter(
+                        bucket < int(round(frac * 10_000))
+                    )
                 )
             raise ValueError("sample requires n or frac")
         if frac is None and n is None:
@@ -779,7 +811,8 @@ class GroupBy:
             else F.bround(F.count(F.lit(1)).over(part) * F.lit(float(frac)))
         )
         out = (
-            self._frame._sdf.withColumn("__rn__", F.row_number().over(w))
+            self._filter_dropped(self._frame._sdf)
+            .withColumn("__rn__", F.row_number().over(w))
             .withColumn("__cap__", cap)
             .filter(F.col("__rn__") <= F.col("__cap__"))
             .drop("__rn__", "__cap__")
@@ -793,7 +826,7 @@ class GroupBy:
             frame, order_exprs = self._frame._ordered(desc=True)
         w = W.partitionBy(*self._keys).orderBy(*order_exprs)
         out = (
-            frame._sdf.withColumn("__rn__", F.row_number().over(w))
+            self._filter_dropped(frame._sdf).withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= n)
             .drop("__rn__")
         )

@@ -1,0 +1,239 @@
+"""Property-based op-CHAIN differential fuzzing (SURVEY §5 / r5 verdict
+item 5): hypothesis draws a small adversarial typed frame (NULLs, NaN≡
+missing, ties, empty groups, unicode keys) and a random 2–4-op chain
+(filter → assign → fillna/dropna → dedup → window → join → optional
+terminal groupby-agg), runs it through BOTH pandas and the engine, and
+compares canonicalized row multisets. The fixed 232 oracle entries
+cannot see interaction edges (the frame-nlargest NULL case survived
+five rounds); random chains can.
+
+Determinism: ``derandomize=True`` — hypothesis derives examples from
+the test body, so CI runs are reproducible with no ambient seed.
+
+Missing-value boundary (engine data model): pandas NaN ≡ Spark NULL.
+Frames are built from the same Python lists — pandas gets None (→NaN
+in float cols), Spark gets None (→NULL) — and outputs are compared
+with NaN/None unified.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import conftest  # noqa: E402,F401
+
+import pandas_spark as ps  # noqa: E402
+from pandas_spark import col  # noqa: E402
+from pandas_spark.frame import DataFrame  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# frame generation
+# ---------------------------------------------------------------------------
+
+G_VALS = ["a", "b", "ζ", None]
+K_VALS = [0, 1, 2, 3, None]
+V_VALS = [-1.5, 0.0, 2.5, 2.5, 7.25, None]  # ties + missing
+
+rows_strategy = st.lists(
+    st.tuples(st.sampled_from(G_VALS), st.sampled_from(K_VALS), st.sampled_from(V_VALS)),
+    min_size=0,
+    max_size=24,
+)
+
+
+def build_frames(spark, rows):
+    """(pandas frame, engine frame) from the same row list; ``t`` is a
+    unique tiebreak column so order-sensitive ops are deterministic."""
+    data = [(g, k, v, i) for i, (g, k, v) in enumerate(rows)]
+    pdf = pd.DataFrame(data, columns=["g", "k", "v", "t"]).astype(
+        {"g": "object", "k": "float64", "v": "float64", "t": "int64"}
+    )
+    sdf = spark.createDataFrame(
+        data, schema="g string, k int, v double, t int"
+    )
+    return pdf, DataFrame(sdf)
+
+
+DIM_ROWS = [(0, 10.0), (1, 20.0), (3, 30.0), (None, 99.0)]
+
+
+def dim_frames(spark):
+    pdf2 = pd.DataFrame(DIM_ROWS, columns=["k", "u"]).astype(
+        {"k": "float64", "u": "float64"}
+    )
+    sdf2 = spark.createDataFrame(DIM_ROWS, schema="k int, u double")
+    return pdf2, DataFrame(sdf2)
+
+
+# ---------------------------------------------------------------------------
+# op pool — each op: (pandas_transform, engine_transform), row-preserving
+# schema so any op can follow any other
+# ---------------------------------------------------------------------------
+
+def op_filter_v(c):
+    return (lambda p: p[p["v"] > c], lambda e: e.filter(col("v") > c))
+
+
+def op_filter_k(c):
+    return (lambda p: p[p["k"] == c], lambda e: e.filter(col("k") == c))
+
+
+def op_assign():
+    return (
+        lambda p: p.assign(v=p["v"] * 2 + p["k"]),
+        lambda e: e.assign(v=col("v") * 2 + col("k")),
+    )
+
+
+def op_fillna(c):
+    return (
+        lambda p: p.assign(v=p["v"].fillna(c)),
+        lambda e: e.fillna({"v": c}),
+    )
+
+
+def op_dropna():
+    return (lambda p: p.dropna(subset=["v"]), lambda e: e.dropna(subset=["v"]))
+
+
+def op_sort_head(m):
+    return (
+        lambda p: p.sort_values(["v", "t"], na_position="last").head(m),
+        lambda e: e.sort_values(["v", "t"]).head(m),
+    )
+
+
+def op_dedup():
+    return (
+        lambda p: p.sort_values("t").drop_duplicates(subset=["k"]),
+        lambda e: e.sort_values("t").drop_duplicates(subset=["k"]),
+    )
+
+
+def op_cumsum():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p.groupby("g")["v"].cumsum())
+
+    return (pandas_side, lambda e: e.groupby("g").cumsum("v", order_by="t"))
+
+
+def op_shift():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p.groupby("g")["v"].shift(1))
+
+    return (pandas_side, lambda e: e.groupby("g").shift("v", periods=1, order_by="t"))
+
+
+def op_join(spark, how):
+    def pandas_side(p):
+        pdf2, _ = dim_frames(spark)
+        return pd.merge(p, pdf2, on="k", how=how)
+
+    def engine_side(e):
+        _, edf2 = dim_frames(spark)
+        return e.merge(edf2, on="k", how=how)
+
+    return (pandas_side, engine_side)
+
+
+def op_agg(fn):
+    """Terminal op — schema collapses to (g, out)."""
+
+    def pandas_side(p):
+        out = p.groupby("g", dropna=True).agg(out=("v", fn)).reset_index()
+        if fn == "count":
+            out["out"] = out["out"].astype("int64")
+        return out
+
+    return (pandas_side, lambda e: e.groupby("g").agg(out=("v", fn)))
+
+
+def draw_chain(draw, spark):
+    ops = []
+    n_ops = draw(st.integers(min_value=2, max_value=4))
+    pool = st.sampled_from(
+        ["filter_v", "filter_k", "assign", "fillna", "dropna",
+         "sort_head", "dedup", "cumsum", "shift", "join"]
+    )
+    for _ in range(n_ops):
+        name = draw(pool)
+        if name == "filter_v":
+            ops.append(op_filter_v(draw(st.sampled_from([-1.0, 0.0, 2.5]))))
+        elif name == "filter_k":
+            ops.append(op_filter_k(draw(st.sampled_from([0, 1, 3]))))
+        elif name == "assign":
+            ops.append(op_assign())
+        elif name == "fillna":
+            ops.append(op_fillna(draw(st.sampled_from([0.0, -9.0]))))
+        elif name == "dropna":
+            ops.append(op_dropna())
+        elif name == "sort_head":
+            ops.append(op_sort_head(draw(st.sampled_from([3, 7, 50]))))
+        elif name == "dedup":
+            ops.append(op_dedup())
+        elif name == "cumsum":
+            ops.append(op_cumsum())
+        elif name == "shift":
+            ops.append(op_shift())
+        elif name == "join":
+            ops.append(op_join(spark, draw(st.sampled_from(["inner", "left"]))))
+    if draw(st.booleans()):
+        ops.append(op_agg(draw(st.sampled_from(["sum", "mean", "min", "max", "count"]))))
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# canonical comparison
+# ---------------------------------------------------------------------------
+
+def _norm(x):
+    if x is None:
+        return None
+    if isinstance(x, float):
+        if math.isnan(x):
+            return None
+        if x == int(x) and abs(x) < 1e15:
+            return float(x)  # unify int-valued floats across dtypes
+        return round(x, 9)
+    if isinstance(x, (int,)):
+        return float(x)
+    return x
+
+
+def canon(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm(v) for v in rec)
+        for rec in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=repr)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(data=st.data())
+def test_chain_differential(spark, data):
+    rows = data.draw(rows_strategy)
+    pdf, edf = build_frames(spark, rows)
+    ops = draw_chain(data.draw, spark)
+    for p_op, e_op in ops:
+        pdf, edf = p_op(pdf), e_op(edf)
+    got_cols, got = canon(edf.to_pandas())
+    want_cols, want = canon(pdf)
+    assert got_cols == want_cols
+    assert got == want

@@ -432,3 +432,34 @@ def test_groupby_sample_frac_bankers_rounding(spark):
         frac=0.5, seed=1
     ).to_pandas()
     assert len(out) == 2 == round(0.5 * 5)
+
+
+def test_groupby_transforms_null_keys_dropna(spark):
+    """dropna=True (pandas default): NULL-key rows stay in transform
+    output with NULL results (cum*/shift/rank/ngroup/cumcount), and are
+    EXCLUDED from row-subset ops (head/nlargest/sample) — verified
+    against pandas 2.2 behavior."""
+    sdf = spark.createDataFrame(
+        [Row(g="a", t=0, v=1.0), Row(g=None, t=1, v=2.0),
+         Row(g="a", t=2, v=3.0), Row(g=None, t=3, v=4.0)]
+    )
+    gb = DataFrame(sdf).groupby("g")
+    cs = gb.cumsum("v", alias="cs", order_by="t").to_pandas().sort_values("t")
+    assert cs["cs"].tolist()[0] == 1.0 and cs["cs"].tolist()[2] == 4.0
+    assert cs["cs"].isna().tolist() == [False, True, False, True]
+    sh = gb.shift("v", periods=1, alias="sh", order_by="t").to_pandas().sort_values("t")
+    assert sh["sh"].isna().tolist() == [True, True, False, True]
+    ng = gb.ngroup().to_pandas().sort_values("t")
+    assert ng["ngroup"].tolist()[0] == 0  # numbering unshifted by NULL group
+    assert ng["ngroup"].isna().tolist() == [False, True, False, True]
+    rk = gb.rank("v", alias="rk").to_pandas().sort_values("t")
+    assert rk["rk"].isna().tolist() == [False, True, False, True]
+    hd = gb.head(1, order_by="t").to_pandas()
+    assert hd["t"].tolist() == [0]  # NULL-key rows excluded entirely
+    top = gb.nlargest("v", n=1).to_pandas()
+    assert top["t"].tolist() == [2]
+    # dropna=False keeps the NULL group as a real group
+    cs2 = DataFrame(sdf).groupby("g", dropna=False).cumsum(
+        "v", alias="cs", order_by="t"
+    ).to_pandas().sort_values("t")
+    assert cs2["cs"].tolist() == [1.0, 2.0, 4.0, 6.0]
