@@ -2483,6 +2483,52 @@ def nsmallest_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "nlargest_keep_last",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice IS NOT NULL
+    ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 20
+    """,
+)
+def nlargest_keep_last(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """nlargest(keep='last') (reference frame.py:9069 / selectn.py):
+    value ties resolved to the LAST occurrence in the declared row
+    order — here ascending o_orderkey, so the reversed tie-break is
+    o_orderkey DESC."""
+    orders = _t(spark, sf_dir, "orders").select(["o_orderkey", "o_totalprice"])
+    return (
+        orders.sort_values("o_orderkey")
+        .nlargest(20, "o_totalprice", keep="last")
+        .to_spark()
+    )
+
+
+@query(
+    "groupby_nlargest_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ) WHERE rn <= 2
+    """,
+)
+def groupby_nlargest_last(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-group nlargest(keep='last') — reversed declared-order
+    tie-break inside each customer's top-2."""
+    orders = _t(spark, sf_dir, "orders").select(
+        ["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    return (
+        orders.sort_values("o_orderkey")
+        .groupby("o_custkey")
+        .nlargest("o_totalprice", 2, keep="last")
+        .to_spark()
+    )
+
+
+@query(
     "tail_after_sort",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

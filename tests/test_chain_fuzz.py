@@ -119,6 +119,28 @@ def op_dedup():
     )
 
 
+def op_rank():
+    def pandas_side(p):
+        return p.assign(r=p.groupby("g")["v"].rank())
+
+    return (pandas_side, lambda e: e.groupby("g").rank("v", alias="r"))
+
+
+def op_ffill():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p.groupby("g")["v"].ffill())
+
+    return (pandas_side, lambda e: e.groupby("g").ffill("v", order_by="t"))
+
+
+def op_dedup_last():
+    return (
+        lambda p: p.sort_values("t").drop_duplicates(subset=["k"], keep="last"),
+        lambda e: e.sort_values("t").drop_duplicates(subset=["k"], keep="last"),
+    )
+
+
 def op_cumsum():
     def pandas_side(p):
         p = p.sort_values("t")
@@ -164,7 +186,8 @@ def draw_chain(draw, spark):
     n_ops = draw(st.integers(min_value=2, max_value=4))
     pool = st.sampled_from(
         ["filter_v", "filter_k", "assign", "fillna", "dropna",
-         "sort_head", "dedup", "cumsum", "shift", "join"]
+         "sort_head", "dedup", "dedup_last", "cumsum", "shift", "join",
+         "rank", "ffill"]
     )
     for _ in range(n_ops):
         name = draw(pool)
@@ -182,6 +205,12 @@ def draw_chain(draw, spark):
             ops.append(op_sort_head(draw(st.sampled_from([3, 7, 50]))))
         elif name == "dedup":
             ops.append(op_dedup())
+        elif name == "dedup_last":
+            ops.append(op_dedup_last())
+        elif name == "rank":
+            ops.append(op_rank())
+        elif name == "ffill":
+            ops.append(op_ffill())
         elif name == "cumsum":
             ops.append(op_cumsum())
         elif name == "shift":
