@@ -116,9 +116,12 @@ class DataFrame:
         # proven — `=` lets Catalyst inject IsNotNull scan filters and
         # skips the null-safe key wrapping. Conservative by default:
         # any op that could introduce NULLs drops the set.
-        self._nonnull = (
-            frozenset(nonnull) & set(sdf.columns) if nonnull else frozenset()
-        )
+        # NOT intersected with sdf.columns here — that would force plan
+        # analysis at construction time; consumers only test membership
+        # of columns they already hold, and the propagation rules (drop
+        # on any column-creating op) keep stale names from matching a
+        # live column they don't describe.
+        self._nonnull = frozenset(nonnull) if nonnull else frozenset()
 
     # -- plumbing --------------------------------------------------------
     def _with(

@@ -56,46 +56,82 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 # star-join's wall at the 100x decade was plan construction). A real
 # deployment gets this from catalog-table metadata caching; local
 # paths get it here. The signature invalidates on overwrite: for a
-# plain file/flat directory the root (mtime, size) changes when files
-# are added or replaced; for PARTITIONED layouts rewriting a partition
-# subdirectory (dynamic partition overwrite of path/part=X/) does NOT
-# touch the root's mtime, so the signature also folds in each immediate
-# child entry's (name, mtime) — one extra scandir, no recursion. Deeper
-# nesting than one partition level is rare locally; clear_scan_cache()
-# is the explicit escape hatch.
+# plain file or flat directory of files, the root (mtime, size) plus
+# each immediate child's (name, mtime) changes when any file is added,
+# replaced, or rewritten in place. PARTITIONED layouts (any immediate
+# subdirectory) are NEVER cached: rewriting path/part=X/ (dynamic
+# partition overwrite) doesn't touch the root's mtime, nested levels
+# can change without any visible top-level mtime moving, and caching
+# would also hide the partition-pruning FileScan behind an
+# InMemoryRelation. clear_scan_cache() is the explicit escape hatch.
 _SCAN_CACHE: dict = {}
 
 
 def clear_scan_cache() -> None:
-    """Drop the parquet scan-metadata cache (all sessions, all paths)."""
+    """Drop the parquet scan-metadata cache (all sessions, all paths),
+    unpersisting any buffer-pool-cached small scans."""
+    for sdf, _ in _SCAN_CACHE.values():
+        try:
+            sdf.unpersist()
+        except Exception:
+            pass
     _SCAN_CACHE.clear()
 
 
+def _os_env(name: str, default: str) -> str:
+    import os
+
+    return os.environ.get(name, default)
+
+
+def _path_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file/directory (one scandir)."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            return sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+        return os.stat(path).st_size
+    except OSError:
+        return 0
+
+
 def _path_signature(path: str):
+    """Invalidation key for the scan cache, or None = uncacheable.
+
+    None for any directory containing subdirectories (partitioned
+    layout): partition overwrites don't move the root mtime, and those
+    scans must keep their partition-pruning FileScan anyway.
+    """
     import os
 
     try:
         st = os.stat(path)
         sig = (st.st_mtime_ns, st.st_size)
         if os.path.isdir(path):
-            children = tuple(
-                sorted(
+            children = []
+            for e in os.scandir(path):
+                if e.is_dir(follow_symlinks=False):
+                    return None
+                children.append(
                     (e.name, e.stat(follow_symlinks=False).st_mtime_ns)
-                    for e in os.scandir(path)
                 )
-            )
-            sig = (sig, children)
+            sig = (sig, tuple(sorted(children)))
         return sig
     except OSError:
         return None
 
 
-def _nonnull_stat_cols(path: str, max_files: int = 32) -> frozenset:
+def _nonnull_stat_cols(path: str, max_files: int = 1024) -> frozenset:
     """Top-level columns PROVEN null-free by parquet footer statistics
     (null_count == 0 in every row group of every file). Driver-side
-    footer reads only — skipped beyond ``max_files`` so a 100 TB
-    many-file table never pays a driver-side footer sweep (the proof
-    is an optimization, never a requirement)."""
+    footer reads only (~2 ms/file, computed once per (path, mtime) via
+    the scan cache) — skipped beyond ``max_files`` so a 100 TB
+    many-thousand-file table never pays an unbounded driver-side
+    footer sweep (the proof is an optimization, never a requirement;
+    a catalog deployment gets the same proof from table statistics)."""
     try:
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
@@ -132,14 +168,34 @@ def read_parquet(
     path: str,
     columns: Sequence[str] | None = None,
     filters: str | None = None,
+    cache: bool | str = "auto",
 ) -> DataFrame:
     """``pd.read_parquet`` — columns= prunes, filters= pushes into the scan.
 
     ns-precision timestamps (pandas' default unit) are transparently
     truncated to µs: the scan reads them as long (nanosAsLong) and a
     projection converts — stays distributed, pushdown-friendly.
+
+    cache="auto" (default): scan metadata is memoized per
+    (session, path, mtime-signature), and SMALL flat tables are
+    additionally persisted in Spark's in-memory columnar cache (the
+    buffer-pool analog, see _SCAN_CACHE notes). cache=False evicts any
+    pool entry for the path and reads fresh — eviction matters because
+    Spark's CacheManager substitutes a persisted plan into EVERY later
+    scan of the same path, so without it a bypassed read would still
+    hit the stale InMemoryRelation (use when the plan must show
+    pushdown/pruning, or the file is being rewritten mid-session by an
+    external process).
     """
-    key = (id(spark), path, _path_signature(path))
+    if not cache:
+        for old in [
+            k for k in _SCAN_CACHE if k[0] == id(spark) and k[1] == path
+        ]:
+            try:
+                _SCAN_CACHE.pop(old)[0].unpersist()
+            except Exception:
+                pass
+    key = (id(spark), path, _path_signature(path) if cache else None)
     hit = _SCAN_CACHE.get(key) if key[2] is not None else None
     if hit is None:
         ns_cols = _nanos_timestamp_cols(path)
@@ -154,8 +210,39 @@ def read_parquet(
             )
         nonnull = _nonnull_stat_cols(path)
         if key[2] is not None:
+            # Buffer-pool analog: SMALL flat tables (dimension-sized on
+            # disk) persist in Spark's in-memory columnar cache after
+            # first use, so repeated queries skip the parquet decode —
+            # the engine twin of pandas/DuckDB holding hot tables in
+            # RAM. Strictly bounded: a table over the threshold
+            # (default 64 MB on disk — every fact table at the 100 TB
+            # design point) is NEVER persisted; MEMORY_AND_DISK so
+            # eviction degrades, not OOMs. Only cacheable keys persist
+            # (every persist has a tracked entry to unpersist), so
+            # partitioned layouts keep their pruning FileScan.
+            # Invalidation rides the (path, mtime) signature: a rewrite
+            # produces a new key and the stale entry is unpersisted
+            # below.
+            try:
+                cache_max = int(
+                    _os_env(
+                        "SPARK_GRAFT_CACHE_MAX_BYTES", str(64 * 1024 * 1024)
+                    )
+                )
+            except ValueError:
+                cache_max = 64 * 1024 * 1024
+            if cache_max > 0 and 0 < _path_bytes(path) <= cache_max:
+                sdf = sdf.persist()
+            for old in [
+                k for k in _SCAN_CACHE
+                if k[0] == key[0] and k[1] == key[1] and k != key
+            ]:
+                try:
+                    _SCAN_CACHE.pop(old)[0].unpersist()
+                except Exception:
+                    pass
             if len(_SCAN_CACHE) > 256:
-                _SCAN_CACHE.clear()
+                clear_scan_cache()
             _SCAN_CACHE[key] = (sdf, nonnull)
     else:
         sdf, nonnull = hit

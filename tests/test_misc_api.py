@@ -722,3 +722,67 @@ def test_get_group_and_swapcase(spark):
     assert sorted(r["v"] for r in g.spark.collect()) == [1, 3]
     got = [r["w"] for r in f.assign(w=ps.col("s").str.swapcase()).spark.orderBy("v").collect()]
     assert got == ["aBc", "Xy", "Z"]
+
+
+def test_buffer_pool_small_table_persists_and_invalidates(spark, tmp_path):
+    """The read_parquet buffer pool: a small flat table persists in
+    Spark's columnar cache; rewriting the file serves FRESH data (the
+    r5 ADVICE stale-cache scenario); partitioned layouts never cache."""
+    import pandas as pd
+
+    from pandas_spark.sources import io as psio
+
+    path = str(tmp_path / "dim.parquet")
+    pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}).to_parquet(path)
+    a = ps.read_parquet(spark, path)
+    assert "InMemoryRelation" in a.to_spark()._sc._jvm.PythonSQLUtils.explainString(
+        a.to_spark()._jdf.queryExecution(), "formatted"
+    )
+    assert a.to_spark().count() == 3
+    # same mtime-signature → same cached scan object
+    b = ps.read_parquet(spark, path)
+    assert b.to_spark() is a.to_spark()
+    # rewrite → new signature → fresh data, stale entry unpersisted
+    pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}).to_parquet(path)
+    c = ps.read_parquet(spark, path)
+    assert c.to_spark().count() == 4
+    # cache=False bypasses both the memo and the pool
+    d = ps.read_parquet(spark, path, cache=False)
+    plan = d.to_spark()._sc._jvm.PythonSQLUtils.explainString(
+        d.to_spark()._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryRelation" not in plan and "Scan parquet" in plan
+    psio.clear_scan_cache()
+
+
+def test_buffer_pool_skips_partitioned_layouts(spark, tmp_path):
+    """A directory with partition subdirectories is never cached or
+    persisted: dynamic partition overwrite must be visible on re-read,
+    and the scan must keep its partition-pruning FileScan."""
+    import pandas as pd
+
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.sources import io as psio
+
+    path = str(tmp_path / "facts")
+    pdf = pd.DataFrame({"part": ["x", "x", "y"], "v": [1, 2, 3]})
+    sdf = spark.createDataFrame(pdf)
+    sdf.write.partitionBy("part").parquet(path)
+    assert psio._path_signature(path) is None
+    a = ps.read_parquet(spark, path)
+    assert a.to_spark().count() == 3
+    # overwrite ONE partition (the root mtime does not change) — the
+    # next read must see the new rows, not a cached listing
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame(
+            pd.DataFrame({"part": ["x"] * 5, "v": [9] * 5})
+        ).write.mode("overwrite").partitionBy("part").parquet(path)
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    b = ps.read_parquet(spark, path)
+    assert b.to_spark().count() == 6  # 5 new x-rows + 1 y-row
+    plan = b.filter(ps.col("part") == "y").to_spark()._sc._jvm.PythonSQLUtils.explainString(
+        b.filter(ps.col("part") == "y").to_spark()._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryRelation" not in plan and "PartitionFilters" in plan

@@ -23,7 +23,10 @@ def plan_of(sdf) -> str:
 
 
 def test_filter_and_projection_reach_the_scan(spark):
-    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    # cache=False: at test SF lineitem fits the buffer pool and would
+    # read from InMemoryRelation; this test is about the FileScan a
+    # fact table (never pool-eligible at scale) gets.
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet", cache=False)
     q = (
         li.filter(col("l_quantity") < 10)
         .select(["l_orderkey", "l_quantity"])
@@ -248,8 +251,10 @@ def test_cosine_topk_shuffles_partial_topk_not_cross_product(spark):
 def test_plan_report_counts_join_plan(spark):
     from pandas_spark.operators import diagnostics as D
 
-    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
-    orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    # cache=False: plan_report's per-scan pushdown/pruning section reads
+    # parquet FileScan nodes; at test SF both tables are pool-eligible.
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet", cache=False)
+    orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet", cache=False)
     j = (
         li.merge(orders.filter(col("o_orderdate") >= "1996-01-01"),
                  left_on="l_orderkey", right_on="o_orderkey")
