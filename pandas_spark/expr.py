@@ -169,7 +169,9 @@ class Expr:
             c = F.greatest(c, _lit_col(lower))
         if upper is not None:
             c = F.least(c, _lit_col(upper))
-        return _wrap(c)
+        # greatest/least SKIP nulls (a NULL input would clip to the
+        # bound); pandas clip leaves NaN in place
+        return _wrap(F.when(self._col.isNotNull(), c))
 
     def astype(self, dtype: str) -> "Expr":
         from pandas_spark.dtypes import to_spark_type

@@ -77,6 +77,19 @@ _EXACT_AGG: dict[str, Callable[[Column], Column]] = {
 _FLOAT_TYPES = {"float", "double"}
 
 
+# pandas identity elements for all-NaN groups (groupby sum/prod skipna
+# over an empty set → 0/1; any/all over an empty set → False/True —
+# reference core/groupby/groupby.py:3052). Spark aggregates return NULL
+# for all-NULL input, so coalesce to the identity.
+_AGG_EMPTY_IDENTITY: dict[str, Callable[[], Column]] = {
+    "sum": lambda: F.lit(0),
+    "prod": lambda: F.lit(1),
+    "product": lambda: F.lit(1),
+    "any": lambda: F.lit(False),
+    "all": lambda: F.lit(True),
+}
+
+
 def resolve_agg(func: str, col: str, dtype: str | None = None) -> Column:
     """One pandas agg name + column → aliased Spark aggregate expression.
 
@@ -84,12 +97,16 @@ def resolve_agg(func: str, col: str, dtype: str | None = None) -> Column:
     deterministic decimal-moment kernels for sum/mean/var/std/sem.
     """
     if dtype is not None and dtype in _FLOAT_TYPES and func in _EXACT_AGG:
-        return _EXACT_AGG[func](F.col(col))
-    try:
-        builder = _AGG_FUNCS[func]
-    except KeyError:
-        raise ValueError(f"unknown aggregation {func!r}") from None
-    return builder(F.col(col))
+        expr = _EXACT_AGG[func](F.col(col))
+    else:
+        try:
+            builder = _AGG_FUNCS[func]
+        except KeyError:
+            raise ValueError(f"unknown aggregation {func!r}") from None
+        expr = builder(F.col(col))
+    if func in _AGG_EMPTY_IDENTITY:
+        expr = F.coalesce(expr, _AGG_EMPTY_IDENTITY[func]())
+    return expr
 
 
 class GroupBy:
@@ -603,7 +620,17 @@ class GroupBy:
     def pct_change(self, col: str, periods: int = 1, alias: str | None = None, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
         prev = F.lag(col, periods).over(w)
-        val = self._mask_dropped((F.col(col) - prev) / prev)
+        d = F.col(col) - prev
+        # prev == 0: pandas float division gives ±inf (and NaN for 0/0,
+        # which the NaN≡NULL data model maps to NULL); Spark's `/`
+        # returns NULL on any zero denominator
+        val = F.when(
+            prev == 0,
+            F.when(d > 0, F.lit(float("inf")))
+            .when(d < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(None).cast("double")),
+        ).otherwise(d / prev)
+        val = self._mask_dropped(val)
         return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def ffill(self, col: str, alias: str | None = None, order_by: str | None = None,

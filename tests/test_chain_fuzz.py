@@ -157,6 +157,75 @@ def op_shift():
     return (pandas_side, lambda e: e.groupby("g").shift("v", periods=1, order_by="t"))
 
 
+def op_clip(lo, hi):
+    return (
+        lambda p: p.assign(v=p["v"].clip(lo, hi)),
+        lambda e: e.assign(v=col("v").clip(lo, hi)),
+    )
+
+
+def op_isin():
+    return (
+        lambda p: p[p["k"].isin([0.0, 2.0])],
+        lambda e: e.filter(col("k").isin([0, 2])),
+    )
+
+
+def op_between(a, b):
+    return (
+        lambda p: p[p["v"].between(a, b)],
+        lambda e: e.filter(col("v").between(a, b)),
+    )
+
+
+def op_replace_v():
+    return (
+        lambda p: p.assign(v=p["v"].replace({2.5: 9.0})),
+        lambda e: e.replace({2.5: 9.0}, subset=["v"]),
+    )
+
+
+def op_diff():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(d=p.groupby("g")["v"].diff())
+
+    return (pandas_side, lambda e: e.groupby("g").diff("v", alias="d", order_by="t"))
+
+
+def op_pct_change():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(pc=p.groupby("g")["v"].pct_change(fill_method=None))
+
+    return (
+        pandas_side,
+        lambda e: e.groupby("g").pct_change("v", alias="pc", order_by="t"),
+    )
+
+
+def op_cummax():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p.groupby("g")["v"].cummax())
+
+    return (pandas_side, lambda e: e.groupby("g").cummax("v", order_by="t"))
+
+
+def op_group_head(m):
+    def pandas_side(p):
+        return p.sort_values("t").groupby("g").head(m)
+
+    return (pandas_side, lambda e: e.groupby("g").head(m, order_by="t"))
+
+
+def op_nlargest(m):
+    def pandas_side(p):
+        return p.sort_values("t").nlargest(m, "v")
+
+    return (pandas_side, lambda e: e.sort_values("t").nlargest(m, "v"))
+
+
 def op_join(spark, how):
     def pandas_side(p):
         pdf2, _ = dim_frames(spark)
@@ -187,7 +256,8 @@ def draw_chain(draw, spark):
     pool = st.sampled_from(
         ["filter_v", "filter_k", "assign", "fillna", "dropna",
          "sort_head", "dedup", "dedup_last", "cumsum", "shift", "join",
-         "rank", "ffill"]
+         "rank", "ffill", "clip", "isin", "between", "replace_v",
+         "diff", "pct_change", "cummax", "group_head", "nlargest"]
     )
     for _ in range(n_ops):
         name = draw(pool)
@@ -217,8 +287,28 @@ def draw_chain(draw, spark):
             ops.append(op_shift())
         elif name == "join":
             ops.append(op_join(spark, draw(st.sampled_from(["inner", "left"]))))
+        elif name == "clip":
+            ops.append(op_clip(draw(st.sampled_from([-1.0, 0.0])), draw(st.sampled_from([2.5, 7.0]))))
+        elif name == "isin":
+            ops.append(op_isin())
+        elif name == "between":
+            ops.append(op_between(-1.0, draw(st.sampled_from([0.0, 2.5]))))
+        elif name == "replace_v":
+            ops.append(op_replace_v())
+        elif name == "diff":
+            ops.append(op_diff())
+        elif name == "pct_change":
+            ops.append(op_pct_change())
+        elif name == "cummax":
+            ops.append(op_cummax())
+        elif name == "group_head":
+            ops.append(op_group_head(draw(st.sampled_from([1, 2]))))
+        elif name == "nlargest":
+            ops.append(op_nlargest(draw(st.sampled_from([2, 5]))))
     if draw(st.booleans()):
-        ops.append(op_agg(draw(st.sampled_from(["sum", "mean", "min", "max", "count"]))))
+        ops.append(op_agg(draw(st.sampled_from(
+            ["sum", "mean", "min", "max", "count", "var", "std", "median", "nunique"]
+        ))))
     return ops
 
 
@@ -232,6 +322,8 @@ def _norm(x):
     if isinstance(x, float):
         if math.isnan(x):
             return None
+        if math.isinf(x):
+            return x
         if x == int(x) and abs(x) < 1e15:
             return float(x)  # unify int-valued floats across dtypes
         return round(x, 9)
