@@ -98,6 +98,41 @@ def _path_bytes(path: str) -> int:
         return 0
 
 
+def _max_cell_bytes(path: str) -> float:
+    """Largest per-row average uncompressed width over BYTE_ARRAY
+    (string/binary) columns, from the parquet footer (first file is
+    representative — same schema/encoder across a write). Used to keep
+    WIDE-CELL text tables (free-text corpora) out of the buffer pool:
+    Spark's in-memory columnar cache decodes large string cells slower
+    than the vectorized parquet reader does — persisting a text corpus
+    is a measured ~2x LOSS even when it fits the size cap. Fixed-width
+    numeric/date/array<numeric> columns return 0: those decode FASTER
+    from the columnar cache (measured on the embeddings table), so a
+    numeric dimension or vector table always qualifies."""
+    try:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        files = list(pads.dataset(path, format="parquet").files)
+        if not files:
+            return float("inf")
+        md = pq.ParquetFile(files[0]).metadata
+        per_col: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.physical_type == "BYTE_ARRAY":
+                    per_col[col.path_in_schema] = (
+                        per_col.get(col.path_in_schema, 0)
+                        + col.total_uncompressed_size
+                    )
+        rows = md.num_rows or 1
+        return max(per_col.values()) / rows if per_col else 0.0
+    except Exception:
+        return float("inf")
+
+
 def _path_signature(path: str):
     """Invalidation key for the scan cache, or None = uncacheable.
 
@@ -231,7 +266,16 @@ def read_parquet(
                 )
             except ValueError:
                 cache_max = 64 * 1024 * 1024
-            if cache_max > 0 and 0 < _path_bytes(path) <= cache_max:
+            if (
+                cache_max > 0
+                and 0 < _path_bytes(path) <= cache_max
+                and _max_cell_bytes(path) <= 64.0
+            ):
+                # narrow dimension-sized tables only: wide cells (text
+                # corpora, embedding arrays) scan FASTER from parquet
+                # than from the columnar cache (measured 2x on text),
+                # and at the 100 TB design point no fact table passes
+                # the size cap anyway
                 sdf = sdf.persist()
             for old in [
                 k for k in _SCAN_CACHE
