@@ -4238,3 +4238,31 @@ def interpolate_pad_on(spark: SparkSession, sf_dir: str) -> SparkDF:
         subset=["value"], method="pad", on="ts", by=["user_id"]
     )
     return out.select(["event_id", "user_id", "value"]).to_spark()
+
+
+@query(
+    "groupby_sum_allnull_identity",
+    oracle="""
+    SELECT event_type,
+           COALESCE({esum}, 0) AS purchase_total,
+           count(pv)::BIGINT AS n_nonnull
+    FROM (SELECT event_type,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM events)
+    GROUP BY event_type
+    """.format(esum=ESUM("pv")),
+)
+def groupby_sum_allnull_identity(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pandas skipna reduction identity (core/groupby sum min_count=0):
+    a group whose values are ALL missing sums to 0, not NULL — SQL's
+    SUM returns NULL there, hence the COALESCE in the oracle. Every
+    non-purchase event_type group is all-NULL by construction."""
+    events = _t(spark, sf_dir, "events")
+    masked = events.assign(
+        pv=F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    return (
+        masked.groupby("event_type")
+        .agg(purchase_total=("pv", "sum"), n_nonnull=("pv", "count"))
+        .to_spark()
+    )

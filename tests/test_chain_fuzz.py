@@ -226,6 +226,96 @@ def op_nlargest(m):
     return (pandas_side, lambda e: e.sort_values("t").nlargest(m, "v"))
 
 
+def op_str_upper():
+    return (
+        lambda p: p.assign(g=p["g"].str.upper()),
+        lambda e: e.assign(g=col("g").str.upper()),
+    )
+
+
+def op_str_len():
+    return (
+        lambda p: p.assign(sl=p["g"].str.len().astype("float64")),
+        lambda e: e.assign(sl=col("g").str.len().astype("double")),
+    )
+
+
+def op_concat_self():
+    def pandas_side(p):
+        return pd.concat([p, p], ignore_index=True)
+
+    def engine_side(e):
+        return ps.concat([e, e])
+
+    return (pandas_side, engine_side)
+
+
+def op_bfill():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p.groupby("g")["v"].bfill())
+
+    return (pandas_side, lambda e: e.groupby("g").bfill("v", order_by="t"))
+
+
+def op_group_tail(m):
+    def pandas_side(p):
+        return p.sort_values("t").groupby("g").tail(m)
+
+    return (pandas_side, lambda e: e.groupby("g").tail(m, order_by="t"))
+
+
+def op_cummin():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p.groupby("g")["v"].cummin())
+
+    return (pandas_side, lambda e: e.groupby("g").cummin("v", order_by="t"))
+
+
+def op_shift_lead():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p.groupby("g")["v"].shift(-1))
+
+    return (pandas_side, lambda e: e.groupby("g").shift("v", periods=-1, order_by="t"))
+
+
+def op_dedup_none():
+    return (
+        lambda p: p.drop_duplicates(subset=["k"], keep=False),
+        lambda e: e.drop_duplicates(subset=["k"], keep=False),
+    )
+
+
+def op_filter_g():
+    return (lambda p: p[p["g"] == "a"], lambda e: e.filter(col("g") == "a"))
+
+
+DIM_G_ROWS = [("a", 1.0), ("ζ", 2.0), ("zz", 3.0)]
+
+
+def op_join_g(spark, how):
+    def pandas_side(p):
+        pdf2 = pd.DataFrame(DIM_G_ROWS, columns=["g", "w"])
+        return pd.merge(p, pdf2, on="g", how=how)
+
+    def engine_side(e):
+        sdf2 = spark.createDataFrame(DIM_G_ROWS, schema="g string, w double")
+        return e.merge(DataFrame(sdf2), on="g", how=how)
+
+    return (pandas_side, engine_side)
+
+
+def op_size_terminal():
+    """Terminal — groupby size (counts NULL values, unlike count)."""
+
+    def pandas_side(p):
+        return p.groupby("g").size().reset_index(name="size")
+
+    return (pandas_side, lambda e: e.groupby("g").size())
+
+
 def op_join(spark, how):
     def pandas_side(p):
         pdf2, _ = dim_frames(spark)
@@ -257,7 +347,9 @@ def draw_chain(draw, spark):
         ["filter_v", "filter_k", "assign", "fillna", "dropna",
          "sort_head", "dedup", "dedup_last", "cumsum", "shift", "join",
          "rank", "ffill", "clip", "isin", "between", "replace_v",
-         "diff", "pct_change", "cummax", "group_head", "nlargest"]
+         "diff", "pct_change", "cummax", "group_head", "nlargest",
+         "str_upper", "str_len", "concat_self", "bfill", "group_tail",
+         "cummin", "shift_lead", "dedup_none", "filter_g", "join_g"]
     )
     for _ in range(n_ops):
         name = draw(pool)
@@ -305,10 +397,32 @@ def draw_chain(draw, spark):
             ops.append(op_group_head(draw(st.sampled_from([1, 2]))))
         elif name == "nlargest":
             ops.append(op_nlargest(draw(st.sampled_from([2, 5]))))
+        elif name == "str_upper":
+            ops.append(op_str_upper())
+        elif name == "str_len":
+            ops.append(op_str_len())
+        elif name == "concat_self":
+            ops.append(op_concat_self())
+        elif name == "bfill":
+            ops.append(op_bfill())
+        elif name == "group_tail":
+            ops.append(op_group_tail(draw(st.sampled_from([1, 2]))))
+        elif name == "cummin":
+            ops.append(op_cummin())
+        elif name == "shift_lead":
+            ops.append(op_shift_lead())
+        elif name == "dedup_none":
+            ops.append(op_dedup_none())
+        elif name == "filter_g":
+            ops.append(op_filter_g())
+        elif name == "join_g":
+            ops.append(op_join_g(spark, draw(st.sampled_from(["inner", "left"]))))
     if draw(st.booleans()):
-        ops.append(op_agg(draw(st.sampled_from(
-            ["sum", "mean", "min", "max", "count", "var", "std", "median", "nunique"]
-        ))))
+        term = draw(st.sampled_from(
+            ["sum", "mean", "min", "max", "count", "var", "std", "median",
+             "nunique", "size"]
+        ))
+        ops.append(op_size_terminal() if term == "size" else op_agg(term))
     return ops
 
 
