@@ -160,6 +160,35 @@ def _hits_expr(toks: Column, words: Sequence[str]) -> Column:
     )
 
 
+_ASCII_ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_JAVA_WS = " \t\n\x0b\x0c\r"  # exactly the java regex \s class
+
+
+def _packed_hits_expr(toks: Column, lang_a: str, lang_b: str) -> Column:
+    """Hit counts for TWO languages in ONE fold, packed into a bigint
+    (lang_a in the low 32 bits, lang_b shifted high — counts are
+    per-document token counts, nowhere near 2^32, so the fields can't
+    carry into each other). Halves the token-array traversals of the
+    per-language fold, and the length gate short-circuits all 40
+    string compares for any token longer than the longest stopword
+    (measured 10.8 -> 9.0 s for the 4-language block at the 1000x
+    decade). Unpack with ``bitwiseAND(0xFFFFFFFF)`` / ``shiftright(32)``."""
+    sw_a = F.array(*[F.lit(w) for w in STOPWORDS[lang_a]])
+    sw_b = F.array(*[F.lit(w) for w in STOPWORDS[lang_b]])
+    max_len = max(len(w) for w in STOPWORDS[lang_a] + STOPWORDS[lang_b])
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        toks,
+        zero,
+        lambda acc, x: acc
+        + F.when(
+            F.length(x) <= max_len,
+            F.when(F.array_contains(sw_a, x), F.lit(1).cast("bigint")).otherwise(zero)
+            + F.when(F.array_contains(sw_b, x), F.lit(4294967296)).otherwise(zero),
+        ).otherwise(zero),
+    )
+
+
 def add_text_stats(frame: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-analysis columns, map-only.
 
@@ -187,17 +216,33 @@ def add_text_stats(frame: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("__norm__", normalize_expr(t))
         .withColumn("__toks__", F.split(F.col("__norm__"), " "))
     )
+    # two packed folds instead of one fold per language (see
+    # _packed_hits_expr); unpacked into the same __hits_<lang>__
+    # columns the statistics below read
     mid = base.withColumns(
         {
             "__ntok__": F.size(toks),
-            **{f"__hits_{lang}__": _hits_expr(toks, STOPWORDS[lang]) for lang in langs},
+            "__pk0__": _packed_hits_expr(toks, langs[0], langs[1]),
+            "__pk1__": _packed_hits_expr(toks, langs[2], langs[3]),
+        }
+    ).withColumns(
+        {
+            f"__hits_{langs[0]}__": F.col("__pk0__").bitwiseAND(F.lit(4294967295)).cast("int"),
+            f"__hits_{langs[1]}__": F.shiftright(F.col("__pk0__"), 32).cast("int"),
+            f"__hits_{langs[2]}__": F.col("__pk1__").bitwiseAND(F.lit(4294967295)).cast("int"),
+            f"__hits_{langs[3]}__": F.shiftright(F.col("__pk1__"), 32).cast("int"),
         }
     )
     ntok = F.col("__ntok__")
     n1 = F.greatest(ntok, F.lit(1))
     n_chars = F.length(t)
-    # identical values to the former length(regexp_replace(…, '')) form
-    alpha_ratio = F.regexp_count(t, F.lit(r"[A-Za-z]")) / F.greatest(n_chars, F.lit(1))
+    # ASCII-letter count by translate-delete — identical values to the
+    # regexp_count('[A-Za-z]') form but a plain char-map pass instead
+    # of a regex scan (4.8 -> 1.9 s at the 1000x decade); shared by
+    # alpha_ratio and the BPE decomposition below
+    n_alpha = n_chars - F.length(F.translate(t, _ASCII_ALPHA, ""))
+    n_ws = n_chars - F.length(F.translate(t, _JAVA_WS, ""))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
     mean_word_len = n_chars / n1
     sw_ratio = F.col("__hits_en__") / n1
     len_ok = (ntok >= 10) & (ntok <= 100000)
@@ -219,15 +264,26 @@ def add_text_stats(frame: DataFrame, text_col: str = "text") -> DataFrame:
     out = mid.withColumns(
         {
             "n_tokens": ntok,
-            "n_tokens_bpe": F.regexp_count(
-                t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")
-            ),
+            # exact decomposition of regexp_count('[A-Za-z]{1,4}|[0-9]|
+            # [^A-Za-z0-9\s]'): alpha runs split greedily into <=4-char
+            # chunks (the remaining regex), every digit and every
+            # non-alnum-non-ws char is one token each — and since both
+            # groups count 1/char, they collapse to (n_chars - n_alpha
+            # - n_ws). Dropping the 3-way alternation (a backtracking
+            # attempt per char + a Matcher.find per punct/digit) took
+            # the dominant text_stats component 51.5 -> 7.6 s at the
+            # 1000x decade, value-identical (checked per-row on 5M docs)
+            "n_tokens_bpe": F.regexp_count(t, F.lit(r"[A-Za-z]{1,4}"))
+            + n_chars - n_alpha - n_ws,
             "stopword_ratio": sw_ratio,
             "lang_pred": lang_pred,
             "quality": quality,
             "fingerprint": F.xxhash64(F.col("__norm__")),
         }
-    ).drop("__norm__", "__toks__", "__ntok__", *[f"__hits_{lang}__" for lang in langs])
+    ).drop(
+        "__norm__", "__toks__", "__ntok__", "__pk0__", "__pk1__",
+        *[f"__hits_{lang}__" for lang in langs],
+    )
     return frame._with(out)
 
 
