@@ -575,10 +575,66 @@ class DataFrame:
                 return out
             this = self.sort_values(on) if on else self
             return this.ffill(subset=subset, limit=limit)
+        if method in ("cubicspline", "pchip", "akima"):
+            # spline family (missing.py:227 scipy wrappers, here the
+            # published algorithms in numpy — functions/interp.py): a
+            # spline needs the WHOLE series, so this is the one
+            # interpolate path through applyInPandas — grouped by
+            # ``by=`` (each group Arrow-batched to one task; the group,
+            # not the frame, must fit an executor), x = the ``on``
+            # column (required, like scipy methods requiring a numeric
+            # index). Leading NaNs stay, trailing extrapolate
+            # (CubicSpline/Pchip extrapolate=True defaults).
+            if not on:
+                raise ValueError(f"method={method!r} requires on=<numeric or timestamp column>")
+            import pandas as pd  # noqa: F401  (worker-side)
+
+            from pandas_spark.functions.interp import interp_series
+
+            cols = list(subset) if subset else [
+                n for n, t in self.dtypes
+                if t in ("double", "float", "int", "bigint") and n != on
+            ]
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            # pandas upcasts interpolated integer columns to float
+            schema_out = StructType([
+                StructField(f.name, DoubleType(), True)
+                if f.name in cols else f
+                for f in self._sdf.schema.fields
+            ])
+            on_name, meth, lim = on, method, limit
+
+            def fill(pdf):
+                pdf = pdf.sort_values(on_name, kind="mergesort")
+                x = pdf[on_name]
+                if str(x.dtype).startswith("datetime"):
+                    x = x.astype("int64") / 1e9
+                xv = x.to_numpy(dtype="float64")
+                for c in cols:
+                    pdf[c] = interp_series(
+                        xv, pdf[c].to_numpy(dtype="float64"), meth, lim
+                    )
+                return pdf
+
+            if by:
+                out = self._sdf.groupBy(*by).applyInPandas(fill, schema_out)
+            else:
+                # whole-frame spline: one group by construction — the
+                # same single-series shape pandas runs; documented as a
+                # driver-of-scale caveat (use by= for big frames)
+                out = self._sdf.withColumn("__g0__", F.lit(0)).groupBy(
+                    "__g0__"
+                ).applyInPandas(
+                    lambda p: fill(p.drop(columns="__g0__")), schema_out
+                )
+            return self._with(out)
         if method not in ("linear", "time", "index", "values", "nearest"):
             raise NotImplementedError(
-                "methods: linear, time, index, values, nearest, pad "
-                "(scipy spline/poly methods are UDF territory)"
+                "methods: linear, time, index, values, nearest, pad, "
+                "cubicspline, pchip, akima (scipy's smoothing 'spline'/"
+                "interp1d 'polynomial' orders depend on scipy internals "
+                "and stay out of scope)"
             )
         this, order_exprs = self._ordered()
         part = W.partitionBy(*by) if by else W.partitionBy()
