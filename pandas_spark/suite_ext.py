@@ -4266,3 +4266,56 @@ def groupby_sum_allnull_identity(spark: SparkSession, sf_dir: str) -> SparkDF:
         .agg(purchase_total=("pv", "sum"), n_nonnull=("pv", "count"))
         .to_spark()
     )
+
+
+@query(
+    "interpolate_cubicspline",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, user_id,
+               (event_id / 100000.0) AS u
+        FROM events
+    ),
+    p AS (
+        SELECT event_id, user_id,
+               (u*u*u - 5*u*u + 3*u + 7) AS poly,
+               (event_id % 7 != 3) AS valid
+        FROM b
+    ),
+    eligible AS (
+        SELECT user_id FROM p WHERE valid GROUP BY user_id HAVING count(*) >= 4
+    )
+    SELECT p.event_id, p.user_id,
+           ROUND(CASE WHEN NOT valid AND p.event_id <
+                      (SELECT min(q.event_id) FROM p q
+                       WHERE q.user_id = p.user_id AND q.valid)
+                 THEN NULL ELSE poly END, 4) AS y
+    FROM p JOIN eligible USING (user_id)
+    """,
+)
+def interpolate_cubicspline(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Closed-form spline oracle: a not-a-knot cubic spline through
+    samples of a cubic polynomial IS that polynomial — everywhere,
+    including trailing extrapolation — so DuckDB can compute the
+    expected fill directly. Leading NULLs stay NULL (forward
+    direction); groups need >=4 valid knots for the general spline
+    path (fewer degenerate to parabola/line, where the property does
+    not hold), enforced identically on both sides. Rounded to 4
+    decimals on both sides: the spline solve reproduces the polynomial
+    to ~1e-10, not bit-exactly."""
+    ev = _t(spark, sf_dir, "events").select(["event_id", "user_id"])
+    u = F.col("event_id") / F.lit(100000.0)
+    poly = u * u * u - F.lit(5.0) * u * u + F.lit(3.0) * u + F.lit(7.0)
+    holey = ev.assign(y=F.when(F.col("event_id") % 7 != 3, poly))
+    counts = holey.groupby("user_id").agg(nv=("y", "count"))
+    eligible = holey.merge(
+        counts.filter(col("nv") >= 4), on="user_id", how="inner"
+    ).drop("nv")
+    out = eligible.interpolate(
+        subset=["y"], method="cubicspline", by=["user_id"], on="event_id"
+    )
+    return (
+        out.assign(y=F.round(F.col("y"), 4))
+        .select(["event_id", "user_id", "y"])
+        .to_spark()
+    )
