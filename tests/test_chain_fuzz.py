@@ -241,11 +241,15 @@ def op_str_len():
 
 
 def op_concat_self():
+    """Union with a t-shifted copy — the shift keeps the ``t`` tiebreak
+    column unique (a plain self-concat would duplicate t and make every
+    order-sensitive downstream op ambiguous in BOTH engines)."""
+
     def pandas_side(p):
-        return pd.concat([p, p], ignore_index=True)
+        return pd.concat([p, p.assign(t=p["t"] + 1000)], ignore_index=True)
 
     def engine_side(e):
-        return ps.concat([e, e])
+        return ps.concat([e, e.assign(t=col("t") + 1000)])
 
     return (pandas_side, engine_side)
 
