@@ -4319,3 +4319,45 @@ def interpolate_cubicspline(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["event_id", "user_id", "y"])
         .to_spark()
     )
+
+
+@query(
+    "interpolate_pchip",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id,
+               (2.5 * (event_id / 1000.0) - 4.0) AS lin,
+               (event_id % 5 != 2) AS valid
+        FROM events
+    )
+    SELECT p.event_id, p.user_id,
+           ROUND(CASE WHEN NOT valid AND p.event_id <
+                      (SELECT min(q.event_id) FROM p q
+                       WHERE q.user_id = p.user_id AND q.valid)
+                 THEN NULL ELSE lin END, 6) AS y
+    FROM p
+    WHERE p.user_id IN (SELECT user_id FROM p WHERE valid
+                        GROUP BY user_id HAVING count(*) >= 2)
+    """,
+)
+def interpolate_pchip(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """PCHIP linear-reproduction oracle (Fritsch-Carlson design
+    property: on data from a straight line every derivative equals the
+    slope, so the Hermite fill IS the line — to fp round-off, hence
+    the 6-decimal rounding on both sides). Leading NULLs stay; >=2
+    valid knots per group required, enforced identically."""
+    ev = _t(spark, sf_dir, "events").select(["event_id", "user_id"])
+    lin = F.lit(2.5) * (F.col("event_id") / F.lit(1000.0)) - F.lit(4.0)
+    holey = ev.assign(y=F.when(F.col("event_id") % 5 != 2, lin))
+    counts = holey.groupby("user_id").agg(nv=("y", "count"))
+    eligible = holey.merge(
+        counts.filter(col("nv") >= 2), on="user_id", how="inner"
+    ).drop("nv")
+    out = eligible.interpolate(
+        subset=["y"], method="pchip", by=["user_id"], on="event_id"
+    )
+    return (
+        out.assign(y=F.round(F.col("y"), 6))
+        .select(["event_id", "user_id", "y"])
+        .to_spark()
+    )
