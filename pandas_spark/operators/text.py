@@ -939,3 +939,169 @@ def tfidf_top_terms(
         .drop("__rn__")
     )
     return frame._with(out)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021 §A1.1 Table A1 — the
+# repetition half; the content-quality half is gopher_rules above)
+# ---------------------------------------------------------------------------
+
+def _ngrams_expr(words: Column, n: int) -> Column:
+    """All word n-grams (overlapping, WITH multiplicity) joined by a
+    single space — array<string>; empty when the doc has < n words."""
+    if n == 1:
+        return words
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_fold_expr(arr: Column) -> Column:
+    """One aggregate fold over ``array_sort(arr)`` → struct(
+    dup_units, dup_chars, top_count, top_chars): how many elements
+    (and their total characters) belong to a value occurring ≥ 2
+    times, plus the most-frequent value's count and count·length
+    (ties on count broken by larger count·length — deterministic and
+    mirrored verbatim by the SQL oracle's ``max(c*l) WHERE c = max_c``).
+
+    Array-local: zero shuffle, runs inside the scan stage. Elements
+    must be non-empty strings (callers filter), so the '' init
+    sentinel never collides.
+    """
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("du"),
+        zero.alias("dc"),
+        zero.alias("bc"),
+        zero.alias("bch"),
+    )
+
+    def step(acc, e):
+        same = e == acc["prev"]
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        le = F.length(e).cast("long")
+        # run hits 2 → the FIRST occurrence retroactively counts too
+        du = acc["du"] + F.when(same & (run == 2), 2).when(same, 1).otherwise(0).cast("long")
+        dc = acc["dc"] + (F.when(same & (run == 2), 2 * le).when(same, le).otherwise(zero))
+        cch = run * le
+        # top tracking counts REPEATED values only (run >= 2): a
+        # singleton "most frequent n-gram" is every short doc's longest
+        # n-gram, which would fail the threshold vacuously — the public
+        # DataTrove GopherRepetitionFilter applies the same count>1 gate
+        bc = F.when(run >= 2, F.greatest(acc["bc"], run)).otherwise(acc["bc"])
+        bch = (
+            F.when((run >= 2) & (run > acc["bc"]), cch)
+            .when((run >= 2) & (run == acc["bc"]) & (cch > acc["bch"]), cch)
+            .otherwise(acc["bch"])
+        )
+        return F.struct(
+            e.alias("prev"), run.alias("run"), du.alias("du"),
+            dc.alias("dc"), bc.alias("bc"), bch.alias("bch"),
+        )
+
+    acc = F.aggregate(F.array_sort(arr), init, step)
+    return F.struct(
+        acc["du"].alias("dup_units"),
+        acc["dc"].alias("dup_chars"),
+        acc["bc"].alias("top_count"),
+        acc["bch"].alias("top_chars"),
+    )
+
+
+# Gopher Table A1 thresholds (public values)
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_ngram_char_frac": {2: 0.20, 3: 0.18, 4: 0.16},
+    "dup_ngram_char_frac": {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10},
+}
+
+
+def repetition_signals(
+    frame: DataFrame,
+    text_col: str = "text",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 6, 7, 8, 9, 10),
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Gopher repetition-quality signals (Rae et al. 2021 §A1.1 Table
+    A1, the half ``gopher_rules`` doesn't cover): duplicated line /
+    paragraph fractions (by unit and by character), the most-frequent
+    word-n-gram's character fraction (n in ``top_ns``), and the
+    fraction of characters inside word-n-grams occurring ≥ 2 times
+    (n in ``dup_ns``), plus a ``repetition_keep`` boolean applying the
+    published thresholds. Reference-free quality filtering: boilerplate,
+    spam, and degenerate-repetition docs score high.
+
+    Conventions (mirrored exactly by the DuckDB oracle): lines = trim
+    of '\\n'-splits, paragraphs = trim of '\\n{2,}'-splits, empties
+    dropped; words = non-empty '\\s+'-splits of the RAW text; an
+    n-gram's characters = length of the space-joined form, counted once
+    per occurrence (overlaps may exceed the doc length — capped at 1.0);
+    denominators: unit fractions over the unit count, line/para char
+    fractions over the units' total characters, n-gram fractions over
+    ``length(text)``.
+
+    Scale shape: every statistic is an array-local fold — map-only,
+    zero shuffles, whole-stage-codegen'd; runs as a scan-side filter at
+    100 TB exactly like ``gopher_rules``.
+    """
+    th = {**GOPHER_REP_THRESHOLDS, **(thresholds or {})}
+    t = F.col(text_col)
+    tlen = F.greatest(F.length(t), F.lit(1)).cast("double")
+
+    def units(pattern):
+        return F.filter(
+            F.transform(F.split(t, pattern), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+
+    cols = []
+    keeps = []
+    for name, pat in (("line", r"\n"), ("para", r"\n{2,}")):
+        u = units(pat)
+        s = _dup_fold_expr(u)
+        n_units = F.greatest(F.size(u), F.lit(1)).cast("double")
+        u_chars = F.greatest(
+            F.aggregate(u, F.lit(0).cast("long"), lambda a, e: a + F.length(e)),
+            F.lit(1),
+        ).cast("double")
+        uf = (s["dup_units"] / n_units).alias(f"dup_{name}_frac")
+        cf = (s["dup_chars"] / u_chars).alias(f"dup_{name}_char_frac")
+        cols += [uf, cf]
+        keeps += [
+            s["dup_units"] / n_units <= th[f"dup_{name}_frac"],
+            s["dup_chars"] / u_chars <= th[f"dup_{name}_char_frac"],
+        ]
+    for n in top_ns:
+        s = _dup_fold_expr(_ngrams_expr(words, n))
+        frac = F.least(s["top_chars"] / tlen, F.lit(1.0))
+        cols.append(frac.alias(f"top_{n}gram_char_frac"))
+        keeps.append(frac <= th["top_ngram_char_frac"][n])
+    for n in dup_ns:
+        s = _dup_fold_expr(_ngrams_expr(words, n))
+        frac = F.least(s["dup_chars"] / tlen, F.lit(1.0))
+        cols.append(frac.alias(f"dup_{n}gram_char_frac"))
+        keeps.append(frac <= th["dup_ngram_char_frac"][n])
+
+    keep = keeps[0]
+    for k in keeps[1:]:
+        keep = keep & k
+    out = frame.spark.select("*", *cols, keep.alias("repetition_keep"))
+    return DataFrame(out)
+
+
+def repetition_filter(frame: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:
+    """Rows passing every Gopher repetition rule, original columns only."""
+    flagged = repetition_signals(frame, text_col=text_col, **kwargs)
+    return DataFrame(flagged.spark.filter(F.col("repetition_keep")).select(*frame.spark.columns))

@@ -1523,3 +1523,100 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> SparkDF:
     return text.tfidf_top_terms(docs, k=3).select(
         ["doc_id", "term", "tf", "tfidf"]
     ).to_spark()
+
+
+# --- Gopher repetition signals (text.repetition_signals) -------------------
+
+def _rep_oracle_sql() -> str:
+    """DuckDB mirror of text.repetition_signals' documented conventions:
+    per-doc unit (line/para) duplication fractions via unnest→count,
+    n-gram top/dup char fractions via unnest→count with the same
+    (count, count·len) tie rule and the same least(·,1.0) caps."""
+    th = text.GOPHER_REP_THRESHOLDS
+    unit_ctes, unit_joins, unit_cols, keeps = [], [], [], []
+    for name, pat in (("line", r"\n"), ("para", r"\n{2,}")):
+        unit_ctes.append(f"""
+u_{name} AS (
+    SELECT doc_id, u FROM base,
+    UNNEST(list_filter(list_transform(string_split_regex(text, '{pat}'),
+                                      x -> trim(x)), x -> x <> '')) AS t(u)
+),
+c_{name} AS (
+    SELECT doc_id, count(*) AS c, length(u) AS l
+    FROM u_{name} GROUP BY doc_id, u
+),
+a_{name} AS (
+    SELECT doc_id,
+           sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+             / greatest(sum(c), 1) AS dup_{name}_frac,
+           sum(CASE WHEN c > 1 THEN c * l ELSE 0 END)::DOUBLE
+             / greatest(sum(c * l), 1) AS dup_{name}_char_frac
+    FROM c_{name} GROUP BY doc_id
+)""")
+        unit_joins.append(f"LEFT JOIN a_{name} USING (doc_id)")
+        unit_cols += [
+            f"coalesce(dup_{name}_frac, 0.0) AS dup_{name}_frac",
+            f"coalesce(dup_{name}_char_frac, 0.0) AS dup_{name}_char_frac",
+        ]
+        keeps += [
+            f"coalesce(dup_{name}_frac, 0.0) <= {th[f'dup_{name}_frac']}",
+            f"coalesce(dup_{name}_char_frac, 0.0) <= {th[f'dup_{name}_char_frac']}",
+        ]
+    gram_ctes, gram_joins, gram_cols = [], [], []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        gram_ctes.append(f"""
+g_{n} AS (
+    SELECT doc_id, any_value(tlen) AS tlen,
+           count(*) AS c, length(g) AS l,
+           FROM (SELECT doc_id, tlen,
+                        array_to_string(ws[i:i+{n - 1}], ' ') AS g
+                 FROM base, UNNEST(generate_series(1, len(ws) - {n - 1})) AS t(i))
+    GROUP BY doc_id, g
+),
+a_{n} AS (
+    SELECT doc_id,
+           least(coalesce(max(c * l) FILTER (WHERE c = mc AND c > 1), 0)::DOUBLE
+                 / any_value(tlen), 1.0) AS top_{n}gram_char_frac,
+           least(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END)::DOUBLE
+                 / any_value(tlen), 1.0) AS dup_{n}gram_char_frac
+    FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mc FROM g_{n})
+    GROUP BY doc_id
+)""")
+        gram_joins.append(f"LEFT JOIN a_{n} USING (doc_id)")
+    for n in (2, 3, 4):
+        gram_cols.append(
+            f"coalesce(top_{n}gram_char_frac, 0.0) AS top_{n}gram_char_frac")
+        keeps.append(
+            f"coalesce(top_{n}gram_char_frac, 0.0) <= {th['top_ngram_char_frac'][n]}")
+    for n in (5, 6, 7, 8, 9, 10):
+        gram_cols.append(
+            f"coalesce(dup_{n}gram_char_frac, 0.0) AS dup_{n}gram_char_frac")
+        keeps.append(
+            f"coalesce(dup_{n}gram_char_frac, 0.0) <= {th['dup_ngram_char_frac'][n]}")
+    return f"""
+WITH base AS (
+    SELECT doc_id, text,
+           greatest(length(text), 1)::DOUBLE AS tlen,
+           list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+    FROM documents
+),{",".join(unit_ctes)},{",".join(gram_ctes)}
+SELECT doc_id,
+       {", ".join(unit_cols)},
+       {", ".join(gram_cols)},
+       ({" AND ".join(keeps)}) AS repetition_keep
+FROM base {" ".join(unit_joins)} {" ".join(gram_joins)}
+"""
+
+
+@query("text_repetition_gopher", oracle=_rep_oracle_sql())
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Full Gopher repetition rule set (Rae et al. 2021 Table A1):
+    duplicated line/paragraph unit+char fractions, top-{2,3,4}-gram
+    char fraction, duplicated-{5..10}-gram char fraction, and the
+    published-threshold keep flag. Map-only array-local folds — zero
+    shuffles; the oracle recomputes every fraction via unnest+groupby."""
+    docs = _docs(spark, sf_dir)
+    sig = text.repetition_signals(docs)
+    keep_cols = [c for c in sig.spark.columns
+                 if c == "doc_id" or "frac" in c or c == "repetition_keep"]
+    return sig.spark.select(*keep_cols)

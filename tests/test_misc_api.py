@@ -811,3 +811,51 @@ def test_buffer_pool_skips_wide_text_tables(spark, tmp_path):
     b = ps.read_parquet(spark, path)
     assert b.to_spark() is a.to_spark()
     psio.clear_scan_cache()
+
+
+def test_repetition_signals_hand_cases(spark):
+    """Gopher repetition fractions on handcrafted docs: exact expected
+    values (the suite oracle re-derives them independently via SQL)."""
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.operators import text
+
+    rows = [
+        (1, "hello world\nhello world\nunique line"),
+        (2, "spam spam spam spam"),
+        (3, "alpha beta gamma delta"),
+        (4, ""),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.repetition_signals(DataFrame(sdf)).spark.collect()
+    }
+    # doc 1: 3 lines, 2 duplicated ("hello world" ×2) -> 2/3 by unit,
+    # 22/33 by char
+    assert abs(out[1]["dup_line_frac"] - 2 / 3) < 1e-12
+    assert abs(out[1]["dup_line_char_frac"] - 22 / 33) < 1e-12
+    # doc 2: top 2-gram "spam spam" count 3 × 9 chars = 27 / 19 -> capped 1.0
+    assert out[2]["top_2gram_char_frac"] == 1.0
+    # doc 2: 5-grams impossible (4 words) -> 0
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    # doc 3: no repetition anywhere; every 2-gram is a singleton, and
+    # the top-gram rule gates on count>1 (DataTrove convention) -> 0
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top_2gram_char_frac"] == 0.0
+    # doc 4: empty text -> all zeros, keep=True
+    assert out[4]["repetition_keep"] is True
+    assert out[4]["top_4gram_char_frac"] == 0.0
+
+
+def test_repetition_filter_drops_degenerate(spark):
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.operators import text
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "buy now " * 40),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = text.repetition_filter(DataFrame(sdf)).spark
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert kept.columns == ["doc_id", "text"]
