@@ -723,3 +723,160 @@ def dedup_keep_representatives(
     else:
         raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
     return DataFrame(frame.spark.join(drop, id_col, "left_anti"))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (repeated n-gram window) dedup — Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"
+# (arXiv:2107.06499), re-expressed Spark-first: the paper's suffix
+# array is a single-machine structure; the distributed equivalent is
+# token-window fingerprints counted across the corpus.
+# ---------------------------------------------------------------------------
+
+def _words_expr(text: Column) -> Column:
+    """Non-empty whitespace tokens of the RAW text (positions matter —
+    no normalization; same convention as repetition_signals)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def repeated_window_positions(
+    sdf: SparkDF,
+    text_col: str,
+    id_col: str,
+    window: int,
+    min_count: int,
+) -> SparkDF:
+    """(id, pos) of every token-window whose content occurs >= min_count
+    times corpus-wide. pos is 1-based; the window covers tokens
+    [pos, pos + window - 1].
+
+    Scale shape: window fingerprints (xxhash64 of the space-joined
+    window) are computed map-side with array HOFs; the ONLY corpus-wide
+    shuffle carries the narrow (hash, id, pos) triple — the text never
+    moves. Duplication is decided by a count over the hash partition
+    (same exchange as a groupBy on the hash). Collision risk is the
+    paper's own 2^-64-per-pair fingerprint tradeoff.
+    """
+    words = _words_expr(F.col(text_col))
+    hashes = F.when(
+        F.size(words) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - window),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = sdf.select(
+        F.col(id_col).alias("__id__"), F.posexplode(hashes).alias("__pos0__", "__h__")
+    )
+    c = F.count(F.lit(1)).over(W.partitionBy("__h__"))
+    return (
+        exploded.withColumn("__c__", c)
+        .filter(F.col("__c__") >= min_count)
+        .select("__id__", (F.col("__pos0__") + 1).alias("__pos__"))
+    )
+
+
+def merge_intervals(
+    sdf: SparkDF, id_col: str, start_col: str, end_col: str
+) -> SparkDF:
+    """Classic merge-overlapping-intervals, distributed: per id, sort by
+    start; a row opens a new segment iff its start exceeds the running
+    max end of all prior rows; segment id = running sum of opens; one
+    groupBy((id, segment)) emits (min start, max end). Two window
+    passes + one aggregate, all on the id partition — a single shuffle.
+    Touching intervals (start == prior end + 1, token-index semantics)
+    are coalesced too.
+    """
+    w_prev = (
+        W.partitionBy(id_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max(end_col).over(w_prev)
+    opens = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max + 1), 1
+    ).otherwise(0)
+    w_run = (
+        W.partitionBy(id_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    seg = F.sum(opens).over(w_run)
+    return (
+        sdf.withColumn("__seg__", seg)
+        .groupBy(id_col, "__seg__")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+        )
+        .drop("__seg__")
+    )
+
+
+def repeated_ngram_spans(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Merged 1-based token spans [span_start, span_end] covered by at
+    least one ``window``-token window whose content appears >=
+    ``min_count`` times anywhere in the corpus (cross- OR within-doc).
+    The paper's dedup unit at window=50; smaller windows give the
+    aggressive-boilerplate variant."""
+    pos = repeated_window_positions(
+        spread(frame.spark), text_col, id_col, window, min_count
+    )
+    spans = pos.select(
+        F.col("__id__"),
+        F.col("__pos__").alias("span_start"),
+        (F.col("__pos__") + window - 1).alias("span_end"),
+    )
+    out = merge_intervals(spans, "__id__", "span_start", "span_end")
+    return DataFrame(out.withColumnRenamed("__id__", id_col))
+
+
+def remove_repeated_ngrams(
+    frame: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style dedup (Lee et al. 2021): drop EVERY token
+    covered by a corpus-duplicated ``window``-token window (the paper
+    removes all copies; survivors keep document order). Output keeps
+    the frame's columns with ``text_col`` replaced by the space-joined
+    surviving tokens (token-space reconstruction — the documented
+    normalization, exactly mirrored by the SQL oracle).
+
+    Plan: narrow (hash, id, pos) shuffle → per-doc span merge → ONE
+    id-keyed join of the (small) span lists back to the corpus; the
+    text itself crosses the wire once, at that join. Token drop is an
+    array-local indexed filter (JVM, no UDF).
+    """
+    src = spread(frame.spark)
+    spans_df = repeated_ngram_spans(
+        DataFrame(src), text_col, id_col, window, min_count
+    ).spark
+    packed = spans_df.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans__")
+    )
+    joined = src.join(packed, on=id_col, how="left")
+    spans = F.coalesce(
+        F.col("__spans__"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    words = _words_expr(F.col(text_col))
+    kept = F.filter(
+        words,
+        lambda wd, i: ~F.exists(
+            spans,
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    out = joined.withColumn(text_col, F.concat_ws(" ", kept)).drop("__spans__")
+    return DataFrame(out.select(*frame.spark.columns))

@@ -1620,3 +1620,95 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> SparkDF:
     keep_cols = [c for c in sig.spark.columns
                  if c == "doc_id" or "frac" in c or c == "repetition_keep"]
     return sig.spark.select(*keep_cols)
+
+
+# --- exact-substring (repeated window) dedup (dedup.remove_repeated_ngrams) -
+
+def _exact_substr_ctes(w: int) -> str:
+    """Shared oracle CTEs: corpus-duplicated w-token windows by content
+    (the engine counts xxhash64 fingerprints — same multiset absent a
+    2^-64 collision; the OUTPUT is hash-free either way)."""
+    return f"""
+base AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+win AS (
+    SELECT doc_id, i, array_to_string(ws[i:i+{w - 1}], ' ') AS g
+    FROM base, UNNEST(generate_series(1, len(ws) - {w} + 1)) AS t(i)
+),
+dup AS (
+    SELECT doc_id, i FROM (
+        SELECT doc_id, i, count(*) OVER (PARTITION BY g) AS c FROM win
+    ) WHERE c >= 2
+)"""
+
+
+_SPAN_W = 8
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+WITH {_exact_substr_ctes(_SPAN_W)},
+iv AS (SELECT doc_id, i AS s, i + {_SPAN_W - 1} AS e FROM dup),
+mk AS (
+    SELECT doc_id, s, e,
+           CASE WHEN max(e) OVER prior IS NULL OR s > max(e) OVER prior + 1
+                THEN 1 ELSE 0 END AS opens
+    FROM iv
+    WINDOW prior AS (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sg AS (
+    SELECT doc_id, s, e,
+           sum(opens) OVER (PARTITION BY doc_id ORDER BY s, e) AS seg
+    FROM mk
+)
+SELECT doc_id, min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end
+FROM sg GROUP BY doc_id, seg
+""",
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Merged token spans covered by corpus-duplicated 8-token windows
+    (Lee et al. 2021 ExactSubstr, the span-report half). Narrow
+    (hash,id,pos) shuffle + per-doc interval merge; the oracle
+    re-derives spans from window CONTENT with a SQL interval merge."""
+    docs = _docs(spark, sf_dir)
+    out = dedup.repeated_ngram_spans(docs, window=_SPAN_W)
+    return out.spark.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+WITH {_exact_substr_ctes(_SPAN_W)},
+cover AS (
+    SELECT DISTINCT doc_id, j
+    FROM dup, UNNEST(generate_series(i, i + {_SPAN_W - 1})) AS t(j)
+),
+tok AS (
+    SELECT doc_id, j, ws[j] AS w
+    FROM base, UNNEST(generate_series(1, len(ws))) AS t(j)
+),
+kept AS (
+    SELECT t.doc_id,
+           string_agg(t.w, ' ' ORDER BY t.j) FILTER (WHERE c.j IS NULL) AS text
+    FROM tok t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.j = c.j
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(k.text, '') AS text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+""",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """ExactSubstr dedup output: every token covered by a
+    corpus-duplicated 8-token window dropped from every copy, text
+    reconstructed in token space. The corpus text crosses the wire
+    once (the span join); token removal is an indexed array filter."""
+    docs = _docs(spark, sf_dir)
+    out = dedup.remove_repeated_ngrams(docs, window=_SPAN_W)
+    return out.spark.select("doc_id", "text")

@@ -859,3 +859,51 @@ def test_repetition_filter_drops_degenerate(spark):
     kept = text.repetition_filter(DataFrame(sdf)).spark
     assert [r["doc_id"] for r in kept.collect()] == [1]
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_repeated_ngram_spans_and_removal(spark):
+    """ExactSubstr dedup (Lee et al.): shared 6-token run across two
+    docs at window=5 -> merged spans [1,6] / [3,8]; covered tokens
+    dropped from EVERY copy; self-repetition covers the whole doc."""
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f q r"),
+        (3, "u v w completely unique tokens here now"),
+        (4, "p p p p p p p p"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.repeated_ngram_spans(
+            DataFrame(sdf), window=5
+        ).spark.collect()
+    }
+    assert spans == {(1, 1, 6), (2, 3, 8), (4, 1, 8)}
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in dedup.remove_repeated_ngrams(
+            DataFrame(sdf), window=5
+        ).spark.collect()
+    }
+    assert cleaned == {
+        1: "g h i j",
+        2: "x y q r",
+        3: "u v w completely unique tokens here now",
+        4: "",
+    }
+
+
+def test_merge_intervals_touching_and_nested(spark):
+    from pandas_spark.operators.dedup import merge_intervals
+
+    rows = [(1, 1, 3), (1, 4, 6), (1, 10, 12), (1, 11, 11), (2, 5, 9)]
+    sdf = spark.createDataFrame(rows, "id long, s long, e long")
+    got = {
+        (r["id"], r["s"], r["e"])
+        for r in merge_intervals(sdf, "id", "s", "e").collect()
+    }
+    # [1,3]+[4,6] touch (token semantics) -> [1,6]; [11,11] nests in [10,12]
+    assert got == {(1, 1, 6), (1, 10, 12), (2, 5, 9)}
