@@ -773,3 +773,258 @@ def semantic_dedup(
     )
     drops = pairs.spark.select(F.col("id2").alias(id_col)).distinct()
     return DataFrame(frame.spark.join(drops, id_col, "left_anti"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search" (TPAMI). The memory-compression axis of
+# ANN: a dim-float vector becomes m small codes, so a 100 TB embedding
+# store compresses ~dim·4/m bytes-per-vector and the index fits in
+# executor memory where raw vectors cannot.
+# ---------------------------------------------------------------------------
+
+def _lloyd_kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain L2 Lloyd k-means with kmeans++ seeding (driver-side, runs
+    on the bounded sample only — same contract as _spherical_kmeans)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    k = min(k, n)
+    # kmeans++ seeding
+    C = [X[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in C], axis=0
+        )
+        tot = d2.sum()
+        if tot <= 0:
+            C.append(X[rng.integers(n)])
+            continue
+        C.append(X[np.searchsorted(np.cumsum(d2 / tot), rng.random())])
+    C = np.stack(C)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks: split the vector into ``m`` equal subvectors
+    and run L2 k-means(``ksub``) independently per subspace on a
+    BOUNDED deterministic sample (same O(sample_n) driver receipt as
+    IVF training). Returns codebooks of shape (m, ksub, dim/m)."""
+    c = corpus.spark.select(F.col(id_col), F.col(vec_col).alias("__cv__"))
+    sample = np.asarray(
+        _bounded_hash_sample(c, id_col, "__cv__", sample_n), dtype=np.float64
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            _lloyd_kmeans(sample[:, j * dsub : (j + 1) * dsub], ksub, iters, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def _pq_code_expr(codebooks: np.ndarray, v: Column) -> Column:
+    """JVM-side PQ encoding: per subspace, the argmin-L2 centroid index
+    as a Catalyst fold (array<int>, length m). Codebooks ride as ONE
+    nested literal per subspace (the IVF lesson: one tree node, not
+    k·dim scalars); ties break to the smaller index (np.argmin rule),
+    encoded as min over (dist, index) structs. Map-only — encoding a
+    100 TB corpus is a scan, not a shuffle."""
+    m, ksub, dsub = codebooks.shape
+
+    def _sub_code(cb, sub):
+        def body(c):
+            return F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.element_at(cb, c + 1),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c.alias("i"),
+            )
+
+        pairs = F.transform(F.sequence(F.lit(0), F.lit(ksub - 1)), body)
+        return F.array_min(pairs)["i"].cast("int")
+
+    codes = [
+        _sub_code(
+            F.lit([[float(x) for x in row] for row in codebooks[j]]),
+            F.slice(v, j * dsub + 1, dsub),
+        )
+        for j in range(m)
+    ]
+    return F.array(*codes)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Corpus vectors → length-m code arrays (keeps all other columns,
+    drops the raw vector — the point is that downstream search carries
+    m ints, not dim floats)."""
+    out = corpus.spark.withColumn(
+        code_col, _pq_code_expr(codebooks, F.col(vec_col))
+    ).drop(vec_col)
+    return DataFrame(out)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build
+    the m×ksub lookup table of subspace distances to every centroid
+    (JVM transform over the codebook literals — runtime per query, no
+    Python), broadcast-join to the code table, and score each corpus
+    row with m table lookups instead of a dim-float dot.
+
+    approx_dist is the standard PQ estimate of squared L2 distance.
+    Scale shape: the corpus side carries only (id, m codes); scoring is
+    array-local; top-k is two-level (per input partition via
+    spark_partition_id, then global over the ≤ partitions·q·k
+    survivors) so no single task sorts a whole query's corpus. Compose
+    with IVF cells for the full IVF-PQ index."""
+    m, ksub, dsub = codebooks.shape
+    def _lut(cb, sub):
+        def body(cent):
+            return F.aggregate(
+                F.zip_with(
+                    sub,
+                    cent,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        return F.transform(cb, body)
+
+    luts = [
+        _lut(
+            F.lit([[float(x) for x in row] for row in codebooks[j]]),
+            F.slice(F.col("__qv__"), j * dsub + 1, dsub),
+        )
+        for j in range(m)
+    ]
+    q = queries.spark.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv__")
+    ).select(query_id_col, F.array(*luts).alias("__lut__"))
+    scored = (
+        encoded.spark.select(F.col(id_col), F.col(code_col).alias("__code__"))
+        .join(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(F.col("__lut__"), j + 1),
+                    F.element_at(F.col("__code__"), j + 1) + 1,
+                ),
+            ).alias("approx_dist"),
+        )
+    )
+    part = scored.withColumn("__pid__", F.spark_partition_id())
+    w_local = W.partitionBy(query_id_col, "__pid__").orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        part.withColumn("__rn__", F.row_number().over(w_local))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__", "__pid__")
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    out = (
+        survivors.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select(query_id_col, id_col, "approx_dist", F.col("__rn__").alias("rank"))
+    )
+    return DataFrame(out)
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The standard production PQ pipeline (Jégou et al. §V): ADC over
+    the compressed codes builds a per-query ``shortlist``, then the raw
+    vectors of ONLY those shortlist·q rows are fetched (one id-keyed
+    join) and reranked exactly by cosine. Memory story at 100 TB: the
+    scan that scores every corpus row touches m bytes per vector, not
+    dim·4; the full-precision vectors are read for a per-query handful.
+    Recall is tuned by ``shortlist`` (measured 0.94 at shortlist=50 on
+    the 500-vector suite corpus, 1.0 at 80 — see the suite entry's
+    assertion)."""
+    encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    short = pq_topk(
+        encoded, queries, codebooks, k=shortlist,
+        id_col=id_col, query_id_col=query_id_col, vec_col=vec_col,
+    ).spark.select(query_id_col, id_col)
+    vecs = corpus.spark.select(F.col(id_col), F.col(vec_col).alias("__cv__"))
+    qv = queries.spark.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv__")
+    )
+    scored = (
+        short.join(vecs, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot_expr(F.col("__cv__"), F.col("__qv__"))
+                / (norm_expr(F.col("__cv__")) * norm_expr(F.col("__qv__")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    out = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn__").alias("rank"))
+    )
+    return DataFrame(out)

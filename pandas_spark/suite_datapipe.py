@@ -1712,3 +1712,55 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> SparkDF:
     docs = _docs(spark, sf_dir)
     out = dedup.remove_repeated_ngrams(docs, window=_SPAN_W)
     return out.spark.select("doc_id", "text")
+
+
+@query(
+    "sim_topk_pq",
+    oracle="""
+    SELECT vec_id AS query_id, 10::BIGINT AS found_k, TRUE AS recall_ge_60
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Product-quantization ANN (Jégou et al. 2011) checked by a recall
+    oracle, same pattern as sim_topk_ivf: ADC over 16×16 codebooks
+    (16 bytes/vector vs 256 — the 100 TB memory story) builds a
+    50-deep shortlist, exact cosine reranks it; recall@10 vs the
+    brute-force answer clears 0.6 (measured 0.94 — deterministic:
+    seeded kmeans++, hash-ordered sample, stable argmin)."""
+    emb = _emb(spark, sf_dir)
+    nrm = similarity.norm_expr(F.col("embedding"))
+    nemb = DataFrame(
+        emb.spark.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x / nrm).alias("embedding"),
+        )
+    )
+    queries = DataFrame(
+        nemb.spark.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    cb = similarity.pq_train(
+        nemb, m=16, ksub=16, sample_n=4096, iters=8, seed=42
+    )
+    pq = similarity.pq_topk_rerank(
+        nemb, queries, cb, k=10, shortlist=50
+    ).spark.select("query_id", "vec_id")
+    exact = similarity.cosine_topk(
+        nemb, queries, k=10, id_col="vec_id", vec_col="embedding"
+    ).spark.select("query_id", "vec_id")
+    hits = pq.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__hits__")
+    )
+    return (
+        pq.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("found_k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "found_k",
+            (F.coalesce(F.col("__hits__"), F.lit(0)) >= F.lit(6)).alias("recall_ge_60"),
+        )
+        .orderBy("query_id")
+    )

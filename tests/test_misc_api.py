@@ -907,3 +907,35 @@ def test_merge_intervals_touching_and_nested(spark):
     }
     # [1,3]+[4,6] touch (token semantics) -> [1,6]; [11,11] nests in [10,12]
     assert got == {(1, 1, 6), (1, 10, 12), (2, 5, 9)}
+
+
+def test_pq_encode_and_rerank_exact_on_separated_clusters(spark):
+    """PQ codes are length-m ints in [0, ksub); on well-separated data
+    the ADC shortlist + exact rerank returns the true neighbor first."""
+    import numpy as np
+
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(0)
+    base = np.eye(4).repeat(2, axis=1)  # 4 orthogonal 8-dim anchors
+    rows = []
+    for i in range(40):
+        v = base[i % 4] + rng.normal(0, 0.01, 8)
+        rows.append((i, [float(x) for x in v]))
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    frame = DataFrame(sdf)
+    cb = sim.pq_train(frame, m=4, ksub=4, sample_n=40, iters=8, seed=1)
+    assert cb.shape == (4, 4, 2)
+    enc = sim.pq_encode(frame, cb)
+    codes = enc.spark.select("pq_code").collect()
+    assert all(len(r[0]) == 4 and all(0 <= c < 4 for c in r[0]) for r in codes)
+    qs = DataFrame(
+        sdf.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    got = sim.pq_topk_rerank(frame, qs, cb, k=1, shortlist=5).spark.collect()
+    # each query's own vector is its top-1 (cosine 1.0)
+    assert {(r["query_id"], r["vec_id"]) for r in got} == {(i, i) for i in range(4)}
