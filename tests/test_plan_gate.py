@@ -86,6 +86,10 @@ NESTED_LOOP_OK = {
     "skew_report_users",
     "tfidf_top_terms",
     "unigram_logprob",
+    # PQ ADC: deliberate broadcast cross join — every corpus code row
+    # scores against the (tiny, broadcast) per-query lookup tables;
+    # that scan IS the algorithm (same shape as cosine_topk's hof path)
+    "sim_topk_pq",
 }
 
 # orderBy().limit(n) beyond this lowers to TakeOrderedAndProject with
