@@ -541,6 +541,7 @@ class DataFrame:
         by: Sequence[str] | None = None,
         on: str | None = None,
         limit: int | None = None,
+        order: int | None = None,
     ) -> "DataFrame":
         """Interpolation of interior NULLs (generic.py:8113, default
         limit_direction='forward': leading NULLs stay, trailing NULLs
@@ -575,7 +576,10 @@ class DataFrame:
                 return out
             this = self.sort_values(on) if on else self
             return this.ffill(subset=subset, limit=limit)
-        if method in ("cubicspline", "pchip", "akima"):
+        if method in (
+            "cubicspline", "pchip", "akima",
+            "zero", "slinear", "quadratic", "cubic", "polynomial",
+        ):
             # spline family (missing.py:227 scipy wrappers, here the
             # published algorithms in numpy — functions/interp.py): a
             # spline needs the WHOLE series, so this is the one
@@ -603,7 +607,7 @@ class DataFrame:
                 if f.name in cols else f
                 for f in self._sdf.schema.fields
             ])
-            on_name, meth, lim = on, method, limit
+            on_name, meth, lim, ordr = on, method, limit, order
 
             def fill(pdf):
                 pdf = pdf.sort_values(on_name, kind="mergesort")
@@ -613,7 +617,7 @@ class DataFrame:
                 xv = x.to_numpy(dtype="float64")
                 for c in cols:
                     pdf[c] = interp_series(
-                        xv, pdf[c].to_numpy(dtype="float64"), meth, lim
+                        xv, pdf[c].to_numpy(dtype="float64"), meth, lim, ordr
                     )
                 return pdf
 
@@ -632,9 +636,9 @@ class DataFrame:
         if method not in ("linear", "time", "index", "values", "nearest"):
             raise NotImplementedError(
                 "methods: linear, time, index, values, nearest, pad, "
-                "cubicspline, pchip, akima (scipy's smoothing 'spline'/"
-                "interp1d 'polynomial' orders depend on scipy internals "
-                "and stay out of scope)"
+                "cubicspline, pchip, akima, zero, slinear, quadratic, "
+                "cubic, polynomial(order=) (scipy's smoothing 'spline' "
+                "s>0 fit is a fitter, not an interpolator — out of scope)"
             )
         this, order_exprs = self._ordered()
         part = W.partitionBy(*by) if by else W.partitionBy()

@@ -150,11 +150,19 @@ def _eval_hermite(xk, yk, d, xq):
     )
 
 
-_METHODS = ("cubicspline", "pchip", "akima")
+_METHODS = (
+    "cubicspline", "pchip", "akima",
+    "zero", "slinear", "quadratic", "cubic", "polynomial",
+)
+_BSPLINE_ORDER = {"zero": 0, "slinear": 1, "quadratic": 2, "cubic": 3}
 
 
 def interp_series(
-    x: np.ndarray, y: np.ndarray, method: str, limit: int | None = None
+    x: np.ndarray,
+    y: np.ndarray,
+    method: str,
+    limit: int | None = None,
+    order: int | None = None,
 ) -> np.ndarray:
     """Fill NaNs of ``y`` at coordinates ``x`` with the given spline
     method. Leading NaNs stay; interior/trailing fill from the curve;
@@ -184,6 +192,81 @@ def interp_series(
         y[need] = _eval_hermite(xk, yk, _pchip_derivatives(xk, yk), xq)
     elif method == "akima":
         y[need] = _eval_hermite(xk, yk, _akima_derivatives(xk, yk), xq)
+    elif method in _BSPLINE_ORDER:
+        y[need] = _bspline_interp(xk, yk, _BSPLINE_ORDER[method], xq)
+    elif method == "polynomial":
+        if order is None:
+            raise ValueError("interpolate(method='polynomial') requires order=")
+        y[need] = _bspline_interp(xk, yk, int(order), xq)
     else:
         raise ValueError(f"unknown spline method {method!r}")
     return y
+
+
+# ---------------------------------------------------------------------------
+# B-spline collocation (interp1d-family orders): slinear / quadratic /
+# cubic / polynomial(order) / zero. de Boor ch. IX-XIII; knot rule is
+# the public make_interp_spline default — not-a-knot interior knots for
+# odd k (de Boor XIII(12)), data midpoints minus the outermost two for
+# k=2. Evaluation is the Piegl-Tiller A2.2 basis recursion, which is
+# polynomial in x and therefore extrapolates from the edge segments
+# (the pandas interpolate extrapolate-forward contract).
+# ---------------------------------------------------------------------------
+
+def _find_span(t: np.ndarray, k: int, n: int, x: float) -> int:
+    """Knot span i with t[i] <= x < t[i+1], clipped to the valid
+    [k, n-1] range so out-of-domain x uses the edge segment."""
+    i = int(np.searchsorted(t, x, side="right")) - 1
+    return min(max(i, k), n - 1)
+
+
+def _basis_funs(t: np.ndarray, k: int, i: int, x: float) -> np.ndarray:
+    """The k+1 nonzero B-spline basis values at x for span i."""
+    N = np.zeros(k + 1)
+    N[0] = 1.0
+    left = np.zeros(k + 1)
+    right = np.zeros(k + 1)
+    for j in range(1, k + 1):
+        left[j] = x - t[i + 1 - j]
+        right[j] = t[i + j] - x
+        saved = 0.0
+        for r in range(j):
+            temp = N[r] / (right[r + 1] + left[j - r])
+            N[r] = saved + right[r + 1] * temp
+            saved = left[j - r] * temp
+        N[j] = saved
+    return N
+
+
+def _bspline_interp(xk: np.ndarray, yk: np.ndarray, k: int, xq: np.ndarray) -> np.ndarray:
+    """Order-k spline interpolation through (xk, yk) evaluated at xq."""
+    n = len(xk)
+    if n < k + 1:
+        raise ValueError(
+            f"order-{k} spline interpolation needs at least {k + 1} "
+            f"non-missing points, got {n}"
+        )
+    if k == 0:
+        idx = np.clip(np.searchsorted(xk, xq, side="right") - 1, 0, n - 1)
+        return yk[idx]
+    if k % 2 == 1:
+        m = (k - 1) // 2
+        t = np.r_[(xk[0],) * (k + 1), xk[m + 1 : n - m - 1], (xk[-1],) * (k + 1)]
+    elif k == 2:
+        mid = (xk[1:] + xk[:-1]) / 2.0
+        t = np.r_[(xk[0],) * (k + 1), mid[1:-1], (xk[-1],) * (k + 1)]
+    else:
+        raise NotImplementedError(
+            f"polynomial order {k}: even orders above 2 have no public "
+            "default knot rule (scipy raises the same way)"
+        )
+    A = np.zeros((n, n))
+    for r, xx in enumerate(xk):
+        i = _find_span(t, k, n, xx)
+        A[r, i - k : i + 1] = _basis_funs(t, k, i, xx)
+    c = np.linalg.solve(A, yk)
+    out = np.empty(len(xq))
+    for r, xx in enumerate(xq):
+        i = _find_span(t, k, n, xx)
+        out[r] = _basis_funs(t, k, i, xx) @ c[i - k : i + 1]
+    return out

@@ -623,13 +623,16 @@ class GroupBy:
         d = F.col(col) - prev
         # prev == 0: pandas float division gives ±inf (and NaN for 0/0,
         # which the NaN≡NULL data model maps to NULL); Spark's `/`
-        # returns NULL on any zero denominator
+        # returns NULL on any zero denominator. The general branch is
+        # pandas' own v/prev - 1, NOT (v-prev)/prev: for v == prev < 0
+        # the difference form yields IEEE -0.0 where pandas yields 0.0
+        # (fuzzer-found signed-zero divergence).
         val = F.when(
             prev == 0,
             F.when(d > 0, F.lit(float("inf")))
             .when(d < 0, F.lit(float("-inf")))
             .otherwise(F.lit(None).cast("double")),
-        ).otherwise(d / prev)
+        ).otherwise(F.col(col) / prev - 1)
         val = self._mask_dropped(val)
         return frame._with(frame._sdf.withColumn(alias or col, val))
 

@@ -4361,3 +4361,53 @@ def interpolate_pchip(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["event_id", "user_id", "y"])
         .to_spark()
     )
+
+
+@query(
+    "interpolate_quadratic",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, user_id,
+               (event_id / 100000.0) AS u
+        FROM events
+    ),
+    p AS (
+        SELECT event_id, user_id,
+               (2*u*u - 3*u + 1) AS poly,
+               (event_id % 6 != 4) AS valid
+        FROM b
+    ),
+    eligible AS (
+        SELECT user_id FROM p WHERE valid GROUP BY user_id HAVING count(*) >= 3
+    )
+    SELECT p.event_id, p.user_id,
+           ROUND(CASE WHEN NOT valid AND p.event_id <
+                      (SELECT min(q.event_id) FROM p q
+                       WHERE q.user_id = p.user_id AND q.valid)
+                 THEN NULL ELSE poly END, 4) AS y
+    FROM p JOIN eligible USING (user_id)
+    """,
+)
+def interpolate_quadratic(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """interp1d-family order-2 spline (B-spline collocation, midpoint
+    knots — make_interp_spline's public k=2 rule): an order-2 spline
+    through samples of a quadratic IS that quadratic, everywhere
+    including extrapolation, so the oracle computes the fill in closed
+    form. Groups need >= 3 valid knots (the k+1 minimum); leading
+    NULLs stay (forward direction)."""
+    ev = _t(spark, sf_dir, "events").select(["event_id", "user_id"])
+    u = F.col("event_id") / F.lit(100000.0)
+    poly = F.lit(2.0) * u * u - F.lit(3.0) * u + F.lit(1.0)
+    holey = ev.assign(y=F.when(F.col("event_id") % 6 != 4, poly))
+    counts = holey.groupby("user_id").agg(nv=("y", "count"))
+    eligible = holey.merge(
+        counts.filter(col("nv") >= 3), on="user_id", how="inner"
+    ).drop("nv")
+    out = eligible.interpolate(
+        subset=["y"], method="quadratic", by=["user_id"], on="event_id"
+    )
+    return (
+        out.assign(y=F.round(F.col("y"), 4))
+        .select(["event_id", "user_id", "y"])
+        .to_spark()
+    )

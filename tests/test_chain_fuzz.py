@@ -442,6 +442,8 @@ def _norm(x):
             return None
         if math.isinf(x):
             return x
+        if x == 0.0:
+            return 0.0  # unify IEEE signed zeros (repr-sort key!)
         if x == int(x) and abs(x) < 1e15:
             return float(x)  # unify int-valued floats across dtypes
         return round(x, 9)
@@ -460,9 +462,12 @@ def canon(pdf: pd.DataFrame):
 
 
 @settings(
-    max_examples=60,
+    # CI: 60 derandomized examples. Exploratory soaks override with
+    # FUZZ_EXAMPLES=n (random seed each run, prints the failing example
+    # via hypothesis' normal reporting) — the mode the round-6 soak runs.
+    max_examples=int(os.environ.get("FUZZ_EXAMPLES", "60")),
     deadline=None,
-    derandomize=True,
+    derandomize="FUZZ_EXAMPLES" not in os.environ,
     suppress_health_check=list(HealthCheck),
 )
 @given(data=st.data())

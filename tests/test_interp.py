@@ -158,3 +158,63 @@ def test_interpolate_spline_requires_on(spark):
     edf = ps.DataFrame(spark.createDataFrame(pdf))
     with pytest.raises(ValueError, match="requires on="):
         edf.interpolate(subset=["v"], method="akima")
+
+
+def test_bspline_family_polynomial_reproduction(spark):
+    """order-k spline interpolation reproduces degree-k polynomials
+    exactly, including extrapolation (the same closed-form property the
+    cubicspline oracle uses); quadratic/cubic are the interp1d-kind
+    aliases, polynomial(order=5) exercises the general odd-order path."""
+    from pandas_spark.frame import DataFrame
+
+    xs = [0.0, 1.0, 2.5, 4.0, 5.5, 7.0, 9.0, 11.0, 12.0, 14.0]
+    p2 = lambda t: 3 - 2 * t + 0.5 * t * t
+    p5 = lambda t: ((t - 4) ** 5) / 300 + t
+    rows = []
+    for i, x in enumerate(xs):
+        gap = i in (2, 5, 9)  # interior + trailing gaps
+        rows.append((x, None if gap else p2(x), None if gap else p5(x)))
+    sdf = spark.createDataFrame(rows, "x double, q double, f double")
+    f = DataFrame(sdf)
+    got_q = {
+        r["x"]: r["q"]
+        for r in f.interpolate(subset=["q"], method="quadratic", on="x").spark.collect()
+    }
+    for x in xs:
+        assert abs(got_q[x] - p2(x)) < 1e-9
+    got_p = {
+        r["x"]: r["f"]
+        for r in f.interpolate(
+            subset=["f"], method="polynomial", on="x", order=5
+        ).spark.collect()
+    }
+    for x in xs:
+        assert abs(got_p[x] - p5(x)) < 1e-7
+
+
+def test_bspline_zero_and_slinear(spark):
+    from pandas_spark.frame import DataFrame
+
+    rows = [(0.0, 1.0), (1.0, None), (2.0, 5.0), (3.5, None), (4.0, 9.0), (6.0, None)]
+    sdf = spark.createDataFrame(rows, "x double, v double")
+    f = DataFrame(sdf)
+    z = {r["x"]: r["v"] for r in f.interpolate(subset=["v"], method="zero", on="x").spark.collect()}
+    # step-from-left: x=1 -> y(0)=1, x=3.5 -> y(2)=5, x=6 (beyond last knot) -> y(4)=9
+    assert (z[1.0], z[3.5], z[6.0]) == (1.0, 5.0, 9.0)
+    s = {r["x"]: r["v"] for r in f.interpolate(subset=["v"], method="slinear", on="x").spark.collect()}
+    # linear in x between knots, linear extrapolation beyond
+    assert abs(s[1.0] - 3.0) < 1e-12
+    assert abs(s[3.5] - 8.0) < 1e-12
+    assert abs(s[6.0] - 13.0) < 1e-12
+
+
+def test_polynomial_requires_order(spark):
+    import pytest as _pytest
+
+    from pandas_spark.frame import DataFrame
+
+    sdf = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, None), (2.0, 3.0)], "x double, v double"
+    )
+    with _pytest.raises(Exception, match="order"):
+        DataFrame(sdf).interpolate(subset=["v"], method="polynomial", on="x").spark.collect()
