@@ -689,7 +689,19 @@ def ewm_mean(
         sort_cols, sort_asc = [frame2._order_col], [True]
 
     out_fields = sdf.schema.fields
-    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields) + f", `{name}` double"
+    # alias may NAME AN EXISTING COLUMN (e.g. overwrite v in place): the
+    # kernel's pdf[name]= replaces it, so the declared schema must too —
+    # appending a duplicate field made Arrow expect one more column than
+    # the kernel returns (fuzzer-found RESULT_COLUMN_SCHEMA_MISMATCH)
+    if name in {f.name for f in out_fields}:
+        schema = ", ".join(
+            f"`{f.name}` {'double' if f.name == name else f.dataType.simpleString()}"
+            for f in out_fields
+        )
+    else:
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+        ) + f", `{name}` double"
     a = alpha
     order_spark = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, sort_asc)]
 
@@ -799,9 +811,15 @@ def ewm_cov(
             sdf = sdf.withColumn("__g__", F.lit(0))
         sort_cols, sort_asc = [frame2._order_col], [True]
 
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
-    ) + f", `{name}` double"
+    if name in {f.name for f in sdf.schema.fields}:
+        schema = ", ".join(
+            f"`{f.name}` {'double' if f.name == name else f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+        )
+    else:
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+        ) + f", `{name}` double"
     a, stat_ = alpha, stat
     order_spark = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, sort_asc)]
 

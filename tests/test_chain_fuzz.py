@@ -311,6 +311,49 @@ def op_join_g(spark, how):
     return (pandas_side, engine_side)
 
 
+def op_rolling2_mean():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(
+            v=p.groupby("g")["v"].transform(
+                lambda s: s.rolling(2, min_periods=1).mean()
+            )
+        )
+
+    return (
+        pandas_side,
+        lambda e: e.rolling(2, by=["g"], min_periods=1).mean("v", alias="v"),
+    )
+
+
+def op_ewm_span2():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(
+            v=p.groupby("g")["v"].transform(
+                lambda s: s.ewm(span=2, adjust=True).mean()
+            )
+        )
+
+    def engine_side(e):
+        from pandas_spark.window import ewm_mean
+
+        return ewm_mean(e, "v", span=2, by=["g"], order_by="t", alias="v")
+
+    return (pandas_side, engine_side)
+
+
+def op_interp_linear():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p["v"].interpolate())
+
+    return (
+        pandas_side,
+        lambda e: e.sort_values("t").interpolate(subset=["v"]),
+    )
+
+
 def op_size_terminal():
     """Terminal — groupby size (counts NULL values, unlike count)."""
 
@@ -353,7 +396,8 @@ def draw_chain(draw, spark):
          "rank", "ffill", "clip", "isin", "between", "replace_v",
          "diff", "pct_change", "cummax", "group_head", "nlargest",
          "str_upper", "str_len", "concat_self", "bfill", "group_tail",
-         "cummin", "shift_lead", "dedup_none", "filter_g", "join_g"]
+         "cummin", "shift_lead", "dedup_none", "filter_g", "join_g",
+         "rolling2_mean", "ewm_span2", "interp_linear"]
     )
     for _ in range(n_ops):
         name = draw(pool)
@@ -421,6 +465,12 @@ def draw_chain(draw, spark):
             ops.append(op_filter_g())
         elif name == "join_g":
             ops.append(op_join_g(spark, draw(st.sampled_from(["inner", "left"]))))
+        elif name == "rolling2_mean":
+            ops.append(op_rolling2_mean())
+        elif name == "ewm_span2":
+            ops.append(op_ewm_span2())
+        elif name == "interp_linear":
+            ops.append(op_interp_linear())
     if draw(st.booleans()):
         term = draw(st.sampled_from(
             ["sum", "mean", "min", "max", "count", "var", "std", "median",

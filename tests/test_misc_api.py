@@ -939,3 +939,24 @@ def test_pq_encode_and_rerank_exact_on_separated_clusters(spark):
     got = sim.pq_topk_rerank(frame, qs, cb, k=1, shortlist=5).spark.collect()
     # each query's own vector is its top-1 (cosine 1.0)
     assert {(r["query_id"], r["vec_id"]) for r in got} == {(i, i) for i in range(4)}
+
+
+def test_ewm_alias_overwrites_existing_column(spark):
+    """alias= naming an EXISTING column must replace it in place —
+    the mapInPandas schema used to append a duplicate field (fuzzer-
+    found RESULT_COLUMN_SCHEMA_MISMATCH on filter -> ewm chains)."""
+    from pandas_spark import col
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.window import ewm_mean
+
+    sdf = spark.createDataFrame(
+        [("a", 0, -1.5, 0), ("a", 0, 2.0, 1), ("b", 1, 3.0, 2)],
+        "g string, k int, v double, t int",
+    )
+    e = DataFrame(sdf).filter(col("k") == 0)
+    out = ewm_mean(e, "v", span=2, by=["g"], order_by="t", alias="v")
+    assert out.spark.columns == ["g", "k", "v", "t"]
+    rows = {r["t"]: r["v"] for r in out.spark.collect()}
+    # pandas ewm(span=2, adjust=True): [x0, (x1 + x0/3)/(4/3)]
+    assert abs(rows[0] - (-1.5)) < 1e-12
+    assert abs(rows[1] - ((2.0 + (-1.5) / 3) / (4 / 3))) < 1e-12
