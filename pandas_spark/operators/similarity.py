@@ -802,8 +802,12 @@ def _lloyd_kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
             continue
         C.append(X[np.searchsorted(np.cumsum(d2 / tot), rng.random())])
     C = np.stack(C)
+    xn = (X ** 2).sum(axis=1)
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||² = ||x||² - 2x·c + ||c||² as one matmul — n·k·d flops
+        # without materializing the (n, k, d) difference tensor (the
+        # naive form dominated pq_train at the 100k-sample decade)
+        d2 = xn[:, None] - 2.0 * (X @ C.T) + (C ** 2).sum(axis=1)[None, :]
         assign = np.argmin(d2, axis=1)
         for j in range(k):
             members = X[assign == j]
@@ -885,13 +889,18 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Corpus vectors → length-m code arrays (keeps all other columns,
     drops the raw vector — the point is that downstream search carries
-    m ints, not dim floats)."""
-    out = corpus.spark.withColumn(
-        code_col, _pq_code_expr(codebooks, F.col(vec_col))
-    ).drop(vec_col)
+    m ints, not dim floats). ``engine='arrow'`` (default) encodes with
+    the sliced numpy kernel; ``'catalyst'`` keeps the pure-JVM argmin
+    fold (bit-identical codes, ~10× slower at corpus scale)."""
+    if engine == "arrow":
+        code = _pq_codes_udf(codebooks)(F.col(vec_col))
+    else:
+        code = _pq_code_expr(codebooks, F.col(vec_col))
+    out = corpus.spark.withColumn(code_col, code).drop(vec_col)
     return DataFrame(out)
 
 
@@ -1028,3 +1037,37 @@ def pq_topk_rerank(
         .select(query_id_col, id_col, "cosine", F.col("__rn__").alias("rank"))
     )
     return DataFrame(out)
+
+
+def _pq_codes_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoding: per 8k slice, one (n, dsub)·(dsub,
+    ksub) distance computation per subspace — replaces m·ksub
+    interpreted HOF folds per row (measured 10× on the 100× decade).
+    Distances are the same in-order (a-b)² sums as the Catalyst fold
+    (dsub < numpy's pairwise-summation threshold), ties break to the
+    smaller index (np.argmin == the fold's struct-min rule), so codes
+    are bit-identical (unit-tested)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m, ksub, dsub = codebooks.shape
+    C = codebooks.astype(np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        parts = []
+        step = 8192
+        for lo in range(0, len(vs), step):
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vs.iloc[lo : lo + step]]
+            )
+            cs = np.empty((len(M), m), dtype=np.int32)
+            for j in range(m):
+                S = M[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=-1)
+                cs[:, j] = np.argmin(d2, axis=1)
+            parts.extend(list(cs))
+        return pd.Series(parts)
+
+    return _codes

@@ -960,3 +960,47 @@ def test_ewm_alias_overwrites_existing_column(spark):
     # pandas ewm(span=2, adjust=True): [x0, (x1 + x0/3)/(4/3)]
     assert abs(rows[0] - (-1.5)) < 1e-12
     assert abs(rows[1] - ((2.0 + (-1.5) / 3) / (4 / 3))) < 1e-12
+
+
+def test_repetition_engines_agree(spark):
+    """Arrow kernel vs Catalyst fold: identical integer counts, same
+    divisions — bit-equal output on the adversarial hand rows AND the
+    real sf0.001 corpus."""
+    from pandas_spark import read_parquet
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.operators import text
+
+    rows = [
+        (1, "hello world\nhello world\nunique line\n\nhello world"),
+        (2, "spam spam spam spam spam spam"),
+        (3, "a b c d e f g h i j k l m n o p"),
+        (4, ""),
+        (5, None),
+        (6, "one two three one two three one two three four"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    for frame in (
+        DataFrame(sdf),
+        read_parquet(spark, "/root/testdata/sf0.001/documents.parquet"),
+    ):
+        a = text.repetition_signals(frame, engine="arrow").spark.collect()
+        c = text.repetition_signals(frame, engine="catalyst").spark.collect()
+        ka = sorted([tuple(r) for r in a], key=repr)
+        kc = sorted([tuple(r) for r in c], key=repr)
+        assert ka == kc
+
+
+def test_pq_encode_engines_bit_identical(spark):
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = DataFrame(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    cb = sim.pq_train(emb, m=8, ksub=8, sample_n=512, iters=4, seed=3)
+    a = {r["vec_id"]: list(r["pq_code"]) for r in sim.pq_encode(emb, cb, engine="arrow").spark.collect()}
+    c = {r["vec_id"]: list(r["pq_code"]) for r in sim.pq_encode(emb, cb, engine="catalyst").spark.collect()}
+    assert a == c
