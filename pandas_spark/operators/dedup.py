@@ -739,23 +739,37 @@ def _words_expr(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda w: w != "")
 
 
+def _collapse_reps(sdf: SparkDF, text_col: str, id_col: str) -> SparkDF:
+    """One representative row per distinct text: (__key__ = md5(text),
+    __w__ = clone multiplicity, text). Identical texts have identical
+    window sets, so every downstream computation runs O(unique texts)
+    — the same exact-collapse that makes minhash/cluster dedup survive
+    clone-heavy corpora — with window counts WEIGHTED by multiplicity
+    (a window in a text that appears twice IS corpus-duplicated)."""
+    return sdf.groupBy(F.md5(F.col(text_col)).alias("__key__")).agg(
+        F.count(F.lit(1)).alias("__w__"),
+        F.first(text_col).alias(text_col),
+    )
+
+
 def repeated_window_positions(
     sdf: SparkDF,
     text_col: str,
-    id_col: str,
     window: int,
     min_count: int,
 ) -> SparkDF:
-    """(id, pos) of every token-window whose content occurs >= min_count
-    times corpus-wide. pos is 1-based; the window covers tokens
+    """(__key__, pos) of every token-window whose content occurs >=
+    min_count times corpus-wide, over the COLLAPSED rep table
+    (_collapse_reps). pos is 1-based; the window covers tokens
     [pos, pos + window - 1].
 
     Scale shape: window fingerprints (xxhash64 of the space-joined
     window) are computed map-side with array HOFs; the ONLY corpus-wide
-    shuffle carries the narrow (hash, id, pos) triple — the text never
-    moves. Duplication is decided by a count over the hash partition
-    (same exchange as a groupBy on the hash). Collision risk is the
-    paper's own 2^-64-per-pair fingerprint tradeoff.
+    shuffle carries the narrow (hash, key, pos, weight) tuple — the
+    text never moves. Duplication is a multiplicity-weighted sum over
+    the hash partition (same exchange as a groupBy on the hash).
+    Collision risk is the paper's own 2^-64-per-pair fingerprint
+    tradeoff.
     """
     words = _words_expr(F.col(text_col))
     hashes = F.when(
@@ -766,13 +780,14 @@ def repeated_window_positions(
         ),
     ).otherwise(F.array().cast("array<long>"))
     exploded = sdf.select(
-        F.col(id_col).alias("__id__"), F.posexplode(hashes).alias("__pos0__", "__h__")
+        F.col("__key__"), F.col("__w__"),
+        F.posexplode(hashes).alias("__pos0__", "__h__"),
     )
-    c = F.count(F.lit(1)).over(W.partitionBy("__h__"))
+    c = F.sum("__w__").over(W.partitionBy("__h__"))
     return (
         exploded.withColumn("__c__", c)
         .filter(F.col("__c__") >= min_count)
-        .select("__id__", (F.col("__pos0__") + 1).alias("__pos__"))
+        .select("__key__", (F.col("__pos0__") + 1).alias("__pos__"))
     )
 
 
@@ -813,6 +828,18 @@ def merge_intervals(
     )
 
 
+def _rep_spans(src: SparkDF, text_col: str, window: int, min_count: int) -> SparkDF:
+    """Merged (__key__, span_start, span_end) over the collapsed reps."""
+    reps = _collapse_reps(src, text_col, "__ignored__")
+    pos = repeated_window_positions(reps, text_col, window, min_count)
+    spans = pos.select(
+        F.col("__key__"),
+        F.col("__pos__").alias("span_start"),
+        (F.col("__pos__") + window - 1).alias("span_end"),
+    )
+    return merge_intervals(spans, "__key__", "span_start", "span_end")
+
+
 def repeated_ngram_spans(
     frame: DataFrame,
     text_col: str = "text",
@@ -824,17 +851,19 @@ def repeated_ngram_spans(
     least one ``window``-token window whose content appears >=
     ``min_count`` times anywhere in the corpus (cross- OR within-doc).
     The paper's dedup unit at window=50; smaller windows give the
-    aggressive-boilerplate variant."""
-    pos = repeated_window_positions(
-        spread(frame.spark), text_col, id_col, window, min_count
+    aggressive-boilerplate variant.
+
+    Runs on the exact-collapsed rep table (O(unique texts) window
+    rows — clone-heavy corpora pay per distinct document, not per
+    copy), then fans the per-rep spans back out with one md5-keyed
+    join against the corpus ids."""
+    src = spread(frame.spark)
+    merged = _rep_spans(src, text_col, window, min_count)
+    ids = src.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__key__")
     )
-    spans = pos.select(
-        F.col("__id__"),
-        F.col("__pos__").alias("span_start"),
-        (F.col("__pos__") + window - 1).alias("span_end"),
-    )
-    out = merge_intervals(spans, "__id__", "span_start", "span_end")
-    return DataFrame(out.withColumnRenamed("__id__", id_col))
+    out = ids.join(merged, "__key__").select(id_col, "span_start", "span_end")
+    return DataFrame(out)
 
 
 def remove_repeated_ngrams(
@@ -857,15 +886,15 @@ def remove_repeated_ngrams(
     array-local indexed filter (JVM, no UDF).
     """
     src = spread(frame.spark)
-    spans_df = repeated_ngram_spans(
-        DataFrame(src), text_col, id_col, window, min_count
-    ).spark
-    packed = spans_df.groupBy(id_col).agg(
+    merged = _rep_spans(src, text_col, window, min_count)
+    packed = merged.groupBy("__key__").agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))
         ).alias("__spans__")
     )
-    joined = src.join(packed, on=id_col, how="left")
+    joined = src.withColumn("__key__", F.md5(F.col(text_col))).join(
+        packed, on="__key__", how="left"
+    )
     spans = F.coalesce(
         F.col("__spans__"),
         F.array().cast("array<struct<span_start:long,span_end:long>>"),
@@ -878,5 +907,7 @@ def remove_repeated_ngrams(
             lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
         ),
     )
-    out = joined.withColumn(text_col, F.concat_ws(" ", kept)).drop("__spans__")
+    out = joined.withColumn(text_col, F.concat_ws(" ", kept)).drop(
+        "__spans__", "__key__"
+    )
     return DataFrame(out.select(*frame.spark.columns))

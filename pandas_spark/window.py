@@ -713,7 +713,13 @@ def ewm_mean(
     def fn(batches):
         # whole partition → one pandas frame (groups never span
         # partitions thanks to the keyed repartition)
-        pdf = pd.concat(list(batches), ignore_index=True)
+        batches = list(batches)
+        if not batches:
+            # empty partition / empty frame: mapInPandas may hand the
+            # kernel ZERO batches — yielding nothing is the valid empty
+            # result (pd.concat([]) raises; fuzzer-found on empty input)
+            return
+        pdf = pd.concat(batches, ignore_index=True)
         if pdf.empty:
             yield pdf.assign(**{name: pd.Series(dtype="float64")})
             return
@@ -824,7 +830,13 @@ def ewm_cov(
     order_spark = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, sort_asc)]
 
     def fn(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        batches = list(batches)
+        if not batches:
+            # empty partition / empty frame: mapInPandas may hand the
+            # kernel ZERO batches — yielding nothing is the valid empty
+            # result (pd.concat([]) raises; fuzzer-found on empty input)
+            return
+        pdf = pd.concat(batches, ignore_index=True)
         if pdf.empty:
             yield pdf.assign(**{name: pd.Series(dtype="float64")})
             return

@@ -1004,3 +1004,15 @@ def test_pq_encode_engines_bit_identical(spark):
     a = {r["vec_id"]: list(r["pq_code"]) for r in sim.pq_encode(emb, cb, engine="arrow").spark.collect()}
     c = {r["vec_id"]: list(r["pq_code"]) for r in sim.pq_encode(emb, cb, engine="catalyst").spark.collect()}
     assert a == c
+
+
+def test_ewm_empty_frame(spark):
+    """mapInPandas hands the kernel ZERO batches on empty input —
+    pd.concat([]) raised (fuzzer-found); the kernel now yields nothing."""
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.window import ewm_mean
+
+    sdf = spark.createDataFrame([], "g string, v double, t int")
+    out = ewm_mean(DataFrame(sdf), "v", span=2, by=["g"], order_by="t", alias="e")
+    assert out.spark.count() == 0
+    assert out.spark.columns == ["g", "v", "t", "e"]
