@@ -140,6 +140,33 @@ def cosine_topk(
     return DataFrame(out)
 
 
+def _vec_matrix(va):
+    """Arrow list-of-float column → (n, dim) float64 matrix, zero-copy
+    from the flat values buffer. The mapInPandas/pandas_udf form
+    converts every cell into its own small Python list/numpy object
+    (65k allocations per batch) — the resident high-water of that churn
+    across 32 workers was one of the 10⁴×-decade kernel-OOMs, and the
+    same boxing dominated the pandas_udf PQ encode end-to-end."""
+    import pyarrow as pa
+
+    t = va.type
+    if pa.types.is_fixed_size_list(t):
+        # flatten(), not .values: on a SLICED FixedSizeListArray the
+        # child ignores the slice offset (the PQ encode kernel slices)
+        flat = va.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(va), t.list_size).astype(np.float64, copy=False)
+    offsets = va.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if len(widths) and (widths == widths[0]).all():
+        flat = va.values.to_numpy(zero_copy_only=False)
+        return (
+            flat[offsets[0] : offsets[-1]]
+            .reshape(len(va), widths[0])
+            .astype(np.float64, copy=False)
+        )
+    return np.stack([np.asarray(v, dtype=np.float64) for v in va.to_pylist()])
+
+
 def _cosine_topk_matmul(
     corpus: DataFrame,
     queries: DataFrame,
@@ -168,30 +195,6 @@ def _cosine_topk_matmul(
         with np.errstate(divide="ignore", invalid="ignore"):
             QnT = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T.copy()  # (dim, q)
         nq = len(qids)
-
-        def _vec_matrix(va):
-            """Arrow list-of-float column → (n, dim) float64 matrix,
-            zero-copy from the flat values buffer. The previous
-            mapInPandas form converted every cell into its own small
-            numpy object (65k allocations per batch) — the resident
-            high-water of that churn across 32 workers was one of the
-            10⁴×-decade kernel-OOMs."""
-            import pyarrow as pa
-
-            t = va.type
-            if pa.types.is_fixed_size_list(t):
-                flat = va.values.to_numpy(zero_copy_only=False)
-                return flat.reshape(len(va), t.list_size).astype(np.float64, copy=False)
-            offsets = va.offsets.to_numpy(zero_copy_only=False)
-            widths = np.diff(offsets)
-            if len(widths) and (widths == widths[0]).all():
-                flat = va.values.to_numpy(zero_copy_only=False)
-                return (
-                    flat[offsets[0] : offsets[-1]]
-                    .reshape(len(va), widths[0])
-                    .astype(np.float64, copy=False)
-                )
-            return np.stack([np.asarray(v, dtype=np.float64) for v in va.to_pylist()])
 
         def gen(batches):
             import pyarrow as pa
@@ -788,19 +791,21 @@ def _lloyd_kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     on the bounded sample only — same contract as _spherical_kmeans)."""
     rng = np.random.default_rng(seed)
     X = np.asarray(X, dtype=np.float64)
-    n = len(X)
+    n, d = X.shape
     k = min(k, n)
-    # kmeans++ seeding
+    # kmeans++ seeding with an INCREMENTAL min-distance: recomputing
+    # every centroid's distances per step is O(k²·n·d) — a measured
+    # pq_train hot spot at the 100k-sample decade
     C = [X[rng.integers(n)]]
+    d2min = ((X - C[0]) ** 2).sum(axis=1)
     for _ in range(1, k):
-        d2 = np.min(
-            [((X - c) ** 2).sum(axis=1) for c in C], axis=0
-        )
-        tot = d2.sum()
+        tot = d2min.sum()
         if tot <= 0:
-            C.append(X[rng.integers(n)])
-            continue
-        C.append(X[np.searchsorted(np.cumsum(d2 / tot), rng.random())])
+            c = X[rng.integers(n)]
+        else:
+            c = X[np.searchsorted(np.cumsum(d2min / tot), rng.random())]
+        C.append(c)
+        np.minimum(d2min, ((X - c) ** 2).sum(axis=1), out=d2min)
     C = np.stack(C)
     xn = (X ** 2).sum(axis=1)
     for _ in range(iters):
@@ -894,13 +899,15 @@ def pq_encode(
     """Corpus vectors → length-m code arrays (keeps all other columns,
     drops the raw vector — the point is that downstream search carries
     m ints, not dim floats). ``engine='arrow'`` (default) encodes with
-    the sliced numpy kernel; ``'catalyst'`` keeps the pure-JVM argmin
-    fold (bit-identical codes, ~10× slower at corpus scale)."""
+    the zero-copy mapInArrow kernel; ``'catalyst'`` keeps the pure-JVM
+    argmin fold (bit-identical codes, slower at corpus scale)."""
     if engine == "arrow":
-        code = _pq_codes_udf(codebooks)(F.col(vec_col))
-    else:
-        code = _pq_code_expr(codebooks, F.col(vec_col))
-    out = corpus.spark.withColumn(code_col, code).drop(vec_col)
+        return DataFrame(
+            _pq_encode_arrow(corpus.spark, codebooks, vec_col, code_col)
+        )
+    out = corpus.spark.withColumn(
+        code_col, _pq_code_expr(codebooks, F.col(vec_col))
+    ).drop(vec_col)
     return DataFrame(out)
 
 
@@ -1039,35 +1046,44 @@ def pq_topk_rerank(
     return DataFrame(out)
 
 
-def _pq_codes_udf(codebooks: np.ndarray):
-    """Arrow-batched PQ encoding: per 8k slice, one (n, dsub)·(dsub,
-    ksub) distance computation per subspace — replaces m·ksub
-    interpreted HOF folds per row (measured 10× on the 100× decade).
-    Distances are the same in-order (a-b)² sums as the Catalyst fold
-    (dsub < numpy's pairwise-summation threshold), ties break to the
-    smaller index (np.argmin == the fold's struct-min rule), so codes
-    are bit-identical (unit-tested)."""
-    from pyspark.sql.types import ArrayType, IntegerType
+def _pq_encode_arrow(
+    sdf: SparkDF, codebooks: np.ndarray, vec_col: str, code_col: str
+) -> SparkDF:
+    """Zero-copy PQ encoding: mapInArrow reads the vector column
+    straight from the Arrow flat buffer (_vec_matrix — no per-cell
+    Python lists, which dominated the pandas_udf form) and computes per
+    8k slice one (n, ksub) distance matrix per subspace. Distances are
+    the same in-order (a-b)² sums as the Catalyst fold (dsub is below
+    numpy's pairwise-summation threshold), ties break to the smaller
+    index (np.argmin == the fold's struct-min rule), so codes are
+    bit-identical (unit-tested)."""
+    import pyarrow as pa
 
     m, ksub, dsub = codebooks.shape
     C = codebooks.astype(np.float64)
+    fields = [f for f in sdf.schema.fields if f.name != vec_col]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+    ) + f", `{code_col}` array<int>"
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _codes(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        parts = []
-        step = 8192
-        for lo in range(0, len(vs), step):
-            M = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in vs.iloc[lo : lo + step]]
+    def gen(batches):
+        for b in batches:
+            va = b.column(b.schema.get_field_index(vec_col))
+            n = len(va)
+            cs = np.empty((n, m), dtype=np.int32)
+            step = 8192
+            for lo in range(0, n, step):
+                M = _vec_matrix(va.slice(lo, min(step, n - lo)))
+                for j in range(m):
+                    S = M[:, j * dsub : (j + 1) * dsub]
+                    d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=-1)
+                    cs[lo : lo + len(M), j] = np.argmin(d2, axis=1)
+            keep = [b.column(b.schema.get_field_index(f.name)) for f in fields]
+            codes = pa.FixedSizeListArray.from_arrays(
+                pa.array(cs.reshape(-1), type=pa.int32()), m
+            ).cast(pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                keep + [codes], names=[f.name for f in fields] + [code_col]
             )
-            cs = np.empty((len(M), m), dtype=np.int32)
-            for j in range(m):
-                S = M[:, j * dsub : (j + 1) * dsub]
-                d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=-1)
-                cs[:, j] = np.argmin(d2, axis=1)
-            parts.extend(list(cs))
-        return pd.Series(parts)
 
-    return _codes
+    return sdf.mapInArrow(gen, out_schema)
