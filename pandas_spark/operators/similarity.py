@@ -1091,3 +1091,147 @@ def _pq_encode_arrow(
             )
 
     return sdf.mapInArrow(gen, out_schema)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k_cells: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 50,
+    sample_n: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ — the production composition (FAISS's IVFx,PQy family;
+    Jégou et al. 2011 §VI): IVF cells bound WHICH corpus rows a query
+    touches (nprobe/k_cells of the corpus), PQ codes bound what each
+    touched row COSTS (m byte-ish lookups, no dim-float vector in the
+    scan), and a final exact rerank over the per-query ``shortlist``
+    restores recall. At 100 TB this is the only memory shape that
+    works: the searched index is (cell, id, m codes) — neither the
+    candidate scan nor the shuffle ever carries raw vectors; the full
+    vectors are fetched for shortlist·q rows only.
+
+    Train: spherical k-means cells + per-subspace PQ codebooks, both on
+    the same bounded deterministic sample. Index: one map-only pass
+    assigns cell and codes. Search: probed-cell equi-join → ADC
+    lookup-table scores → per-(query, cell) partial top-shortlist →
+    global shortlist → exact cosine rerank. All driver receipts are
+    O(sample_n); everything else is narrow-row shuffles.
+    """
+    c = corpus.spark.select(F.col(id_col), F.col(vec_col).alias("__cv__"))
+    sample = np.asarray(
+        _bounded_hash_sample(c, id_col, "__cv__", sample_n), dtype=np.float64
+    )
+    cells_C = _spherical_kmeans(sample, k_cells, iters, seed)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = np.stack(
+        [
+            _lloyd_kmeans(sample[:, j * dsub : (j + 1) * dsub], ksub, iters, seed + j)
+            for j in range(m)
+        ]
+    )
+
+    # index: (id, cell, codes) — the raw vector is DROPPED after this
+    # map-only pass
+    indexed = _pq_encode_arrow(
+        c.withColumn(
+            "__cell__", F.element_at(_cells_expr(cells_C, 1, F.col("__cv__")), 1)
+        ),
+        codebooks,
+        "__cv__",
+        "__code__",
+    )
+
+    mq, ksubq, _ = codebooks.shape
+
+    def _lut(cb, sub):
+        def body(cent):
+            return F.aggregate(
+                F.zip_with(
+                    sub,
+                    cent,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        return F.transform(cb, body)
+
+    luts = [
+        _lut(
+            F.lit([[float(x) for x in row] for row in codebooks[j]]),
+            F.slice(F.col("__qv__"), j * dsub + 1, dsub),
+        )
+        for j in range(m)
+    ]
+    q = queries.spark.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv__")
+    ).select(
+        query_id_col,
+        F.array(*luts).alias("__lut__"),
+        F.explode(_cells_expr(cells_C, nprobe, F.col("__qv__"))).alias("__cell__"),
+    )
+    scored = indexed.join(F.broadcast(q), "__cell__").select(
+        query_id_col,
+        "__cell__",
+        F.col(id_col),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(F.col("__lut__"), j + 1),
+                F.element_at(F.col("__code__"), j + 1) + 1,
+            ),
+        ).alias("__adc__"),
+    )
+    w_cell = W.partitionBy(query_id_col, "__cell__").orderBy(
+        F.col("__adc__").asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        scored.withColumn("__rn__", F.row_number().over(w_cell))
+        .filter(F.col("__rn__") <= shortlist)
+        .drop("__rn__", "__cell__")
+    )
+    w_q = W.partitionBy(query_id_col).orderBy(
+        F.col("__adc__").asc(), F.col(id_col).asc()
+    )
+    short = (
+        survivors.withColumn("__rn__", F.row_number().over(w_q))
+        .filter(F.col("__rn__") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    qv = queries.spark.select(F.col(query_id_col), F.col(vec_col).alias("__qv__"))
+    rerank = (
+        short.join(c, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot_expr(F.col("__cv__"), F.col("__qv__"))
+                / (norm_expr(F.col("__cv__")) * norm_expr(F.col("__qv__")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    out = (
+        rerank.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn__").alias("rank"))
+    )
+    return DataFrame(out)
