@@ -542,6 +542,8 @@ class DataFrame:
         on: str | None = None,
         limit: int | None = None,
         order: int | None = None,
+        limit_direction: str = "forward",
+        limit_area: str | None = None,
     ) -> "DataFrame":
         """Interpolation of interior NULLs (generic.py:8113, default
         limit_direction='forward': leading NULLs stay, trailing NULLs
@@ -559,6 +561,22 @@ class DataFrame:
         ``limit`` (generic.py:8113 limit=) fills at most that many
         consecutive NULLs after the last valid value — measured in
         ROWS (pandas semantics) regardless of the x weighting."""
+        if limit_direction not in ("forward", "backward", "both"):
+            raise ValueError(
+                f"limit_direction must be forward/backward/both, got {limit_direction!r}"
+            )
+        if limit_area not in (None, "inside", "outside"):
+            raise ValueError(
+                f"limit_area must be None/'inside'/'outside', got {limit_area!r}"
+            )
+        if (limit_direction != "forward" or limit_area is not None) and method not in (
+            "linear", "time", "index", "values", "nearest"
+        ):
+            raise NotImplementedError(
+                "limit_direction/limit_area apply to the window methods "
+                "(linear/time/index/values/nearest); the spline family is "
+                "forward-only (pandas raises for pad there too)"
+            )
         if method in ("time", "index", "values") and not on:
             raise ValueError(f"method={method!r} requires on=<timestamp or numeric column>")
         if method in ("pad", "ffill"):
@@ -673,14 +691,42 @@ class DataFrame:
                 # would divide by zero — ANSI-fatal; fall back to ffill
                 ratio = F.when(nx != px, (x - px) / (nx - px))
                 interior = pv + (nv - pv) * ratio
-            fill = F.when(
-                pv.isNotNull() & nv.isNotNull(), F.coalesce(interior, pv)
-            ).otherwise(pv)
+            # region split (pandas generic.py interpolate limit_direction/
+            # limit_area semantics, probed against pandas 2.2):
+            #   interior (bounded both sides) -> interpolated value,
+            #     regardless of direction; gated off by limit_area='outside'
+            #   trailing (pv only) -> carried pv, iff direction allows
+            #     forward; leading (nv only) -> nv, iff backward allowed;
+            #     both gated off by limit_area='inside'
+            both_b = pv.isNotNull() & nv.isNotNull()
+            fill = F.lit(None).cast("double")
+            if limit_area in (None, "outside"):
+                if limit_direction in ("forward", "both"):
+                    fill = F.when(nv.isNull(), pv).otherwise(fill)
+                if limit_direction in ("backward", "both"):
+                    fill = F.when(pv.isNull(), nv).otherwise(fill)
+            if limit_area in (None, "inside"):
+                fill = F.when(both_b, F.coalesce(interior, pv)).otherwise(fill)
             if limit is not None:
+                # consecutive-NaN cap, counted in the fill direction(s):
+                # rows since the previous valid / until the next valid
                 prn = F.last(
                     F.when(v.isNotNull(), F.col("__rn__")), ignorenulls=True
                 ).over(w_prev)
-                fill = F.when(F.col("__rn__") - prn <= F.lit(int(limit)), fill)
+                nrn = F.first(
+                    F.when(v.isNotNull(), F.col("__rn__")), ignorenulls=True
+                ).over(w_next)
+                fwd_ok = (F.col("__rn__") - prn) <= F.lit(int(limit))
+                bwd_ok = (nrn - F.col("__rn__")) <= F.lit(int(limit))
+                if limit_direction == "forward":
+                    ok = fwd_ok
+                elif limit_direction == "backward":
+                    ok = bwd_ok
+                else:
+                    ok = F.coalesce(fwd_ok, F.lit(False)) | F.coalesce(
+                        bwd_ok, F.lit(False)
+                    )
+                fill = F.when(ok, fill)
             out[c] = F.when(v.isNotNull(), v).otherwise(fill)
         return this._with(sdf.withColumns(out).drop("__rn__"))
 

@@ -4411,3 +4411,51 @@ def interpolate_quadratic(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["event_id", "user_id", "y"])
         .to_spark()
     )
+
+
+@query(
+    "interpolate_limit_both",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               last_value(pv IGNORE NULLS) OVER wp AS prev_v,
+               first_value(pv IGNORE NULLS) OVER wn AS next_v,
+               last_value(CASE WHEN pv IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS prev_r,
+               first_value(CASE WHEN pv IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS next_r
+        FROM s
+        WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN pv IS NOT NULL THEN pv
+                WHEN NOT (coalesce(rn - prev_r <= 2, FALSE)
+                          OR coalesce(next_r - rn <= 2, FALSE)) THEN NULL
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                     THEN prev_v + (next_v - prev_v) * (rn - prev_r) / (next_r - prev_r)
+                WHEN prev_v IS NULL THEN next_v
+                ELSE prev_v END AS pv
+    FROM m
+    """,
+)
+def interpolate_limit_both(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """limit_direction='both' with limit=2 (generic.py interpolate
+    surface): interior gaps interpolate, leading NULLs backfill from
+    the first valid, trailing carry the last valid — each position only
+    within 2 rows of a valid value on either side. The oracle restates
+    the full region/limit rule in SQL windows."""
+    ev = _t(spark, sf_dir, "events").sort_values(["event_id"])
+    holey = ev.assign(
+        pv=F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = holey.interpolate(
+        subset=["pv"], by=["user_id"], limit_direction="both", limit=2
+    )
+    return out.select(["event_id", "user_id", "pv"]).to_spark()

@@ -218,3 +218,36 @@ def test_polynomial_requires_order(spark):
     )
     with _pytest.raises(Exception, match="order"):
         DataFrame(sdf).interpolate(subset=["v"], method="polynomial", on="x").spark.collect()
+
+
+def test_limit_direction_and_area_match_pandas(spark):
+    """All 9 (limit_direction × limit_area) combos plus the limit=2
+    interaction, differentially against real pandas on the probe series
+    [N, N, 1, N, N, N, 5, N, N]."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_spark.frame import DataFrame
+
+    vals = [None, None, 1.0, None, None, None, 5.0, None, None]
+    ps = pd.Series([np.nan if v is None else v for v in vals])
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t int, v double"
+    )
+    f = DataFrame(sdf).sort_values("t")
+    for ld in ("forward", "backward", "both"):
+        for la in (None, "inside", "outside"):
+            want = ps.interpolate(limit_direction=ld, limit_area=la).tolist()
+            got_rows = f.interpolate(
+                subset=["v"], limit_direction=ld, limit_area=la
+            ).spark.collect()
+            got = [r["v"] for r in sorted(got_rows, key=lambda r: r["t"])]
+            for w, g in zip(want, got):
+                assert (np.isnan(w) and g is None) or abs(w - g) < 1e-12, (ld, la, want, got)
+        want = ps.interpolate(limit_direction=ld, limit=2).tolist()
+        got_rows = f.interpolate(
+            subset=["v"], limit_direction=ld, limit=2
+        ).spark.collect()
+        got = [r["v"] for r in sorted(got_rows, key=lambda r: r["t"])]
+        for w, g in zip(want, got):
+            assert (np.isnan(w) and g is None) or abs(w - g) < 1e-12, (ld, want, got)
