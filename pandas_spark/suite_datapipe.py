@@ -1813,3 +1813,24 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> SparkDF:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "streaming_quality_filter",
+    oracle=f"""
+    SELECT doc_id FROM ({_rep_oracle_sql()}) WHERE repetition_keep
+    """,
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Quality filtering as a STREAM: the Gopher repetition rules are
+    stateless map-only signals, so the same repetition_signals plan
+    (Arrow kernel included) runs unchanged under Structured Streaming —
+    ingest-time corpus curation. Batch-parity is exact: the oracle is
+    the identical repetition SQL restricted to kept docs."""
+    from pandas_spark import streaming as pss
+
+    stream = pss.read_stream_parquet(spark, f"{sf_dir}/documents.parquet")
+    flagged = text.repetition_signals(DataFrame(stream)).spark
+    kept = flagged.filter(F.col("repetition_keep")).select("doc_id")
+    pss.run_to_memory(kept, "suite_stream_quality")
+    return spark.table("suite_stream_quality")
