@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 DIR = f"{REPO}/.scratch/newops_r{REPS}"
 SRC = "/root/testdata/sf0.1"
 
@@ -98,6 +99,8 @@ def main():
         ("dedup_exact_substring", run_substr),
         ("sim_topk_pq_pipeline", run_pq),
     ):
+        if ONLY is not None and name not in ONLY:
+            continue
         fn()  # warmup (codegen, Arrow pool, broadcast machinery)
         t0 = time.perf_counter()
         fn()
