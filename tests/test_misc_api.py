@@ -1016,3 +1016,31 @@ def test_ewm_empty_frame(spark):
     out = ewm_mean(DataFrame(sdf), "v", span=2, by=["g"], order_by="t", alias="e")
     assert out.spark.count() == 0
     assert out.spark.columns == ["g", "v", "t", "e"]
+
+
+def test_pq_topk_arrow_matches_catalyst(spark):
+    """ADC Arrow partial-top-k vs the JVM LUT fold: identical results
+    (same in-order distance sums, same (dist, id) tie rule)."""
+    from pandas_spark.frame import DataFrame
+    from pandas_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = DataFrame(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    qs = DataFrame(
+        emb.spark.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    cb = sim.pq_train(emb, m=8, ksub=8, sample_n=512, iters=4, seed=3)
+    enc = sim.pq_encode(emb, cb)
+    a = sorted(
+        tuple(r) for r in sim.pq_topk(enc, qs, cb, k=7, method="arrow").spark.collect()
+    )
+    c = sorted(
+        tuple(r) for r in sim.pq_topk(enc, qs, cb, k=7, method="catalyst").spark.collect()
+    )
+    assert a == c
