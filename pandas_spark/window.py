@@ -136,6 +136,7 @@ class Rolling:
         if closed not in (None, "right", "left", "both", "neither"):
             raise ValueError(f"closed must be right/left/both/neither, got {closed!r}")
         self._closed = closed or "right"
+
         if self._closed == "neither" and window == 1:
             # pandas returns all-NaN here (an empty window every row);
             # Spark cannot declare an empty rows frame — fail loudly
@@ -182,6 +183,19 @@ class Rolling:
         hi = 0 if self._closed in ("right", "both") else -1
         return base.orderBy(epoch_micros(F.col(self._on))).rangeBetween(lo, hi)
 
+
+    def _mask_by(self, val):
+        """NULL-key rows yield NULL under per-group rolling — pandas
+        groupby(dropna=True) excludes the NaN group, so its transforms
+        are NaN there (fuzzer-found parity; same rule as
+        groupby._mask_dropped)."""
+        if not self._by:
+            return val
+        cond = F.lit(True)
+        for k in self._by:
+            cond = cond & F.col(k).isNotNull()
+        return F.when(cond, val)
+
     def _apply(self, func: str, col: str, alias: str | None):
         frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
         w = self._spec(frame)
@@ -206,7 +220,7 @@ class Rolling:
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(F.col(col)).over(w)
             val = F.when(cnt >= self._min_periods, val)
-        return frame._with(frame._sdf.withColumn(name, val))
+        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
 
     def weighted_mean(self, col: str, weights, alias: str | None = None):
         """Weighted rolling mean (pandas ``win_type`` windows,
@@ -233,7 +247,7 @@ class Rolling:
         )
         val = dot / F.lit(float(sum(weights))) if normalize else dot
         val = F.when(F.size(arr) == self._window, val)
-        return frame._with(frame._sdf.withColumn(name, val))
+        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
 
     def _win_type_agg(self, col: str, alias: str | None, func: str, win_kwargs):
         weights = get_window_weights(self._win_type, self._window, **win_kwargs)
@@ -270,7 +284,7 @@ class Rolling:
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(F.col(col)).over(w)
             val = F.when(cnt >= self._min_periods, val)
-        return frame._with(frame._sdf.withColumn(name, val))
+        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
 
     def quantile(
         self,
@@ -317,7 +331,7 @@ class Rolling:
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(F.col(col)).over(w)
             val = F.when(cnt >= self._min_periods, val)
-        return frame._with(frame._sdf.withColumn(name, val))
+        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
 
     def rank(
         self,
@@ -362,7 +376,7 @@ class Rolling:
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(x).over(w)
             val = F.when(cnt >= self._min_periods, val)
-        return frame._with(frame._sdf.withColumn(name, val))
+        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
 
     def nunique(self, col: str, alias: str | None = None):
         """``rolling.nunique()`` (reference aggregations.pyx:1636
@@ -377,7 +391,7 @@ class Rolling:
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(x).over(w)
             val = F.when(cnt >= self._min_periods, val)
-        return frame._with(frame._sdf.withColumn(name, val))
+        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
 
     def sum(self, col: str, alias: str | None = None, **win_kwargs):
         # pandas win_type sum = Σw_i·x_i (no normalization); taper
@@ -412,7 +426,7 @@ class Rolling:
         pair = F.when(F.col(x).isNotNull() & F.col(y).isNotNull(), F.lit(1))
         cnt = F.count(pair).over(w)
         val = F.when(cnt >= max(minp, 2), val)
-        return frame._with(frame._sdf.withColumn(name, val))
+        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
 
     def skew(self, col: str, alias: str | None = None):
         return self._moment("skew", col, alias)
@@ -435,7 +449,7 @@ class Rolling:
         if minp and minp > 1:
             cnt = F.count(F.col(col)).over(w)
             val = F.when(cnt >= minp, val)
-        return frame._with(frame._sdf.withColumn(name, val))
+        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
 
     def cov(self, x: str, y: str, alias: str | None = None):
         return self._pairwise("cov", x, y, alias)
@@ -468,7 +482,7 @@ class Expanding(Rolling):
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(F.col(col)).over(w)
             val = F.when(cnt >= self._min_periods, val)
-        return frame._with(frame._sdf.withColumn(name, val))
+        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
 
 
 class Resampler:
