@@ -118,6 +118,23 @@ class GroupBy:
         self._dropna = dropna
         self._dtmap: dict[str, str] | None = None
 
+    def rolling(self, window, **kwargs):
+        """pandas ``groupby.rolling`` (reference groupby.py:3681) — the
+        frame Rolling with this groupby's keys as ``by=``. NULL-key
+        rows yield NULL (dropna parity via Rolling._mask_by)."""
+        return self._frame.rolling(window, by=self._keys, **kwargs)
+
+    def expanding(self, **kwargs):
+        """pandas ``groupby.expanding`` (reference groupby.py:3720)."""
+        return self._frame.expanding(by=self._keys, **kwargs)
+
+    def ewm_mean(self, col: str, **kwargs):
+        """pandas ``groupby.ewm().mean()`` — keyed ewm (window.ewm_mean
+        with this groupby's keys)."""
+        from pandas_spark.window import ewm_mean
+
+        return ewm_mean(self._frame, col, by=self._keys, **kwargs)
+
     def _dt(self, col: str) -> str | None:
         if self._dtmap is None:
             self._dtmap = dict(self._frame.dtypes)

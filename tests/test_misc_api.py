@@ -1044,3 +1044,31 @@ def test_pq_topk_arrow_matches_catalyst(spark):
         tuple(r) for r in sim.pq_topk(enc, qs, cb, k=7, method="catalyst").spark.collect()
     )
     assert a == c
+
+
+def test_groupby_rolling_expanding_accessors(spark):
+    """df.groupby(g).rolling(2).mean(...) == frame rolling with by=g
+    (pandas groupby.rolling surface), incl. the NULL-key mask."""
+    import pandas as pd
+
+    from pandas_spark.frame import DataFrame
+
+    rows = [("a", 1.0, 0), ("a", 3.0, 1), ("b", 5.0, 2), (None, 7.0, 3)]
+    sdf = spark.createDataFrame(rows, "g string, v double, t int")
+    f = DataFrame(sdf).sort_values("t")
+    got = {
+        r["t"]: r["m"]
+        for r in f.groupby("g").rolling(2, min_periods=1).mean("v", alias="m").spark.collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "v", "t"]).sort_values("t")
+    want = pdf.groupby("g")["v"].transform(
+        lambda s: s.rolling(2, min_periods=1).mean()
+    )
+    for t, w in zip(pdf["t"], want):
+        g = got[t]
+        assert (pd.isna(w) and g is None) or abs(w - g) < 1e-12
+    e = {
+        r["t"]: r["v_sum"]
+        for r in f.groupby("g").expanding().sum("v").spark.collect()
+    }
+    assert e[1] == 4.0 and e[3] is None
