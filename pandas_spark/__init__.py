@@ -48,6 +48,17 @@ from pandas_spark.functions.datetimes import (
     to_numeric,
     to_timedelta,
 )
+from pandas_spark.functions.periods import (
+    period_add,
+    period_asfreq,
+    period_diff,
+    period_end_time,
+    period_range_struct,
+    period_start_time,
+    period_str,
+    period_to_timestamp,
+    to_period,
+)
 
 __version__ = "0.1.0"
 
@@ -61,6 +72,15 @@ __all__ = [
     "date_range",
     "interval_range",
     "period_range",
+    "period_range_struct",
+    "to_period",
+    "period_add",
+    "period_asfreq",
+    "period_diff",
+    "period_end_time",
+    "period_start_time",
+    "period_str",
+    "period_to_timestamp",
     "from_pandas",
     "from_dummies",
     "get_dummies",

@@ -137,6 +137,14 @@ class DatetimeMethods:
             out = out.replace(k, v)
         return self._wrap(F.date_format(self._c, out))
 
+    def to_period(self, freq: str = "M"):
+        """``Series.dt.to_period`` -> struct(ordinal, freq) period value
+        (reference core/arrays/datetimes.py:1179; representation in
+        functions/periods.py)."""
+        from pandas_spark.functions.periods import to_period
+
+        return to_period(self._c, freq)
+
     def tz_localize(self, tz: str):
         return self._wrap(F.to_utc_timestamp(self._c, tz))
 

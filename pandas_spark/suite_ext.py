@@ -4459,3 +4459,128 @@ def interpolate_limit_both(spark: SparkSession, sf_dir: str) -> SparkDF:
         subset=["pv"], by=["user_id"], limit_direction="both", limit=2
     )
     return out.select(["event_id", "user_id", "pv"]).to_spark()
+
+
+@query(
+    "period_month_rollup",
+    oracle="""
+    SELECT CAST((year(ts) - 1970) * 12 + month(ts) - 1 AS BIGINT) AS ordinal,
+           strftime(date_trunc('month', ts), '%Y-%m')             AS label,
+           date_trunc('month', ts)::TIMESTAMP                     AS period_start,
+           count(*)::BIGINT                                       AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def period_month_rollup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Period struct dtype end-to-end (reference core/arrays/period.py;
+    representation functions/periods.py): to_period('M') is a map-only
+    closed-form projection, groupBy shuffles the 16-byte struct, label
+    and start_time are recovered from the ordinal JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.assign(p=ps.to_period(col("ts"), "M"))
+        .groupby("p")
+        .agg(n=("event_id", "size"))
+        .assign(
+            ordinal=F.col("p").getField("ordinal"),
+            label=ps.period_str(col("p"), "M"),
+            period_start=ps.period_start_time(col("p"), "M"),
+        )
+        .select(["ordinal", "label", "period_start", "n"])
+        .to_spark()
+    )
+
+
+@query(
+    "period_asfreq_quarter",
+    oracle="""
+    SELECT CAST((year(ts) - 1970) * 4 + quarter(ts) - 1 AS BIGINT) AS ordinal,
+           year(ts)::VARCHAR || 'Q' || quarter(ts)::VARCHAR        AS label,
+           count(*)::BIGINT                                        AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def period_asfreq_quarter(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Period.asfreq M->Q (reference period.pyx Period.asfreq,
+    how='end' default): monthly periods re-tagged to the containing
+    quarter, then rolled up — the ordinal remap is pure integer
+    arithmetic, no timestamp rebuild ever leaves the JVM."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.assign(p=ps.to_period(col("ts"), "M"))
+        .assign(q=ps.period_asfreq(col("p"), "Q", how="end", from_freq="M"))
+        .groupby("q")
+        .agg(n=("event_id", "size"))
+        .assign(
+            ordinal=F.col("q").getField("ordinal"),
+            label=ps.period_str(col("q"), "Q"),
+        )
+        .select(["ordinal", "label", "n"])
+        .to_spark()
+    )
+
+
+@query(
+    "period_week_spine",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(generate_series(
+            DATE '1995-01-09', DATE '1995-02-27', INTERVAL 7 DAY))::DATE AS ws
+    )
+    SELECT CAST((date_diff('day', DATE '1970-01-01', ws) + 10) // 7 AS BIGINT) AS ordinal,
+           ws::TIMESTAMP AS period_start,
+           (ws + INTERVAL 7 DAY)::TIMESTAMP - INTERVAL 1 MICROSECOND AS period_end,
+           strftime(ws, '%Y-%m-%d') || '/' || strftime(ws + INTERVAL 6 DAY, '%Y-%m-%d') AS label
+    FROM w
+    """,
+)
+def period_week_spine(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.period_range(freq='W-SUN') under the struct representation:
+    the spine is a distributed spark.range over ordinals (bounds from
+    pandas' own Period, bit-identical); start/end/label recovered
+    closed-form. The oracle enumerates the same Mondays directly."""
+    sp = ps.period_range_struct(spark, "1995-01-15", "1995-03-02", freq="W")
+    return (
+        sp.assign(
+            ordinal=F.col("period").getField("ordinal"),
+            period_start=ps.period_start_time(col("period"), "W"),
+            period_end=ps.period_end_time(col("period"), "W"),
+            label=ps.period_str(col("period"), "W"),
+        )
+        .select(["ordinal", "period_start", "period_end", "label"])
+        .to_spark()
+    )
+
+
+@query(
+    "period_bday_roll",
+    oracle="""
+    WITH e AS (
+        SELECT date_diff('day', DATE '1970-01-01', ts::DATE) AS d FROM events
+    ), r AS (
+        SELECT CASE WHEN (d + 3) % 7 > 4 THEN d + (7 - (d + 3) % 7) ELSE d END AS db
+        FROM e
+    )
+    SELECT CAST(((db + 4) // 7) * 5 + (db + 4) % 7 - 4 AS BIGINT) AS ordinal,
+           strftime(DATE '1970-01-01' + db::INTEGER, '%Y-%m-%d')  AS label,
+           count(*)::BIGINT                                       AS n
+    FROM r GROUP BY 1, 2
+    """,
+)
+def period_bday_roll(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Business-day periods (reference period.pyx DtoB): weekend
+    events roll forward to Monday's period, weekday events keep their
+    day — differential-tested against pd.Period in tests/test_periods.py;
+    the oracle restates the roll + weekday-count rule in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.assign(p=ps.to_period(col("ts"), "B"))
+        .groupby("p")
+        .agg(n=("event_id", "size"))
+        .assign(
+            ordinal=F.col("p").getField("ordinal"),
+            label=ps.period_str(col("p"), "B"),
+        )
+        .select(["ordinal", "label", "n"])
+        .to_spark()
+    )
