@@ -47,6 +47,83 @@ def _aslist(v) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
+_L_ORD, _R_ORD = "__mlord__", "__mrord__"
+
+
+def _side_order(frame: DataFrame, idname: str):
+    """A join side's declared row order, carried INTO the join so the
+    result can reproduce pandas' merge ordering (merge.py: output rows
+    follow the preserved side's order; sort=False default). Returns
+    ``(sdf, sort_spec | None, id_col | None)`` — value-sorted frames
+    carry their sort keys (they survive the join as columns), raw
+    frames carry a materialized monotonically-increasing id (reused if
+    one already exists). Map-only; one 8-byte column through the
+    shuffle."""
+    from pandas_spark.frame import ORDER_COL
+
+    sdf = frame._sdf
+    if frame._sort_spec:
+        return (
+            sdf.drop(ORDER_COL) if ORDER_COL in sdf.columns else sdf,
+            frame._sort_spec,
+            None,
+        )
+    if frame._order_col and frame._order_col in sdf.columns:
+        return sdf.withColumnRenamed(frame._order_col, idname), None, idname
+    return sdf.withColumn(idname, F.monotonically_increasing_id()), None, idname
+
+
+def _merged_order(out: SparkDF, spark_how: str, l_spec, l_id, r_spec, r_id,
+                  l_ren: dict, r_ren: dict):
+    """Combine the two sides' order keys into the result's declared
+    order: preserved side first (right for how='right'), match order
+    within a row from the other side, unmatched outer rows last
+    (their missing id coalesces to MAX). Returns (sdf, sort_spec,
+    order_col)."""
+    from pandas_spark.frame import ORDER_COL
+
+    if spark_how == "right":
+        sides = [(r_spec, r_id, r_ren), (l_spec, l_id, l_ren)]
+    elif spark_how in ("left_semi", "left_anti"):
+        sides = [(l_spec, l_id, l_ren)]
+    else:
+        sides = [(l_spec, l_id, l_ren), (r_spec, r_id, r_ren)]
+    ids = [i for _, i, _ in sides if i]
+    if ids:
+        # (is_null, value) pairs sort unmatched-outer rows last under
+        # plain struct lexicographic asc, for ANY id type — a chained
+        # merge's id is itself a struct (the previous merge's order)
+        out = out.withColumn(
+            ORDER_COL,
+            F.struct(
+                *[
+                    F.struct(
+                        F.col(n).isNull().alias("m"), F.col(n).alias("v")
+                    ).alias(f"o{k}")
+                    for k, n in enumerate(ids)
+                ]
+            ),
+        ).drop(*ids)
+    spec: list = []
+    for s, i, ren in sides:
+        if s:
+            spec.extend((ren.get(c, c), a, p) for c, a, p in s)
+        elif i and not any(c == ORDER_COL for c, _, _ in spec):
+            spec.append((ORDER_COL, True, "last"))
+    if len(spec) == 1 and spec[0][0] == ORDER_COL:
+        return out, (), ORDER_COL
+    return out, tuple(spec), (ORDER_COL if ids else None)
+
+
+def _suffix_renames(lsdf: SparkDF, rsdf: SparkDF, lk, rk, suffixes):
+    overlap = set(lsdf.columns) & set(rsdf.columns)
+    same_key = {l for l, r in zip(lk, rk) if l == r}
+    return (
+        {c: c + suffixes[0] for c in overlap - same_key},
+        {c: c + suffixes[1] for c in overlap - same_key},
+    )
+
+
 def merge(
     left: DataFrame,
     right: DataFrame,
@@ -59,10 +136,21 @@ def merge(
     validate: str | None = None,
     broadcast: str | None = None,
 ) -> DataFrame:
-    """pandas ``pd.merge``. ``broadcast='right'|'left'`` hints the small side."""
+    """pandas ``pd.merge``. ``broadcast='right'|'left'`` hints the small side.
+
+    Row ORDER matches pandas (merge.py, sort=False): preserved-side
+    order first, the other side's order breaking ties among multiple
+    matches, unmatched outer rows appended — carried as declared-order
+    metadata (sort keys or one id column), so order-sensitive ops after
+    a merge (rolling, ffill, head) see pandas' row order without any
+    physical sort in the join plan."""
     if how not in _HOWS:
         raise ValueError(f"how must be one of {sorted(_HOWS)}, got {how!r}")
-    lsdf, rsdf = left.spark, right.spark
+    lsdf, l_spec, l_id = _side_order(left, _L_ORD)
+    if _HOWS[how] in ("left_semi", "left_anti"):
+        rsdf, r_spec, r_id = right.spark, None, None
+    else:
+        rsdf, r_spec, r_id = _side_order(right, _R_ORD)
 
     def _out_nonnull(lk: list[str], rk: list[str], spark_how: str) -> frozenset:
         """Null-free proofs surviving the join, under the output's
@@ -86,7 +174,10 @@ def merge(
             lsdf, rsdf, [], [], "cross", suffixes, indicator, broadcast,
             left._nonnull, right._nonnull,
         )
-        return DataFrame(out, nonnull=_out_nonnull([], [], "cross"))
+        l_ren, r_ren = _suffix_renames(lsdf, rsdf, [], [], suffixes)
+        out, spec, oc = _merged_order(out, "cross", l_spec, l_id, r_spec, r_id, l_ren, r_ren)
+        return DataFrame(out, order_col=oc, sort_spec=spec,
+                         nonnull=_out_nonnull([], [], "cross"))
 
     lk = _aslist(left_on) or _aslist(on)
     rk = _aslist(right_on) or _aslist(on)
@@ -117,7 +208,12 @@ def merge(
         lsdf, rsdf, lk, rk, _HOWS[how], suffixes, indicator, broadcast,
         left._nonnull, right._nonnull,
     )
-    return DataFrame(out, nonnull=_out_nonnull(lk, rk, _HOWS[how]))
+    l_ren, r_ren = _suffix_renames(lsdf, rsdf, lk, rk, suffixes)
+    out, spec, oc = _merged_order(
+        out, _HOWS[how], l_spec, l_id, r_spec, r_id, l_ren, r_ren
+    )
+    return DataFrame(out, order_col=oc, sort_spec=spec,
+                     nonnull=_out_nonnull(lk, rk, _HOWS[how]))
 
 
 def _disambiguate_and_join(

@@ -1085,3 +1085,31 @@ def test_rolling_win_type_mean_matches_convolution(spark, win_type, kw):
     )
     assert_col_matches(got, pd.Series(want_mean), "wm")
     assert_col_matches(got, pd.Series(want_sum), "ws")
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+def test_merge_preserves_row_order_for_window_ops(spark, how):
+    """pandas merge (sort=False) orders output by the preserved side's
+    rows, the other side's order breaking ties among multiple matches —
+    order-sensitive ops downstream (rolling without an explicit key)
+    must see that order (found by the chain fuzzer: cumsum -> inner
+    join -> rolling2 diverged when the join garbled declared order)."""
+    lrows = [("a", 1.0), ("b", 2.0), ("a", 3.0), ("c", 4.0), ("b", 5.0), ("a", 6.0)]
+    rrows = [("b", 10.0), ("a", 20.0), ("d", 30.0), ("a", 40.0)]
+    pl = pd.DataFrame(lrows, columns=["g", "x"])
+    pr = pd.DataFrame(rrows, columns=["g", "y"])
+    pm = pd.merge(pl, pr, on="g", how=how)
+    want = pm.assign(
+        r=pm.groupby("g")["x"].transform(lambda s: s.rolling(2, min_periods=1).mean())
+    )
+    el = ps.DataFrame(spark.createDataFrame(lrows, "g string, x double"))
+    er = ps.DataFrame(spark.createDataFrame(rrows, "g string, y double"))
+    got = (
+        el.merge(er, on="g", how=how)
+        .rolling(2, by=["g"], min_periods=1)
+        .mean("x", alias="r")
+        .to_pandas()
+    )
+    key = ["g", "x", "y", "r"]
+    canon = lambda d: sorted(map(tuple, d[key].fillna(-9e9).values))
+    assert canon(got) == canon(want)
