@@ -1543,6 +1543,193 @@ class DataFrame:
         out = {c: F.col(c) - F.lag(c, periods).over(w) for c in cols}
         return this._with(this._sdf.withColumns(out))
 
+    _NUMERIC_T = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+    def _numeric_cols(self, columns=None) -> list[str]:
+        if columns:
+            return [columns] if isinstance(columns, str) else list(columns)
+        return [
+            n for n, t in self.dtypes
+            if t in self._NUMERIC_T or t.startswith("decimal")
+        ]
+
+    def _cum_over_order(self, agg, columns=None) -> "DataFrame":
+        """Shared body of the frame-level cumulative family: one global
+        window over the declared order (sequential by definition — same
+        constraint pandas has; use groupby().cum* for the keyed,
+        parallel form). NULL positions stay NULL (pandas skipna) while
+        the accumulation continues past them."""
+        _warn_unkeyed_window("cum*")
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs).rowsBetween(W.unboundedPreceding, W.currentRow)
+        cols = this._numeric_cols(columns)
+        out = {
+            c: F.when(F.col(c).isNotNull(), agg(c).over(w)) for c in cols
+        }
+        return this._with(this._sdf.withColumns(out))
+
+    def cumsum(self, columns: Sequence[str] | None = None) -> "DataFrame":
+        """``DataFrame.cumsum`` (reference generic.py:12153 cum_func
+        over nanops) — per column, declared row order."""
+        return self._cum_over_order(F.sum, columns)
+
+    def cumprod(self, columns: Sequence[str] | None = None) -> "DataFrame":
+        return self._cum_over_order(F.product, columns)
+
+    def cummin(self, columns: Sequence[str] | None = None) -> "DataFrame":
+        return self._cum_over_order(F.min, columns)
+
+    def cummax(self, columns: Sequence[str] | None = None) -> "DataFrame":
+        return self._cum_over_order(F.max, columns)
+
+    def pct_change(self, periods: int = 1, columns: Sequence[str] | None = None) -> "DataFrame":
+        """``DataFrame.pct_change`` (generic.py:12327; fill_method=None
+        per pandas 2.2 default). v/prev - 1 with pandas float semantics
+        on a zero base (±inf, NULL for 0/0) — same rules as the
+        groupby twin (groupby.py pct_change)."""
+        _warn_unkeyed_window("pct_change")
+        this, order_exprs = self._ordered()
+        w = W.orderBy(*order_exprs)
+        cols = this._numeric_cols(columns)
+        out = {}
+        for c in cols:
+            prev = F.lag(c, periods).over(w)
+            d = F.col(c) - prev
+            out[c] = F.when(
+                prev == 0,
+                F.when(d > 0, F.lit(float("inf")))
+                .when(d < 0, F.lit(float("-inf")))
+                .otherwise(F.lit(None).cast("double")),
+            ).otherwise(F.col(c) / prev - 1)
+        return this._with(this._sdf.withColumns(out))
+
+    def abs(self, columns: Sequence[str] | None = None) -> "DataFrame":
+        """``DataFrame.abs`` (generic.py:1442) — numeric columns only,
+        map-only projection."""
+        cols = self._numeric_cols(columns)
+        return self._with(
+            self._sdf.withColumns({c: F.abs(F.col(c)) for c in cols})
+        )
+
+    def round(self, decimals: int | dict = 0) -> "DataFrame":
+        """``DataFrame.round`` (frame.py:10744). pandas rounds via
+        numpy half-to-even — ``bround``, not HALF_UP ``round``.
+        ``decimals`` int for all float columns or {col: n}."""
+        if isinstance(decimals, dict):
+            spec = {c: int(n) for c, n in decimals.items()}
+        else:
+            spec = {
+                n: int(decimals) for n, t in self.dtypes if t in ("float", "double")
+            }
+        return self._with(
+            self._sdf.withColumns({c: F.bround(F.col(c), n) for c, n in spec.items()})
+        )
+
+    def applymap(self, fn: Callable, subset: Sequence[str] | None = None,
+                 dtype: str | None = None, na_action: str | None = None) -> "DataFrame":
+        """``DataFrame.map`` / legacy ``applymap`` (frame.py:10374) —
+        element-wise callable over every (subset) column, Arrow-batched
+        (never row-at-a-time Python)."""
+        from pandas_spark.functions.callables import (
+            elementwise_udf,
+            infer_series_dtype,
+        )
+
+        cols = [subset] if isinstance(subset, str) else list(subset or self.columns)
+        sample = self._infer_sample()
+        out = {}
+        for c in cols:
+            dt = dtype or infer_series_dtype(fn, sample[c])
+            out[c] = elementwise_udf(fn, dt, na_action)(F.col(c))
+        return self._with(self._sdf.withColumns(out))
+
+    map = applymap
+
+    # -- axis reductions as methods (reference generic.py _stat_function):
+    #    axis=0 -> one-row frame of per-column reductions (the Series
+    #    pandas returns, as a frame); axis=1 -> reduce_rows row column.
+    def _stat(self, fn: str, axis: int, subset, **kw) -> "DataFrame":
+        if axis == 1:
+            return self.reduce_rows(fn, subset=subset, **kw)
+        cols = self._numeric_cols(subset) if fn not in ("any", "all") else (
+            [subset] if isinstance(subset, str) else list(
+                subset or [n for n, t in self.dtypes if t == "boolean"]
+            )
+        )
+        return self.agg({c: fn for c in cols})
+
+    def sum(self, axis: int = 0, subset=None): return self._stat("sum", axis, subset)
+    def mean(self, axis: int = 0, subset=None): return self._stat("mean", axis, subset)
+    def median(self, axis: int = 0, subset=None): return self._stat("median", axis, subset)
+    def min(self, axis: int = 0, subset=None): return self._stat("min", axis, subset)
+    def max(self, axis: int = 0, subset=None): return self._stat("max", axis, subset)
+    def prod(self, axis: int = 0, subset=None): return self._stat("prod", axis, subset)
+    def std(self, axis: int = 0, subset=None): return self._stat("std", axis, subset)
+    def var(self, axis: int = 0, subset=None): return self._stat("var", axis, subset)
+    def sem(self, axis: int = 0, subset=None): return self._stat("sem", axis, subset)
+    def skew(self, axis: int = 0, subset=None): return self._stat("skew", axis, subset)
+    def kurt(self, axis: int = 0, subset=None): return self._stat("kurt", axis, subset)
+    kurtosis = kurt
+    def any(self, axis: int = 0, subset=None): return self._stat("any", axis, subset)
+    def all(self, axis: int = 0, subset=None): return self._stat("all", axis, subset)
+
+    # -- set-op conveniences (reference frame.py combine/compare family;
+    #    implementations in operators/setops.py) --------------------------
+    def combine_first(self, other: "DataFrame") -> "DataFrame":
+        from pandas_spark.operators.setops import combine_first
+
+        return combine_first(self, other)
+
+    def update(self, other: "DataFrame", overwrite: bool = True) -> "DataFrame":
+        from pandas_spark.operators.setops import update
+
+        return update(self, other, overwrite=overwrite)
+
+    def combine(self, other: "DataFrame", func, fill_value=None) -> "DataFrame":
+        from pandas_spark.operators.setops import combine
+
+        return combine(self, other, func, fill_value=fill_value)
+
+    def compare(self, other: "DataFrame") -> "DataFrame":
+        from pandas_spark.operators.setops import compare
+
+        return compare(self, other)
+
+    def equals(self, other: "DataFrame") -> bool:
+        from pandas_spark.operators.setops import equals
+
+        return equals(self, other)
+
+    def stack(self, value_cols: Sequence[str] | None = None,
+              var_name: str = "variable", value_name: str = "value") -> "DataFrame":
+        """``DataFrame.stack`` (reshape.py:stack) as its long-form
+        equivalent: melt the value columns, id columns preserved."""
+        from pandas_spark.operators.reshape import melt
+
+        vals = list(value_cols) if value_cols else self._numeric_cols()
+        ids = [c for c in self.columns if c not in set(vals)]
+        return melt(self, id_vars=ids, value_vars=vals,
+                    var_name=var_name, value_name=value_name)
+
+    def at_time(self, time: str, on: str) -> "DataFrame":
+        """``DataFrame.at_time`` (generic.py:8978): rows whose
+        ``on`` timestamp has exactly this wall-clock time."""
+        t = time if time.count(":") == 2 else time + ":00"
+        return self._with(
+            self._sdf.filter(F.date_format(F.col(on), "HH:mm:ss") == t)
+        )
+
+    # -- driver-side export conveniences (collect the frame; for the
+    #    bounded heads/results these mirror, not for 100 TB tables) -----
+    def to_dict(self, orient: str = "records"):
+        return self.to_pandas().to_dict(orient=orient)
+
+    def to_records(self, index: bool = False):
+        return self.to_pandas().to_records(index=index)
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
     # -- UDF surface (SURVEY §2.11) ---------------------------------------------
     def map_in_pandas(self, fn, schema) -> "DataFrame":
         return DataFrame(self.spark.mapInPandas(fn, schema))

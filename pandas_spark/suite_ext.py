@@ -4584,3 +4584,90 @@ def period_bday_roll(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["ordinal", "label", "n"])
         .to_spark()
     )
+
+
+@query(
+    "frame_cumsum_running_total",
+    oracle=f"""
+    WITH d AS (
+        SELECT ts::DATE AS d, {ESUM('value')} AS total FROM events GROUP BY 1
+    )
+    SELECT d, total,
+           sum(total) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+           CASE WHEN lag(total) OVER (ORDER BY d) = 0 THEN NULL
+                ELSE total / lag(total) OVER (ORDER BY d) - 1 END AS pct
+    FROM d
+    """,
+)
+def frame_cumsum_running_total(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Frame-level cumsum + pct_change over the declared order
+    (reference generic.py:12153 cum_func, :12327 pct_change) — the
+    classic running-total-over-dates report. The window is unkeyed by
+    definition (same sequential constraint pandas has), applied to the
+    PRE-REDUCED daily spine, never the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.assign(d=F.to_date(F.col("ts")))
+        .groupby("d")
+        .agg(total=("value", "sum"))
+        .sort_values("d")
+    )
+    return (
+        daily.assign(running=col("total"), pct=col("total"))
+        .cumsum(["running"])
+        .pct_change(columns=["pct"])
+        .select(["d", "total", "running", "pct"])
+        .to_spark()
+    )
+
+
+@query(
+    "frame_scalar_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round_even(l_extendedprice / 100, 0) * 100 AS price_100,
+           abs(l_discount - 0.05)                     AS disc_dev,
+           l_quantity * 2 + 1                         AS q_affine
+    FROM lineitem
+    """,
+)
+def frame_scalar_map(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Frame-level round (half-to-even, frame.py:10744) / abs
+    (generic.py:1442) / applymap (frame.py:10374, Arrow-batched) as
+    map-only projections over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.select(["l_orderkey", "l_linenumber", "l_extendedprice",
+                   "l_discount", "l_quantity"])
+        .assign(
+            price_100=col("l_extendedprice") / 100,
+            disc_dev=col("l_discount") - 0.05,
+        )
+        .round({"price_100": 0})
+        .assign(price_100=col("price_100") * 100)
+        .abs(["disc_dev"])
+        .applymap(lambda v: v * 2 + 1, subset=["l_quantity"], dtype="double")
+    )
+    return out.select(
+        ["l_orderkey", "l_linenumber", "price_100", "disc_dev", "l_quantity"]
+    ).rename(columns={"l_quantity": "q_affine"}).to_spark()
+
+
+@query(
+    "frame_at_time_noon",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE strftime(date_trunc('minute', ts), '%H:%M:%S') = '12:00:00'
+    """,
+)
+def frame_at_time_noon(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DataFrame.at_time (generic.py:8978): exact wall-clock filter —
+    one codegen'd date_format predicate, map-only (applied to the
+    minute-truncated stamp so second-resolution data matches)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.assign(tm=F.date_trunc("minute", F.col("ts")))
+        .at_time("12:00", on="tm")
+        .select(["event_id", "user_id", "event_type"])
+        .to_spark()
+    )
