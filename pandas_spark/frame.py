@@ -1719,6 +1719,45 @@ class DataFrame:
             self._sdf.filter(F.date_format(F.col(on), "HH:mm:ss") == t)
         )
 
+    def asfreq(self, freq: str, on: str, method: str | None = None,
+               subset: Sequence[str] | None = None) -> "DataFrame":
+        """``DataFrame.asfreq`` (reference generic.py:9073; resample
+        ``.asfreq``): reindex onto a fixed-frequency spine from
+        min(on) to max(on) — values kept at EXACT stamps, NULL
+        elsewhere, ``method='ffill'/'bfill'`` fills the gaps.
+
+        The min/max receipt is a 2-scalar bounded collect; the spine is
+        generated engine-side (sequence+explode) and exact-matched with
+        ONE left equi-join; the fill is the standard declared-order
+        window. The spine is by construction bounded (range/freq), so
+        the unkeyed fill window is not a scale hazard."""
+        steps = {
+            "D": "interval 1 day", "h": "interval 1 hour", "H": "interval 1 hour",
+            "min": "interval 1 minute", "T": "interval 1 minute",
+            "s": "interval 1 second", "W": "interval 7 days",
+            "M": "interval 1 month", "ME": "interval 1 month",
+        }
+        step = steps.get(freq, f"interval {freq}")
+        row = self._sdf.agg(F.min(on).alias("mn"), F.max(on).alias("mx")).first()
+        if row["mn"] is None:
+            return self._with(self._sdf.limit(0))
+        spine = self._sdf.sparkSession.range(1).select(
+            F.explode(
+                F.sequence(F.lit(row["mn"]), F.lit(row["mx"]), F.expr(step))
+            ).alias(on)
+        )
+        out = DataFrame(
+            spine.join(self._drop_internal(self._sdf), on=on, how="left"),
+            sort_spec=((on, True, "last"),),
+        )
+        if method in ("ffill", "pad"):
+            return out.ffill(subset=subset)
+        if method in ("bfill", "backfill"):
+            return out.bfill(subset=subset)
+        if method is not None:
+            raise ValueError(f"asfreq method must be None/'ffill'/'bfill', got {method!r}")
+        return out
+
     # -- driver-side export conveniences (collect the frame; for the
     #    bounded heads/results these mirror, not for 100 TB tables) -----
     def to_dict(self, orient: str = "records"):

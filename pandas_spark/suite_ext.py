@@ -4671,3 +4671,33 @@ def frame_at_time_noon(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["event_id", "user_id", "event_type"])
         .to_spark()
     )
+
+
+@query(
+    "frame_asfreq_hourly",
+    oracle="""
+    WITH pick AS (
+        SELECT ts, value FROM events WHERE user_id = 7 AND event_type = 'purchase'
+    ), b AS (
+        SELECT min(ts) AS mn, max(ts) AS mx FROM pick
+    ), s AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))::TIMESTAMP AS ts FROM b
+    ), j AS (
+        SELECT s.ts, p.value FROM s LEFT JOIN pick p USING (ts)
+    )
+    SELECT ts,
+           last_value(value IGNORE NULLS) OVER (
+               ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value
+    FROM j
+    """,
+)
+def frame_asfreq_hourly(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DataFrame.asfreq (generic.py:9073): hourly reindex of one user's
+    sparse purchase stream, pad-filled — spine generated engine-side,
+    exact stamps matched with one left equi-join."""
+    ev = _t(spark, sf_dir, "events")
+    pick = ev.filter((col("user_id") == 7) & (col("event_type") == "purchase")).select(
+        ["ts", "value"]
+    )
+    return pick.asfreq("h", on="ts", method="ffill").to_spark()

@@ -1113,3 +1113,16 @@ def test_merge_preserves_row_order_for_window_ops(spark, how):
     key = ["g", "x", "y", "r"]
     canon = lambda d: sorted(map(tuple, d[key].fillna(-9e9).values))
     assert canon(got) == canon(want)
+
+
+@pytest.mark.parametrize("method", [None, "ffill", "bfill"])
+def test_asfreq_matches_pandas(spark, method):
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10:00", "2024-01-01 02:10:00", "2024-01-01 05:10:00"]
+    )
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0]}, index=ts)
+    want = pdf.asfreq("h", method=method)
+    f = ps.from_pandas(spark, pdf.reset_index(names="ts"))
+    got = f.asfreq("h", on="ts", method=method).sort_values("ts").to_pandas()
+    assert list(got["ts"]) == list(want.index)
+    assert np.allclose(got["v"].values, want["v"].values, equal_nan=True)

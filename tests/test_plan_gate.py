@@ -40,6 +40,7 @@ from conftest import SF_DIR  # noqa: E402
 # strict_scale mode escalates the unkeyed-window warning for these).
 SINGLE_PARTITION_OK = {
     "adaptive_length_filter",
+    "frame_asfreq_hourly",
     "frame_cumsum_running_total",
     "apply_axis0",
     "argsort_positions",
