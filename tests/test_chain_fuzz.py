@@ -397,7 +397,9 @@ def draw_chain(draw, spark):
          "diff", "pct_change", "cummax", "group_head", "nlargest",
          "str_upper", "str_len", "concat_self", "bfill", "group_tail",
          "cummin", "shift_lead", "dedup_none", "filter_g", "join_g",
-         "rolling2_mean", "ewm_span2", "interp_linear"]
+         "rolling2_mean", "ewm_span2", "interp_linear",
+         "frame_cumsum", "frame_pct", "round1", "abs_v",
+         "applymap_affine", "join_gk"]
     )
     for _ in range(n_ops):
         name = draw(pool)
@@ -471,6 +473,18 @@ def draw_chain(draw, spark):
             ops.append(op_ewm_span2())
         elif name == "interp_linear":
             ops.append(op_interp_linear())
+        elif name == "frame_cumsum":
+            ops.append(op_frame_cumsum())
+        elif name == "frame_pct":
+            ops.append(op_frame_pct())
+        elif name == "round1":
+            ops.append(op_round1())
+        elif name == "abs_v":
+            ops.append(op_abs_v())
+        elif name == "applymap_affine":
+            ops.append(op_applymap_affine())
+        elif name == "join_gk":
+            ops.append(op_join_gk(spark, draw(st.sampled_from(["inner", "left", "outer"]))))
     if draw(st.booleans()):
         term = draw(st.sampled_from(
             ["sum", "mean", "min", "max", "count", "var", "std", "median",
@@ -478,6 +492,63 @@ def draw_chain(draw, spark):
         ))
         ops.append(op_size_terminal() if term == "size" else op_agg(term))
     return ops
+
+
+# -- round-6 frame-method families (registered in _EXTRA_OPS below) --------
+def op_frame_cumsum():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p["v"].cumsum())
+
+    return (pandas_side, lambda e: e.sort_values("t").cumsum(["v"]))
+
+
+def op_frame_pct():
+    def pandas_side(p):
+        p = p.sort_values("t")
+        return p.assign(v=p["v"].pct_change(fill_method=None))
+
+    return (pandas_side, lambda e: e.sort_values("t").pct_change(columns=["v"]))
+
+
+def op_round1():
+    return (
+        lambda p: p.assign(v=p["v"].round(1)),
+        lambda e: e.round({"v": 1}),
+    )
+
+
+def op_abs_v():
+    return (
+        lambda p: p.assign(v=p["v"].abs()),
+        lambda e: e.abs(["v"]),
+    )
+
+
+def op_applymap_affine():
+    fn = lambda x: x * 3.0 - 1.0
+    return (
+        lambda p: p.assign(v=p["v"].map(fn)),
+        lambda e: e.applymap(fn, subset=["v"], dtype="double"),
+    )
+
+
+DIM_GK_ROWS = [("a", 0.0, 5.0), ("a", 1.0, 6.0), ("b", 0.0, 7.0),
+               (None, 3.0, 8.0), ("ζ", None, 9.0)]
+
+
+def op_join_gk(spark, how):
+    """Two-key merge with NULLs in BOTH key columns of the dim —
+    stresses the null-safe `<=>` key path and suffix-free overlap."""
+    def pandas_side(p):
+        pdf2 = pd.DataFrame(DIM_GK_ROWS, columns=["g", "k", "u2"])
+        return pd.merge(p, pdf2, on=["g", "k"], how=how)
+
+    def engine_side(e):
+        sdf2 = spark.createDataFrame(DIM_GK_ROWS, schema="g string, k double, u2 double")
+        return e.merge(DataFrame(sdf2), on=["g", "k"], how=how)
+
+    return (pandas_side, engine_side)
 
 
 # ---------------------------------------------------------------------------
