@@ -124,6 +124,35 @@ class GroupBy:
         rows yield NULL (dropna parity via Rolling._mask_by)."""
         return self._frame.rolling(window, by=self._keys, **kwargs)
 
+    def resample(self, rule: str, on: str):
+        """pandas ``groupby().resample()`` (reference groupby.py:3591) —
+        the frame Resampler with this groupby's keys as the extra
+        grouping dimension. NULL-key rows are excluded first (groupby
+        dropna parity; a pushdown-friendly filter, no extra pass)."""
+        frame = self._frame
+        if self._dropna:
+            frame = frame._with(self._filter_dropped(frame._sdf))
+        return frame.resample(rule, on, by=self._keys)
+
+    @property
+    def ngroups(self) -> int:
+        """pandas ``GroupBy.ngroups`` (groupby.py:812) — distinct key
+        count; one narrow countDistinct, scalar driver receipt."""
+        sdf = self._filter_dropped(self._frame._sdf)
+        return sdf.select(*self._keys).distinct().count()
+
+    def get_group(self, key) -> "object":
+        """pandas ``GroupBy.get_group`` (groupby.py:846): the rows of
+        one group — a pushdown-friendly equality filter, no shuffle."""
+        vals = [key] if not isinstance(key, (tuple, list)) else list(key)
+        if len(vals) != len(self._keys):
+            raise KeyError(f"get_group key arity {len(vals)} != {len(self._keys)} keys")
+        cond = None
+        for k, v in zip(self._keys, vals):
+            t = F.col(k).eqNullSafe(F.lit(v))
+            cond = t if cond is None else (cond & t)
+        return self._frame._with(self._frame._sdf.filter(cond))
+
     def expanding(self, **kwargs):
         """pandas ``groupby.expanding`` (reference groupby.py:3720)."""
         return self._frame.expanding(by=self._keys, **kwargs)

@@ -1072,3 +1072,30 @@ def test_groupby_rolling_expanding_accessors(spark):
         for r in f.groupby("g").expanding().sum("v").spark.collect()
     }
     assert e[1] == 4.0 and e[3] is None
+
+
+def test_groupby_resample_ngroups_get_group(spark):
+    """groupby().resample()/ngroups/get_group (reference groupby.py:
+    3591, 812, 846) — incl. NULL-key dropna parity for resample."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "g": ["a", "b", "a", None],
+        "v": [1.0, 2.0, 3.0, 4.0],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:05", "2024-01-01 00:50",
+            "2024-01-01 01:20", "2024-01-01 01:40",
+        ]),
+    })
+    f = ps.from_pandas(spark, pdf)
+    gb = f.groupby("g")
+    assert gb.ngroups == pdf.groupby("g").ngroups == 2
+    assert sorted(gb.get_group("a").to_pandas()["v"]) == [1.0, 3.0]
+    got = gb.resample("1h", on="ts").agg({"v": "sum"}).to_pandas()
+    want = (
+        pdf.dropna(subset=["g"]).groupby("g").resample("1h", on="ts")[["v"]]
+        .sum().reset_index()
+    )
+    assert sorted(map(tuple, got[["g", "ts", "v"]].values)) == sorted(
+        map(tuple, want[["g", "ts", "v"]].values)
+    )
