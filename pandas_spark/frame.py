@@ -1467,6 +1467,20 @@ class DataFrame:
 
         return pivot_table(self, **kwargs)
 
+    def pivot(self, index, columns: str, values: str, strict: bool = False) -> "DataFrame":
+        """``DataFrame.pivot`` (reference frame.py:9331) — spread
+        without aggregation; implementation in operators/reshape.py."""
+        from pandas_spark.operators.reshape import pivot
+
+        return pivot(self, index, columns, values, strict=strict)
+
+    def unstack(self, index, columns: str, values: str) -> "DataFrame":
+        """``DataFrame.unstack`` under the flat-column model ==
+        ``pivot`` (reshape.py:unstack long->wide)."""
+        from pandas_spark.operators.reshape import pivot
+
+        return pivot(self, index, columns, values)
+
     def explode(self, column: str | Sequence[str], outer: bool = True) -> "DataFrame":
         """``DataFrame.explode`` (frame.py:10586). A LIST of columns
         zip-explodes them in lockstep (pandas 1.3+ multi-column
