@@ -1733,6 +1733,22 @@ class DataFrame:
             self._sdf.filter(F.date_format(F.col(on), "HH:mm:ss") == t)
         )
 
+    def reindex(self, columns: Sequence[str], fill_value=None) -> "DataFrame":
+        """``DataFrame.reindex(columns=)`` (reference generic.py:5237,
+        column axis): project to exactly these columns in this order,
+        materializing missing ones as ``fill_value`` (NULL default) —
+        a map-only projection. (Row reindexing at a frequency is
+        :meth:`asfreq`; arbitrary row labels have no distributed
+        analog without an index column to join on.)"""
+        have = set(self.columns)
+        exprs = [
+            F.col(c) if c in have else F.lit(fill_value).alias(c)
+            for c in columns
+        ]
+        if self._order_col:
+            exprs = exprs + [F.col(self._order_col)]
+        return self._with(self._sdf.select(*exprs))
+
     def asfreq(self, freq: str, on: str, method: str | None = None,
                subset: Sequence[str] | None = None) -> "DataFrame":
         """``DataFrame.asfreq`` (reference generic.py:9073; resample

@@ -135,6 +135,7 @@ def merge(
     indicator: bool = False,
     validate: str | None = None,
     broadcast: str | None = None,
+    sort: bool = False,
 ) -> DataFrame:
     """pandas ``pd.merge``. ``broadcast='right'|'left'`` hints the small side.
 
@@ -212,8 +213,15 @@ def merge(
     out, spec, oc = _merged_order(
         out, _HOWS[how], l_spec, l_id, r_spec, r_id, l_ren, r_ren
     )
-    return DataFrame(out, order_col=oc, sort_spec=spec,
-                     nonnull=_out_nonnull(lk, rk, _HOWS[how]))
+    res = DataFrame(out, order_col=oc, sort_spec=spec,
+                    nonnull=_out_nonnull(lk, rk, _HOWS[how]))
+    if sort:
+        # pandas merge(sort=True): join keys lexicographically; the
+        # output key name is the LEFT name (or coalesced same-name key)
+        keys = [c for c in (lk if _HOWS[how] != "right" else rk) if c in res.columns]
+        if keys:
+            res = res.sort_values(keys)
+    return res
 
 
 def _disambiguate_and_join(
