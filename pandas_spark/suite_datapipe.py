@@ -1834,3 +1834,59 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
     kept = flagged.filter(F.col("repetition_keep")).select("doc_id")
     pss.run_to_memory(kept, "suite_stream_quality")
     return spark.table("suite_stream_quality")
+
+
+_KM_ITER = """
+, m{n} AS (
+    SELECT a{p}.cell, g.i AS pos, avg(a{p}.e[g.i]) AS m
+    FROM a{p}, generate_series(1, 64) g(i)
+    GROUP BY 1, 2
+), c{n} AS (
+    SELECT c{p}.cell, COALESCE(nn.e, c{p}.e) AS e
+    FROM c{p} LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS e FROM m{n} GROUP BY cell
+    ) nn USING (cell)
+), a{n} AS (
+    SELECT vv.vec_id, vv.e,
+           (SELECT c.cell FROM c{n} c
+            ORDER BY list_distance(vv.e, c.e) ASC, c.cell ASC LIMIT 1) AS cell
+    FROM v vv
+)
+"""
+
+
+@query(
+    "cluster_kmeans",
+    oracle=(
+        """
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+        FROM v ORDER BY vec_id LIMIT 8
+    ), a0 AS (
+        SELECT vv.vec_id, vv.e,
+               (SELECT c.cell FROM c0 c
+                ORDER BY list_distance(vv.e, c.e) ASC, c.cell ASC LIMIT 1) AS cell
+        FROM v vv
+    )
+    """
+        + _KM_ITER.format(n=1, p=0)
+        + _KM_ITER.format(n=2, p=1)
+        + "SELECT vec_id, cell FROM a2"
+    ),
+)
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Distributed Lloyd's k-means (operators/clustering.py): two full
+    assign+recompute passes over the corpus, k=8, seeded by the 8
+    smallest vec_ids. Assignment is a pure Catalyst literal fold
+    (argmax of x·c − ||c||²/2); recompute is one zero-copy mapInArrow
+    partial-sum pass per iteration with a bounded (batches·k·dim)
+    driver combine in deterministic order. The oracle unrolls BOTH
+    Lloyd iterations in SQL (per-position averages via
+    generate_series, empty cells keep their centroid)."""
+    from pandas_spark.operators.clustering import kmeans_assign
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    out = kmeans_assign(emb, k=8, iters=2)
+    return out.select(["vec_id", "cell"]).to_spark()

@@ -93,11 +93,17 @@ def main():
         cb = similarity.pq_train(nemb, m=16, ksub=16, sample_n=100_000, iters=8, seed=42)
         noop(similarity.pq_topk_rerank(nemb, queries, cb, k=10, shortlist=50).spark)
 
+    def run_kmeans():
+        from pandas_spark.operators.clustering import kmeans_assign
+
+        noop(kmeans_assign(emb, k=8, iters=2).spark)
+
     results = {}
     for name, fn in (
         ("text_repetition_gopher", run_rep),
         ("dedup_exact_substring", run_substr),
         ("sim_topk_pq_pipeline", run_pq),
+        ("cluster_kmeans", run_kmeans),
     ):
         if ONLY is not None and name not in ONLY:
             continue
