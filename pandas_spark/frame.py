@@ -1011,11 +1011,41 @@ class DataFrame:
         n: int | None = None,
         seed: int | None = None,
         id_col: str | None = None,
+        weights: str | None = None,
     ) -> "DataFrame":
         """pandas ``DataFrame.sample``. With ``id_col`` the sample is
         DETERMINISTIC (md5 id-hash bucket / hash-rank — reproducible
         across reruns, retries, partitionings, and engines); without
-        it, Spark RNG."""
+        it, Spark RNG.
+
+        ``weights=`` (a column name; requires ``id_col``) draws WITHOUT
+        replacement with probability proportional to the weight —
+        Efraimidis–Spirakis A-Res (2006): per-row key ln(u)/w from the
+        deterministic hash-uniform u, top-n keys win. One ordered limit
+        (TakeOrderedAndProject, driver receipt = n), no iteration.
+        Zero/NULL-weight rows are never selected (pandas rule)."""
+        if weights is not None:
+            if id_col is None:
+                raise ValueError("sample(weights=) requires id_col= for the deterministic uniform")
+            if n is None:
+                if frac is None:
+                    raise ValueError("sample(weights=) requires n or frac")
+                n = int(round(frac * self._sdf.count()))
+            h = F.md5(F.concat(F.lit(str(seed if seed is not None else "")),
+                               F.col(id_col).cast("string")))
+            u = (
+                F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").cast("double")
+                + F.lit(0.5)
+            ) / F.lit(float(1 << 60))
+            w = F.col(weights).cast("double")
+            key = F.log(u) / w
+            eligible = self._sdf.filter(w.isNotNull() & (w > 0))
+            return self._with(
+                eligible.withColumn("__es_key__", key)
+                .orderBy(F.col("__es_key__").desc(), F.col(id_col).asc())
+                .limit(int(n))
+                .drop("__es_key__")
+            )
         if id_col is not None:
             h = F.md5(F.concat(F.lit(str(seed if seed is not None else "")),
                                F.col(id_col).cast("string")))

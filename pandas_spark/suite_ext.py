@@ -4701,3 +4701,30 @@ def frame_asfreq_hourly(spark: SparkSession, sf_dir: str) -> SparkDF:
         ["ts", "value"]
     )
     return pick.asfreq("h", on="ts", method="ffill").to_spark()
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey, o_totalprice,
+               ln((('0x' || substr(md5('7' || o_orderkey::VARCHAR), 1, 15))::UBIGINT
+                    + 0.5) / 1152921504606846976.0) / o_totalprice AS key
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    )
+    SELECT o_orderkey, o_totalprice FROM k
+    ORDER BY key DESC, o_orderkey LIMIT 500
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """sample(n=500, weights=) — Efraimidis–Spirakis weighted sampling
+    without replacement (generic.py:6056 sample(weights=)), key
+    ln(u)/w over the deterministic md5 uniform; one ordered limit,
+    driver receipt = n. The oracle restates the key algebra verbatim
+    (same md5, same 60-bit uniform)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.sample(n=500, seed=7, id_col="o_orderkey", weights="o_totalprice")
+        .select(["o_orderkey", "o_totalprice"])
+        .to_spark()
+    )
