@@ -402,3 +402,67 @@ def tolerance_join_stream(
         & (r[rts] > l[lts] - F.expr(f"INTERVAL {secs} seconds"))
     )
     return l.join(r, cond, "inner").drop(*[k + suffixes[1] for k in by])
+
+
+def kmeans_stream(
+    sdf: SparkDF,
+    vec_col: str,
+    init_centroids: Sequence[Sequence[float]],
+    order_col: str | None = None,
+    timeout: str = "NoTimeout",
+) -> SparkDF:
+    """Streaming mini-batch k-means (Sculley 2010, "Web-Scale K-Means
+    Clustering"): centroids live in stream state and every arriving
+    vector (a) is assigned to its nearest centroid — emitted as
+    ``cell`` — then (b) nudges that centroid with the per-center
+    learning rate 1/n_c. The online twin of
+    ``operators.clustering.kmeans`` the same way ``ewm_mean_stream``
+    twins the batch ewm.
+
+    Global-model state is a SINGLE state group by construction (the
+    same sequential constraint Sculley's algorithm has — each update
+    depends on all prior ones); the batch operator is the distributed
+    path, this is the incremental one. State = flattened centroid
+    matrix + per-center counts, carried across micro-batches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    C0 = np.asarray(init_centroids, dtype=np.float64)
+    k, dim = C0.shape
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields)
+        + ", `cell` int"
+    )
+    state_schema = "c array<double>, n array<bigint>"
+    in_cols = [f.name for f in sdf.schema.fields]
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            c_flat, counts = state.get
+            C = np.asarray(c_flat, dtype=np.float64).reshape(k, dim)
+            n = np.asarray(counts, dtype=np.int64).copy()
+        else:
+            C = C0.copy()
+            n = np.zeros(k, dtype=np.int64)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col, kind="stable")
+        cells = np.empty(len(pdf), dtype=np.int32)
+        for i, v in enumerate(pdf[vec_col]):
+            x = np.asarray(v, dtype=np.float64)
+            j = int(((C - x) ** 2).sum(axis=1).argmin())
+            cells[i] = j
+            n[j] += 1
+            eta = 1.0 / n[j]
+            C[j] += eta * (x - C[j])
+        pdf["cell"] = cells
+        state.update(([float(x) for x in C.ravel()], [int(x) for x in n]))
+        yield pdf[in_cols + ["cell"]]
+
+    timeout_conf = getattr(GroupStateTimeout, timeout)
+    return (
+        sdf.withColumn("__g__", F.lit(0))
+        .groupBy("__g__")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
+    )

@@ -305,3 +305,66 @@ def test_ewm_mean_stream_state_across_micro_batches(spark, tmp_path):
     ).select(["event_id", "value_ewm"]).to_spark().collect()
     want = {r["event_id"]: round(r["value_ewm"], 9) for r in batch}
     assert got == want
+
+
+def test_kmeans_stream_matches_offline_minibatch(spark, tmp_path):
+    """Streaming mini-batch k-means (Sculley 2010) must equal the
+    offline sequential reference on the same arrival order — both
+    single-batch and split across micro-batches (state carry)."""
+    import numpy as np
+
+    import pandas_spark as ps
+
+    emb = ps.read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    rows = sorted(
+        emb.to_spark().select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    X = np.array([list(map(float, r["embedding"])) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    C = X[:5].copy()
+
+    # offline sequential reference (assign-then-update, eta = 1/n_c)
+    n = np.zeros(5, dtype=np.int64)
+    want = {}
+    for i, x in enumerate(X):
+        j = int(((C - x) ** 2).sum(axis=1).argmin())
+        want[ids[i]] = j
+        n[j] += 1
+        C[j] += (x - C[j]) / n[j]
+
+    src_dir = str(tmp_path / "emb_split")
+    m = len(ids)
+    for part in range(2):
+        lo, hi = part * (m // 2 + 1), (part + 1) * (m // 2 + 1)
+        (
+            emb.filter(f"vec_id >= {ids[0] + lo} AND vec_id < {ids[0] + hi}")
+            .to_spark()
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = pss.kmeans_stream(
+        stream, "embedding", X[:5].tolist(), order_col="vec_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_kmeans_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in spark.sql("SELECT vec_id, cell FROM t_kmeans_stream").collect()
+    }
+    assert len(got) == m
+    mism = [i for i in ids if got[i] != want[i]]
+    assert not mism, mism[:5]
