@@ -357,6 +357,63 @@ def _validate(lsdf: SparkDF, rsdf: SparkDF, lk: list[str], rk: list[str], rule: 
         raise ValueError(f"merge keys not unique on right (validate={rule})")
 
 
+def _asof_broadcast(
+    lsdf: SparkDF,
+    rsdf: SparkDF,
+    on: str,
+    by_keys: list[str],
+    payload: list[str],
+    direction: str,
+    tolerance,
+    allow_exact_matches: bool,
+    _num,
+) -> DataFrame:
+    """Small-right merge_asof: right → per-key sorted struct arrays →
+    broadcast equi-join on the by-key → array-filter asof lookup. The
+    left side is map-only end-to-end; the only shuffle is the tiny
+    right-side groupBy (dim-sized)."""
+    entry = F.struct(F.col(on).alias("__t__"), *[F.col(c) for c in payload])
+    grouped = rsdf.groupBy(*by_keys).agg(
+        F.array_sort(F.collect_list(entry)).alias("__arr__")
+    )
+    if by_keys:
+        g2 = grouped.withColumnsRenamed({k: "__rby_" + k for k in by_keys})
+        cond = None
+        for k in by_keys:
+            t = lsdf[k].eqNullSafe(g2["__rby_" + k])
+            cond = t if cond is None else (cond & t)
+        joined = lsdf.join(F.broadcast(g2), cond, "left").drop(
+            *["__rby_" + k for k in by_keys]
+        )
+    else:
+        joined = lsdf.crossJoin(F.broadcast(grouped))
+    lt = F.col(on)
+    if direction == "backward":
+        pred = (lambda e: e["__t__"] <= lt) if allow_exact_matches else (
+            lambda e: e["__t__"] < lt
+        )
+        m = F.try_element_at(F.filter(F.col("__arr__"), pred), F.lit(-1))
+    else:
+        pred = (lambda e: e["__t__"] >= lt) if allow_exact_matches else (
+            lambda e: e["__t__"] > lt
+        )
+        m = F.try_element_at(F.filter(F.col("__arr__"), pred), F.lit(1))
+    out = joined.withColumn("__m__", m).drop("__arr__")
+    keep = F.lit(True)
+    if tolerance is not None:
+        if hasattr(tolerance, "total_seconds"):
+            tol = tolerance.total_seconds()
+        elif isinstance(tolerance, str):
+            from pandas_spark.window import parse_offset_seconds
+
+            tol = parse_offset_seconds(tolerance)
+        else:
+            tol = tolerance
+        keep = F.abs(_num(lt) - _num(F.col("__m__")["__t__"])) <= F.lit(tol)
+    cols = {c: F.when(keep, F.col("__m__")[c]) for c in payload}
+    return DataFrame(out.withColumns(cols).drop("__m__"))
+
+
 def merge_asof(
     left: DataFrame,
     right: DataFrame,
@@ -368,6 +425,7 @@ def merge_asof(
     suffixes: tuple[str, str] = ("_x", "_y"),
     left_by: str | Sequence[str] | None = None,
     right_by: str | Sequence[str] | None = None,
+    strategy: str | None = None,
 ) -> DataFrame:
     """pandas ``merge_asof`` via union + ordered window (no range explosion).
 
@@ -377,7 +435,14 @@ def merge_asof(
     one shuffle on the by-key, linear work per partition, scales to
     arbitrarily large sides (vs. a range join's quadratic blowup).
     ``direction='forward'`` flips the frame; ``'nearest'`` combines both.
-    """
+
+    ``strategy='broadcast'`` (auto-picked for backward/forward when the
+    right side's Catalyst size estimate fits the broadcast threshold):
+    the right side collapses to per-key SORTED arrays, broadcast-joins
+    to the left on the by-key, and the asof lookup is an array filter +
+    try_element_at — the LEFT (fact) side never shuffles at all, the
+    same reasoning as broadcasting a small dim in an equi-join. The
+    window path remains the both-sides-big plan."""
     by_keys = _aslist(by)
     lsdf, rsdf = left.spark, right.spark
     if left_by or right_by:
@@ -399,6 +464,22 @@ def merge_asof(
     lsdf = lsdf.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
     rsdf = rsdf.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
     payload = [c for c in rsdf.columns if c != on and c not in by_keys]
+
+    if strategy is None and direction in ("backward", "forward"):
+        try:
+            size = int(rsdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            thr_raw = rsdf.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+            thr = int(str(thr_raw).lower().rstrip("b"))
+            strategy = "broadcast" if 0 < size <= thr else "window"
+        except Exception:
+            strategy = "window"
+    if strategy == "broadcast" and direction in ("backward", "forward"):
+        return _asof_broadcast(
+            lsdf, rsdf, on, by_keys, payload, direction,
+            tolerance, allow_exact_matches, _num,
+        )
 
     # __rid__ (a unique left-row id for the backward/forward result
     # join) is only needed by direction='nearest' — backward/forward
