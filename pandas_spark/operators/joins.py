@@ -466,13 +466,20 @@ def merge_asof(
     payload = [c for c in rsdf.columns if c != on and c not in by_keys]
 
     if strategy is None and direction in ("backward", "forward"):
+        # broadcast pays off when it SAVES a much bigger left shuffle:
+        # right must fit the broadcast threshold AND the left must be
+        # decisively larger (comparable sides → the window plan's one
+        # co-shuffle costs about the same as building the broadcast)
         try:
-            size = int(rsdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            r_size = int(rsdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            l_size = int(lsdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
             thr_raw = rsdf.sparkSession.conf.get(
                 "spark.sql.autoBroadcastJoinThreshold", "10485760"
             )
             thr = int(str(thr_raw).lower().rstrip("b"))
-            strategy = "broadcast" if 0 < size <= thr else "window"
+            strategy = (
+                "broadcast" if 0 < r_size <= thr and l_size > 3 * r_size else "window"
+            )
         except Exception:
             strategy = "window"
     if strategy == "broadcast" and direction in ("backward", "forward"):
