@@ -226,25 +226,68 @@ def cut(
     labels: Sequence[str] | None = None,
     right: bool = True,
     alias: str | None = None,
+    include_lowest: bool = False,
 ) -> DataFrame:
     """``pd.cut`` with explicit edges (tile.py:59) — a chained-when expression
-    (codegen'd; no UDF). Out-of-range → NULL, matching pandas."""
+    (codegen'd; no UDF). Out-of-range → NULL, matching pandas.
+    ``include_lowest=True`` closes the FIRST interval on the left
+    (pandas tile.py: the qcut default)."""
     name = alias or f"{col}_bin"
     c = F.col(col)
     expr = F.lit(None).cast("string")
     n = len(bins) - 1
     for i in range(n - 1, -1, -1):
         lo, hi = bins[i], bins[i + 1]
+        first_closed = right and include_lowest and i == 0
         if right:
-            pred = (c > lo) & (c <= hi)
+            pred = ((c >= lo) if first_closed else (c > lo)) & (c <= hi)
         else:
             pred = (c >= lo) & (c < hi)
-        label = labels[i] if labels else (f"({lo}, {hi}]" if right else f"[{lo}, {hi})")
+        if labels:
+            label = labels[i]
+        elif right:
+            label = f"[{lo}, {hi}]" if first_closed else f"({lo}, {hi}]"
+        else:
+            label = f"[{lo}, {hi})"
         expr = F.when(pred, F.lit(label)).otherwise(expr)
     return frame._with(frame._sdf.withColumn(name, expr))
 
 
 def qcut(
+    frame: DataFrame,
+    col: str,
+    q: int | Sequence[float],
+    labels: Sequence[str] | None = None,
+    alias: str | None = None,
+    duplicates: str = "raise",
+) -> DataFrame:
+    """``pd.qcut``. Integer ``q`` → exact equal-count tiling (below).
+    A LIST of quantiles (e.g. ``[0, .25, .5, .75, 1]``) computes the
+    exact linear-interpolated percentile edges (one JVM percentile
+    aggregate, bounded scalar receipt) and bins right-closed with the
+    lowest edge included — pandas tile.py semantics, including
+    ``duplicates='raise'/'drop'`` on degenerate edges."""
+    if not isinstance(q, int):
+        qs = [float(x) for x in q]
+        row = frame._sdf.agg(
+            F.expr(f"percentile(`{col}`, array({', '.join(str(x) for x in qs)}))").alias("e")
+        ).first()
+        edges = list(row["e"])
+        dedup = sorted(set(edges))
+        if len(dedup) < len(edges):
+            if duplicates != "drop":
+                raise ValueError(
+                    f"Bin edges must be unique: {edges}; pass duplicates='drop'"
+                )
+            edges = dedup
+        return cut(
+            frame, col, edges, labels=labels, right=True,
+            alias=alias or f"{col}_qbin", include_lowest=True,
+        )
+    return _qcut_int(frame, col, q, labels, alias)
+
+
+def _qcut_int(
     frame: DataFrame,
     col: str,
     q: int,

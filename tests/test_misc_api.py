@@ -1099,3 +1099,33 @@ def test_groupby_resample_ngroups_get_group(spark):
     assert sorted(map(tuple, got[["g", "ts", "v"]].values)) == sorted(
         map(tuple, want[["g", "ts", "v"]].values)
     )
+
+
+def test_qcut_quantile_list_and_duplicates(spark):
+    """qcut(q=list) exact percentile edges + duplicates= (tile.py);
+    cut(include_lowest=) first-interval closure."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_spark.operators.reshape import cut, qcut
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"v": rng.normal(size=200).round(3)})
+    f = ps.from_pandas(spark, pdf)
+    g = qcut(f, "v", [0, .25, .5, .75, 1], labels=["q1", "q2", "q3", "q4"]).to_pandas()
+    w = pd.qcut(pdf["v"], [0, .25, .5, .75, 1], labels=["q1", "q2", "q3", "q4"])
+    got = g.sort_values("v")["v_qbin"].values
+    want = pd.DataFrame({"v": pdf["v"], "b": w.astype(str)}).sort_values("v")["b"].values
+    assert (got == want).all()
+
+    pdf2 = pd.DataFrame({"v": [1.0] * 50 + [2.0, 3.0]})
+    f2 = ps.from_pandas(spark, pdf2)
+    with pytest.raises(ValueError):
+        qcut(f2, "v", [0, .25, .5, .75, 1])
+    g2 = qcut(f2, "v", [0, .25, .5, .75, 1], duplicates="drop").to_pandas()
+    w2 = pd.qcut(pdf2["v"], [0, .25, .5, .75, 1], duplicates="drop")
+    assert sorted(g2["v_qbin"].value_counts().values) == sorted(w2.value_counts().values)
+
+    g3 = cut(f, "v", [-10, 0, 10], include_lowest=True).to_pandas()
+    w3 = pd.cut(pdf["v"], [-10, 0, 10], include_lowest=True)
+    assert sorted(g3["v_bin"].value_counts().values) == sorted(w3.value_counts().values)
