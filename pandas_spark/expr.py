@@ -208,6 +208,12 @@ class Expr:
 
         return DatetimeMethods(self._col)
 
+    @property
+    def period(self):
+        from pandas_spark.functions.periods import PeriodMethods
+
+        return PeriodMethods(self._col)
+
     def __repr__(self) -> str:
         return f"Expr({self._col})"
 

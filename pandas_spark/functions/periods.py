@@ -25,8 +25,8 @@ tests, tests/test_periods.py):
     W   floor((epoch_day + 10) / 7)          (W-SUN: Mon..Sun weeks,
         anchored so the week ENDING 1969-12-28 is ordinal 0)
     D   epoch_day
-    B   ((d+4) floordiv 7)*5 + (d+4) mod 7 - 4, weekends rolled back
-        to Friday first (period.pyx DtoB roll_back convention)
+    B   ((d+4) floordiv 7)*5 + (d+4) mod 7 - 4, weekends rolled
+        FORWARD to Monday first (measured pd.Period convention)
     h   epoch_day*24 + hour
     min h*60 + minute
     s   min*60 + second
@@ -320,3 +320,45 @@ def period_range_struct(
         F.struct(F.col("id").alias("ordinal"), F.lit(f).alias("freq")).alias("period")
     )
     return DataFrame(sdf)
+
+
+class PeriodMethods:
+    """``.period`` accessor on a struct(ordinal, freq) column — the
+    PeriodProperties analog (reference core/indexes/accessors.py:
+    PeriodProperties)."""
+
+    __slots__ = ("_c",)
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    @property
+    def ordinal(self):
+        return _wrap(self._c["ordinal"])
+
+    @property
+    def freqstr(self):
+        return _wrap(self._c["freq"])
+
+    @property
+    def start_time(self):
+        return period_start_time(self._c)
+
+    @property
+    def end_time(self):
+        return period_end_time(self._c)
+
+    def to_timestamp(self, freq: str | None = None, how: str = "start"):
+        return period_to_timestamp(self._c, freq, how)
+
+    def asfreq(self, to_freq: str, how: str = "end"):
+        return period_asfreq(self._c, to_freq, how=how)
+
+    def strftime(self):
+        return period_str(self._c)
+
+    def __add__(self, n: int):
+        return period_add(self._c, n)
+
+    def __sub__(self, n: int):
+        return period_add(self._c, -n)

@@ -145,3 +145,28 @@ def test_groupby_on_period_struct(spark):
     )
     assert list(got["label"]) == list(ref.index)
     assert list(got["n"]) == list(ref.values)
+
+
+def test_period_accessor(spark):
+    """.period accessor sugar (PeriodProperties analog)."""
+    import pandas_spark as psm
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["1995-03-15", "1996-07-01"])})
+    f = psm.from_pandas(spark, pdf).assign(p=psm.to_period(psm.col("ts"), "M"))
+    out = (
+        f.assign(
+            o=psm.col("p").period.ordinal,
+            s=psm.col("p").period.strftime(),
+            st=psm.col("p").period.start_time,
+            q=psm.col("p").period.asfreq("Q"),
+            p2=psm.col("p").period + 2,
+        )
+        .sort_values("ts")
+        .to_pandas()
+    )
+    refs = [pd.Period(t, "M") for t in pdf["ts"]]
+    assert list(out["o"]) == [r.ordinal for r in refs]
+    assert list(out["s"]) == [str(r) for r in refs]
+    assert [pd.Timestamp(t) for t in out["st"]] == [r.start_time for r in refs]
+    assert [x["ordinal"] for x in out["q"]] == [r.asfreq("Q").ordinal for r in refs]
+    assert [x["ordinal"] for x in out["p2"]] == [(r + 2).ordinal for r in refs]
