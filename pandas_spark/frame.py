@@ -1940,7 +1940,9 @@ class DataFrame:
         * ``compression`` — codec override (snappy default; ``zstd``
           for archival density).
         """
-        sdf = self._sdf
+        # drop internal order columns but skip the presentation sort —
+        # a global orderBy before a distributed write is pure cost
+        sdf = self._drop_internal(self._sdf)
         if sort_by:
             sdf = sdf.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         w = sdf.write.mode(mode)

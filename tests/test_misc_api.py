@@ -1129,3 +1129,14 @@ def test_qcut_quantile_list_and_duplicates(spark):
     g3 = cut(f, "v", [-10, 0, 10], include_lowest=True).to_pandas()
     w3 = pd.cut(pdf["v"], [-10, 0, 10], include_lowest=True)
     assert sorted(g3["v_bin"].value_counts().values) == sorted(w3.value_counts().values)
+
+
+def test_to_parquet_drops_internal_order_column(spark, tmp_path):
+    """A merged frame carries a hidden __ord__ order column — it must
+    never reach the written dataset (regression: to_parquet wrote
+    _sdf raw)."""
+    l = ps.DataFrame(spark.createDataFrame([("a", 1)], "g string, x int"))
+    r = ps.DataFrame(spark.createDataFrame([("a", 2)], "g string, y int"))
+    path = str(tmp_path / "ordleak")
+    l.merge(r, on="g").to_parquet(path)
+    assert spark.read.parquet(path).columns == ["g", "x", "y"]
