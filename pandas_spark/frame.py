@@ -1573,6 +1573,16 @@ class DataFrame:
 
         return Resampler(self, rule, on, by=by)
 
+    def ewm(self, alpha=None, span=None, halflife=None, adjust: bool = True,
+            times: str | None = None, by: Sequence[str] | None = None,
+            order_by: str | None = None):
+        """``DataFrame.ewm`` accessor (window/ewm.py:127) — see
+        :class:`pandas_spark.window.Ewm`."""
+        from pandas_spark.window import Ewm
+
+        return Ewm(self, alpha=alpha, span=span, halflife=halflife,
+                   adjust=adjust, times=times, by=by, order_by=order_by)
+
     def shift(self, periods: int = 1, columns: Sequence[str] | None = None) -> "DataFrame":
         this, order_exprs = self._ordered()
         w = W.orderBy(*order_exprs)

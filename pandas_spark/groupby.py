@@ -157,6 +157,13 @@ class GroupBy:
         """pandas ``groupby.expanding`` (reference groupby.py:3720)."""
         return self._frame.expanding(by=self._keys, **kwargs)
 
+    def ewm(self, **kwargs):
+        """pandas ``groupby.ewm()`` (reference groupby.py:3743) — the
+        frame Ewm accessor with this groupby's keys as ``by=``."""
+        from pandas_spark.window import Ewm
+
+        return Ewm(self._frame, by=self._keys, **kwargs)
+
     def ewm_mean(self, col: str, **kwargs):
         """pandas ``groupby.ewm().mean()`` — keyed ewm (window.ewm_mean
         with this groupby's keys)."""

@@ -917,3 +917,39 @@ def sessionize(
         session_col, (F.sum("__brk__").over(run) - 1).cast("long")
     ).drop("__brk__")
     return frame._with(out)
+
+
+class Ewm:
+    """``df.ewm(...)`` accessor (reference window/ewm.py:127
+    ExponentialMovingWindow) — thin sugar over the ewm_* functions,
+    carrying the decay/grouping config so call sites read like pandas:
+    ``df.ewm(span=5).mean("v")``."""
+
+    def __init__(self, frame, alpha=None, span=None, halflife=None,
+                 adjust=True, times=None, by=None, order_by=None):
+        self._f = frame
+        self._kw = dict(alpha=alpha, span=span, halflife=halflife,
+                        adjust=adjust, by=by, order_by=order_by)
+        self._times = times
+
+    def mean(self, col: str, alias: str | None = None):
+        return ewm_mean(self._f, col, times=self._times, alias=alias, **self._kw)
+
+    def sum(self, col: str, alias: str | None = None):
+        return ewm_sum(self._f, col, times=self._times, alias=alias, **self._kw)
+
+    def std(self, col: str, alias: str | None = None):
+        return ewm_std(self._f, col, alias=alias, **self._kw)
+
+    def var(self, col: str, alias: str | None = None):
+        return ewm_var(self._f, col, alias=alias, **self._kw)
+
+    def cov(self, col: str, col2: str, alias: str | None = None):
+        kw = {k: v for k, v in self._kw.items()
+              if k in ("alpha", "span", "by", "order_by")}
+        return ewm_cov(self._f, col, col2, alias=alias, **kw)
+
+    def corr(self, col: str, col2: str, alias: str | None = None):
+        kw = {k: v for k, v in self._kw.items()
+              if k in ("alpha", "span", "by", "order_by")}
+        return ewm_corr(self._f, col, col2, alias=alias, **kw)

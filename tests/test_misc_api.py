@@ -1140,3 +1140,18 @@ def test_to_parquet_drops_internal_order_column(spark, tmp_path):
     path = str(tmp_path / "ordleak")
     l.merge(r, on="g").to_parquet(path)
     assert spark.read.parquet(path).columns == ["g", "x", "y"]
+
+
+def test_ewm_accessor_frame_and_groupby(spark):
+    """df.ewm(...)/groupby.ewm(...) accessor objects (window/ewm.py:127)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame({"g": ["a", "a", "a", "b", "b"],
+                        "v": [1.0, 2.0, 3.0, 4.0, 5.0], "t": [0, 1, 2, 3, 4]})
+    f = ps.from_pandas(spark, pdf)
+    got = f.ewm(span=2, order_by="t").mean("v").sort_values("t").to_pandas()
+    assert np.allclose(got["v_ewm"].values, pdf["v"].ewm(span=2).mean().values)
+    got2 = f.groupby("g").ewm(span=2, order_by="t").std("v").sort_values("t").to_pandas()
+    want2 = pdf.groupby("g")["v"].transform(lambda s: s.ewm(span=2).std())
+    assert np.allclose(got2["v_ewm_std"].values, want2.values, equal_nan=True)
