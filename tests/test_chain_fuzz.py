@@ -52,13 +52,18 @@ rows_strategy = st.lists(
 
 def build_frames(spark, rows):
     """(pandas frame, engine frame) from the same row list; ``t`` is a
-    unique tiebreak column so order-sensitive ops are deterministic."""
-    data = [(g, k, v, i) for i, (g, k, v) in enumerate(rows)]
-    pdf = pd.DataFrame(data, columns=["g", "k", "v", "t"]).astype(
+    unique tiebreak column so order-sensitive ops are deterministic;
+    ``ts`` = epoch + t hours gives the time-op families a clock."""
+    epoch = pd.Timestamp("2024-01-01")
+    data = [
+        (g, k, v, i, (epoch + pd.Timedelta(hours=i)).to_pydatetime())
+        for i, (g, k, v) in enumerate(rows)
+    ]
+    pdf = pd.DataFrame(data, columns=["g", "k", "v", "t", "ts"]).astype(
         {"g": "object", "k": "float64", "v": "float64", "t": "int64"}
     )
     sdf = spark.createDataFrame(
-        data, schema="g string, k int, v double, t int"
+        data, schema="g string, k int, v double, t int, ts timestamp"
     )
     return pdf, DataFrame(sdf)
 
@@ -246,10 +251,18 @@ def op_concat_self():
     order-sensitive downstream op ambiguous in BOTH engines)."""
 
     def pandas_side(p):
-        return pd.concat([p, p.assign(t=p["t"] + 1000)], ignore_index=True)
+        return pd.concat(
+            [p, p.assign(t=p["t"] + 1000, ts=p["ts"] + pd.Timedelta(hours=1000))],
+            ignore_index=True,
+        )
 
     def engine_side(e):
-        return ps.concat([e, e.assign(t=col("t") + 1000)])
+        import pyspark.sql.functions as SF
+
+        shifted = e.assign(t=col("t") + 1000).assign(
+            ts=SF.col("ts") + SF.expr("interval 1000 hours")
+        )
+        return ps.concat([e, shifted])
 
     return (pandas_side, engine_side)
 
@@ -399,7 +412,8 @@ def draw_chain(draw, spark):
          "cummin", "shift_lead", "dedup_none", "filter_g", "join_g",
          "rolling2_mean", "ewm_span2", "interp_linear",
          "frame_cumsum", "frame_pct", "round1", "abs_v",
-         "applymap_affine", "join_gk"]
+         "applymap_affine", "join_gk",
+         "rolling_time_3h", "filter_hour", "period_label"]
     )
     for _ in range(n_ops):
         name = draw(pool)
@@ -485,6 +499,12 @@ def draw_chain(draw, spark):
             ops.append(op_applymap_affine())
         elif name == "join_gk":
             ops.append(op_join_gk(spark, draw(st.sampled_from(["inner", "left", "outer"]))))
+        elif name == "rolling_time_3h":
+            ops.append(op_rolling_time_3h())
+        elif name == "filter_hour":
+            ops.append(op_filter_hour(3, draw(st.sampled_from([8, 15, 22]))))
+        elif name == "period_label":
+            ops.append(op_period_label(draw(st.sampled_from(["D", "W", "M", "h"]))))
     if draw(st.booleans()):
         term = draw(st.sampled_from(
             ["sum", "mean", "min", "max", "count", "var", "std", "median",
@@ -531,6 +551,42 @@ def op_applymap_affine():
         lambda p: p.assign(v=p["v"].map(fn)),
         lambda e: e.applymap(fn, subset=["v"], dtype="double"),
     )
+
+
+def op_rolling_time_3h():
+    """Time-range rolling over the ts clock. NULL-ts rows (outer-join
+    residue) are dropped first in BOTH engines — pandas raises on a
+    NaT in the on= column; the concat op keeps ts unique so Spark's
+    ties-inclusive RANGE frame and pandas' position cut agree."""
+    def pandas_side(p):
+        p = p.dropna(subset=["ts"]).sort_values("ts")
+        return p.assign(v=p.rolling("3h", on="ts")["v"].mean())
+
+    return (
+        pandas_side,
+        lambda e: e.filter(col("ts").notna()).sort_values("ts")
+                   .rolling("3h", on="ts").mean("v", alias="v"),
+    )
+
+
+def op_filter_hour(lo, hi):
+    return (
+        lambda p: p[p["ts"].dt.hour.between(lo, hi)],
+        lambda e: e.filter(col("ts").dt.hour.between(lo, hi)),
+    )
+
+
+def op_period_label(freq):
+    def pandas_side(p):
+        # NULL ts (outer-join residue) -> None, not the string 'NaT'
+        return p.assign(
+            pl=p["ts"].dt.to_period(freq).astype(str).where(p["ts"].notna(), None)
+        )
+
+    def engine_side(e):
+        return e.assign(pl=ps.period_str(ps.to_period(col("ts"), freq), freq))
+
+    return (pandas_side, engine_side)
 
 
 DIM_GK_ROWS = [("a", 0.0, 5.0), ("a", 1.0, 6.0), ("b", 0.0, 7.0),
