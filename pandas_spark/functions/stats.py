@@ -53,13 +53,30 @@ def _dcol(col: str | Column) -> Column:
 
 
 def _split_sum(c: Column) -> Column:
-    """Σc as Σf0 + Σl1/10⁶ + Σl2/10¹² — three exact integer-in-double folds."""
-    f0 = F.floor(c)
-    fr = c - f0
+    """Σc as Σf0 + Σl1/10⁶ + Σl2/10¹² — three exact integer-in-double folds.
+
+    Non-finite inputs can't ride the fixed-point split (floor(±inf)
+    overflows to garbage longs — fuzzer-found: clip→pct_change→sum gave
+    9.2e18 where pandas gives inf). They take the IEEE branch instead:
+    +inf and −inf together → NaN, else the surviving infinity; NaN
+    values are SKIPPED like NULL (pandas skipna — the engine's
+    NaN≡missing rule)."""
+    inf = float("inf")
+    pos = F.sum(F.when(c == F.lit(inf), 1).otherwise(0))
+    neg = F.sum(F.when(c == F.lit(-inf), 1).otherwise(0))
+    fin = F.when(~F.isnan(c) & (c != F.lit(inf)) & (c != F.lit(-inf)), c)
+    f0 = F.floor(fin)
+    fr = fin - f0
     frB = fr * F.lit(_B)
     l1 = F.floor(frB)
     l2 = F.floor((frB - l1) * F.lit(_B))
-    return F.sum(f0) + F.sum(l1) / F.lit(_B) + F.sum(l2) / F.lit(_B2)
+    exact = F.sum(f0) + F.sum(l1) / F.lit(_B) + F.sum(l2) / F.lit(_B2)
+    return (
+        F.when((pos > 0) & (neg > 0), F.lit(float("nan")))
+        .when(pos > 0, F.lit(inf))
+        .when(neg > 0, F.lit(-inf))
+        .otherwise(exact)
+    )
 
 
 def exact_sum(col: str | Column) -> Column:
@@ -67,14 +84,20 @@ def exact_sum(col: str | Column) -> Column:
     return _split_sum(_dcol(col))
 
 
+def _count_skipna(c: Column) -> Column:
+    # pandas counts exclude NaN (the NaN≡missing rule); Spark's count
+    # includes it
+    return F.count(F.when(~F.isnan(c), c))
+
+
 def exact_mean(col: str | Column) -> Column:
     """Exact-sum / count — deterministic mean for double columns."""
     c = _dcol(col)
-    return _split_sum(c) / F.count(c)
+    return _split_sum(c) / _count_skipna(c)
 
 
 def _exact_moments(c: Column):
-    n = F.count(c).cast("double")
+    n = _count_skipna(c).cast("double")
     s1 = _split_sum(c)
     # x*x is computed per-row in double (deterministic), then summed
     # exactly — only the final subtraction rounds, once.

@@ -1126,3 +1126,19 @@ def test_asfreq_matches_pandas(spark, method):
     got = f.asfreq("h", on="ts", method=method).sort_values("ts").to_pandas()
     assert list(got["ts"]) == list(want.index)
     assert np.allclose(got["v"].values, want["v"].values, equal_nan=True)
+
+
+@pytest.mark.parametrize("vals,fn", [
+    ([float("inf"), 1.0], "sum"), ([float("inf"), float("-inf")], "sum"),
+    ([float("-inf"), 5.0], "sum"), ([float("inf"), 1.0], "mean"),
+    ([float("inf"), float("-inf")], "mean"),
+])
+def test_exact_agg_nonfinite_ieee(spark, vals, fn):
+    """The fixed-point exact-sum kernel must route non-finite values
+    through IEEE semantics (fuzzer-found: floor(inf) overflowed to
+    9.2e18 in clip→pct_change→sum)."""
+    pdf = pd.DataFrame({"v": vals})
+    f = ps.from_pandas(spark, pdf)
+    got = f.agg(x=("v", fn)).to_pandas()["x"][0]
+    want = getattr(pdf["v"], fn)()
+    assert (np.isnan(got) and np.isnan(want)) or got == want
