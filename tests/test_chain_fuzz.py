@@ -614,6 +614,10 @@ def op_join_gk(spark, how):
 def _norm(x):
     if x is None:
         return None
+    if isinstance(x, pd.Timestamp) or x is pd.NaT:
+        # pandas NaT (outer-join ts residue) ≡ engine NULL; timestamps
+        # to a canonical string
+        return None if pd.isna(x) else x.isoformat()
     if isinstance(x, float):
         if math.isnan(x):
             return None
