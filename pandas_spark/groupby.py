@@ -838,6 +838,7 @@ class GroupBy:
         frac: float | None = None,
         seed=None,
         id_col: str | None = None,
+        weights: str | None = None,
     ):
         """pandas ``groupby.sample`` (reference groupby.py:5622).
 
@@ -854,6 +855,26 @@ class GroupBy:
         if id_col is not None:
             h = F.md5(F.concat(F.lit(str(seed if seed is not None else "")),
                                F.col(id_col).cast("string")))
+            if weights is not None:
+                # per-group Efraimidis–Spirakis (same key algebra as
+                # frame.sample(weights=)): ln(u)/w rank within group
+                if n is None:
+                    raise ValueError("groupby.sample(weights=) requires n=")
+                u = (
+                    F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").cast("double")
+                    + F.lit(0.5)
+                ) / F.lit(float(1 << 60))
+                wcol = F.col(weights).cast("double")
+                key = F.log(u) / wcol
+                w = W.partitionBy(*self._keys).orderBy(key.desc(), F.col(id_col).asc())
+                out = (
+                    self._filter_dropped(self._frame._sdf)
+                    .filter(wcol.isNotNull() & (wcol > 0))
+                    .withColumn("__rn__", F.row_number().over(w))
+                    .filter(F.col("__rn__") <= n)
+                    .drop("__rn__")
+                )
+                return self._frame._with(out)
             if n is not None:
                 w = W.partitionBy(*self._keys).orderBy(h.asc(), F.col(id_col).asc())
                 out = (

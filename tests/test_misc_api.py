@@ -1155,3 +1155,28 @@ def test_ewm_accessor_frame_and_groupby(spark):
     got2 = f.groupby("g").ewm(span=2, order_by="t").std("v").sort_values("t").to_pandas()
     want2 = pdf.groupby("g")["v"].transform(lambda s: s.ewm(span=2).std())
     assert np.allclose(got2["v_ewm_std"].values, want2.values, equal_nan=True)
+
+
+def test_groupby_sample_weighted(spark):
+    """groupby.sample(weights=) — per-group Efraimidis–Spirakis: exact
+    per-group counts, weight-zero rows excluded, high-weight rows
+    overrepresented."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 50 + ["b"] * 50,
+        "i": range(100),
+        "w": [100.0 if i % 10 == 0 else 1.0 for i in range(100)],
+    })
+    f = ps.from_pandas(spark, pdf)
+    out = f.groupby("g").sample(n=10, seed=3, id_col="i", weights="w").to_pandas()
+    assert out.groupby("g").size().tolist() == [10, 10]
+    # 5 heavy rows per group at weight 100 vs 45 at weight 1: expect
+    # most heavy rows selected
+    heavy = (out["i"] % 10 == 0).sum()
+    assert heavy >= 6
+    # zero weights never selected
+    pdf2 = pdf.assign(w=[0.0 if i < 90 else 1.0 for i in range(100)])
+    f2 = ps.from_pandas(spark, pdf2)
+    out2 = f2.groupby("g").sample(n=10, seed=3, id_col="i", weights="w").to_pandas()
+    assert (out2["i"] >= 90).all()
