@@ -527,7 +527,13 @@ class GroupBy:
 
     def _ordered_part(self, order_by: str | None = None):
         if order_by:
-            return self._frame, W.partitionBy(*self._keys).orderBy(F.col(order_by).asc())
+            # NULLS LAST: pandas order-sensitive groupby ops run after a
+            # sort_values whose default puts NaN last; plain .asc() is
+            # NULLS FIRST and flipped head()/cum* on outer-join residue
+            # rows (fuzzer-found)
+            return self._frame, W.partitionBy(*self._keys).orderBy(
+                F.col(order_by).asc_nulls_last()
+            )
         frame, order_exprs = self._frame._ordered()
         return frame, W.partitionBy(*self._keys).orderBy(*order_exprs)
 
@@ -925,7 +931,9 @@ class GroupBy:
 
     def tail(self, n: int = 5, order_by: str | None = None):
         if order_by:
-            frame, order_exprs = self._frame, [F.col(order_by).desc()]
+            # exact reverse of head's asc_nulls_last (NULL rows are the
+            # tail of the pandas sort order, so they lead the reverse)
+            frame, order_exprs = self._frame, [F.col(order_by).desc_nulls_first()]
         else:
             frame, order_exprs = self._frame._ordered(desc=True)
         w = W.partitionBy(*self._keys).orderBy(*order_exprs)
