@@ -1142,3 +1142,37 @@ def test_exact_agg_nonfinite_ieee(spark, vals, fn):
     got = f.agg(x=("v", fn)).to_pandas()["x"][0]
     want = getattr(pdf["v"], fn)()
     assert (np.isnan(got) and np.isnan(want)) or got == want
+
+
+def test_groupby_order_by_nulls_last(spark):
+    """groupby op with explicit order_by must put NULL order values
+    LAST (pandas sort_values default) — outer-join residue rows led
+    head() before the fix (fuzzer-found)."""
+    import pandas as pd
+
+    lrows = [("a", 0, -1.5, 0)]
+    drows = [("a", 0.0, 5.0), ("a", 1.0, 6.0), ("b", 0.0, 7.0)]
+    pl = pd.DataFrame(lrows, columns=["g", "k", "v", "t"]).astype({"k": "float64"})
+    pdim = pd.DataFrame(drows, columns=["g", "k", "u2"])
+    el = ps.DataFrame(spark.createDataFrame(lrows, "g string, k int, v double, t int"))
+    ed = ps.DataFrame(spark.createDataFrame(drows, "g string, k double, u2 double"))
+    want = (
+        pd.merge(pl, pdim, on=["g", "k"], how="outer")
+        .sort_values("t").groupby("g").head(1)
+    )
+    got = (
+        el.merge(ed, on=["g", "k"], how="outer")
+        .groupby("g").head(1, order_by="t").to_pandas()
+    )
+    key = lambda d: sorted(map(tuple, d[["g", "k", "v", "u2"]].fillna(-9).values))
+    assert key(got) == key(want)
+    # tail is the exact reverse: NULL-t rows are pandas' tail
+    want_t = (
+        pd.merge(pl, pdim, on=["g", "k"], how="outer")
+        .sort_values("t").groupby("g").tail(1)
+    )
+    got_t = (
+        el.merge(ed, on=["g", "k"], how="outer")
+        .groupby("g").tail(1, order_by="t").to_pandas()
+    )
+    assert key(got_t) == key(want_t)
