@@ -131,8 +131,15 @@ class DataFrame:
         if oc is not None and oc not in sdf.columns:
             oc = None
         spec = self._sort_spec if order_col == "keep" else ()
-        if any(c not in sdf.columns for c, _, _ in spec):
-            spec = ()
+        # truncate at the first column the new plan no longer carries:
+        # a trailing tiebreak (the stable-sort id) can vanish under
+        # aggregation while the leading value keys remain a valid
+        # order; a missing LEADING key invalidates everything after it
+        cut = next(
+            (i for i, (c, _, _) in enumerate(spec) if c not in sdf.columns),
+            len(spec),
+        )
+        spec = spec[:cut]
         return DataFrame(
             sdf,
             order_col=oc,
@@ -898,11 +905,26 @@ class DataFrame:
         # presentation boundaries (_presented). Order-sensitive ops
         # window on the keys directly — a sort_values feeding dedup/
         # cumsum/shift plans NO global sort at all.
+        #
+        # STABLE: the frame's previous declared order rides as the
+        # trailing tiebreak, so fully-tied rows (e.g. the all-NULL
+        # residue of an outer join) keep a deterministic,
+        # pandas-consistent order instead of shuffle-arrival order
+        # (fuzzer-found divergence). Costs one map-only id column on a
+        # raw frame; value-sorted frames reuse their existing keys.
+        spec = [(c, a, na_position) for c, a in zip(by, asc)]
+        this = self
+        if self._sort_spec:
+            spec += [s for s in self._sort_spec if s[0] not in set(by)]
+        else:
+            this = self._ensure_order()
+            if this._order_col not in set(by):
+                spec.append((this._order_col, True, "last"))
         return DataFrame(
-            self._sdf,
-            order_col=None,
+            this._sdf,
+            order_col=this._order_col,
             index_cols=self._index_cols,
-            sort_spec=tuple((c, a, na_position) for c, a in zip(by, asc)),
+            sort_spec=tuple(spec),
             nonnull=self._nonnull,
         )
 
