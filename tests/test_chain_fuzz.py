@@ -60,7 +60,8 @@ def build_frames(spark, rows):
         for i, (g, k, v) in enumerate(rows)
     ]
     pdf = pd.DataFrame(data, columns=["g", "k", "v", "t", "ts"]).astype(
-        {"g": "object", "k": "float64", "v": "float64", "t": "int64"}
+        {"g": "object", "k": "float64", "v": "float64", "t": "int64",
+         "ts": "datetime64[us]"}
     )
     sdf = spark.createDataFrame(
         data, schema="g string, k int, v double, t int, ts timestamp"
