@@ -114,6 +114,13 @@ def parse_offset_seconds(freq: str) -> int:
 
 
 class Rolling:
+    """pandas ``rolling`` (reference window/rolling.py). Documented
+    divergence: pandas' online rolling kernels treat ±inf as missing
+    (a numerical-stability artifact of the subtract-add streaming
+    sum — rolling.mean over a window containing -inf yields NaN and
+    rolling.apply never sees the row); the engine's window aggregates
+    follow IEEE (-inf propagates), which is the exact result."""
+
     def __init__(
         self,
         frame: DataFrame,

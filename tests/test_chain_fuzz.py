@@ -22,6 +22,7 @@ import math
 import os
 import sys
 
+import numpy as np
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -325,14 +326,25 @@ def op_join_g(spark, how):
     return (pandas_side, engine_side)
 
 
+def _roll2_nanmean(s):
+    # explicit reference semantics: NaN-skipping mean over a 2-row
+    # window, IEEE for ±inf. pandas' own rolling kernels treat inf as
+    # missing (documented numerical-stability artifact) — the engine
+    # follows IEEE instead (window.py Rolling docs), so the reference
+    # is computed by hand.
+    v = s.to_numpy(dtype="float64")
+    out = np.empty(len(v))
+    for i in range(len(v)):
+        win = v[max(0, i - 1): i + 1]
+        fin = win[~np.isnan(win)]
+        out[i] = np.nan if len(fin) == 0 else fin.mean()
+    return pd.Series(out, index=s.index)
+
+
 def op_rolling2_mean():
     def pandas_side(p):
         p = p.sort_values("t")
-        return p.assign(
-            v=p.groupby("g")["v"].transform(
-                lambda s: s.rolling(2, min_periods=1).mean()
-            )
-        )
+        return p.assign(v=p.groupby("g")["v"].transform(_roll2_nanmean))
 
     return (
         pandas_side,
