@@ -695,9 +695,14 @@ class DataFrame:
                 interior = F.when((x - px) <= (nx - x), pv).otherwise(nv)
             else:
                 # duplicate x coordinates (possible under method='time')
-                # would divide by zero — ANSI-fatal; fall back to ffill
+                # would divide by zero — ANSI-fatal; fall back to ffill.
+                # Convex-combination form ((1-f)·pv + f·nv), not
+                # pv + (nv-pv)·f: the lerp stays finite-signed when one
+                # endpoint is ±inf (np.interp/pandas behavior —
+                # fuzzer-found: pct_change→interpolate gave NULL where
+                # pandas gives -inf)
                 ratio = F.when(nx != px, (x - px) / (nx - px))
-                interior = pv + (nv - pv) * ratio
+                interior = (F.lit(1.0) - ratio) * pv + ratio * nv
             # region split (pandas generic.py interpolate limit_direction/
             # limit_area semantics, probed against pandas 2.2):
             #   interior (bounded both sides) -> interpolated value,
