@@ -348,7 +348,8 @@ def op_rolling2_mean():
 
     return (
         pandas_side,
-        lambda e: e.rolling(2, by=["g"], min_periods=1).mean("v", alias="v"),
+        lambda e: e.sort_values("t").rolling(2, by=["g"], min_periods=1)
+                   .mean("v", alias="v"),
     )
 
 
