@@ -571,10 +571,20 @@ def op_rolling_time_3h():
     """Time-range rolling over the ts clock. NULL-ts rows (outer-join
     residue) are dropped first in BOTH engines — pandas raises on a
     NaT in the on= column; the concat op keeps ts unique so Spark's
-    ties-inclusive RANGE frame and pandas' position cut agree."""
+    ties-inclusive RANGE frame and pandas' position cut agree. The
+    reference mean is computed by hand (NaN-skipping, IEEE for ±inf)
+    because pandas' rolling kernel treats inf as missing."""
     def pandas_side(p):
         p = p.dropna(subset=["ts"]).sort_values("ts")
-        return p.assign(v=p.rolling("3h", on="ts")["v"].mean())
+        ts = p["ts"].to_numpy()
+        v = p["v"].to_numpy(dtype="float64")
+        out = np.empty(len(v))
+        for i in range(len(v)):
+            mask = (ts > ts[i] - np.timedelta64(3, "h")) & (ts <= ts[i])
+            win = v[mask]
+            fin = win[~np.isnan(win)]
+            out[i] = np.nan if len(fin) == 0 else fin.mean()
+        return p.assign(v=out)
 
     return (
         pandas_side,
