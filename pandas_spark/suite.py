@@ -363,9 +363,14 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> SparkDF:
     lineitem = _t(spark, sf_dir, "lineitem").select(
         ["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"]
     )
-    # deterministic "first": establish the order explicitly, then dedup
+    # deterministic "first": establish the order explicitly, then
+    # dedup. l_quantity rides as the third key because the synthetic
+    # data does NOT enforce (orderkey, linenumber) uniqueness — with it
+    # the sort order ties only on fully-identical payload rows, so the
+    # stable-sort position tiebreak (pandas first-occurrence rule)
+    # cannot flip observable values vs the oracle's value ordering.
     return (
-        lineitem.sort_values(["l_orderkey", "l_linenumber"])
+        lineitem.sort_values(["l_orderkey", "l_linenumber", "l_quantity"])
         .drop_duplicates(subset=["l_suppkey"], keep="first")
         .to_spark()
     )
