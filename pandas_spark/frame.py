@@ -32,6 +32,17 @@ from pandas_spark.dtypes import to_spark_type
 
 ORDER_COL = "__ord__"
 
+# A merge of sorted frames can carry MORE than one internal order
+# tiebreak (one per input side, interleaved with the value sort keys —
+# see operators/joins.py:_merged_order). All such columns share the
+# ``__ord<N>__`` shape and are invisible to the user surface.
+_ORD_RE = __import__("re").compile(r"^__ordk?\d*__$")
+
+
+def is_order_col(name: str) -> bool:
+    return bool(_ORD_RE.match(name))
+
+
 _warned_unkeyed: set = set()
 
 
@@ -199,7 +210,8 @@ class DataFrame:
         return this, [(F.col(this._order_col), not desc, "last")]
 
     def _drop_internal(self, sdf: SparkDF) -> SparkDF:
-        return sdf.drop(ORDER_COL) if ORDER_COL in sdf.columns else sdf
+        internal = [c for c in sdf.columns if is_order_col(c)]
+        return sdf.drop(*internal) if internal else sdf
 
     def _presented(self) -> SparkDF:
         """The plan with presentation order applied (pandas shows sorted
@@ -222,11 +234,11 @@ class DataFrame:
 
     @property
     def columns(self) -> list[str]:
-        return [c for c in self._sdf.columns if c != ORDER_COL]
+        return [c for c in self._sdf.columns if not is_order_col(c)]
 
     @property
     def dtypes(self) -> list[tuple[str, str]]:
-        return [(n, t) for n, t in self._sdf.dtypes if n != ORDER_COL]
+        return [(n, t) for n, t in self._sdf.dtypes if not is_order_col(n)]
 
     @property
     def schema(self):

@@ -422,9 +422,10 @@ class GroupBy:
             .filter(F.col("__rn__") == 1)
             .drop("__rn__")
         )
-        from pandas_spark.frame import ORDER_COL
+        from pandas_spark.frame import is_order_col
 
-        return self._result(out.drop(ORDER_COL) if ORDER_COL in out.columns else out)
+        internal = [c for c in out.columns if is_order_col(c)]
+        return self._result(out.drop(*internal) if internal else out)
 
     def nth(self, n: int, order_by: str | None = None):
         if order_by:
@@ -440,9 +441,10 @@ class GroupBy:
             .filter(F.col("__rn__") == n + 1)
             .drop("__rn__")
         )
-        from pandas_spark.frame import ORDER_COL
+        from pandas_spark.frame import is_order_col
 
-        return self._result(out.drop(ORDER_COL) if ORDER_COL in out.columns else out)
+        internal = [c for c in out.columns if is_order_col(c)]
+        return self._result(out.drop(*internal) if internal else out)
 
     def ohlc(self, col: str, order_by: str):
         w = W.partitionBy(*self._keys).orderBy(order_by)
@@ -858,6 +860,10 @@ class GroupBy:
 
         Without ``id_col``, falls back to Spark's per-group Bernoulli
         RNG (``frac`` only)."""
+        if weights is not None and id_col is None:
+            # mirror frame.sample's misuse error instead of silently
+            # returning a uniform sample (advisor-found)
+            raise ValueError("groupby.sample(weights=) requires id_col=")
         if id_col is not None:
             h = F.md5(F.concat(F.lit(str(seed if seed is not None else "")),
                                F.col(id_col).cast("string")))

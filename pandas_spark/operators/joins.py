@@ -47,72 +47,111 @@ def _aslist(v) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
-_L_ORD, _R_ORD = "__mlord__", "__mrord__"
+_L_ORD, _R_ORD = "__mlord", "__mrord"
 
 
-def _side_order(frame: DataFrame, idname: str):
-    """A join side's declared row order, carried INTO the join so the
-    result can reproduce pandas' merge ordering (merge.py: output rows
-    follow the preserved side's order; sort=False default). Returns
-    ``(sdf, sort_spec | None, id_col | None)`` — value-sorted frames
-    carry their sort keys (they survive the join as columns), raw
-    frames carry a materialized monotonically-increasing id (reused if
-    one already exists). Map-only; one 8-byte column through the
-    shuffle."""
-    from pandas_spark.frame import ORDER_COL
+def _side_slots(frame: DataFrame, prefix: str):
+    """A join side's declared row order as an ordered SLOT list carried
+    INTO the join, so the result can reproduce pandas' merge ordering
+    (merge.py: output rows follow the preserved side's order, other
+    side breaks ties; sort=False default). Slots are
+    ``('val', col, asc, napos)`` — a value sort key that survives the
+    join as a real column (zero payload) — or ``('id', col)`` — an
+    internal order tiebreak column, renamed side-locally so two sides
+    never collide. Map-only; ids are one 8-byte column each."""
+    from pandas_spark.frame import is_order_col
 
     sdf = frame._sdf
     if frame._sort_spec:
-        return (
-            sdf.drop(ORDER_COL) if ORDER_COL in sdf.columns else sdf,
-            frame._sort_spec,
-            None,
-        )
+        ren: dict[str, str] = {}
+        slots: list = []
+        for c, a, p in frame._sort_spec:
+            if is_order_col(c):
+                # internal tiebreak (e.g. the stable-sort id appended
+                # by sort_values, or a previous merge's order struct):
+                # ride as an id slot under a side-local name
+                if c not in ren:
+                    ren[c] = f"{prefix}{len(ren)}__"
+                slots.append(("id", ren[c]))
+            else:
+                slots.append(("val", c, a, p))
+        extra = [c for c in sdf.columns if is_order_col(c) and c not in ren]
+        if ren:
+            sdf = sdf.withColumnsRenamed(ren)
+        if extra:
+            sdf = sdf.drop(*extra)
+        return sdf, slots
+    name = f"{prefix}0__"
     if frame._order_col and frame._order_col in sdf.columns:
-        return sdf.withColumnRenamed(frame._order_col, idname), None, idname
-    return sdf.withColumn(idname, F.monotonically_increasing_id()), None, idname
+        return sdf.withColumnRenamed(frame._order_col, name), [("id", name)]
+    return sdf.withColumn(name, F.monotonically_increasing_id()), [("id", name)]
 
 
-def _merged_order(out: SparkDF, spark_how: str, l_spec, l_id, r_spec, r_id,
-                  l_ren: dict, r_ren: dict):
-    """Combine the two sides' order keys into the result's declared
-    order: preserved side first (right for how='right'), match order
-    within a row from the other side, unmatched outer rows last
-    (their missing id coalesces to MAX). Returns (sdf, sort_spec,
-    order_col)."""
+def _merged_order(out: SparkDF, spark_how: str, l_slots, r_slots,
+                  l_ren: dict, r_ren: dict, out_keys=()):
+    """Combine the two sides' order slots into the result's declared
+    order (pandas merge.py, sort=False):
+
+    * inner/left/cross — left order first, right order breaks ties
+      among multiple matches;
+    * right — right order first, left breaks ties;
+    * full/outer — pandas SORTS the join keys lexicographically (NaN
+      keys last), then left order, then right order (unmatched rows
+      slot in by key; their missing side-id is NULL → sorts last
+      within the key under na_position='last');
+    * semi/anti — left order only (no right columns survive).
+
+    Runs of consecutive id slots pack into one internal struct column
+    ((is_null, value) pairs → plain lexicographic asc sorts unmatched-
+    outer NULLs last for ANY id type, incl. a chained merge's struct
+    ids); value slots stay as the real output columns they already are.
+    Returns (sdf, sort_spec, order_col)."""
     from pandas_spark.frame import ORDER_COL
 
     if spark_how == "right":
-        sides = [(r_spec, r_id, r_ren), (l_spec, l_id, l_ren)]
+        sides = [(r_slots, r_ren), (l_slots, l_ren)]
     elif spark_how in ("left_semi", "left_anti"):
-        sides = [(l_spec, l_id, l_ren)]
+        sides = [(l_slots, l_ren)]
     else:
-        sides = [(l_spec, l_id, l_ren), (r_spec, r_id, r_ren)]
-    ids = [i for _, i, _ in sides if i]
-    if ids:
-        # (is_null, value) pairs sort unmatched-outer rows last under
-        # plain struct lexicographic asc, for ANY id type — a chained
-        # merge's id is itself a struct (the previous merge's order)
+        sides = [(l_slots, l_ren), (r_slots, r_ren)]
+    slots: list = [("val", k, True, "last") for k in out_keys]
+    for sl, ren in sides:
+        for s in sl:
+            if s[0] == "val":
+                slots.append(("val", ren.get(s[1], s[1]), s[2], s[3]))
+            else:
+                slots.append(s)
+    spec: list = []
+    first_internal = None
+    i, n_int = 0, 0
+    while i < len(slots):
+        if slots[i][0] == "val":
+            spec.append((slots[i][1], slots[i][2], slots[i][3]))
+            i += 1
+            continue
+        run = []
+        while i < len(slots) and slots[i][0] == "id":
+            run.append(slots[i][1])
+            i += 1
+        name = ORDER_COL if n_int == 0 else f"__ord{n_int}__"
+        n_int += 1
         out = out.withColumn(
-            ORDER_COL,
+            name,
             F.struct(
                 *[
                     F.struct(
-                        F.col(n).isNull().alias("m"), F.col(n).alias("v")
+                        F.col(c).isNull().alias("m"), F.col(c).alias("v")
                     ).alias(f"o{k}")
-                    for k, n in enumerate(ids)
+                    for k, c in enumerate(run)
                 ]
             ),
-        ).drop(*ids)
-    spec: list = []
-    for s, i, ren in sides:
-        if s:
-            spec.extend((ren.get(c, c), a, p) for c, a, p in s)
-        elif i and not any(c == ORDER_COL for c, _, _ in spec):
-            spec.append((ORDER_COL, True, "last"))
-    if len(spec) == 1 and spec[0][0] == ORDER_COL:
-        return out, (), ORDER_COL
-    return out, tuple(spec), (ORDER_COL if ids else None)
+        ).drop(*run)
+        spec.append((name, True, "last"))
+        if first_internal is None:
+            first_internal = name
+    if len(spec) == 1 and first_internal:
+        return out, (), first_internal
+    return out, tuple(spec), first_internal
 
 
 def _suffix_renames(lsdf: SparkDF, rsdf: SparkDF, lk, rk, suffixes):
@@ -147,11 +186,11 @@ def merge(
     physical sort in the join plan."""
     if how not in _HOWS:
         raise ValueError(f"how must be one of {sorted(_HOWS)}, got {how!r}")
-    lsdf, l_spec, l_id = _side_order(left, _L_ORD)
+    lsdf, l_slots = _side_slots(left, _L_ORD)
     if _HOWS[how] in ("left_semi", "left_anti"):
-        rsdf, r_spec, r_id = right.spark, None, None
+        rsdf, r_slots = right.spark, []
     else:
-        rsdf, r_spec, r_id = _side_order(right, _R_ORD)
+        rsdf, r_slots = _side_slots(right, _R_ORD)
 
     def _out_nonnull(lk: list[str], rk: list[str], spark_how: str) -> frozenset:
         """Null-free proofs surviving the join, under the output's
@@ -176,7 +215,7 @@ def merge(
             left._nonnull, right._nonnull,
         )
         l_ren, r_ren = _suffix_renames(lsdf, rsdf, [], [], suffixes)
-        out, spec, oc = _merged_order(out, "cross", l_spec, l_id, r_spec, r_id, l_ren, r_ren)
+        out, spec, oc = _merged_order(out, "cross", l_slots, r_slots, l_ren, r_ren)
         return DataFrame(out, order_col=oc, sort_spec=spec,
                          nonnull=_out_nonnull([], [], "cross"))
 
@@ -210,8 +249,25 @@ def merge(
         left._nonnull, right._nonnull,
     )
     l_ren, r_ren = _suffix_renames(lsdf, rsdf, lk, rk, suffixes)
+    out_keys: list[str] = []
+    if _HOWS[how] == "full":
+        # pandas outer merge with sort=False still sorts the join keys
+        # lexicographically, NaN keys last (merge.py get_join_indexers
+        # over the sorted union); left/right order only break key ties
+        for i, (lc, rc) in enumerate(zip(lk, rk)):
+            if lc == rc:
+                out_keys.append(lc)  # coalesced shared key column
+            else:
+                kn = f"__ordk{i}__"
+                out = out.withColumn(
+                    kn,
+                    F.coalesce(
+                        F.col(l_ren.get(lc, lc)), F.col(r_ren.get(rc, rc))
+                    ),
+                )
+                out_keys.append(kn)
     out, spec, oc = _merged_order(
-        out, _HOWS[how], l_spec, l_id, r_spec, r_id, l_ren, r_ren
+        out, _HOWS[how], l_slots, r_slots, l_ren, r_ren, out_keys
     )
     res = DataFrame(out, order_col=oc, sort_spec=spec,
                     nonnull=_out_nonnull(lk, rk, _HOWS[how]))
@@ -372,7 +428,17 @@ def _asof_broadcast(
     broadcast equi-join on the by-key → array-filter asof lookup. The
     left side is map-only end-to-end; the only shuffle is the tiny
     right-side groupBy (dim-sized)."""
-    entry = F.struct(F.col(on).alias("__t__"), *[F.col(c) for c in payload])
+    # tie resolution on equal ``on`` stamps is POSITIONAL in pandas
+    # (backward → last right row, forward → first): carry the right
+    # side's row position as the second struct field so array_sort
+    # orders ties by position, not by payload values (advisor-found —
+    # payload-ordered ties made the picked match depend on which
+    # strategy the size-estimate gate selected)
+    entry = F.struct(
+        F.col(on).alias("__t__"),
+        F.monotonically_increasing_id().alias("__pos__"),
+        *[F.col(c) for c in payload],
+    )
     grouped = rsdf.groupBy(*by_keys).agg(
         F.array_sort(F.collect_list(entry)).alias("__arr__")
     )

@@ -769,7 +769,8 @@ def ewm_mean(
         .sortWithinPartitions(*[F.col(k) for k in keys_eff], *order_spark)
         .mapInPandas(fn, schema)
     )
-    drop = [c for c in ("__g__", "__ord__") if c in out.columns and c not in frame.columns]
+    from pandas_spark.frame import is_order_col
+    drop = [c for c in out.columns if (c == "__g__" or is_order_col(c)) and c not in frame.columns]
     return DataFrame(out.drop(*drop))
 
 
@@ -875,7 +876,8 @@ def ewm_cov(
         .sortWithinPartitions(*[F.col(k) for k in keys_eff], *order_spark)
         .mapInPandas(fn, schema)
     )
-    drop = [c for c in ("__g__", "__ord__") if c in out.columns and c not in frame.columns]
+    from pandas_spark.frame import is_order_col
+    drop = [c for c in out.columns if (c == "__g__" or is_order_col(c)) and c not in frame.columns]
     return DataFrame(out.drop(*drop))
 
 

@@ -1176,3 +1176,83 @@ def test_groupby_order_by_nulls_last(spark):
         .groupby("g").tail(1, order_by="t").to_pandas()
     )
     assert key(got_t) == key(want_t)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right"])
+def test_merge_of_sorted_frames_row_order(spark, how):
+    """merge of VALUE-SORTED inputs: output rows follow the preserved
+    side's sorted order, the other side's sorted order breaking ties
+    (advisor-found: the sorted side's stable-sort ``__ord__`` tiebreak
+    leaked into the merged sort spec while its column was dropped —
+    AnalysisException UNRESOLVED_COLUMN on any consumption, or a
+    silently scrambled tiebreak with one sorted side)."""
+    pl = pd.DataFrame({"k": [3, 1, 5, 1], "a": [10, 20, 30, 40]})
+    pr = pd.DataFrame({"k": [5, 2, 3, 1, 1], "b": [1, 2, 3, 4, 5]})
+    pls = pl.sort_values("a", ascending=False, kind="stable")
+    prs = pr.sort_values("b", ascending=False, kind="stable")
+    want = pd.merge(pls, prs, on="k", how=how)
+    el = ps.DataFrame(spark.createDataFrame(pl)).sort_values("a", ascending=False)
+    er = ps.DataFrame(spark.createDataFrame(pr)).sort_values("b", ascending=False)
+    got = el.merge(er, on="k", how=how).to_pandas()
+    assert got.fillna(-9e9).values.tolist() == want.fillna(-9e9).values.tolist()
+
+
+def test_merge_one_sorted_side_row_order(spark):
+    """One sorted side: the raw side's positional order still breaks
+    ties in its original position of the combined order."""
+    pl = pd.DataFrame({"k": [3, 1, 5, 1], "a": [10, 20, 30, 40]})
+    pr = pd.DataFrame({"k": [5, 2, 3, 1, 1], "b": [1, 2, 3, 4, 5]})
+    pls = pl.sort_values("a", ascending=False, kind="stable")
+    want = pd.merge(pls, pr, on="k", how="inner")
+    el = ps.DataFrame(spark.createDataFrame(pl)).sort_values("a", ascending=False)
+    er = ps.DataFrame(spark.createDataFrame(pr))
+    got = el.merge(er, on="k").to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_merge_outer_sorts_join_keys(spark):
+    """pandas outer merge with sort=False still sorts the join keys
+    lexicographically, NaN keys LAST (advisor-found: the engine
+    declared left-order-then-unmatched-last instead)."""
+    pl = pd.DataFrame({"k": [3.0, None, 5.0], "a": [1.0, 2.0, 3.0]})
+    pr = pd.DataFrame({"k": [5.0, None, 2.0], "b": [7.0, 8.0, 9.0]})
+    want = pd.merge(pl, pr, on="k", how="outer")
+    el = ps.DataFrame(spark.createDataFrame(pl))
+    er = ps.DataFrame(spark.createDataFrame(pr))
+    got = el.merge(er, on="k", how="outer").to_pandas()
+    assert got.fillna(-9e9).values.tolist() == want.fillna(-9e9).values.tolist()
+
+
+def test_merge_outer_diff_key_names_sorts_coalesced_key(spark):
+    pl = pd.DataFrame({"ka": [3, 1, 5], "a": [1, 2, 3]})
+    pr = pd.DataFrame({"kb": [5, 2, 3], "b": [7, 8, 9]})
+    want = pd.merge(pl, pr, left_on="ka", right_on="kb", how="outer")
+    el = ps.DataFrame(spark.createDataFrame(pl))
+    er = ps.DataFrame(spark.createDataFrame(pr))
+    got = el.merge(er, left_on="ka", right_on="kb", how="outer").to_pandas()
+    assert got.fillna(-9e9).values.tolist() == want.fillna(-9e9).values.tolist()
+
+
+def test_merge_chain_sorted_then_merge_again(spark):
+    """A merged frame's internal order columns survive a second merge
+    (chained merges were the crash surface of the __ord__ leak)."""
+    pl = pd.DataFrame({"k": [3, 1, 5, 1], "a": [10, 20, 30, 40]})
+    pr = pd.DataFrame({"k": [5, 2, 3, 1], "b": [1, 2, 3, 4]})
+    pls = pl.sort_values("a", ascending=False, kind="stable")
+    p1 = pd.merge(pls, pr, on="k").sort_values("b", kind="stable")
+    want = pd.merge(p1, pr.rename(columns={"b": "c"}), on="k")
+    el = ps.DataFrame(spark.createDataFrame(pl)).sort_values("a", ascending=False)
+    er = ps.DataFrame(spark.createDataFrame(pr))
+    e1 = el.merge(er, on="k").sort_values("b")
+    got = e1.merge(er.rename(columns={"b": "c"}), on="k").to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_groupby_sample_weights_requires_id_col(spark):
+    """weights= without id_col= must raise, not silently fall through
+    to a uniform sample (advisor-found)."""
+    f = ps.DataFrame(
+        spark.createDataFrame([("a", 1, 1.0)], "g string, i int, w double")
+    )
+    with pytest.raises(ValueError, match="id_col"):
+        f.groupby("g").sample(n=1, weights="w")
