@@ -1,0 +1,103 @@
+"""Footer-derived value-range proofs for double columns.
+
+Parquet footer min/max statistics prove more than null-freedom: a
+double column whose min and max are FINITE in every row group of
+every file provably contains no ±Infinity (both pyarrow's
+parquet-cpp and Spark's parquet-mr include Infinity in min/max when
+present). NaN-freedom is writer-dependent: parquet-mr orders NaN as
+the LARGEST double, so finite max additionally proves no NaN;
+parquet-cpp IGNORES NaN when computing min/max, so its stats prove
+nothing about NaN (verified empirically against both writers — see
+tests/test_bounds.py).
+
+These proofs let the exact-sum kernel (functions/stats.py) drop its
+per-row non-finite gating and its ±inf counter aggregates — the
+difference between a ~1.0 s and a ~0.6 s flagship aggregation at
+sf0.1 (round-6 verdict #1). The proof is an optimization, never a
+requirement: any column without one keeps the fully-gated kernel.
+
+Bounds ride on the engine DataFrame as ``_bounds``:
+``{column: (lo, hi, nan_free)}`` and propagate through
+row-filtering/name-projection ops unchanged, and through ``assign``
+arithmetic (+, −, ×, widening casts) by interval arithmetic over the
+unresolved ColumnNode AST — so q1's ``disc_price = extendedprice *
+(1 - discount)`` is proven inf-free from the scan stats of its
+inputs.
+"""
+
+from __future__ import annotations
+
+import math
+
+_FIN = float("inf")
+
+
+def column_interval(column, bounds: dict) -> tuple | None:
+    """``(lo, hi, nan_free)`` for a pyspark Column under per-column
+    input bounds, via interval arithmetic over its unresolved
+    ColumnNode AST. ``None`` = unprovable (any unsupported node)."""
+    if not bounds:
+        return None
+    try:
+        return _node_interval(column._jc.node(), bounds)
+    except Exception:
+        return None
+
+
+def _attr_name(n) -> str | None:
+    parts = n.nameParts()
+    if parts.size() != 1:
+        return None
+    return str(parts.apply(0))
+
+
+def _node_interval(n, bounds: dict) -> tuple | None:
+    cls = n.getClass().getSimpleName()
+    if cls == "Alias":
+        ch = n.children()
+        return _node_interval(ch.apply(0), bounds) if ch.size() == 1 else None
+    if cls == "Cast":
+        # widening numeric casts preserve values; anything else
+        # (string round-trips, narrowing) is unprovable
+        if str(n.dataType()) in ("DoubleType", "FloatType"):
+            return _node_interval(n.child(), bounds)
+        return None
+    if cls == "UnresolvedAttribute":
+        name = _attr_name(n)
+        return bounds.get(name) if name else None
+    if cls == "Literal":
+        v = n.value()
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        v = float(v)
+        if not math.isfinite(v):
+            return None
+        return (v, v, True)
+    if cls == "UnresolvedFunction":
+        fn = str(n.functionName())
+        args = n.arguments()
+        if fn == "negative" and args.size() == 1:
+            a = _node_interval(args.apply(0), bounds)
+            return None if a is None else (-a[1], -a[0], a[2])
+        if fn not in ("+", "-", "*") or args.size() != 2:
+            return None
+        a = _node_interval(args.apply(0), bounds)
+        b = _node_interval(args.apply(1), bounds)
+        if a is None or b is None:
+            return None
+        # NaN inputs don't widen the bounds of non-NaN outcomes, and
+        # finite×finite / finite±finite can't produce NaN — so the
+        # result is NaN-free iff both inputs are, and the interval
+        # describes every non-NaN output value
+        nan_free = a[2] and b[2]
+        if fn == "+":
+            lo, hi = a[0] + b[0], a[1] + b[1]
+        elif fn == "-":
+            lo, hi = a[0] - b[1], a[1] - b[0]
+        else:
+            prods = (a[0] * b[0], a[0] * b[1], a[1] * b[0], a[1] * b[1])
+            lo, hi = min(prods), max(prods)
+        if not (math.isfinite(lo) and math.isfinite(hi)):
+            return None  # could overflow to inf — no proof
+        return (lo, hi, nan_free)
+    return None

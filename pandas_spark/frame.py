@@ -111,6 +111,7 @@ class DataFrame:
         index_cols: tuple[str, ...] = (),
         sort_spec: tuple = (),
         nonnull: frozenset = frozenset(),
+        bounds: Mapping | None = None,
     ):
         self._sdf = sdf
         self._order_col = order_col
@@ -133,10 +134,17 @@ class DataFrame:
         # on any column-creating op) keep stale names from matching a
         # live column they don't describe.
         self._nonnull = frozenset(nonnull) if nonnull else frozenset()
+        # {col: (lo, hi, nan_free)} — parquet-footer value-range proofs
+        # for double columns (bounds.py). Same conservatism rules as
+        # _nonnull: propagated only through ops that can't change the
+        # proven columns' values; assign() extends it by interval
+        # arithmetic. Lets the exact-agg kernels drop non-finite gating.
+        self._bounds = dict(bounds) if bounds else {}
 
     # -- plumbing --------------------------------------------------------
     def _with(
-        self, sdf: SparkDF, order_col: str | None = "keep", nonnull: frozenset | None = None
+        self, sdf: SparkDF, order_col: str | None = "keep",
+        nonnull: frozenset | None = None, bounds: Mapping | None = None,
     ) -> "DataFrame":
         oc = self._order_col if order_col == "keep" else order_col
         if oc is not None and oc not in sdf.columns:
@@ -157,6 +165,7 @@ class DataFrame:
             index_cols=tuple(c for c in self._index_cols if c in sdf.columns),
             sort_spec=spec,
             nonnull=nonnull if nonnull is not None else frozenset(),
+            bounds=bounds,
         )
 
     def _ensure_order(self) -> "DataFrame":
@@ -273,12 +282,18 @@ class DataFrame:
             exprs = exprs + [F.col(self._order_col)]
         # a pure name projection can't introduce NULLs; computed or
         # renamed exprs could shadow a proven column — drop the proof
-        nn = self._nonnull if all(isinstance(c, str) for c in cols) else frozenset()
-        return self._with(self._sdf.select(*exprs), nonnull=nn)
+        names_only = all(isinstance(c, str) for c in cols)
+        nn = self._nonnull if names_only else frozenset()
+        bd = (
+            {c: self._bounds[c] for c in cols if c in self._bounds}
+            if names_only else None
+        )
+        return self._with(self._sdf.select(*exprs), nonnull=nn, bounds=bd)
 
     def filter(self, cond) -> "DataFrame":
         # removing rows can't introduce NULLs — null-free proofs survive
-        return self._with(self._sdf.filter(_cond(cond)), nonnull=self._nonnull)
+        return self._with(self._sdf.filter(_cond(cond)), nonnull=self._nonnull,
+                          bounds=self._bounds)
 
     where = filter
 
@@ -289,15 +304,26 @@ class DataFrame:
         return self._with(
             self._sdf.filter(F.expr(translate_query(expr, scope))),
             nonnull=self._nonnull,
+            bounds=self._bounds,
         )
 
     def assign(self, **kwargs) -> "DataFrame":
+        from pandas_spark.bounds import column_interval
+
         cols = {}
         for name, v in kwargs.items():
             if callable(v) and not isinstance(v, (Expr, Column)):
                 v = v(self)
             cols[name] = self._to_col(v)
-        return self._with(self._sdf.withColumns(cols))
+        # untouched columns keep their footer proofs; new/replaced
+        # columns gain one when interval arithmetic over their
+        # expression proves finite bounds from the inputs' proofs
+        bd = {c: b for c, b in self._bounds.items() if c not in cols}
+        for name, c in cols.items():
+            iv = column_interval(c, self._bounds)
+            if iv is not None:
+                bd[name] = iv
+        return self._with(self._sdf.withColumns(cols), bounds=bd)
 
     def withColumn(self, name: str, value) -> "DataFrame":
         return self.assign(**{name: value})
@@ -943,6 +969,7 @@ class DataFrame:
             index_cols=self._index_cols,
             sort_spec=tuple(spec),
             nonnull=self._nonnull,
+            bounds=self._bounds,
         )
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
@@ -1366,9 +1393,9 @@ class DataFrame:
         if spec:
             for c, fns in dict(spec).items():
                 for fn in [fns] if isinstance(fns, str) else list(fns):
-                    exprs.append(resolve_agg(fn, c, dtmap.get(c)).alias(f"{c}_{fn}"))
+                    exprs.append(resolve_agg(fn, c, dtmap.get(c), self._bounds).alias(f"{c}_{fn}"))
         for out_name, (c, fn) in named.items():
-            exprs.append(resolve_agg(fn, c, dtmap.get(c)).alias(out_name))
+            exprs.append(resolve_agg(fn, c, dtmap.get(c), self._bounds).alias(out_name))
         if not exprs:
             raise ValueError("agg requires a spec")
         return DataFrame(self._sdf.agg(*exprs))

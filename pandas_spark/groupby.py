@@ -90,14 +90,29 @@ _AGG_EMPTY_IDENTITY: dict[str, Callable[[], Column]] = {
 }
 
 
-def resolve_agg(func: str, col: str, dtype: str | None = None) -> Column:
+def resolve_agg(func: str, col: str, dtype: str | None = None,
+                bounds: dict | None = None) -> Column:
     """One pandas agg name + column → aliased Spark aggregate expression.
 
     ``dtype`` (Spark simple string) routes float/double columns to the
     deterministic decimal-moment kernels for sum/mean/var/std/sem.
+    ``bounds`` (frame._bounds: {col: (lo, hi, nan_free)}, parquet
+    footer proofs — see bounds.py) drops the kernels' non-finite
+    gating when the column provably contains no ±inf / no NaN.
     """
     if dtype is not None and dtype in _FLOAT_TYPES and func in _EXACT_AGG:
-        expr = _EXACT_AGG[func](F.col(col))
+        kw = {}
+        b = (bounds or {}).get(col)
+        if b is not None:
+            lo, hi, nan_free = b
+            if func in ("var", "std", "sem"):
+                # these also fold c*c — the proof must cover the square
+                m = max(abs(lo), abs(hi))
+                if m * m < float("inf"):
+                    kw = {"no_inf": True, "no_nan": nan_free}
+            else:
+                kw = {"no_inf": True, "no_nan": nan_free}
+        expr = _EXACT_AGG[func](F.col(col), **kw)
     else:
         try:
             builder = _AGG_FUNCS[func]
@@ -185,7 +200,7 @@ class GroupBy:
 
             dtype = C.infer_scalar_dtype(func, self._frame._infer_sample()[col])
             return C.grouped_agg_udf(func, dtype)(F.col(col))
-        return resolve_agg(func, col, self._dt(col))
+        return resolve_agg(func, col, self._dt(col), self._frame._bounds)
 
     # -- plumbing -----------------------------------------------------------
     def _source(self):
@@ -229,7 +244,7 @@ class GroupBy:
                 exprs.append(self._resolve(func, col).alias(out_name))
         elif isinstance(spec, str):
             for c in self._value_cols():
-                exprs.append(resolve_agg(spec, c, self._dt(c)).alias(c))
+                exprs.append(resolve_agg(spec, c, self._dt(c), self._frame._bounds).alias(c))
         elif isinstance(spec, Mapping):
             for col, funcs in spec.items():
                 if isinstance(funcs, str) or callable(funcs):
@@ -266,11 +281,11 @@ class GroupBy:
         exprs: list[Column] = []
         for out_name, pair in (named or {}).items():
             col, func = pair if isinstance(pair, tuple) else (pair, "sum")
-            exprs.append(resolve_agg(func, col, self._dt(col)).alias(out_name))
+            exprs.append(resolve_agg(func, col, self._dt(col), self._frame._bounds).alias(out_name))
         if spec:
             for col, funcs in dict(spec).items():
                 for fn in [funcs] if isinstance(funcs, str) else list(funcs):
-                    exprs.append(resolve_agg(fn, col, self._dt(col)).alias(f"{col}_{fn}"))
+                    exprs.append(resolve_agg(fn, col, self._dt(col), self._frame._bounds).alias(f"{col}_{fn}"))
         src = self._source()
         grouped = src.rollup(*self._keys) if kind == "rollup" else src.cube(*self._keys)
         return self._result(grouped.agg(*exprs))
@@ -278,7 +293,7 @@ class GroupBy:
     # -- simple reductions -----------------------------------------------------
     def _simple(self, func: str, numeric_only: bool = True):
         cols = self._value_cols(numeric_only=numeric_only)
-        exprs = [resolve_agg(func, c, self._dt(c)).alias(c) for c in cols]
+        exprs = [resolve_agg(func, c, self._dt(c), self._frame._bounds).alias(c) for c in cols]
         return self._result(self._grouped().agg(*exprs))
 
     def _min_count_agg(self, func: str, numeric_only: bool, min_count: int):
@@ -290,7 +305,7 @@ class GroupBy:
         exprs = [
             F.when(
                 F.count(F.col(c)) >= F.lit(min_count),
-                resolve_agg(func, c, self._dt(c)),
+                resolve_agg(func, c, self._dt(c), self._frame._bounds),
             ).alias(c)
             for c in cols
         ]

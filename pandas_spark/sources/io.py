@@ -70,7 +70,7 @@ _SCAN_CACHE: dict = {}
 def clear_scan_cache() -> None:
     """Drop the parquet scan-metadata cache (all sessions, all paths),
     unpersisting any buffer-pool-cached small scans."""
-    for sdf, _ in _SCAN_CACHE.values():
+    for sdf, *_ in _SCAN_CACHE.values():
         try:
             sdf.unpersist()
         except Exception:
@@ -159,43 +159,88 @@ def _path_signature(path: str):
         return None
 
 
-def _nonnull_stat_cols(path: str, max_files: int = 1024) -> frozenset:
-    """Top-level columns PROVEN null-free by parquet footer statistics
-    (null_count == 0 in every row group of every file). Driver-side
-    footer reads only (~2 ms/file, computed once per (path, mtime) via
-    the scan cache) — skipped beyond ``max_files`` so a 100 TB
-    many-thousand-file table never pays an unbounded driver-side
-    footer sweep (the proof is an optimization, never a requirement;
-    a catalog deployment gets the same proof from table statistics)."""
+def _footer_proofs(path: str, max_files: int = 1024) -> tuple[frozenset, dict]:
+    """(null-free columns, double-column bounds) proven by parquet
+    footer statistics, in ONE footer sweep.
+
+    * null-free: null_count == 0 in every row group of every file.
+    * bounds {col: (lo, hi, nan_free)}: DOUBLE/FLOAT columns whose
+      min/max are present and FINITE in every row group — both
+      parquet-cpp (pyarrow) and parquet-mr include ±Infinity in
+      min/max when present, so finite stats prove inf-freedom.
+      NaN-freedom is writer-dependent (bounds.py): parquet-mr orders
+      NaN as the largest double (finite max ⇒ no NaN); parquet-cpp
+      IGNORES NaN in min/max, proving nothing — so nan_free also
+      requires every file's created_by to be parquet-mr.
+
+    Driver-side footer reads only (~2 ms/file, computed once per
+    (path, mtime) via the scan cache) — skipped beyond ``max_files``
+    so a 100 TB many-thousand-file table never pays an unbounded
+    driver-side footer sweep (the proofs are an optimization, never a
+    requirement; a catalog deployment gets the same from table
+    statistics)."""
+    import math
+
     try:
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
 
         files = list(pads.dataset(path, format="parquet").files)
         if not files or len(files) > max_files:
-            return frozenset()
+            return frozenset(), {}
         proven: set | None = None
+        ranges: dict | None = None
+        all_mr = True
         for f in files:
             md = pq.ParquetFile(f).metadata
+            if not (md.created_by or "").startswith("parquet-mr"):
+                all_mr = False
             file_ok: set | None = None
+            file_rng: dict | None = None
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 rg_ok = set()
+                rg_rng: dict = {}
                 for ci in range(g.num_columns):
                     col = g.column(ci)
                     name = col.path_in_schema
                     if "." in name:  # nested leaf — skip
                         continue
                     st = col.statistics
-                    if st is not None and st.null_count == 0:
+                    if st is None:
+                        continue
+                    if st.null_count == 0:
                         rg_ok.add(name)
+                    if (
+                        col.physical_type in ("DOUBLE", "FLOAT")
+                        and st.has_min_max
+                        and isinstance(st.min, float)
+                        and isinstance(st.max, float)
+                        and math.isfinite(st.min)
+                        and math.isfinite(st.max)
+                    ):
+                        rg_rng[name] = (st.min, st.max)
                 # a column must be proven in EVERY row group
                 file_ok = rg_ok if file_ok is None else (file_ok & rg_ok)
+                file_rng = rg_rng if file_rng is None else {
+                    c: (min(a[0], b[0]), max(a[1], b[1]))
+                    for c, a in file_rng.items()
+                    if (b := rg_rng.get(c)) is not None
+                }
             file_ok = file_ok or set()
+            file_rng = file_rng or {}
             proven = file_ok if proven is None else (proven & file_ok)
-        return frozenset(proven or ())
+            ranges = file_rng if ranges is None else {
+                c: (min(a[0], b[0]), max(a[1], b[1]))
+                for c, a in ranges.items()
+                if (b := file_rng.get(c)) is not None
+            }
+        bounds = {
+            c: (lo, hi, all_mr) for c, (lo, hi) in (ranges or {}).items()
+        }
+        return frozenset(proven or ()), bounds
     except Exception:
-        return frozenset()
+        return frozenset(), {}
 
 
 def read_parquet(
@@ -243,7 +288,7 @@ def read_parquet(
             sdf = sdf.withColumns(
                 {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
             )
-        nonnull = _nonnull_stat_cols(path)
+        nonnull, bounds = _footer_proofs(path)
         if key[2] is not None:
             # Buffer-pool analog: SMALL flat tables (dimension-sized on
             # disk) persist in Spark's in-memory columnar cache after
@@ -287,14 +332,15 @@ def read_parquet(
                     pass
             if len(_SCAN_CACHE) > 256:
                 clear_scan_cache()
-            _SCAN_CACHE[key] = (sdf, nonnull)
+            _SCAN_CACHE[key] = (sdf, nonnull, bounds)
     else:
-        sdf, nonnull = hit
+        sdf, nonnull, bounds = hit
     if filters:
         sdf = sdf.filter(filters)
     if columns:
         sdf = sdf.select(*columns)
-    return DataFrame(sdf, nonnull=nonnull)
+        bounds = {c: b for c, b in bounds.items() if c in set(columns)}
+    return DataFrame(sdf, nonnull=nonnull, bounds=bounds)
 
 
 def read_csv(
