@@ -118,6 +118,21 @@ def main() -> None:
         out["errors"] = errors
     print(json.dumps(out))
 
+    if "--record" in sys.argv:
+        # freshness record for tools/check_bench_fresh.py: ties these
+        # numbers to the engine tree they were measured at, so a stale
+        # BASELINE/BENCH claim fails the gate (round-6 verdict #2)
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from check_bench_fresh import engine_tree_hash, dirty_engine
+
+        if dirty_engine():
+            print("--record refused: uncommitted engine changes", file=sys.stderr)
+            sys.exit(1)
+        rec = {"engine_tree": engine_tree_hash(), "result": out}
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_HEAD.json"), "w") as f:
+            json.dump(rec, f, indent=1)
+
 
 if __name__ == "__main__":
     main()

@@ -20,6 +20,12 @@ python tools/verify_oracle.py --ansi
 if [[ "${1:-}" != "--fast" ]]; then
   echo "== gate: pytest (fresh default env) =="
   python -m pytest tests/ -q
+
+  # Benchmark artifacts must postdate the last engine commit (round-6
+  # verdict #2: a BASELINE.md refreshed 46 commits before the final
+  # kernel commit claimed numbers that no longer reproduced at HEAD).
+  echo "== gate: bench freshness =="
+  python tools/check_bench_fresh.py
 fi
 
 echo "== gate: PASS =="
