@@ -64,17 +64,32 @@ def pivot_table(
     idx = [index] if isinstance(index, str) else list(index)
     vals = [values] if isinstance(values, str) else list(values)
     fns = [aggfunc] if isinstance(aggfunc, str) else list(aggfunc)
-    if len(fns) > 1 and margins:
-        raise NotImplementedError("margins supports a single aggfunc")
-    aggfunc = fns[0]
     sdf = frame.spark
     dtmap = dict(sdf.dtypes)
+    multi = len(vals) > 1 or len(fns) > 1
+    bounds = getattr(frame, "_bounds", None)
+
+    def _alias(v: str, f: str) -> str:
+        # pandas' MultiIndex (aggfunc, values, colvalue) flattens to
+        # "<colvalue>_<values>_<aggfunc>" under Spark pivot naming
+        return f"{v}_{f}" if len(fns) > 1 else v
 
     def agg_exprs():
-        if len(vals) == 1 and len(fns) == 1:
-            return [resolve_agg(fns[0], vals[0], dtmap.get(vals[0]))]
+        if not multi:
+            return [resolve_agg(fns[0], vals[0], dtmap.get(vals[0]), bounds)]
         return [
-            resolve_agg(f, v, dtmap.get(v)).alias(f"{v}_{f}" if len(fns) > 1 else v)
+            resolve_agg(f, v, dtmap.get(v), bounds).alias(_alias(v, f))
+            for v in vals
+            for f in fns
+        ]
+
+    def margin_exprs():
+        # single value+fn keeps the bare margins_name column (pandas'
+        # "All"); multi gets one margin column per (value, fn)
+        return [
+            resolve_agg(f, v, dtmap.get(v), bounds).alias(
+                f"{margins_name}_{_alias(v, f)}" if multi else margins_name
+            )
             for v in vals
             for f in fns
         ]
@@ -82,23 +97,23 @@ def pivot_table(
     piv = sdf.groupBy(*idx).pivot(columns, list(column_values) if column_values else None)
     out = piv.agg(*agg_exprs())
     if margins:
-        if len(vals) != 1:
-            raise NotImplementedError("margins supports a single values column")
-        v = vals[0]
-        # margin column: per-index-row total over all pivot values
-        col_total = sdf.groupBy(*idx).agg(resolve_agg(aggfunc, v, dtmap.get(v)).alias(margins_name))
+        # margin column(s): per-index-row total over all pivot values
+        # (reference reshape/pivot.py:59 _add_margins; naming rules
+        # core/apply.py:1888 flattened to engine columns)
+        col_total = sdf.groupBy(*idx).agg(*margin_exprs())
         out = out.join(col_total, idx, "left")
-        # margin row: per-pivot-value total + the grand total cell
+        # margin row: per-pivot-value totals + the grand total cell(s)
         row_piv = (
             sdf.groupBy()
             .pivot(columns, list(column_values) if column_values else None)
             .agg(*agg_exprs())
         )
-        grand = sdf.groupBy().agg(resolve_agg(aggfunc, v, dtmap.get(v)).alias(margins_name))
+        grand = sdf.groupBy().agg(*margin_exprs())
+        gcols = grand.columns
         row = row_piv.crossJoin(grand).select(
             *[F.lit(margins_name).alias(c) for c in idx],
             *[F.col(c) for c in row_piv.columns],
-            F.col(margins_name),
+            *[F.col(c) for c in gcols],
         )
         out = out.unionByName(row, allowMissingColumns=True)
     if fill_value is not None:

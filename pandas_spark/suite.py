@@ -624,6 +624,44 @@ def pivot_sum(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 @query(
+    "pivot_margins_multi",
+    oracle=f"""
+    SELECT l_returnflag,
+           {ESUM("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F_l_quantity_sum,
+           {EAVG("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F_l_quantity_mean,
+           {ESUM("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O_l_quantity_sum,
+           {EAVG("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O_l_quantity_mean,
+           {ESUM('l_quantity')} AS All_l_quantity_sum,
+           {EAVG('l_quantity')} AS All_l_quantity_mean
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'All',
+           {ESUM("CASE WHEN l_linestatus = 'F' THEN l_quantity END")},
+           {EAVG("CASE WHEN l_linestatus = 'F' THEN l_quantity END")},
+           {ESUM("CASE WHEN l_linestatus = 'O' THEN l_quantity END")},
+           {EAVG("CASE WHEN l_linestatus = 'O' THEN l_quantity END")},
+           {ESUM('l_quantity')},
+           {EAVG('l_quantity')}
+    FROM lineitem
+    """,
+)
+def pivot_margins_multi(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pivot_table with aggfunc LIST + margins (reference
+    reshape/pivot.py:59 _add_margins over a multi-agg spec; flattened
+    MultiIndex naming per core/apply.py:1888)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return ps.pivot_table(
+        lineitem,
+        values="l_quantity",
+        index="l_returnflag",
+        columns="l_linestatus",
+        aggfunc=["sum", "mean"],
+        margins=True,
+        column_values=["F", "O"],
+    ).to_spark()
+
+
+@query(
     "melt_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity::DOUBLE AS value FROM lineitem

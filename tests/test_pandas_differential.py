@@ -1256,3 +1256,47 @@ def test_groupby_sample_weights_requires_id_col(spark):
     )
     with pytest.raises(ValueError, match="id_col"):
         f.groupby("g").sample(n=1, weights="w")
+
+
+def test_pivot_table_margins_multi_aggfunc_values(spark):
+    """margins=True with aggfunc list / multiple values (round-6 gap:
+    both raised NotImplementedError; reference reshape/pivot.py:59).
+    Engine flattens pandas' (aggfunc, values, colvalue) MultiIndex to
+    '<colvalue>_<values>_<aggfunc>' and the margin to 'All_...'."""
+    pdf = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "a"],
+        "c": ["x", "y", "x", "y", "x"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "w": [10.0, 20.0, 30.0, 40.0, 50.0],
+    })
+    f = ps.from_pandas(spark, pdf)
+    got = ps.pivot_table(f, values="v", index="g", columns="c",
+                         aggfunc=["sum", "mean"], margins=True,
+                         column_values=["x", "y"]).to_pandas()
+    got = got.set_index("g")
+    want = pd.pivot_table(pdf, values="v", index="g", columns="c",
+                          aggfunc=["sum", "mean"], margins=True)
+    for f_, v_, c_ in [("sum", "v", "x"), ("sum", "v", "y"),
+                       ("mean", "v", "x"), ("mean", "v", "y")]:
+        for g_ in ["a", "b", "All"]:
+            w = want.loc[g_, (f_, c_)]
+            e = got.loc[g_, f"{c_}_{v_}_{f_}"]
+            assert (pd.isna(w) and pd.isna(e)) or e == pytest.approx(w)
+    # margin column
+    for g_ in ["a", "b", "All"]:
+        assert got.loc[g_, "All_v_sum"] == pytest.approx(want.loc[g_, ("sum", "All")])
+        assert got.loc[g_, "All_v_mean"] == pytest.approx(want.loc[g_, ("mean", "All")])
+    # multiple values + margins, single aggfunc
+    got2 = ps.pivot_table(f, values=["v", "w"], index="g", columns="c",
+                          aggfunc="sum", margins=True,
+                          column_values=["x", "y"]).to_pandas().set_index("g")
+    want2 = pd.pivot_table(pdf, values=["v", "w"], index="g", columns="c",
+                           aggfunc="sum", margins=True)
+    for v_ in ["v", "w"]:
+        for c_ in ["x", "y"]:
+            for g_ in ["a", "b", "All"]:
+                w = want2.loc[g_, (v_, c_)]
+                e = got2.loc[g_, f"{c_}_{v_}"]
+                assert (pd.isna(w) and pd.isna(e)) or e == pytest.approx(w)
+        for g_ in ["a", "b", "All"]:
+            assert got2.loc[g_, f"All_{v_}"] == pytest.approx(want2.loc[g_, (v_, "All")])
