@@ -1148,6 +1148,36 @@ class DataFrame:
                     F.rank().over(w).cast("double") + (ties.cast("double") - 1.0) / 2.0
                 )
             sdf = sdf.select(*[ranked[c].alias(c) for c in cols])
+        elif method == "kendall":
+            # tau-b (Knight's O(n log n) kernel, functions/stats.py) —
+            # a GLOBAL pair statistic, computed in one Arrow kernel
+            # over a single gathered partition: the same scale caveat
+            # as the spearman rank windows above (use the keyed
+            # groupby.corr variant or sample first at scale)
+            from pandas_spark.functions.stats import kendall_tau_np
+
+            data = sdf.select(*cols).coalesce(1)
+
+            def gen(batches):
+                import pandas as pd
+
+                parts = list(batches)
+                pdf = (
+                    pd.concat(parts, ignore_index=True)
+                    if parts else pd.DataFrame({c: [] for c in cols})
+                )
+                arrs = {c: pdf[c].to_numpy(dtype=float) for c in cols}
+                yield pd.DataFrame(
+                    [
+                        (a, b, kendall_tau_np(arrs[a], arrs[b]))
+                        for a in cols
+                        for b in cols
+                    ],
+                    columns=["col1", "col2", "corr"],
+                )
+
+            stacked = data.mapInPandas(gen, "col1 string, col2 string, corr double")
+            return DataFrame(stacked)
         elif method != "pearson":
             raise NotImplementedError(f"corr method {method!r}")
         exprs = [

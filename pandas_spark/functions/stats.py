@@ -231,3 +231,75 @@ def mode_agg(col: str | Column) -> Column:
 def product(col: str | Column) -> Column:
     c = col if isinstance(col, Column) else F.col(col)
     return F.product(c)
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (Knight 1966, O(n log n)) — numpy kernel, no scipy.
+# Reference: pandas frame.py:15791 corr(method='kendall') routes to
+# nanops nancorr_kendall; same tau-b definition.
+# ---------------------------------------------------------------------------
+
+def _count_inversions(a) -> int:
+    """Strict inversions (i<j, a[i]>a[j]) by divide & conquer with
+    vectorized cross-counts (searchsorted) — O(n log^2 n), no Python
+    per-element loop."""
+    import numpy as np
+
+    def rec(v):
+        n = len(v)
+        if n < 2:
+            return 0, v
+        mid = n // 2
+        il, left = rec(v[:mid])
+        ir, right = rec(v[mid:])
+        # pairs (l in left, r in right) with l > r
+        cross = int(
+            (len(left) - np.searchsorted(left, right, side="right")).sum()
+        )
+        return il + ir + cross, np.concatenate(
+            (left, right))[np.argsort(np.concatenate((left, right)),
+                                      kind="mergesort")]
+    total, _ = rec(a)
+    return total
+
+
+def kendall_tau_np(x, y) -> float:
+    """tau-b over two float arrays (NaN pairs dropped — pandas'
+    pairwise-complete rule): (n_c − n_d) / sqrt((n0−n1)(n0−n2)) with
+    n_d counted as strict y-inversions after a lexicographic (x, y)
+    sort (Knight's algorithm)."""
+    import numpy as np
+
+    m = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[m], y[m]
+    n = len(x)
+    if n < 2:
+        return float("nan")
+    perm = np.lexsort((y, x))
+    x, y = x[perm], y[perm]
+    n0 = n * (n - 1) // 2
+
+    def ties(v):
+        _, counts = np.unique(v, return_counts=True)
+        return int((counts * (counts - 1) // 2).sum())
+
+    n1 = ties(x)
+    n2 = ties(y)
+    # joint ties: (x, y) both sorted lexicographically → equal pairs
+    # are consecutive runs
+    same = (x[1:] == x[:-1]) & (y[1:] == y[:-1])
+    n3 = 0
+    run = 1
+    import itertools
+    for s in itertools.chain(same, [False]):
+        if s:
+            run += 1
+        else:
+            n3 += run * (run - 1) // 2
+            run = 1
+    swaps = _count_inversions(y)
+    num = n0 - n1 - n2 + n3 - 2 * swaps
+    den = float(n0 - n1) * float(n0 - n2)
+    if den <= 0:
+        return float("nan")
+    return num / den ** 0.5

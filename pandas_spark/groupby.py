@@ -531,6 +531,28 @@ class GroupBy:
                 stats.exact_corr("__rx__", "__ry__").alias("corr")
             )
             return self._result(out)
+        if method == "kendall":
+            # tau-b via Knight's O(n log n) mergesort kernel (reference
+            # frame.py:15791 → nanops kendall; no scipy) — per-group
+            # Arrow batches, keyed (scales to any group count; a group
+            # fits one task, the same contract as groupby.apply)
+            from pandas_spark.functions.stats import kendall_tau_np
+
+            src = self._source().select(*self._keys, x, y)
+            dt = dict(src.dtypes)
+            schema = ", ".join(
+                [f"`{k}` {dt[k]}" for k in self._keys] + ["`corr` double"]
+            )
+            keys = list(self._keys)
+
+            def fn(pdf):
+                out = pdf[keys].iloc[:1].copy()
+                out["corr"] = kendall_tau_np(
+                    pdf[x].to_numpy(dtype=float), pdf[y].to_numpy(dtype=float)
+                )
+                return out
+
+            return self._result(src.groupBy(*keys).applyInPandas(fn, schema))
         if method != "pearson":
             raise NotImplementedError(f"corr method {method!r}")
         return self._result(self._grouped().agg(stats.exact_corr(x, y).alias("corr")))

@@ -598,6 +598,57 @@ def resample_1h(spark: SparkSession, sf_dir: str) -> SparkDF:
     return events.resample("1h", on="ts").agg({"value": ["sum", "count"]}).to_spark()
 
 
+@query(
+    "resample_interpolate_30min",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts)::TIMESTAMP AS ts, {EAVG('value')} AS value
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(ts) AS mn, max(ts) AS mx FROM hourly),
+    spine AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 30 MINUTE)) AS ts FROM bounds
+    ),
+    j AS (
+        SELECT s.ts, h.value, row_number() OVER (ORDER BY s.ts) AS rn
+        FROM spine s LEFT JOIN hourly h ON s.ts = h.ts
+    ),
+    w AS (
+        SELECT ts, rn, value,
+               max(CASE WHEN value IS NOT NULL THEN rn END) OVER
+                   (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+               last_value(value IGNORE NULLS) OVER
+                   (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               min(CASE WHEN value IS NOT NULL THEN rn END) OVER
+                   (ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn,
+               first_value(value IGNORE NULLS) OVER
+                   (ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        FROM j
+    )
+    SELECT ts,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN pv IS NULL THEN NULL
+                WHEN nv IS NULL THEN pv
+                ELSE pv * (1.0 - (rn - prn)::DOUBLE / (nrn - prn))
+                     + nv * ((rn - prn)::DOUBLE / (nrn - prn))
+           END AS value
+    FROM w
+    """,
+)
+def resample_interpolate_30min(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """``Resampler.interpolate`` (reference core/resample.py:851):
+    hourly means upsampled onto a 30-minute grid, values at exact grid
+    stamps, linear interpolation between, trailing carry-forward."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.resample("1h", on="ts").agg({"value": "mean"})
+    return (
+        hourly.resample("30min", on="ts")
+        .interpolate(subset=["value"], method="linear")
+        .select(["ts", "value"])
+        .to_spark()
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 reshape
 # ---------------------------------------------------------------------------

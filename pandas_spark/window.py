@@ -612,6 +612,24 @@ class Resampler:
         )
         return DataFrame(out)
 
+    def interpolate(self, subset=None, method: str = "linear", **kwargs) -> DataFrame:
+        """pandas ``Resampler.interpolate`` (reference core/resample.py:851)
+        = ``.asfreq()`` onto the bucket-floored rule grid (values kept
+        only at EXACT grid stamps — pandas drops off-grid originals)
+        then frame ``interpolate`` over the grid. One bounded 2-scalar
+        receipt for the spine bounds, one exact-stamp left equi-join;
+        the interpolation itself is the existing window compilation."""
+        if self._by:
+            raise NotImplementedError("resample(...).interpolate with by= groups")
+        spine = self.asfreq_spine().spark
+        joined = spine.join(
+            self._frame._drop_internal(self._frame._sdf), on=self._on, how="left"
+        )
+        out = DataFrame(joined, sort_spec=((self._on, True, "last"),))
+        return out.interpolate(
+            subset=subset, method=method, on=self._on, **kwargs
+        )
+
     def asfreq_spine(self) -> DataFrame:
         """Dense time spine for upsampling (F.sequence + explode).
 

@@ -1300,3 +1300,72 @@ def test_pivot_table_margins_multi_aggfunc_values(spark):
                 assert (pd.isna(w) and pd.isna(e)) or e == pytest.approx(w)
         for g_ in ["a", "b", "All"]:
             assert got2.loc[g_, f"All_{v_}"] == pytest.approx(want2.loc[g_, (v_, "All")])
+
+
+def _brute_tau_b(x, y):
+    m = ~(np.isnan(x) | np.isnan(y)); x, y = x[m], y[m]
+    n = len(x)
+    if n < 2:
+        return float("nan")
+    nc = nd = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = x[i] - x[j], y[i] - y[j]
+            if dx == 0 and dy == 0:
+                continue
+            if dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif dx * dy > 0:
+                nc += 1
+            else:
+                nd += 1
+    den = ((nc + nd + tx) * (nc + nd + ty)) ** 0.5
+    return (nc - nd) / den if den > 0 else float("nan")
+
+
+def test_corr_kendall_matches_taub(spark):
+    """corr(method='kendall') — tau-b definition (pandas routes to
+    scipy.stats.kendalltau; validated against a brute-force pair count
+    since scipy is absent in this container)."""
+    rng = np.random.default_rng(7)
+    n = 120
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "x": rng.integers(0, 8, n).astype(float),
+    })
+    pdf["y"] = (pdf.x * 1.5 + rng.integers(0, 4, n)).astype(float)
+    pdf.loc[rng.integers(0, n, 5), "x"] = np.nan
+    f = ps.from_pandas(spark, pdf)
+    got = f.groupby("g").corr("x", "y", method="kendall").to_pandas()
+    got = dict(zip(got["g"], got["corr"]))
+    for g, sub in pdf.groupby("g"):
+        want = _brute_tau_b(sub.x.to_numpy(float), sub.y.to_numpy(float))
+        assert got[g] == pytest.approx(want, abs=1e-12), g
+    # frame-level matrix
+    mat = f.corr(subset=["x", "y"], method="kendall").to_pandas()
+    xy = mat[(mat.col1 == "x") & (mat.col2 == "y")]["corr"].iloc[0]
+    want = _brute_tau_b(pdf.x.to_numpy(float), pdf.y.to_numpy(float))
+    assert xy == pytest.approx(want, abs=1e-12)
+    xx = mat[(mat.col1 == "x") & (mat.col2 == "x")]["corr"].iloc[0]
+    assert xx == pytest.approx(1.0)
+
+
+def test_resample_interpolate_matches_pandas(spark):
+    """Resampler.interpolate (reference core/resample.py:851): grid =
+    bucket-floored min..max, values only at EXACT grid stamps, linear
+    fill between, trailing carry-forward, leading NaN kept."""
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 02:00", "2024-01-01 03:40",
+         "2024-01-01 05:00"]
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": [1.0, 4.0, 9.0, 10.0]})
+    want = pdf.set_index("ts")["v"].resample("1h").interpolate()
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        f.resample("1h", on="ts").interpolate(subset=["v"])
+        .sort_values("ts").to_pandas()
+    )
+    assert list(got["ts"]) == list(want.index)
+    assert np.allclose(got["v"].values, want.values, equal_nan=True)
