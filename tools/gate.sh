@@ -26,6 +26,9 @@ if [[ "${1:-}" != "--fast" ]]; then
   # kernel commit claimed numbers that no longer reproduced at HEAD).
   echo "== gate: bench freshness =="
   python tools/check_bench_fresh.py
+
+  echo "== gate: COVERAGE.md counter =="
+  python tools/update_coverage_count.py --check
 fi
 
 echo "== gate: PASS =="
