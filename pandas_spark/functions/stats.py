@@ -105,8 +105,58 @@ def _split_sum(c: Column, no_inf: bool = False, no_nan: bool = False) -> Column:
     )
 
 
+# -- SQL-text twins ---------------------------------------------------------
+# Building the fold as pyspark Column objects costs one py4j round trip
+# PER EXPRESSION NODE (~50 nodes x 7 aggregates on the flagship query —
+# ~40% of the query's wall clock was driver-side plan construction,
+# measured with cProfile at the 10x decade). When the aggregate input
+# is a plain column NAME, the same tree is built as ONE SQL string and
+# parsed JVM-side in a single F.expr call. The text mirrors the Column
+# builders token-for-token (same ops, same literal types via D/E
+# suffixes), so values are bit-identical either way.
+
+
+def _split_sum_sql(x: str, no_inf: bool = False, no_nan: bool = False) -> str:
+    if no_inf and no_nan:
+        fin = x
+    elif no_inf:
+        fin = f"nanvl({x}, CAST(NULL AS DOUBLE))"
+    else:
+        fin = f"(CASE WHEN (({x} - {x}) = 0.0D) THEN {x} END)"
+    f0 = f"FLOOR({fin})"
+    fr = f"({fin} - CAST({f0} AS DOUBLE))"
+    frB = f"({fr} * 1.0E6)"
+    l1 = f"FLOOR({frB})"
+    l2 = f"FLOOR((({frB} - CAST({l1} AS DOUBLE)) * 1.0E6))"
+    exact = f"(sum({f0}) + sum({l1}) / 1.0E6 + sum({l2}) / 1.0E12)"
+    if no_inf:
+        return exact
+    code = (
+        f"bit_or(CASE WHEN ({x} = CAST('Infinity' AS DOUBLE)) THEN 1 "
+        f"WHEN ({x} = CAST('-Infinity' AS DOUBLE)) THEN 2 ELSE 0 END)"
+    )
+    return (
+        f"(CASE WHEN {code} = 3 THEN CAST('NaN' AS DOUBLE) "
+        f"WHEN {code} = 1 THEN CAST('Infinity' AS DOUBLE) "
+        f"WHEN {code} = 2 THEN CAST('-Infinity' AS DOUBLE) "
+        f"ELSE {exact} END)"
+    )
+
+
+def _count_skipna_sql(x: str, no_nan: bool = False) -> str:
+    if no_nan:
+        return f"count({x})"
+    return f"count(nanvl({x}, CAST(NULL AS DOUBLE)))"
+
+
+def _q(name: str) -> str:
+    return f"`{name}`"
+
+
 def exact_sum(col: str | Column, no_inf: bool = False, no_nan: bool = False) -> Column:
     """Order-independent sum for double columns (split fixed-point)."""
+    if isinstance(col, str):
+        return F.expr(_split_sum_sql(_q(col), no_inf, no_nan))
     return _split_sum(_dcol(col), no_inf, no_nan)
 
 
@@ -120,6 +170,11 @@ def _count_skipna(c: Column, no_nan: bool = False) -> Column:
 
 def exact_mean(col: str | Column, no_inf: bool = False, no_nan: bool = False) -> Column:
     """Exact-sum / count — deterministic mean for double columns."""
+    if isinstance(col, str):
+        x = _q(col)
+        return F.expr(
+            f"({_split_sum_sql(x, no_inf, no_nan)} / {_count_skipna_sql(x, no_nan)})"
+        )
     c = _dcol(col)
     return _split_sum(c, no_inf, no_nan) / _count_skipna(c, no_nan)
 
@@ -135,9 +190,23 @@ def _exact_moments(c: Column, no_inf: bool = False, no_nan: bool = False):
     return n, s1, s2
 
 
+def _var_sql(col: str, ddof: int, no_inf: bool, no_nan: bool) -> str:
+    x = f"CAST({_q(col)} AS DOUBLE)"
+    n = f"CAST({_count_skipna_sql(x, no_nan)} AS DOUBLE)"
+    s1 = _split_sum_sql(x, no_inf, no_nan)
+    s2 = _split_sum_sql(f"({x} * {x})", no_inf, no_nan)
+    d = float(ddof)
+    return (
+        f"(CASE WHEN {n} > {ddof} THEN "
+        f"(({s2} - {s1} * {s1} / {n}) / ({n} - {d!r}D)) END)"
+    )
+
+
 def exact_var(col: str | Column, ddof: int = 1, no_inf: bool = False,
               no_nan: bool = False) -> Column:
     """Sample variance from exact decimal moments (order-independent)."""
+    if isinstance(col, str):
+        return F.expr(_var_sql(col, ddof, no_inf, no_nan))
     c = _dcol(col).cast("double")
     n, s1, s2 = _exact_moments(c, no_inf, no_nan)
     return F.when(n > ddof, (s2 - s1 * s1 / n) / (n - F.lit(float(ddof))))
@@ -145,11 +214,17 @@ def exact_var(col: str | Column, ddof: int = 1, no_inf: bool = False,
 
 def exact_std(col: str | Column, ddof: int = 1, no_inf: bool = False,
               no_nan: bool = False) -> Column:
+    if isinstance(col, str):
+        return F.expr(f"SQRT({_var_sql(col, ddof, no_inf, no_nan)})")
     return F.sqrt(exact_var(col, ddof, no_inf, no_nan))
 
 
 def exact_sem(col: str | Column, ddof: int = 1, no_inf: bool = False,
               no_nan: bool = False) -> Column:
+    if isinstance(col, str):
+        return F.expr(
+            f"(SQRT({_var_sql(col, ddof, no_inf, no_nan)}) / SQRT(count({_q(col)})))"
+        )
     c = _dcol(col)
     return exact_std(col, ddof, no_inf, no_nan) / F.sqrt(F.count(c))
 

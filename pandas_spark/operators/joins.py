@@ -122,8 +122,9 @@ def _merged_order(out: SparkDF, spark_how: str, l_slots, r_slots,
             else:
                 slots.append(s)
     spec: list = []
-    first_internal = None
-    i, n_int = 0, 0
+    structs: list = []  # (name, [id run]) — materialized in ONE projection
+    dropped: set = set()
+    i = 0
     while i < len(slots):
         if slots[i][0] == "val":
             spec.append((slots[i][1], slots[i][2], slots[i][3]))
@@ -133,22 +134,28 @@ def _merged_order(out: SparkDF, spark_how: str, l_slots, r_slots,
         while i < len(slots) and slots[i][0] == "id":
             run.append(slots[i][1])
             i += 1
-        name = ORDER_COL if n_int == 0 else f"__ord{n_int}__"
-        n_int += 1
-        out = out.withColumn(
-            name,
-            F.struct(
-                *[
-                    F.struct(
-                        F.col(c).isNull().alias("m"), F.col(c).alias("v")
-                    ).alias(f"o{k}")
-                    for k, c in enumerate(run)
-                ]
-            ),
-        ).drop(*run)
+        name = ORDER_COL if not structs else f"__ord{len(structs)}__"
+        structs.append((name, run))
+        dropped.update(run)
         spec.append((name, True, "last"))
-        if first_internal is None:
-            first_internal = name
+    if structs:
+        # single select (one eager analysis pass) instead of a
+        # withColumn+drop pair per run
+        out = out.select(
+            *[F.col(c) for c in out.columns if c not in dropped],
+            *[
+                F.struct(
+                    *[
+                        F.struct(
+                            F.col(c).isNull().alias("m"), F.col(c).alias("v")
+                        ).alias(f"o{k}")
+                        for k, c in enumerate(run)
+                    ]
+                ).alias(name)
+                for name, run in structs
+            ],
+        )
+    first_internal = structs[0][0] if structs else None
     if len(spec) == 1 and first_internal:
         return out, (), first_internal
     return out, tuple(spec), first_internal
@@ -209,6 +216,31 @@ def merge(
             return frozenset(r_out)
         return frozenset()
 
+    def _out_bounds(lk: list[str], rk: list[str], spark_how: str) -> dict:
+        """Value-range proofs (bounds.py) surviving the join, under the
+        output's suffix renames. Unlike null-proofs these survive EVERY
+        how: a join can only drop rows or add NULLs — never alter a
+        proven column's non-NULL values, and NULL is neither NaN nor
+        inf. The full-join coalesced same-name key takes the union
+        interval when both sides are proven."""
+        overlap = set(lsdf.columns) & set(rsdf.columns)
+        same_key = {l for l, r in zip(lk, rk) if l == r}
+        ren = overlap - same_key
+        out = {}
+        for c, b in left._bounds.items():
+            if c in same_key and spark_how in ("full", "right"):
+                rb = right._bounds.get(c)
+                if rb is not None:
+                    out[c] = (min(b[0], rb[0]), max(b[1], rb[1]), b[2] and rb[2])
+                continue
+            out[c + suffixes[0] if c in ren else c] = b
+        if spark_how not in ("left_semi", "left_anti"):
+            for c, b in right._bounds.items():
+                if c in same_key:
+                    continue
+                out.setdefault(c + suffixes[1] if c in ren else c, b)
+        return out
+
     if how == "cross":
         out = _disambiguate_and_join(
             lsdf, rsdf, [], [], "cross", suffixes, indicator, broadcast,
@@ -217,7 +249,8 @@ def merge(
         l_ren, r_ren = _suffix_renames(lsdf, rsdf, [], [], suffixes)
         out, spec, oc = _merged_order(out, "cross", l_slots, r_slots, l_ren, r_ren)
         return DataFrame(out, order_col=oc, sort_spec=spec,
-                         nonnull=_out_nonnull([], [], "cross"))
+                         nonnull=_out_nonnull([], [], "cross"),
+                         bounds=_out_bounds([], [], "cross"))
 
     lk = _aslist(left_on) or _aslist(on)
     rk = _aslist(right_on) or _aslist(on)
@@ -270,7 +303,8 @@ def merge(
         out, _HOWS[how], l_slots, r_slots, l_ren, r_ren, out_keys
     )
     res = DataFrame(out, order_col=oc, sort_spec=spec,
-                    nonnull=_out_nonnull(lk, rk, _HOWS[how]))
+                    nonnull=_out_nonnull(lk, rk, _HOWS[how]),
+                    bounds=_out_bounds(lk, rk, _HOWS[how]))
     if sort:
         # pandas merge(sort=True): join keys lexicographically; the
         # output key name is the LEFT name (or coalesced same-name key)
@@ -302,11 +336,20 @@ def _disambiguate_and_join(
     # (skip empty/batched renames — each withColumnRenamed is a py4j
     # round trip and analysis pass; chains of merges add them up)
     lsdf2 = lsdf.withColumnsRenamed(l_ren) if l_ren else lsdf
-    rsdf2 = rsdf.withColumnsRenamed(r_ren) if r_ren else rsdf
     lk2 = [l_ren.get(c, c) for c in lk]
     rk2 = [r_ren.get(c, c) for c in rk]
-    # null-safe equality: pandas matches NULL keys (merge.py:177)
-    rtag = rsdf2.withColumnsRenamed({c: "__rk_" + c for c in rk2}) if rk2 else rsdf2
+    # right side: suffix renames AND the __rk_ key tags in ONE rename
+    # (each withColumnsRenamed is an eager Catalyst analysis pass over
+    # the whole plan — classic-mode Datasets analyze on construction,
+    # so merge chains pay per-op; measured on the 10x star join)
+    rk2set = set(rk2)
+    r_all = {
+        c: ("__rk_" + m if m in rk2set else m)
+        for c in rsdf.columns
+        if (m := r_ren.get(c, c)) != c or m in rk2set
+    }
+    rtag = rsdf.withColumnsRenamed(r_all) if r_all else rsdf
+    rsdf2_cols = [r_ren.get(c, c) for c in rsdf.columns]
     if indicator:
         lsdf2 = lsdf2.withColumn("__lp__", F.lit(True))
         rtag = rtag.withColumn("__rp__", F.lit(True))
@@ -358,7 +401,7 @@ def _disambiguate_and_join(
         for c in lsdf2.columns:
             if c != "__lp__":
                 out_cols.append(F.col(c))
-        for c in rsdf2.columns:
+        for c in rsdf2_cols:
             src = "__rk_" + c if c in rk2 else c
             if c in same_key:
                 continue
@@ -386,7 +429,7 @@ def _disambiguate_and_join(
             out_cols.append(F.coalesce(lsdf2[c], rtag["__rk_" + c]).alias(c))
         else:
             out_cols.append(lsdf2[c])
-    for c in rsdf2.columns:
+    for c in rsdf2_cols:
         src = "__rk_" + c if c in rk2 else c
         if c in same_key:
             continue  # shared equi-key emitted once (pandas collapses it)
@@ -413,6 +456,11 @@ def _validate(lsdf: SparkDF, rsdf: SparkDF, lk: list[str], rk: list[str], rule: 
         raise ValueError(f"merge keys not unique on right (validate={rule})")
 
 
+# (left-plan hash, right-plan hash) -> chosen strategy; see the
+# inconclusive-estimate probe in merge_asof
+_ASOF_STRATEGY_CACHE: dict = {}
+
+
 def _asof_broadcast(
     lsdf: SparkDF,
     rsdf: SparkDF,
@@ -433,10 +481,13 @@ def _asof_broadcast(
     # side's row position as the second struct field so array_sort
     # orders ties by position, not by payload values (advisor-found —
     # payload-ordered ties made the picked match depend on which
-    # strategy the size-estimate gate selected)
+    # strategy the size-estimate gate selected). Materialized BEFORE
+    # the groupBy: nondeterministic exprs are illegal inside
+    # aggregates.
+    rsdf = rsdf.withColumn("__pos__", F.monotonically_increasing_id())
     entry = F.struct(
         F.col(on).alias("__t__"),
-        F.monotonically_increasing_id().alias("__pos__"),
+        F.col("__pos__").alias("__pos__"),
         *[F.col(c) for c in payload],
     )
     grouped = rsdf.groupBy(*by_keys).agg(
@@ -543,9 +594,39 @@ def merge_asof(
                 "spark.sql.autoBroadcastJoinThreshold", "10485760"
             )
             thr = int(str(thr_raw).lower().rstrip("b"))
-            strategy = (
-                "broadcast" if 0 < r_size <= thr and l_size > 3 * r_size else "window"
-            )
+            if 0 < r_size <= thr and l_size > 3 * r_size:
+                strategy = "broadcast"
+            elif 0 < r_size <= 8 * thr:
+                # Catalyst size estimates ignore filter selectivity
+                # without CBO column stats, so a tiny filtered right
+                # (purchases out of an events scan) estimates the same
+                # as the huge left. When the estimate is plausibly
+                # small, ONE bounded row-count probe each side decides:
+                # right must be ≤ cap rows (a per-key sorted-array
+                # broadcast of that is tens of MB at most) and the
+                # left must hold >3x as many rows. limit() makes both
+                # probes early-terminating — cost is bounded no matter
+                # the true table size — and the decision is CACHED per
+                # (left, right) analyzed-plan hash so re-planning the
+                # same asof (bench loops, retries) never re-probes.
+                key = (
+                    lsdf._jdf.queryExecution().analyzed().semanticHash(),
+                    rsdf._jdf.queryExecution().analyzed().semanticHash(),
+                )
+                strategy = _ASOF_STRATEGY_CACHE.get(key)
+                if strategy is None:
+                    cap = 500_000
+                    rc = rsdf.limit(cap + 1).count()
+                    strategy = (
+                        "broadcast"
+                        if rc <= cap and lsdf.limit(3 * rc + 2).count() > 3 * rc
+                        else "window"
+                    )
+                    if len(_ASOF_STRATEGY_CACHE) > 256:
+                        _ASOF_STRATEGY_CACHE.clear()
+                    _ASOF_STRATEGY_CACHE[key] = strategy
+            else:
+                strategy = "window"
         except Exception:
             strategy = "window"
     if strategy == "broadcast" and direction in ("backward", "forward"):

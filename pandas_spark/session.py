@@ -27,6 +27,14 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Deterministic, oracle-comparable timestamps.
     "spark.sql.session.timeZone": "UTC",
+    # pyspark's DataFrame-debugging origin capture wraps EVERY
+    # DataFrame API call in ~6 extra JVM round trips (set/get/clear of
+    # the call-site holder) purely to enrich error messages with the
+    # Python call site. On a merge-heavy query that is measurable
+    # driver time (~65 extra calls per star-join build, py4j-profiled);
+    # the engine's own errors carry context, so trade the cosmetics
+    # for plan-construction latency.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Broadcast sides estimated under 32 MB at PLAN time. The 10 MB
     # default makes AQE do the broadcast conversion at RUNTIME instead —
     # correct plan, but only after materializing the first shuffle
