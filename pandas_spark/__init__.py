@@ -21,8 +21,10 @@ from pandas_spark.sources.io import (
     from_pandas,
     read_parquet,
     read_csv,
+    read_fwf,
     read_json,
     read_orc,
+    read_table,
 )
 from pandas_spark.operators.joins import merge, merge_asof, merge_ordered
 from pandas_spark.operators.setops import concat
@@ -93,6 +95,8 @@ __all__ = [
     "pivot_table",
     "qcut",
     "read_csv",
+    "read_fwf",
+    "read_table",
     "read_json",
     "read_orc",
     "read_parquet",

@@ -123,12 +123,44 @@ class StringMethods:
     def zfill(self, width: int):
         return self._wrap(self._no_truncate(F.lpad(self._c, width, "0"), width))
 
-    def slice(self, start: int = 0, stop: int | None = None, step: int = 1):
-        if step != 1:
-            raise NotImplementedError("str.slice step != 1")
-        if stop is None:
-            return self._wrap(F.expr(f"substring({_sql(self._c)}, {start + 1})"))
-        return self._wrap(F.substring(self._c, start + 1, stop - start))
+    def slice(self, start: int | None = None, stop: int | None = None,
+              step: int | None = None):
+        """Python slice semantics per element (accessor.py:2239):
+        negative indices and any non-zero step. The common forward
+        case stays a single ``substring``; the general case compiles
+        to a char-array ``transform`` over a ``sequence`` of python
+        ``slice.indices()`` positions — all JVM-side, no UDF."""
+        step = 1 if step is None else step
+        if step == 0:
+            raise ValueError("slice step cannot be zero")
+        if step == 1 and (start is None or start >= 0) and (stop is None or stop >= 0):
+            start0 = start or 0
+            if stop is None:
+                return self._wrap(F.expr(f"substring({_sql(self._c)}, {start0 + 1})"))
+            return self._wrap(F.substring(self._c, start0 + 1, max(stop - start0, 0)))
+        c = _sql(self._c)
+        arr = f"split({c}, '')"
+        n = f"size({arr})"
+        if step > 0:
+            b = "0" if start is None else (
+                f"greatest({n} + ({start}), 0)" if start < 0 else f"least({start}, {n})"
+            )
+            e = n if stop is None else (
+                f"greatest({n} + ({stop}), 0)" if stop < 0 else f"least({stop}, {n})"
+            )
+            empty, seq = f"{b} >= {e}", f"sequence({b}, {e} - 1, {step})"
+        else:
+            b = f"{n} - 1" if start is None else (
+                f"greatest({n} + ({start}), -1)" if start < 0 else f"least({start}, {n} - 1)"
+            )
+            e = "-1" if stop is None else (
+                f"greatest({n} + ({stop}), -1)" if stop < 0 else f"least({stop}, {n} - 1)"
+            )
+            empty, seq = f"{b} <= {e}", f"sequence({b}, {e} + 1, {step})"
+        return self._wrap(F.expr(
+            f"CASE WHEN {c} IS NULL THEN NULL WHEN {empty} THEN '' "
+            f"ELSE concat_ws('', transform({seq}, i -> element_at({arr}, i + 1))) END"
+        ))
 
     def slice_replace(self, start: int = 0, stop: int | None = None, repl: str = ""):
         """s[:start] + repl + s[stop:] (accessor.py:2339); non-negative

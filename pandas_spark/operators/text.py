@@ -1065,24 +1065,45 @@ def _rep_stats_py(text: str, top_ns, dup_ns) -> dict:
                 dc += c * len(u)
         out[f"dup_{name}_frac"] = du / max(len(units), 1)
         out[f"dup_{name}_char_frac"] = dc / max(sum(len(u) for u in units), 1)
-    words = [w for w in _WS_RE.split(text) if w]
+    words = _WS_RE.split(text)
+    words = [w for w in words if w]
+    # n-grams counted as TUPLES of interned word ids, not joined
+    # strings: join-with-space is injective over whitespace-free words,
+    # so id-tuple equality IS joined-string equality (exact — no
+    # hashing), and the joined form's length is a prefix-sum lookup
+    # (Σ word lens + n − 1). Cuts the kernel ~2x: the 9 families'
+    # string joins + Counter hashing dominated the profile, and at the
+    # 10^3-10^4x decades this loop IS the query.
+    if words:
+        intern: dict = {}
+        ids = tuple(intern.setdefault(w, len(intern)) for w in words)
+        cs = [0]
+        for w in words:
+            cs.append(cs[-1] + len(w))
     for n in {*top_ns, *dup_ns}:
-        if len(words) >= n:
-            cnt = Counter(
-                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
-            )
-        else:
-            cnt = Counter()
+        cnt: dict = {}
+        if words and len(words) >= n:
+            get = cnt.get
+            for i in range(len(words) - n + 1):
+                g = ids[i : i + n]
+                e = get(g)
+                if e is None:
+                    cnt[g] = [1, cs[i + n] - cs[i] + n - 1]
+                else:
+                    e[0] += 1
         if n in top_ns:
             best = (0, 0)
-            for g, c in cnt.items():
+            for c, gl in cnt.values():
                 if c > 1:
-                    key = (c, c * len(g))
+                    key = (c, c * gl)
                     if key > best:
                         best = key
             out[f"top_{n}gram_char_frac"] = min(best[1] / tlen, 1.0)
         if n in dup_ns:
-            dc = sum(c * len(g) for g, c in cnt.items() if c > 1)
+            dc = 0
+            for c, gl in cnt.values():
+                if c > 1:
+                    dc += c * gl
             out[f"dup_{n}gram_char_frac"] = min(dc / tlen, 1.0)
     return out
 

@@ -445,12 +445,22 @@ def read_fwf(
 
     if len(colspecs) != len(names):
         raise ValueError("colspecs and names must have the same length")
-    sdf = spark.read.text(str(path))
     if skiprows:
-        # text source has no skiprows; drop the first N lines of the
-        # file order via a monotonically-increasing filter is unsafe
-        # across splits — require header-free files instead
-        raise NotImplementedError("read_fwf(skiprows=) is not supported; strip headers upstream")
+        # the text DataFrame source re-orders splits by size for
+        # scheduling, so "first N rows" is undefined there — but
+        # sc.textFile keeps Hadoop's offset-ordered splits, so
+        # partition 0 IS the file head. Skip N lines there and
+        # re-enter the DataFrame layer; the rows cross Python once
+        # (header-skipping is a small-file pattern — skiprows=0 stays
+        # the pure-JVM scan).
+        from itertools import islice
+
+        rdd = spark.sparkContext.textFile(str(path)).mapPartitionsWithIndex(
+            lambda i, it: islice(it, skiprows, None) if i == 0 else it
+        )
+        sdf = spark.createDataFrame(rdd.map(lambda l: (l,)), "value string")
+    else:
+        sdf = spark.read.text(str(path))
     cols = []
     for (start, end), name in zip(colspecs, names):
         c = F.trim(F.substring(F.col("value"), start + 1, end - start))

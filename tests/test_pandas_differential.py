@@ -1369,3 +1369,34 @@ def test_resample_interpolate_matches_pandas(spark):
     )
     assert list(got["ts"]) == list(want.index)
     assert np.allclose(got["v"].values, want.values, equal_nan=True)
+
+
+def test_str_slice_steps_and_negatives(spark):
+    """str.slice: full python slice semantics (accessor.py:2239) —
+    negative indices, negative steps (round-6 declared hole)."""
+    vals = ["hello world", "a", "", "abcdef", "xy"]
+    pdf = pd.DataFrame({"s": vals})
+    f = ps.from_pandas(spark, pdf)
+    cases = [
+        (None, None, -1), (1, None, 2), (-3, None, None), (None, -2, None),
+        (-4, -1, 1), (5, 1, -2), (None, None, 3), (-1, None, -1),
+        (2, 100, 2), (-100, 3, 1), (0, 0, 1), (3, 1, 1),
+    ]
+    for start, stop, step in cases:
+        got = f.assign(r=ps.col("s").str.slice(start, stop, step)).to_pandas()
+        want = pdf["s"].str.slice(start, stop, step)
+        m = dict(zip(got["s"], got["r"]))
+        for v, w in zip(vals, want):
+            assert m[v] == w, (start, stop, step, v, m[v], w)
+
+
+def test_read_fwf_skiprows(spark, tmp_path):
+    p = tmp_path / "t.fwf"
+    p.write_text("HEADER JUNK\nmore junk\nAAA 12\nBBB 34\n")
+    f = ps.read_fwf(
+        spark, str(p), colspecs=[(0, 3), (4, 6)], names=["k", "v"],
+        dtype={"v": "int"}, skiprows=2,
+    )
+    got = f.sort_values("k").to_pandas()
+    assert got["k"].tolist() == ["AAA", "BBB"]
+    assert got["v"].tolist() == [12, 34]
