@@ -402,6 +402,25 @@ def op_join(spark, how):
     return (pandas_side, engine_side)
 
 
+def op_sorted_join(spark, how, asc):
+    """merge of a VALUE-SORTED left against the dim — exercises the
+    slot-based order carry (advisor-found __ord__ leak: merging a
+    sorted frame crashed or scrambled the declared tiebreak)."""
+
+    def pandas_side(p):
+        pdf2, _ = dim_frames(spark)
+        return pd.merge(
+            p.sort_values("v", ascending=asc, kind="stable"), pdf2,
+            on="k", how=how,
+        )
+
+    def engine_side(e):
+        _, edf2 = dim_frames(spark)
+        return e.sort_values("v", ascending=asc).merge(edf2, on="k", how=how)
+
+    return (pandas_side, engine_side)
+
+
 def op_agg(fn):
     """Terminal op — schema collapses to (g, out)."""
 
@@ -424,7 +443,7 @@ def draw_chain(draw, spark):
          "diff", "pct_change", "cummax", "group_head", "nlargest",
          "str_upper", "str_len", "concat_self", "bfill", "group_tail",
          "cummin", "shift_lead", "dedup_none", "filter_g", "join_g",
-         "rolling2_mean", "ewm_span2", "interp_linear",
+         "rolling2_mean", "ewm_span2", "interp_linear", "sorted_join",
          "frame_cumsum", "frame_pct", "round1", "abs_v",
          "applymap_affine", "join_gk",
          "rolling_time_3h", "filter_hour", "period_label"]
@@ -456,7 +475,13 @@ def draw_chain(draw, spark):
         elif name == "shift":
             ops.append(op_shift())
         elif name == "join":
-            ops.append(op_join(spark, draw(st.sampled_from(["inner", "left"]))))
+            ops.append(op_join(spark, draw(st.sampled_from(["inner", "left", "outer"]))))
+        elif name == "sorted_join":
+            ops.append(op_sorted_join(
+                spark,
+                draw(st.sampled_from(["inner", "left"])),
+                draw(st.booleans()),
+            ))
         elif name == "clip":
             ops.append(op_clip(draw(st.sampled_from([-1.0, 0.0])), draw(st.sampled_from([2.5, 7.0]))))
         elif name == "isin":
