@@ -1071,15 +1071,35 @@ def _rep_stats_py(text: str, top_ns, dup_ns) -> dict:
     # strings: join-with-space is injective over whitespace-free words,
     # so id-tuple equality IS joined-string equality (exact — no
     # hashing), and the joined form's length is a prefix-sum lookup
-    # (Σ word lens + n − 1). Cuts the kernel ~2x: the 9 families'
-    # string joins + Counter hashing dominated the profile, and at the
-    # 10^3-10^4x decades this loop IS the query.
+    # (Σ word lens + n − 1). Docs of ≥100 words take a vectorized twin
+    # of the same count (`_ngram_stats_np`, incremental rank doubling)
+    # — still EXACT id-tuple equality (no hashing, no collisions),
+    # same integer counts, same divisions. The dict loop allocates
+    # ~9·len(words) tuples per doc and was the allocation bound the
+    # 10^3-10^4x decades hit (12.1×/decade); the numpy twin sorts
+    # int64 keys in C instead.
     if words:
         intern: dict = {}
         ids = tuple(intern.setdefault(w, len(intern)) for w in words)
         cs = [0]
         for w in words:
             cs.append(cs[-1] + len(w))
+        # crossover measured at ~100 words (numpy fixed cost: 9
+        # np.unique calls); below it the dict loop wins
+        use_np = len(words) >= 100 and min({*top_ns, *dup_ns}) >= 2
+        if use_np:
+            import numpy as np
+
+            _ngram_stats_np(
+                np,
+                np.asarray(ids, dtype=np.int64),
+                np.asarray(cs, dtype=np.int64),
+                set(top_ns),
+                set(dup_ns),
+                tlen,
+                out,
+            )
+            return out
     for n in {*top_ns, *dup_ns}:
         cnt: dict = {}
         if words and len(words) >= n:
@@ -1106,6 +1126,58 @@ def _rep_stats_py(text: str, top_ns, dup_ns) -> dict:
                     dc += c * gl
             out[f"dup_{n}gram_char_frac"] = min(dc / tlen, 1.0)
     return out
+
+
+def _ngram_stats_np(np, ids_arr, cs_arr, top_ns, dup_ns, tlen, out) -> None:
+    """Exact n-gram duplicate stats for ALL families, vectorized by
+    incremental rank doubling (the suffix-array trick, one step at a
+    time): dense ranks over (n−1)-grams plus the next word id identify
+    n-grams exactly, so each family costs ONE ``np.unique`` over an
+    int64 key ``(prev_rank << 32) | next_id`` — the numpy fast-path
+    sort, no hashing, no collisions (ranks < m < 2³¹, ids < m).
+    Identical integer counts to the dict loop: rank equality ⇔
+    id-tuple equality ⇔ joined-string equality. Per family, ``top`` =
+    lexicographic (c, c·gl) max over c>1 grams (the dict path's
+    ``best``), ``dc`` = Σ c·gl; a gram's joined length gl is
+    position-independent, read off the char prefix sums at the first
+    occurrence. Fills ``out`` in place, zero for families longer than
+    the doc.
+    """
+    m = ids_arr.shape[0]
+    families = top_ns | dup_ns
+    max_n = max(families)
+    rank = ids_arr
+
+    def emit(n, top, dc):
+        if n in top_ns:
+            out[f"top_{n}gram_char_frac"] = min(top / tlen, 1.0)
+        if n in dup_ns:
+            out[f"dup_{n}gram_char_frac"] = min(dc / tlen, 1.0)
+
+    for n in range(2, max_n + 1):
+        k = m - n + 1
+        if k <= 0:
+            for nn in range(n, max_n + 1):
+                emit(nn, 0, 0)
+            return
+        key = (rank[:k] << 32) | ids_arr[n - 1 : n - 1 + k]
+        _, first, inv, cnts = np.unique(
+            key, return_index=True, return_inverse=True, return_counts=True
+        )
+        rank = inv
+        if n in families:
+            dup = cnts > 1
+            if dup.any():
+                c_d = cnts[dup]
+                idx = first[dup]
+                gl = cs_arr[idx + n] - cs_arr[idx] + (n - 1)
+                cg = c_d * gl
+                dc = int(cg.sum())
+                cmax = c_d.max()
+                top = int(cg[c_d == cmax].max())
+            else:
+                top = dc = 0
+            emit(n, top, dc)
 
 
 def repetition_signals(

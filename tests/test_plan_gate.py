@@ -64,6 +64,13 @@ SINGLE_PARTITION_OK = {
     "merge_ordered_ffill",
     "mixture_summary",
     "pivot_margins",
+    # margins over an aggfunc LIST: one global-agg margin row per
+    # aggfunc, each over the already-reduced pivot — same class as
+    # pivot_margins
+    "pivot_margins_multi",
+    # upsample-interpolate over the already-aggregated hourly series:
+    # the global timeline sort runs on resample output, not raw events
+    "resample_interpolate_30min",
     "qcut_quartiles",
     "searchsorted_probes",
     "skew_report_full",
@@ -84,6 +91,7 @@ NESTED_LOOP_OK = {
     "frame_idx_mode",
     "interval_join_bands",
     "pivot_margins",
+    "pivot_margins_multi",
     "skew_report_full",
     "skew_report_users",
     "tfidf_top_terms",
