@@ -618,16 +618,22 @@ class Resampler:
         only at EXACT grid stamps — pandas drops off-grid originals)
         then frame ``interpolate`` over the grid. One bounded 2-scalar
         receipt for the spine bounds, one exact-stamp left equi-join;
-        the interpolation itself is the existing window compilation."""
-        if self._by:
-            raise NotImplementedError("resample(...).interpolate with by= groups")
+        the interpolation itself is the existing window compilation.
+        With ``by=`` groups the spine is PER GROUP (each group's own
+        min/max bucket — pandas ``groupby().resample().interpolate()``
+        builds one index per group) and the fill runs per group."""
         spine = self.asfreq_spine().spark
+        keys = [*self._by, self._on]
         joined = spine.join(
-            self._frame._drop_internal(self._frame._sdf), on=self._on, how="left"
+            self._frame._drop_internal(self._frame._sdf), on=keys, how="left"
         )
-        out = DataFrame(joined, sort_spec=((self._on, True, "last"),))
+        out = DataFrame(joined, sort_spec=tuple((k, True, "last") for k in keys))
         return out.interpolate(
-            subset=subset, method=method, on=self._on, **kwargs
+            subset=subset,
+            method=method,
+            on=self._on,
+            by=list(self._by) or None,
+            **kwargs,
         )
 
     def asfreq_spine(self) -> DataFrame:
@@ -635,7 +641,9 @@ class Resampler:
 
         Bounds floor to the bucket grid (epoch-aligned, like
         ``F.window``/``date_trunc`` buckets) so spine keys join exactly
-        against resampled aggregates."""
+        against resampled aggregates. With ``by=`` groups: one spine
+        per group over THAT group's bounds (a groupBy agg, then a
+        per-row sequence explode — no global bounds, no cross join)."""
         secs = parse_offset_seconds(self._rule)
         start = self._start_seconds()
 
@@ -645,12 +653,19 @@ class Resampler:
                 + start
             )
 
-        bounds = self._frame.spark.agg(
+        agg_cols = [
             bucket(F.min(self._on)).alias("lo"),
             bucket(F.max(self._on)).alias("hi"),
-        )
+        ]
+        if self._by:
+            bounds = self._frame.spark.groupBy(*self._by).agg(*agg_cols)
+        else:
+            bounds = self._frame.spark.agg(*agg_cols)
         spine = bounds.select(
-            F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {secs} seconds"))).alias(self._on)
+            *self._by,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {secs} seconds"))
+            ).alias(self._on),
         )
         return DataFrame(spine)
 

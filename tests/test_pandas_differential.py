@@ -1371,6 +1371,39 @@ def test_resample_interpolate_matches_pandas(spark):
     assert np.allclose(got["v"].values, want.values, equal_nan=True)
 
 
+def test_resample_interpolate_grouped(spark):
+    """Grouped Resampler.interpolate: per-group spine (each group's
+    own bucket-floored min..max) + per-group linear fill. Reference is
+    the per-group apply form — pandas 2.2's direct
+    ``groupby().resample().interpolate()`` interpolates across group
+    boundaries (values bleed between adjacent groups in the
+    concatenated output), a known reference bug this engine does NOT
+    reproduce; ``groupby(...).apply(lambda s: s.resample(...)
+    .interpolate())`` gives the intended per-group semantics."""
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 02:00", "2024-01-01 03:40",
+         "2024-01-01 00:30", "2024-01-01 01:00", "2024-01-01 04:00"]
+    )
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b", "b"], "ts": ts,
+         "v": [1.0, 4.0, 9.0, 2.0, 3.0, 8.0]}
+    )
+    want = (
+        pdf.set_index("ts")
+        .groupby("g")["v"]
+        .apply(lambda s: s.resample("1h").interpolate())
+        .reset_index()
+    )
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        f.resample("1h", on="ts", by=["g"]).interpolate(subset=["v"])
+        .sort_values(["g", "ts"]).to_pandas()
+    )
+    assert list(got["g"]) == list(want["g"])
+    assert list(got["ts"]) == list(want["ts"])
+    assert np.allclose(got["v"].values, want["v"].values, equal_nan=True)
+
+
 def test_str_slice_steps_and_negatives(spark):
     """str.slice: full python slice semantics (accessor.py:2239) —
     negative indices, negative steps (round-6 declared hole)."""
