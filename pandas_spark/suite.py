@@ -649,6 +649,70 @@ def resample_interpolate_30min(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+@query(
+    "resample_interpolate_by_type",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS ts,
+               {EAVG('value')} AS value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(ts) AS mn, max(ts) AS mx FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 30 MINUTE)) AS ts
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.event_type, s.ts, h.value,
+               row_number() OVER (PARTITION BY s.event_type ORDER BY s.ts) AS rn
+        FROM spine s
+        LEFT JOIN hourly h ON s.event_type = h.event_type AND s.ts = h.ts
+    ),
+    w AS (
+        SELECT event_type, ts, rn, value,
+               max(CASE WHEN value IS NOT NULL THEN rn END) OVER
+                   (PARTITION BY event_type ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+               last_value(value IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               min(CASE WHEN value IS NOT NULL THEN rn END) OVER
+                   (PARTITION BY event_type ORDER BY rn
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn,
+               first_value(value IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY rn
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        FROM j
+    )
+    SELECT event_type, ts,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN pv IS NULL THEN NULL
+                WHEN nv IS NULL THEN pv
+                ELSE pv * (1.0 - (rn - prn)::DOUBLE / (nrn - prn))
+                     + nv * ((rn - prn)::DOUBLE / (nrn - prn))
+           END AS value
+    FROM w
+    """,
+)
+def resample_interpolate_by_type(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Grouped ``Resampler.interpolate`` (round 7): per-group spine —
+    each event_type's own bucket-floored min..max — then per-group
+    linear fill; the engine partitions every window by the group keys
+    (no cross-group bleed; pandas 2.2's direct grouped interpolate
+    bleeds across groups — a documented reference bug the per-group
+    apply form avoids)."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.resample("1h", on="ts", by=["event_type"]).agg({"value": "mean"})
+    return (
+        hourly.resample("30min", on="ts", by=["event_type"])
+        .interpolate(subset=["value"], method="linear")
+        .select(["event_type", "ts", "value"])
+        .to_spark()
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 reshape
 # ---------------------------------------------------------------------------

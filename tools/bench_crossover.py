@@ -121,6 +121,20 @@ def ensure_data(spark):
 def main():
     from pandas_spark import get_spark
 
+    # Memory sizing is part of the committed protocol, not ambient
+    # shell state (the r5/r6 lesson): in local mode the driver IS the
+    # executor, and the 8g default that is right for sf0.1 makes the
+    # 100x decade GC-bound (join_inner measured 8.4 s under an 8g heap
+    # across the full suite vs 5.2 s focused — heap churn, not plan).
+    # A real deployment sizes executor memory to the data; committing
+    # the same two knobs here keeps every decade reproducible from
+    # this file alone. setdefault: an explicit export still wins.
+    if REPS >= 100:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+        os.environ.setdefault(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", "64" if REPS < 1000 else "256"
+        )
+
     spark = get_spark("crossover_gen")
     ensure_data(spark)
     spark.stop()
