@@ -1299,9 +1299,23 @@ def _rep_stats_batch(texts, top_ns, dup_ns) -> dict:
     per-doc numpy gate): measured ~3× over the per-doc dict loop at
     that shape. Per-document line/paragraph stats and the whitespace
     split stay as a cheap Python loop (a handful of units per doc).
+
+    Arrow batches (64k docs ≈ 3.5M words) are processed in ~2k-doc
+    sub-chunks: the 9 per-family sorts over a full batch are
+    DRAM-bound (28 MB of int64 keys leaves L3), measured 85 µs/doc at
+    64k vs 43 µs at 2k on the real corpus. Chunking is free for
+    correctness — per-document counts never cross documents, so chunk
+    boundaries don't change any output.
     """
     import numpy as np
     from collections import Counter
+
+    if len(texts) > 4096:
+        parts = [
+            _rep_stats_batch(texts[i : i + 2048], top_ns, dup_ns)
+            for i in range(0, len(texts), 2048)
+        ]
+        return {nm: np.concatenate([p[nm] for p in parts]) for nm in parts[0]}
 
     global _WS_RE, _PARA_RE
     if _WS_RE is None:
