@@ -128,10 +128,41 @@ def main() -> None:
         if dirty_engine():
             print("--record refused: uncommitted engine changes", file=sys.stderr)
             sys.exit(1)
-        rec = {"engine_tree": engine_tree_hash(), "result": out}
+        rec = {
+            "engine_tree": engine_tree_hash(),
+            # box-speed calibration: this machine's wall-clock drifted
+            # ±40% across a single round-7 day (identical code+data:
+            # pandas join_inner 233→491 s between rounds, engine runs
+            # swinging run-to-run). A fixed-size single-thread probe
+            # (sort + hash over the same PRNG array) stamps the box
+            # state the suite numbers were taken under, so a future
+            # reader can tell "code got slower" from "box got slower".
+            "box_calib_ms": _box_calibration_ms(),
+            "result": out,
+        }
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_HEAD.json"), "w") as f:
             json.dump(rec, f, indent=1)
+
+
+def _box_calibration_ms() -> float:
+    """Deterministic single-thread probe of this box's compute+memory
+    speed (~1 s nominal): median of 5 passes of sort + xxhash-ish mix
+    over a fixed PRNG array. Pure numpy, no Spark — measures the box,
+    not the engine."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 2**62, size=2_000_000, dtype=np.int64)
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        b = np.sort(a)
+        h = (b * np.int64(-7046029254386353131)) ^ (b >> 29)
+        times.append(time.time() - t0)
+        _sink = int(h[-1])
+    times.sort()
+    return round(times[2] * 1000, 2)
 
 
 if __name__ == "__main__":
