@@ -57,10 +57,29 @@ def _node_interval(n, bounds: dict) -> tuple | None:
         ch = n.children()
         return _node_interval(ch.apply(0), bounds) if ch.size() == 1 else None
     if cls == "Cast":
-        # widening numeric casts preserve values; anything else
-        # (string round-trips, narrowing) is unprovable
-        if str(n.dataType()) in ("DoubleType", "FloatType"):
-            return _node_interval(n.child(), bounds)
+        # cast-to-double is widening from every numeric source (long →
+        # double loses precision but stays finite and in-interval up to
+        # rounding at 2^53 — widen the bounds by one ULP to stay sound).
+        # Cast-to-FLOAT is NARROWING from double/long: values beyond
+        # float max (~3.4e38) overflow to ±inf and everything else
+        # rounds, so a no_inf proof only survives when the child's
+        # interval fits well inside float range (advisor-found — the
+        # old unconditional recursion was unsound for double→float)
+        if str(n.dataType()) == "DoubleType":
+            a = _node_interval(n.child(), bounds)
+            if a is None:
+                return None
+            lo, hi = math.nextafter(a[0], -_FIN), math.nextafter(a[1], _FIN)
+            return (lo, hi, a[2])
+        if str(n.dataType()) == "FloatType":
+            a = _node_interval(n.child(), bounds)
+            FLT_MAX = 3.4028234663852886e38
+            if a is None or not (-FLT_MAX / 2 <= a[0] and a[1] <= FLT_MAX / 2):
+                return None
+            # float rounding moves each endpoint by at most one float
+            # ULP ≈ value × 2^-23 — widen by a 2^-20 relative margin
+            pad = lambda v: abs(v) * 2.0**-20 + 1e-30
+            return (a[0] - pad(a[0]), a[1] + pad(a[1]), a[2])
         return None
     if cls == "UnresolvedAttribute":
         name = _attr_name(n)

@@ -150,7 +150,10 @@ def _count_skipna_sql(x: str, no_nan: bool = False) -> str:
 
 
 def _q(name: str) -> str:
-    return f"`{name}`"
+    # Spark SQL identifier quoting: embedded backticks double up
+    # (advisor-found — unescaped, a backtick in the column name makes
+    # the SQL-text kernel twin misparse where the Column path is fine)
+    return "`" + name.replace("`", "``") + "`"
 
 
 def exact_sum(col: str | Column, no_inf: bool = False, no_nan: bool = False) -> Column:

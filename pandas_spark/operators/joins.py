@@ -642,7 +642,17 @@ def merge_asof(
     l_tag = lsdf.withColumn("__side__", F.lit(1))
     if need_rid:
         l_tag = l_tag.withColumn("__rid__", F.monotonically_increasing_id())
-    r_tag = rsdf.withColumn("__side__", F.lit(0))
+    # ties on equal ``on`` stamps resolve POSITIONALLY in pandas
+    # (backward → last right row in frame order, forward → first), the
+    # same rule the broadcast strategy's __pos__ struct field encodes.
+    # Carry the right side's row position through the union so the
+    # window ordering can break ties deterministically — without it,
+    # duplicate right timestamps yield a nondeterministic winner that
+    # can diverge between runs and between strategies (advisor-found).
+    r_tag = rsdf.withColumn("__side__", F.lit(0)).withColumn(
+        "__rpos__", F.monotonically_increasing_id()
+    )
+    l_tag = l_tag.withColumn("__rpos__", F.lit(None).cast("long"))
     # align schemas for the union
     for c in payload:
         l_tag = l_tag.withColumn(c, F.lit(None).cast(rsdf.schema[c].dataType))
@@ -658,15 +668,19 @@ def merge_asof(
         # exact matches: right rows sort before left at equal ts (backward)
         side_order = F.col("__side__").asc() if allow_exact_matches else F.col("__side__").desc()
         if forward:
+            # last() reads the row nearest the frame end; forward ties
+            # want the FIRST positional right row, so position sorts
+            # descending (min position lands last in the desc ordering)
             w = (
                 W.partitionBy(*by_keys)
-                .orderBy(F.col(on).desc(), side_order)
+                .orderBy(F.col(on).desc(), side_order, F.col("__rpos__").desc())
                 .rowsBetween(W.unboundedPreceding, 0)
             )
         else:
+            # backward ties want the LAST positional right row
             w = (
                 W.partitionBy(*by_keys)
-                .orderBy(F.col(on).asc(), side_order)
+                .orderBy(F.col(on).asc(), side_order, F.col("__rpos__").asc())
                 .rowsBetween(W.unboundedPreceding, 0)
             )
         cols = {
@@ -723,14 +737,17 @@ def merge_asof(
         # so the following frame misses them — harmless: the backward
         # fill captures them with gap 0, which always wins the
         # nearest tie-break.
+        # __rpos__ asc serves both fills: last() (backward) lands on the
+        # max position among equal stamps, first() (forward) on the min —
+        # exactly pandas' positional tie rule for each direction
         wb = (
             W.partitionBy(*by_keys)
-            .orderBy(F.col(on).asc(), F.col("__side__").asc())
+            .orderBy(F.col(on).asc(), F.col("__side__").asc(), F.col("__rpos__").asc())
             .rowsBetween(W.unboundedPreceding, 0)
         )
         wf = (
             W.partitionBy(*by_keys)
-            .orderBy(F.col(on).asc(), F.col("__side__").asc())
+            .orderBy(F.col(on).asc(), F.col("__side__").asc(), F.col("__rpos__").asc())
             .rowsBetween(0, W.unboundedFollowing)
         )
         right_val = lambda c: F.when(F.col("__side__") == 0, F.col(c))

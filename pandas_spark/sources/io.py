@@ -454,7 +454,21 @@ def read_fwf(
         # (header-skipping is a small-file pattern — skiprows=0 stays
         # the pure-JVM scan).
         from itertools import islice
+        import glob as _glob
+        import os
 
+        # partition 0 is only "the file head" for a SINGLE file input;
+        # a directory or multi-file glob interleaves files into splits
+        # and header lines from files 2..N would silently survive
+        # (advisor-found). Refuse those explicitly.
+        p = str(path)
+        matches = _glob.glob(p) if any(ch in p for ch in "*?[") else [p]
+        if len(matches) != 1 or os.path.isdir(matches[0]):
+            raise ValueError(
+                "read_fwf(skiprows=) supports a single file only; got "
+                f"{len(matches)} matches for {path!r} — skiprows semantics "
+                "are per-file-head and undefined over multi-file inputs"
+            )
         rdd = spark.sparkContext.textFile(str(path)).mapPartitionsWithIndex(
             lambda i, it: islice(it, skiprows, None) if i == 0 else it
         )
@@ -487,9 +501,12 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     from pyspark.sql import functions as F
 
     sdf = spark.createDataFrame(pdf)
-    # Arrow keeps float NaN as Spark NaN (a value, not NULL); normalize
+    # Arrow keeps float NaN as Spark NaN (a value, not NULL); normalize.
+    # Names go through backtick-escaping so columns containing dots or
+    # backticks resolve as single attributes, not nested-field paths
+    q = lambda n: "`" + n.replace("`", "``") + "`"
     float_cols = {
-        f.name: F.when(~F.isnan(f.name), F.col(f.name))
+        f.name: F.when(~F.isnan(q(f.name)), F.col(q(f.name)))
         for f in sdf.schema.fields
         if f.dataType.simpleString() in ("float", "double")
     }

@@ -122,3 +122,23 @@ def test_unproven_nan_and_inf_still_exact(spark, tmp_path):
     p3 = _write_pa(tmp_path, "bothinf.parquet", [float("inf"), float("-inf")])
     got = ps.read_parquet(spark, p3).agg(s=("x", "sum")).to_pandas()
     assert math.isnan(got["s"][0])
+
+
+def test_cast_to_float_is_narrowing(spark):
+    """double→float overflows beyond ~3.4e38 — a proof must NOT
+    propagate through the cast unless the child interval fits well
+    inside float range (advisor-found soundness hole)."""
+    from pandas_spark.bounds import column_interval
+    import pyspark.sql.functions as F
+
+    big = {"a": (1e38, 3e38, True)}
+    assert column_interval(F.col("a").cast("float"), big) is None
+    small = {"a": (1.0, 3.0, True)}
+    iv = column_interval(F.col("a").cast("float"), small)
+    assert iv is not None
+    lo, hi, nan_free = iv
+    assert lo == pytest.approx(1.0) and hi == pytest.approx(3.0)
+    assert nan_free is True
+    # cast-to-double stays provable (widening), endpoints ±1 ULP
+    iv2 = column_interval(F.col("a").cast("double"), small)
+    assert iv2 is not None and iv2[0] == pytest.approx(1.0) and iv2[1] == pytest.approx(3.0)

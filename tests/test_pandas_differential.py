@@ -1433,3 +1433,81 @@ def test_read_fwf_skiprows(spark, tmp_path):
     got = f.sort_values("k").to_pandas()
     assert got["k"].tolist() == ["AAA", "BBB"]
     assert got["v"].tolist() == [12, 34]
+
+
+@pytest.mark.parametrize("strategy", ["window", "broadcast"])
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_merge_asof_duplicate_right_stamps_tie_position(spark, strategy, direction):
+    """Duplicate right timestamps: pandas resolves ties POSITIONALLY
+    (backward → last right row in frame order, forward → first). Both
+    strategies must agree with pandas AND each other (advisor-found:
+    the window path lacked the positional tiebreak)."""
+    left = pd.DataFrame({
+        "k": [1, 2, 1, 2],
+        "ts": pd.to_datetime([100, 100, 250, 250], unit="s"),
+        "lid": range(4),
+    })
+    # three right rows share ts=100 within each key — payloads ordered
+    # so a payload-value tie-break would pick the WRONG one
+    right = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 1, 2],
+        "ts": pd.to_datetime([100, 100, 100, 100, 100, 200, 200], unit="s"),
+        "val": [9.0, 5.0, 1.0, 8.0, 2.0, 7.0, 6.0],
+    })
+    want = pd.merge_asof(left, right, on="ts", by="k", direction=direction)
+    got = (
+        ps.merge_asof(
+            ps.from_pandas(spark, left), ps.from_pandas(spark, right),
+            on="ts", by="k", direction=direction, strategy=strategy,
+        )
+        .sort_values("lid").to_pandas()
+    )
+    want = want.sort_values("lid")
+    assert_col_matches(got, want["val"], "val")
+
+
+def test_merge_asof_nearest_duplicate_stamp_ties(spark):
+    """nearest with equal-distance and duplicate-stamp right rows:
+    window path must pick pandas' positional winners."""
+    left = pd.DataFrame({
+        "ts": pd.to_datetime([150, 50, 260], unit="s"), "lid": [0, 1, 2],
+    }).sort_values("ts")
+    right = pd.DataFrame({
+        "ts": pd.to_datetime([100, 100, 200, 200, 300], unit="s"),
+        "val": [4.0, 3.0, 9.0, 2.0, 5.0],
+    })
+    want = pd.merge_asof(left, right, on="ts", direction="nearest")
+    got = (
+        ps.merge_asof(
+            ps.from_pandas(spark, left), ps.from_pandas(spark, right),
+            on="ts", direction="nearest",
+        ).sort_values("lid").to_pandas()
+    )
+    assert_col_matches(got, want.sort_values("lid")["val"], "val")
+
+
+def test_read_fwf_skiprows_rejects_multifile(spark, tmp_path):
+    d = tmp_path / "many"
+    d.mkdir()
+    (d / "a.fwf").write_text("HDR\nAAA 1\n")
+    (d / "b.fwf").write_text("HDR\nBBB 2\n")
+    with pytest.raises(ValueError, match="single file"):
+        ps.read_fwf(
+            spark, str(d / "*.fwf"), colspecs=[(0, 3)], names=["k"], skiprows=1
+        )
+    with pytest.raises(ValueError, match="single file"):
+        ps.read_fwf(spark, str(d), colspecs=[(0, 3)], names=["k"], skiprows=1)
+
+
+def test_exact_sum_backtick_column_name(spark):
+    """SQL-text kernel twin must survive a backtick in the column name
+    (advisor-found: _q didn't escape embedded backticks)."""
+    from pandas_spark.functions.stats import exact_sum, exact_mean
+
+    pdf = pd.DataFrame({"x`y": [1.5, 2.25, 4.0]})
+    sdf = ps.from_pandas(spark, pdf).spark
+    got = sdf.agg(
+        exact_sum("x`y").alias("s"), exact_mean("x`y").alias("m")
+    ).collect()[0]
+    assert got["s"] == 7.75
+    assert got["m"] == pytest.approx(7.75 / 3)
