@@ -113,6 +113,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # EVERY run self-identifies its box state (round-7 verdict:
+        # the driver's plain-protocol BENCH_r07 was a 45%-slow
+        # contention artifact that only the committed --record could
+        # rebut). Consumers normalize: suite seconds are comparable
+        # across runs only at comparable box_calib_ms; a calib far
+        # above the committed BENCH_HEAD's means "box was loaded",
+        # not "code got slower".
+        "box_calib_ms": _box_calibration_ms(),
     }
     if errors:
         out["errors"] = errors
@@ -137,7 +145,7 @@ def main() -> None:
             # (sort + hash over the same PRNG array) stamps the box
             # state the suite numbers were taken under, so a future
             # reader can tell "code got slower" from "box got slower".
-            "box_calib_ms": _box_calibration_ms(),
+            "box_calib_ms": out["box_calib_ms"],
             "result": out,
         }
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -151,6 +151,26 @@ def main():
     )
     engine = json.loads(eng.stdout.strip().splitlines()[-1])
 
+    # refuse to emit a column measured on a box whose state differs
+    # >25% from the one the committed BENCH_HEAD record was taken on —
+    # round 7's driver artifact was a 45%-slow contention run that only
+    # the committed record could rebut; this makes crossover columns
+    # self-policing. CROSSOVER_IGNORE_CALIB=1 overrides (e.g. first
+    # record on a new box).
+    calib = engine.get("box_calib_ms")
+    head_path = os.path.join(REPO, "BENCH_HEAD.json")
+    if calib and os.path.exists(head_path) and not os.environ.get("CROSSOVER_IGNORE_CALIB"):
+        with open(head_path) as f:
+            ref_calib = json.load(f).get("box_calib_ms")
+        if ref_calib and abs(calib - ref_calib) / ref_calib > 0.25:
+            print(
+                f"REFUSED: box_calib_ms {calib} is >25% off the committed "
+                f"BENCH_HEAD record ({ref_calib}) — box state not comparable; "
+                "rerun on an idle box or set CROSSOVER_IGNORE_CALIB=1",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+
     if ENGINE_ONLY:
         print(
             json.dumps(
