@@ -277,18 +277,21 @@ class DataFrame:
         raise TypeError(f"cannot index with {type(key).__name__}")
 
     def select(self, cols: Sequence) -> "DataFrame":
-        exprs = [self._to_col(c) for c in cols]
-        if self._order_col:
-            exprs = exprs + [F.col(self._order_col)]
         # a pure name projection can't introduce NULLs; computed or
         # renamed exprs could shadow a proven column — drop the proof
         names_only = all(isinstance(c, str) for c in cols)
-        nn = self._nonnull if names_only else frozenset()
-        bd = (
-            {c: self._bounds[c] for c in cols if c in self._bounds}
-            if names_only else None
-        )
-        return self._with(self._sdf.select(*exprs), nonnull=nn, bounds=bd)
+        if names_only:
+            # one selectExpr round trip instead of an F.col py4j call
+            # per column (plan construction is py4j-bound at small sf)
+            q = lambda n: "`" + n.replace("`", "``") + "`"
+            names = list(cols) + ([self._order_col] if self._order_col else [])
+            sdf = self._sdf.selectExpr(*[q(c) for c in names])
+            bd = {c: self._bounds[c] for c in cols if c in self._bounds}
+            return self._with(sdf, nonnull=self._nonnull, bounds=bd)
+        exprs = [self._to_col(c) for c in cols]
+        if self._order_col:
+            exprs = exprs + [F.col(self._order_col)]
+        return self._with(self._sdf.select(*exprs), nonnull=frozenset(), bounds=None)
 
     def filter(self, cond) -> "DataFrame":
         # removing rows can't introduce NULLs — null-free proofs survive

@@ -47,6 +47,13 @@ def _aslist(v) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
+def _qi(name: str) -> str:
+    """SQL identifier quoting for selectExpr batching (plan
+    construction is py4j-round-trip-bound at small scale: one
+    selectExpr with N strings replaces ~3N Column-builder calls)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 _L_ORD, _R_ORD = "__mlord", "__mrord"
 
 
@@ -139,21 +146,21 @@ def _merged_order(out: SparkDF, spark_how: str, l_slots, r_slots,
         dropped.update(run)
         spec.append((name, True, "last"))
     if structs:
-        # single select (one eager analysis pass) instead of a
-        # withColumn+drop pair per run
-        out = out.select(
-            *[F.col(c) for c in out.columns if c not in dropped],
-            *[
-                F.struct(
-                    *[
-                        F.struct(
-                            F.col(c).isNull().alias("m"), F.col(c).alias("v")
-                        ).alias(f"o{k}")
-                        for k, c in enumerate(run)
-                    ]
-                ).alias(name)
-                for name, run in structs
-            ],
+        # single selectExpr (one py4j round trip, one analysis pass)
+        # instead of ~5 Column-builder calls per id column — plan
+        # construction is round-trip-bound at small scale
+        struct_exprs = [
+            "named_struct("
+            + ", ".join(
+                f"'o{k}', named_struct('m', {_qi(c)} IS NULL, 'v', {_qi(c)})"
+                for k, c in enumerate(run)
+            )
+            + f") AS {_qi(name)}"
+            for name, run in structs
+        ]
+        out = out.selectExpr(
+            *[_qi(c) for c in out.columns if c not in dropped],
+            *struct_exprs,
         )
     first_internal = structs[0][0] if structs else None
     if len(spec) == 1 and first_internal:
@@ -386,61 +393,70 @@ def _disambiguate_and_join(
         # 100 TB-correct plan); the anti part joins the dim against
         # the DISTINCT fact keys (key-only shuffle, dim-sized result).
         inner = lsdf2.join(rtag, cond, "inner")
-        rkeys = rtag.select(*[F.col("__rk_" + c) for c in rk2]).distinct()
+        rkeys = rtag.selectExpr(*[_qi("__rk_" + c) for c in rk2]).distinct()
         acond = None
         for lc, rc in zip(lk2, rk2):
             term = lsdf2[lc].eqNullSafe(rkeys["__rk_" + rc])
             acond = term if acond is None else (acond & term)
         anti = lsdf2.join(F.broadcast(rkeys), acond, "left_anti")
-        for c, t in rtag.dtypes:
-            anti = anti.withColumn(c, F.lit(None).cast(t))
-        joined = inner.unionByName(anti.select(*inner.columns))
+        # one selectExpr adds every right column as a typed NULL (the
+        # old per-column withColumn chain paid a py4j round trip AND an
+        # eager analysis pass per column)
+        anti = anti.selectExpr(
+            "*", *[f"CAST(NULL AS {t}) AS {_qi(c)}" for c, t in rtag.dtypes]
+        )
+        # anti's columns are exactly inner's (left cols + null-typed
+        # right cols); unionByName resolves by name — no reorder select
+        joined = inner.unionByName(anti)
         # column refs like rtag[col] don't resolve against the union;
-        # re-root the output projection on plain names
-        out_cols: list[Column] = []
-        for c in lsdf2.columns:
-            if c != "__lp__":
-                out_cols.append(F.col(c))
+        # re-root the output projection on plain names (batched: every
+        # post-join name is unique — keys ride as __rk_*, overlaps are
+        # suffixed — so string exprs resolve unambiguously)
+        out_exprs: list[str] = [
+            _qi(c) for c in lsdf2.columns if c != "__lp__"
+        ]
         for c in rsdf2_cols:
-            src = "__rk_" + c if c in rk2 else c
             if c in same_key:
                 continue
-            out_cols.append(F.col(src).alias(c))
+            src = "__rk_" + c if c in rk2 else c
+            out_exprs.append(_qi(c) if src == c else f"{_qi(src)} AS {_qi(c)}")
         if indicator:
-            lp = F.coalesce(F.col("__lp__"), F.lit(False))
-            rp = F.coalesce(F.col("__rp__"), F.lit(False))
-            out_cols.append(
-                F.when(lp & rp, "both").when(lp, "left_only").otherwise("right_only").alias("_merge")
+            out_exprs.append(
+                "CASE WHEN coalesce(`__lp__`, false) AND coalesce(`__rp__`, false) "
+                "THEN 'both' WHEN coalesce(`__lp__`, false) THEN 'left_only' "
+                "ELSE 'right_only' END AS `_merge`"
             )
-        return joined.select(*out_cols)
+        return joined.selectExpr(*out_exprs)
     else:
         joined = lsdf2.join(rtag, cond, how)
 
     if semi_like:
         return joined
 
-    # output columns: left cols, then coalesced keys (for outer), then right non-keys
-    out_cols: list[Column] = []
+    # output columns: left cols, then coalesced keys (for outer), then
+    # right non-keys — batched into ONE selectExpr (every post-join
+    # name is unique: keys ride as __rk_*, overlaps are suffixed)
+    out_exprs: list[str] = []
     for c in lsdf2.columns:
         if c == "__lp__":
             continue
         if c in same_key and how in ("full", "right"):
             # pandas fills the shared key from whichever side matched
-            out_cols.append(F.coalesce(lsdf2[c], rtag["__rk_" + c]).alias(c))
+            out_exprs.append(f"coalesce({_qi(c)}, {_qi('__rk_' + c)}) AS {_qi(c)}")
         else:
-            out_cols.append(lsdf2[c])
+            out_exprs.append(_qi(c))
     for c in rsdf2_cols:
-        src = "__rk_" + c if c in rk2 else c
         if c in same_key:
             continue  # shared equi-key emitted once (pandas collapses it)
-        out_cols.append(rtag[src].alias(c))
+        src = "__rk_" + c if c in rk2 else c
+        out_exprs.append(_qi(c) if src == c else f"{_qi(src)} AS {_qi(c)}")
     if indicator:
-        lp = F.coalesce(lsdf2["__lp__"], F.lit(False))
-        rp = F.coalesce(rtag["__rp__"], F.lit(False))
-        out_cols.append(
-            F.when(lp & rp, "both").when(lp, "left_only").otherwise("right_only").alias("_merge")
+        out_exprs.append(
+            "CASE WHEN coalesce(`__lp__`, false) AND coalesce(`__rp__`, false) "
+            "THEN 'both' WHEN coalesce(`__lp__`, false) THEN 'left_only' "
+            "ELSE 'right_only' END AS `_merge`"
         )
-    return joined.select(*out_cols)
+    return joined.selectExpr(*out_exprs)
 
 
 def _validate(lsdf: SparkDF, rsdf: SparkDF, lk: list[str], rk: list[str], rule: str) -> None:
@@ -639,9 +655,6 @@ def merge_asof(
     # join) is only needed by direction='nearest' — backward/forward
     # never pay the monotonically_increasing_id projection
     need_rid = direction == "nearest" and not allow_exact_matches
-    l_tag = lsdf.withColumn("__side__", F.lit(1))
-    if need_rid:
-        l_tag = l_tag.withColumn("__rid__", F.monotonically_increasing_id())
     # ties on equal ``on`` stamps resolve POSITIONALLY in pandas
     # (backward → last right row in frame order, forward → first), the
     # same rule the broadcast strategy's __pos__ struct field encodes.
@@ -649,53 +662,69 @@ def merge_asof(
     # window ordering can break ties deterministically — without it,
     # duplicate right timestamps yield a nondeterministic winner that
     # can diverge between runs and between strategies (advisor-found).
-    r_tag = rsdf.withColumn("__side__", F.lit(0)).withColumn(
-        "__rpos__", F.monotonically_increasing_id()
-    )
-    l_tag = l_tag.withColumn("__rpos__", F.lit(None).cast("long"))
-    # align schemas for the union
-    for c in payload:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(rsdf.schema[c].dataType))
+    # Each side's tag+pad is ONE batched selectExpr (the old
+    # per-column withColumn chain paid a py4j round trip and an eager
+    # analysis pass per padded column).
     l_cols = [c for c in lsdf.columns if c != on and c not in by_keys]
-    for c in l_cols + (["__rid__"] if need_rid else []):
-        if c not in r_tag.columns:
-            r_tag = r_tag.withColumn(
-                c, F.lit(None).cast(l_tag.schema[c].dataType)
-            )
-    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    r_types = dict(rsdf.dtypes)
+    l_types = dict(lsdf.dtypes)
+    l_exprs = (
+        ["*", "1 AS `__side__`"]
+        + (["monotonically_increasing_id() AS `__rid__`"] if need_rid else [])
+        + ["CAST(NULL AS BIGINT) AS `__rpos__`"]
+        + [f"CAST(NULL AS {r_types[c]}) AS {_qi(c)}" for c in payload]
+    )
+    l_tag = lsdf.selectExpr(*l_exprs)
+    # after the suffix renames the sides share ONLY (on, by_keys), so
+    # every left payload column needs a typed-NULL pad on the right
+    pad_r = [c for c in l_cols if c not in rsdf.columns] + (
+        ["__rid__"] if need_rid else []
+    )
+    r_exprs = (
+        ["*", "0 AS `__side__`",
+         "monotonically_increasing_id() AS `__rpos__`"]
+        + [
+            f"CAST(NULL AS {l_types.get(c, 'BIGINT')}) AS {_qi(c)}"
+            for c in pad_r
+        ]
+    )
+    r_tag = rsdf.selectExpr(*r_exprs)
+    unioned = l_tag.unionByName(r_tag)
 
     def one_direction(u: SparkDF, forward: bool, with_ts: bool = True) -> SparkDF:
-        # exact matches: right rows sort before left at equal ts (backward)
-        side_order = F.col("__side__").asc() if allow_exact_matches else F.col("__side__").desc()
+        # SQL-text window (one selectExpr parse instead of ~8 py4j
+        # Column-builder calls per payload column).
+        # Exact matches: right rows sort before left at equal ts
+        # (backward). Ties among equal right stamps are POSITIONAL:
+        # last() reads the row nearest the frame end, so backward
+        # (wants the LAST positional right row) orders __rpos__ asc and
+        # forward (wants the FIRST) orders desc under its on-desc sort.
+        side_dir = "ASC" if allow_exact_matches else "DESC"
         if forward:
-            # last() reads the row nearest the frame end; forward ties
-            # want the FIRST positional right row, so position sorts
-            # descending (min position lands last in the desc ordering)
-            w = (
-                W.partitionBy(*by_keys)
-                .orderBy(F.col(on).desc(), side_order, F.col("__rpos__").desc())
-                .rowsBetween(W.unboundedPreceding, 0)
-            )
+            order_sql = f"{_qi(on)} DESC, `__side__` {side_dir}, `__rpos__` DESC"
         else:
-            # backward ties want the LAST positional right row
-            w = (
-                W.partitionBy(*by_keys)
-                .orderBy(F.col(on).asc(), side_order, F.col("__rpos__").asc())
-                .rowsBetween(W.unboundedPreceding, 0)
-            )
-        cols = {
-            "__m_" + c: F.last(
-                F.when(F.col("__side__") == 0, F.col(c)), ignorenulls=True
-            ).over(w)
+            order_sql = f"{_qi(on)} ASC, `__side__` {side_dir}, `__rpos__` ASC"
+        part = (
+            "PARTITION BY " + ", ".join(_qi(k) for k in by_keys) + " "
+            if by_keys else ""
+        )
+        win = (
+            f"OVER ({part}ORDER BY {order_sql} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        matched = [
+            f"last(CASE WHEN `__side__` = 0 THEN {_qi(c)} END, true) "
+            f"{win} AS {_qi('__m_' + c)}"
             for c in payload
-        }
+        ]
         if with_ts:
             # the matched row's own timestamp — only needed for the
             # tolerance gap / nearest tie-break, skipped otherwise
-            cols["__m_ts__"] = F.last(
-                F.when(F.col("__side__") == 0, F.col(on)), ignorenulls=True
-            ).over(w)
-        return u.withColumns(cols).filter(F.col("__side__") == 1)
+            matched.append(
+                f"last(CASE WHEN `__side__` = 0 THEN {_qi(on)} END, true) "
+                f"{win} AS `__m_ts__`"
+            )
+        return u.selectExpr("*", *matched).filter("`__side__` = 1")
 
     def apply_tolerance(sdf: SparkDF, forward: bool) -> SparkDF:
         if tolerance is None:
@@ -720,13 +749,11 @@ def merge_asof(
             one_direction(unioned, direction == "forward", with_ts=tolerance is not None),
             direction == "forward",
         )
-        final_cols = (
-            by_keys
-            + [on]
-            + l_cols
-            + [F.col("__m_" + c).alias(c) for c in payload]
+        final_exprs = (
+            [_qi(c) for c in by_keys + [on] + l_cols]
+            + [f"{_qi('__m_' + c)} AS {_qi(c)}" for c in payload]
         )
-        return DataFrame(matched.select(*final_cols))
+        return DataFrame(matched.selectExpr(*final_exprs))
 
     if direction == "nearest" and allow_exact_matches:
         # Both directions over ONE ordering (on asc, right-before-left

@@ -563,19 +563,25 @@ class Resampler:
         from pandas_spark.groupby import resolve_agg
 
         dtmap = dict(self._frame.dtypes)
+        bounds = self._frame._bounds  # footer proofs ungate exact kernels
         exprs = []
         if isinstance(spec, dict):
             for col, funcs in spec.items():
                 if isinstance(funcs, str):
-                    exprs.append(resolve_agg(funcs, col, dtmap.get(col)).alias(col))
+                    exprs.append(
+                        resolve_agg(funcs, col, dtmap.get(col), bounds).alias(col)
+                    )
                 else:
                     for fn in funcs:
-                        exprs.append(resolve_agg(fn, col, dtmap.get(col)).alias(f"{col}_{fn}"))
+                        exprs.append(
+                            resolve_agg(fn, col, dtmap.get(col), bounds)
+                            .alias(f"{col}_{fn}")
+                        )
         elif isinstance(spec, str):
             num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
             for c, t in self._frame.dtypes:
                 if c != self._on and c not in self._by and t in num:
-                    exprs.append(resolve_agg(spec, c, t).alias(c))
+                    exprs.append(resolve_agg(spec, c, t, bounds).alias(c))
         out = self._bucketed().agg(*exprs)
         out = out.select(
             *self._by,
