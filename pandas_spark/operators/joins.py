@@ -286,7 +286,7 @@ def merge(
 
     out = _disambiguate_and_join(
         lsdf, rsdf, lk, rk, _HOWS[how], suffixes, indicator, broadcast,
-        left._nonnull, right._nonnull,
+        left._nonnull, right._nonnull, right._rows_max,
     )
     l_ren, r_ren = _suffix_renames(lsdf, rsdf, lk, rk, suffixes)
     out_keys: list[str] = []
@@ -332,6 +332,7 @@ def _disambiguate_and_join(
     broadcast: str | None,
     l_nonnull: frozenset = frozenset(),
     r_nonnull: frozenset = frozenset(),
+    r_rows_max: int | None = None,
 ) -> SparkDF:
     semi_like = how in ("left_semi", "left_anti")
     # rename overlapping non-key output columns with pandas suffixes
@@ -393,7 +394,15 @@ def _disambiguate_and_join(
         # 100 TB-correct plan); the anti part joins the dim against
         # the DISTINCT fact keys (key-only shuffle, dim-sized result).
         inner = lsdf2.join(rtag, cond, "inner")
-        rkeys = rtag.selectExpr(*[_qi("__rk_" + c) for c in rk2]).distinct()
+        rkeys = rtag.selectExpr(*[_qi("__rk_" + c) for c in rk2])
+        if r_rows_max is None or r_rows_max > 2_000_000:
+            # the anti join is duplicate-insensitive — distinct() exists
+            # only to bound the broadcast when the fact side's key count
+            # is unknown/huge (the 100 TB case: ALWAYS, absent a proof).
+            # A footer-proven small right (≤2M rows ≈ ≤16 MB of bare
+            # keys) broadcasts raw, skipping the distinct's shuffle and
+            # its AQE stage — one fewer job on the floor-bound path.
+            rkeys = rkeys.distinct()
         acond = None
         for lc, rc in zip(lk2, rk2):
             term = lsdf2[lc].eqNullSafe(rkeys["__rk_" + rc])

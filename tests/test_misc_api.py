@@ -725,9 +725,12 @@ def test_get_group_and_swapcase(spark):
 
 
 def test_buffer_pool_small_table_persists_and_invalidates(spark, tmp_path):
-    """The read_parquet buffer pool: a small flat table persists in
-    Spark's columnar cache; rewriting the file serves FRESH data (the
-    r5 ADVICE stale-cache scenario); partitioned layouts never cache."""
+    """The read_parquet scan tiers: a TINY flat table becomes a
+    driver-local relation (LocalTableScan — broadcast builds over it
+    need no Spark job); a mid-size table persists in Spark's columnar
+    cache; rewriting the file serves FRESH data either way (the r5
+    ADVICE stale-cache scenario); partitioned layouts never cache."""
+    import numpy as np
     import pandas as pd
 
     from pandas_spark.sources import io as psio
@@ -735,23 +738,33 @@ def test_buffer_pool_small_table_persists_and_invalidates(spark, tmp_path):
     path = str(tmp_path / "dim.parquet")
     pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}).to_parquet(path)
     a = ps.read_parquet(spark, path)
-    assert "InMemoryRelation" in a.to_spark()._sc._jvm.PythonSQLUtils.explainString(
+    assert "LocalTableScan" in a.to_spark()._sc._jvm.PythonSQLUtils.explainString(
         a.to_spark()._jdf.queryExecution(), "formatted"
     )
     assert a.to_spark().count() == 3
     # same mtime-signature → same cached scan object
     b = ps.read_parquet(spark, path)
     assert b.to_spark() is a.to_spark()
-    # rewrite → new signature → fresh data, stale entry unpersisted
+    # rewrite → new signature → fresh data, stale entry dropped
     pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}).to_parquet(path)
     c = ps.read_parquet(spark, path)
     assert c.to_spark().count() == 4
-    # cache=False bypasses both the memo and the pool
+    # cache=False bypasses the memo, the pool, and the local tier
     d = ps.read_parquet(spark, path, cache=False)
     plan = d.to_spark()._sc._jvm.PythonSQLUtils.explainString(
         d.to_spark()._jdf.queryExecution(), "formatted"
     )
     assert "InMemoryRelation" not in plan and "Scan parquet" in plan
+    assert "LocalTableScan" not in plan
+    # mid-size (over the local-relation row cap, under the pool cap):
+    # the buffer-pool columnar cache tier
+    mid = str(tmp_path / "mid.parquet")
+    pd.DataFrame({"k": np.arange(5000), "v": np.arange(5000) * 0.5}).to_parquet(mid)
+    m = ps.read_parquet(spark, mid)
+    assert "InMemoryRelation" in m.to_spark()._sc._jvm.PythonSQLUtils.explainString(
+        m.to_spark()._jdf.queryExecution(), "formatted"
+    )
+    assert m.to_spark().count() == 5000
     psio.clear_scan_cache()
 
 
@@ -798,8 +811,10 @@ def test_buffer_pool_skips_wide_text_tables(spark, tmp_path):
     from pandas_spark.sources import io as psio
 
     path = str(tmp_path / "docs.parquet")
+    # over the local-relation row cap (2000) so the driver-local tier
+    # doesn't claim it first; still under the 64 MB pool size cap
     pd.DataFrame(
-        {"doc_id": range(50), "text": [f"lorem ipsum {i} " * 40 for i in range(50)]}
+        {"doc_id": range(2500), "text": [f"lorem ipsum {i} " * 40 for i in range(2500)]}
     ).to_parquet(path)
     assert psio._max_cell_bytes(path) > 64.0
     a = ps.read_parquet(spark, path)
