@@ -39,9 +39,14 @@ def plan_report(frame) -> dict:
 
     * ``shuffles`` — data-moving Exchange nodes (hash/range); each is
       a full network pass over its input
-    * ``single_partition_exchanges`` — ``Exchange SinglePartition``:
-      the whole dataset serializes through ONE task (the unkeyed-window
-    scale trap ``strict_scale`` guards against)
+    * ``single_partition_exchanges`` — ``Exchange SinglePartition``
+      over full-width data: the whole dataset serializes through ONE
+      task (the unkeyed-window scale trap ``strict_scale`` guards
+      against)
+    * ``global_agg_exchanges`` — ``Exchange SinglePartition`` fed by
+      an UNKEYED partial aggregate: the standard global-reduction
+      final step, bounded to one row per upstream partition at any
+      data scale — reported separately because it is NOT a scale trap
     * ``broadcast_joins`` / ``sortmerge_joins`` / ``nested_loop_joins``
       — join strategy mix; nested-loop/cartesian is almost always a
       missing equi-key
@@ -67,8 +72,63 @@ def plan_report(frame) -> dict:
     counts: dict[str, int] = {}
     for _, name in nodes:
         counts[name] = counts.get(name, 0) + 1
-    # Exchange arguments distinguish hash/range vs SinglePartition
-    single = len(re.findall(r"Arguments: SinglePartition", text))
+    # Exchange arguments distinguish hash/range vs SinglePartition.
+    # A SinglePartition exchange fed by an UNKEYED partial aggregate is
+    # the standard global-reduction final step — its input is one row
+    # per upstream partition (bounded at any data scale), not the full
+    # dataset. Those count as global_agg_exchanges; only the genuinely
+    # dangerous kind (full-width rows through one task: unkeyed
+    # Sort/Window/row passes) remains in single_partition_exchanges.
+    # split the details section into per-node blocks (attr names can
+    # contain parens — line-by-line splitting, not lookahead regexes)
+    blocks: dict[str, str] = {}
+    header = re.compile(r"^\((\d+)\) (\S+)")
+    cur_id = None
+    cur: list[str] = []
+    for line in text.splitlines():
+        hm = header.match(line)
+        if hm:
+            if cur_id is not None:
+                blocks[cur_id] = "\n".join(cur)
+            cur_id, cur = hm.group(1), [line]
+        elif cur_id is not None:
+            cur.append(line)
+    if cur_id is not None:
+        blocks[cur_id] = "\n".join(cur)
+    sp_ids = [
+        nid
+        for nid, blk in blocks.items()
+        if blk.startswith(f"({nid}) Exchange")
+        and "Arguments: SinglePartition" in blk
+    ]
+    # parse the plan tree (the header block) for child relationships
+    tree: list[tuple[int, str, str]] = []  # (depth, name, id)
+    for line in text.splitlines():
+        if not line.strip():
+            break
+        tm = re.match(r"^([ :+\-|]*)(\S.*?)\s*\((\d+)\)$", line)
+        if tm:
+            tree.append((len(tm.group(1)) // 3, tm.group(2), tm.group(3)))
+    pos = {nid: i for i, (_, _, nid) in enumerate(tree)}
+
+    def _is_bounded_global_agg_final(nid: str) -> bool:
+        i = pos.get(nid)
+        if i is None:
+            return False
+        d = tree[i][0]
+        for depth, name, cid in tree[i + 1:]:
+            if depth <= d:
+                return False
+            if depth == d + 1:
+                if not name.split()[0].endswith("Aggregate"):
+                    return False
+                # zero grouping keys prints as "Keys: []" (keyed aggs
+                # print "Keys [n]: [...]")
+                return "\nKeys: []" in blocks.get(cid, "")
+        return False
+
+    agg_final = sum(1 for nid in sp_ids if _is_bounded_global_agg_final(nid))
+    single = len(sp_ids) - agg_final
     exchanges = counts.get("Exchange", 0)
     scans = []
     for m in re.finditer(
@@ -92,8 +152,9 @@ def plan_report(frame) -> dict:
         # report unknown rather than a misleading 0
         codegen = None
     return {
-        "shuffles": exchanges - single,
+        "shuffles": exchanges - single - agg_final,
         "single_partition_exchanges": single,
+        "global_agg_exchanges": agg_final,
         "broadcast_exchanges": counts.get("BroadcastExchange", 0),
         "broadcast_joins": counts.get("BroadcastHashJoin", 0),
         "sortmerge_joins": counts.get("SortMergeJoin", 0),

@@ -1511,3 +1511,47 @@ def test_exact_sum_backtick_column_name(spark):
     ).collect()[0]
     assert got["s"] == 7.75
     assert got["m"] == pytest.approx(7.75 / 3)
+
+
+def test_corr_spearman_distributed_rank_matches_pandas(spark):
+    """frame.corr(method='spearman') after the round-8 distributed
+    rank rewrite (quantile-bucketed windows, no single-partition data
+    path): ties spanning bucket boundaries and NaN rows must still
+    reproduce pandas' average-rank Pearson."""
+    rng = np.random.default_rng(11)
+    n = 5000
+    pdf = pd.DataFrame({
+        # heavy ties: only 20 distinct values, so every quantile bucket
+        # boundary lands ON a tie group
+        "a": rng.integers(0, 20, n).astype(float),
+        "b": rng.normal(size=n).round(2),      # moderate ties
+        "c": rng.normal(size=n),                # no ties
+    })
+    pdf.loc[rng.choice(n, 50, replace=False), "b"] = np.nan
+    want = pdf.corr(method="spearman")
+    f = ps.from_pandas(spark, pdf)
+    got = f.corr(subset=["a", "b", "c"], method="spearman").to_pandas()
+    got = got.pivot(index="col1", columns="col2", values="corr")
+    for x in ["a", "b", "c"]:
+        for y in ["a", "b", "c"]:
+            assert got.loc[x, y] == pytest.approx(want.loc[x, y], abs=1e-9), (x, y)
+
+
+def test_corr_kendall_upper_triangle_mirror(spark):
+    """The r8 upper-triangle kendall loop: off-diagonal mirror must be
+    bit-identical and values unchanged vs the brute-force tau-b."""
+    rng = np.random.default_rng(12)
+    pdf = pd.DataFrame({
+        "a": rng.integers(0, 10, 300).astype(float),
+        "b": rng.normal(size=300).round(1),
+    })
+    got = (
+        ps.from_pandas(spark, pdf)
+        .corr(subset=["a", "b"], method="kendall")
+        .to_pandas()
+        .pivot(index="col1", columns="col2", values="corr")
+    )
+    want = _brute_tau_b(pdf.a.to_numpy(float), pdf.b.to_numpy(float))
+    assert got.loc["a", "b"] == pytest.approx(want, abs=1e-12)
+    assert got.loc["b", "a"] == got.loc["a", "b"]  # mirrored, bit-equal
+    assert got.loc["a", "a"] == pytest.approx(1.0)

@@ -33,53 +33,33 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import __spark_entry__ as entry_mod  # noqa: E402
 from conftest import SF_DIR  # noqa: E402
 
-# Entries whose plan legitimately serializes through one task at some
-# point: global scalar reductions (describe/corr/cov/quantiles — the
-# reduced data is tiny), and whole-frame ORDERED semantics pandas
-# parity requires (global rank/shift/ffill/positional ops; the engine's
-# strict_scale mode escalates the unkeyed-window warning for these).
+# Entries whose plan legitimately serializes FULL-WIDTH data through
+# one task: whole-frame ORDERED semantics pandas parity requires
+# (global rank/shift/ffill/positional ops; the engine's strict_scale
+# mode escalates the unkeyed-window warning for these). Round 8 shrank
+# this list by 21: global scalar reductions (describe/corr/cov/
+# quantiles/margins) no longer trip the gate at all — plan_report now
+# classifies a SinglePartition exchange fed by an UNKEYED partial
+# aggregate as a bounded global-agg final (one row per upstream
+# partition at any scale), and corr(method='spearman') replaced its
+# single-partition global rank windows with a distributed
+# quantile-bucketed rank (frame._distributed_avg_rank).
 SINGLE_PARTITION_OK = {
-    "adaptive_length_filter",
-    "frame_asfreq_hourly",
-    "frame_cumsum_running_total",
     "apply_axis0",
     "argsort_positions",
     "bday_shift",
-    "corr_matrix",
-    "corrwith",
     "factorize_codes",
-    "frame_cov_matrix",
-    "frame_describe",
-    "frame_idx_mode",
-    "frame_nunique",
-    "frame_quantiles",
+    "frame_asfreq_hourly",
+    "frame_cumsum_running_total",
     "frame_rank_pct",
     "frame_shift_diff",
-    "global_reductions",
     "groupby_cumcount_ngroup",
     "iloc_slice_mid",
     "is_monotonic",
-    "isna_counts",
-    "key_distribution_users",
     "merge_ordered_ffill",
     "mixture_summary",
-    "pivot_margins",
-    # margins over an aggfunc LIST: one global-agg margin row per
-    # aggfunc, each over the already-reduced pivot — same class as
-    # pivot_margins
-    "pivot_margins_multi",
-    # upsample-interpolate over the already-aggregated hourly series:
-    # the global timeline sort runs on resample output, not raw events
-    "resample_interpolate_30min",
     "qcut_quartiles",
-    "searchsorted_probes",
-    "skew_report_full",
-    "skew_report_users",
-    "spearman_corr",
     "take_positions",
-    "tfidf_top_terms",
-    "unigram_logprob",
-    "upsample_ffill",
     "value_counts_normalize",
 }
 
