@@ -363,6 +363,123 @@ def ewm_mean_stream(
     )
 
 
+def merge_asof_stream(
+    left: SparkDF,
+    right: SparkDF,
+    on: str,
+    by: Sequence[str],
+    tolerance: str | None = None,
+    timeout: str = "NoTimeout",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> SparkDF:
+    """Streaming ``merge_asof(direction='backward')`` — the stateful
+    twin of the batch union+ordered-window plan (operators/joins.py):
+    SURVEY §2.10's one unmapped row ("merge_asof ≙ stream-stream
+    asof join w/ watermark", previously covered only by the
+    candidate-set ``tolerance_join_stream``).
+
+    Both streams union on (by, on) with a side tag; per ``by`` key an
+    ``applyInPandasWithState`` walk keeps ONE right row of state — the
+    latest seen — and each left row takes the last right row at or
+    before its stamp (``searchsorted`` within the sorted micro-batch,
+    the carried state when no in-batch right precedes). Exactly the
+    batch plan's semantics per batch, with pandas' positional tie rule
+    (last right row among equal stamps).
+
+    Cross-batch ordering follows the ``ewm_mean_stream`` contract:
+    state advances monotonically, so per-key arrival must be
+    batch-ordered (standard for log-ordered sources; within a batch
+    rows are sorted). On a bounded single-batch source the output
+    equals batch ``merge_asof`` exactly (parity test in
+    tests/test_streaming.py). ``tolerance`` nulls matches older than
+    the given offset. State is ONE row per key — bounded regardless of
+    stream length."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    by = list(by)
+    overlap = (set(left.columns) & set(right.columns)) - {on} - set(by)
+    l = left.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
+    r = right.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+    payload = [c for c in r.columns if c != on and c not in by]
+    l_cols = [c for c in l.columns if c != on and c not in by]
+    r_types = dict(r.dtypes)
+    l_types = dict(l.dtypes)
+    l_tag = l.selectExpr(
+        "*", "1 AS `__side__`",
+        *[f"CAST(NULL AS {r_types[c]}) AS `{c}`" for c in payload],
+    )
+    r_tag = r.selectExpr(
+        "*", "0 AS `__side__`",
+        *[f"CAST(NULL AS {l_types[c]}) AS `{c}`" for c in l_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+
+    out_fields = [f for f in u.schema.fields if f.name != "__side__"]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    )
+    out_cols = [f.name for f in out_fields]
+    # state: the latest right row — stamp as int64 epoch-µs plus payload
+    state_schema = "__ts__ long, " + ", ".join(
+        f"`{c}` {r_types[c]}" for c in payload
+    )
+    tol_us = (
+        int(parse_offset_seconds(tolerance.replace(" ", "")) * 1_000_000)
+        if tolerance is not None else None
+    )
+
+    def fn(key, pdfs, state):
+        prev = state.get if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # right rows sort before left at equal stamps (exact matches
+        # allowed); stable sort keeps frame order among equal rights —
+        # searchsorted side='right' then picks the LAST (pandas rule)
+        pdf = pdf.sort_values([on, "__side__"], kind="stable", ignore_index=True)
+        ts_us = pdf[on].to_numpy(dtype="datetime64[us]").astype("int64")
+        is_r = (pdf["__side__"] == 0).to_numpy()
+        rights = pdf[is_r]
+        r_us = ts_us[is_r]
+        lefts = pdf[~is_r].reset_index(drop=True)
+        l_us = ts_us[~is_r]
+        idx = np.searchsorted(r_us, l_us, side="right") - 1
+        for c in payload:
+            rv = rights[c].to_numpy()
+            col = np.empty(len(lefts), dtype=object)
+            m_ts = np.empty(len(lefts), dtype="int64")
+            for i, j in enumerate(idx):
+                if j >= 0:
+                    col[i] = rv[j]
+                    m_ts[i] = r_us[j]
+                elif prev is not None:
+                    col[i] = prev[1 + payload.index(c)]
+                    m_ts[i] = prev[0]
+                else:
+                    col[i] = None
+                    m_ts[i] = np.iinfo("int64").min
+                if tol_us is not None and col[i] is not None \
+                        and l_us[i] - m_ts[i] > tol_us:
+                    col[i] = None
+            lefts[c] = pd.Series(col).astype(lefts[c].dtype, errors="ignore")
+        if len(rights):
+            last = rights.iloc[-1]
+            vals = []
+            for c in payload:
+                v = last[c]
+                vals.append(None if pd.isna(v) else
+                            (v.item() if hasattr(v, "item") else v))
+            state.update((int(r_us[-1]), *vals))
+        if len(lefts):
+            yield lefts[out_cols]
+
+    timeout_conf = getattr(GroupStateTimeout, timeout)
+    return (
+        u.groupBy(*by)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
+    )
+
+
 def tolerance_join_stream(
     left: SparkDF,
     right: SparkDF,

@@ -4728,3 +4728,40 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["o_orderkey", "o_totalprice"])
         .to_spark()
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 27 (round 8): streaming merge_asof — the last unmapped §2.10 row
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_merge_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.ts, c.event_id, p.value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def streaming_merge_asof(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """merge_asof(direction='backward', by=) executed THROUGH
+    Structured Streaming (streaming/core.py merge_asof_stream: union +
+    per-key applyInPandasWithState, ONE right row of state per key) and
+    checked against DuckDB's native ASOF JOIN — closing SURVEY §2.10's
+    "merge_asof ≙ stream-stream asof join w/ watermark" mapping with
+    asof-backward semantics (tolerance_join_stream covers only the
+    candidate-set variant)."""
+    from pandas_spark import streaming as pss
+
+    stream = pss.read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    clicks = stream.where("event_type = 'click'").select("user_id", "ts", "event_id")
+    purchases = stream.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = pss.merge_asof_stream(clicks, purchases, on="ts", by=["user_id"])
+    pss.run_to_memory(out, "suite_stream_asof", output_mode="append")
+    return spark.table("suite_stream_asof")

@@ -368,3 +368,91 @@ def test_kmeans_stream_matches_offline_minibatch(spark, tmp_path):
     assert len(got) == m
     mism = [i for i in ids if got[i] != want[i]]
     assert not mism, mism[:5]
+
+
+def test_merge_asof_stream_matches_batch(spark, events_stream):
+    """Streaming merge_asof (backward, by=user_id) on a bounded
+    single-batch source equals the batch union+window plan
+    row-for-row — SURVEY §2.10's asof ↦ stateful-stream mapping."""
+    clicks = events_stream.where("event_type = 'click'").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events_stream.where("event_type = 'purchase'").select(
+        "user_id", "ts", "value"
+    )
+    out = pss.merge_asof_stream(clicks, purchases, on="ts", by=["user_id"])
+    assert out.isStreaming
+    pss.run_to_memory(out, "t_asof_stream", output_mode="append")
+    got = {
+        r["event_id"]: None if r["value"] is None else round(r["value"], 9)
+        for r in spark.table("t_asof_stream").collect()
+    }
+
+    import pandas_spark as ps
+
+    ev = ps.read_parquet(spark, f"{SF_DIR}/events.parquet")
+    bc = ev.filter(ps.col("event_type") == "click").select(
+        ["user_id", "ts", "event_id"]
+    )
+    bp = ev.filter(ps.col("event_type") == "purchase").select(
+        ["user_id", "ts", "value"]
+    )
+    batch = ps.merge_asof(bc, bp, on="ts", by="user_id").to_spark().collect()
+    want = {
+        r["event_id"]: None if r["value"] is None else round(r["value"], 9)
+        for r in batch
+    }
+    assert got == want
+    assert got  # non-empty
+
+
+def test_merge_asof_stream_state_across_micro_batches(spark, tmp_path):
+    """The latest-right-row state must carry across micro-batches:
+    split a tiny asof input into 2 trigger files (contiguous time
+    ranges) — left rows in batch 2 with no in-batch right match must
+    take batch 1's carried right row."""
+    import pandas as pd
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 1],
+        "ts": pd.to_datetime([100, 200, 300, 400], unit="s"),
+        "lid": [0, 1, 2, 3],
+        "side": ["l"] * 4,
+        "v": [None] * 4,
+    })
+    right = pd.DataFrame({
+        "k": [1, 1],
+        "ts": pd.to_datetime([150, 250], unit="s"),
+        "lid": [None, None],
+        "side": ["r"] * 2,
+        "v": [1.5, 2.5],
+    })
+    src = tmp_path / "src"
+    src.mkdir()
+    both = pd.concat([left, right]).sort_values("ts")
+    # batch 1: everything up to ts 250 (incl. both right rows);
+    # batch 2: the ts 300/400 left rows — no right rows at all
+    both[both.ts <= pd.Timestamp(250, unit="s")].to_parquet(src / "b1.parquet", index=False)
+    both[both.ts > pd.Timestamp(250, unit="s")].to_parquet(src / "b2.parquet", index=False)
+
+    stream = pss.read_stream_parquet(spark, str(src))
+    lstream = stream.where("side = 'l'").select("k", "ts", "lid")
+    rstream = stream.where("side = 'r'").select("k", "ts", "v")
+    out = pss.merge_asof_stream(
+        lstream, rstream, on="ts", by=["k"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_asof_batches")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        int(r["lid"]): r["v"] for r in spark.table("t_asof_batches").collect()
+    }
+    # lid0 (ts100): no right before -> None; lid1 (ts200): right@150 -> 1.5
+    # lid2 (ts300) and lid3 (ts400): carried state right@250 -> 2.5
+    assert got == {0: None, 1: 1.5, 2: 2.5, 3: 2.5}
