@@ -541,7 +541,7 @@ def table(spark: SparkSession, name: str) -> DataFrame:
     return DataFrame(spark.table(name))
 
 
-def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
     """pandas → engine frame across the Arrow boundary.
 
     Applies the §7.0/§1.3 missing-value convention: pandas ``NaN``/
@@ -550,10 +550,19 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     boundary normalizes). Column order and names are preserved; the
     source row order is NOT implicitly an index (use sort_values or
     set_index to establish order/labels).
+
+    ``schema=`` (DDL string or StructType) pins exact engine types —
+    the escape hatch for the inference boundaries pandas/numpy impose
+    on a plain round trip (tests/test_dtype_roundtrip.py documents the
+    full matrix): int widths with NULLs degrade to double, naive
+    datetimes infer as session-tz TIMESTAMP (not NTZ), dict cells
+    infer as struct (not map), decimal precision re-infers from
+    values. With schema= the engine→pandas→engine loop is a fixpoint
+    for every FIXTURES.md §1 dtype.
     """
     from pyspark.sql import functions as F
 
-    sdf = spark.createDataFrame(pdf)
+    sdf = spark.createDataFrame(pdf, schema=schema)
     # Arrow keeps float NaN as Spark NaN (a value, not NULL); normalize.
     # Names go through backtick-escaping so columns containing dots or
     # backticks resolve as single attributes, not nested-field paths

@@ -783,9 +783,16 @@ def ewm_mean(
         if pdf.empty:
             yield pdf.assign(**{name: pd.Series(dtype="float64")})
             return
-        pdf = pdf.sort_values(keys_eff + sort_cols,
-                              ascending=[True] * len(keys_eff) + list(sort_asc),
-                              kind="stable")
+        # rows arrive ALREADY sorted — sortWithinPartitions upstream,
+        # and Arrow batches preserve partition row order through
+        # mapInPandas. The old in-kernel re-sort was pure O(n log n)
+        # waste that dominated at the 1000x decade (r8: removing it
+        # plus the Cython grouped-ewm cut 1000x from 57.0 to 47.1 s).
+        # A mapInArrow variant (zero-copy passthrough of non-key
+        # columns) was MEASURED SLOWER on this pyspark build — the
+        # mapInArrow transport itself ran 2x behind mapInPandas at the
+        # 1000x decade (141.8 vs 68.0 s identity crossing, SCALE.md) —
+        # so the pandas path stays.
         if times_ is not None:
             parts = []
             for _, g in pdf.groupby(keys_eff, sort=False):
@@ -796,7 +803,43 @@ def ewm_mean(
                 )
                 parts.append(getattr(ew, stat_)())
             pdf[name] = pd.concat(parts)
+        elif stat_ == "mean":
+            # lockstep numpy kernel (functions/ewm_np): pandas' exact
+            # ewma arithmetic, one lane per group, vectorized ACROSS
+            # groups — bit-equal to pandas (the chain fuzzer rejected a
+            # faster closed-form scan over a 1-ulp divergence) and
+            # measured ~3× faster at the 1000× decade than both
+            # per-group transform(lambda) and the grouped-ewm accessor,
+            # which choke on ~1.5M tiny groups/task.
+            from pandas_spark.functions.ewm_np import ewm_mean_segmented
+
+            if len(keys_eff) == 1:
+                u = pdf[keys_eff[0]].to_numpy()
+                changed = u[1:] != u[:-1]
+                null_key = pdf[keys_eff[0]].isna().to_numpy()
+            else:
+                changed = None
+                null_key = None
+                for k in keys_eff:
+                    u = pdf[k].to_numpy()
+                    d = u[1:] != u[:-1]
+                    changed = d if changed is None else (changed | d)
+                    nk = pdf[k].isna().to_numpy()
+                    null_key = nk if null_key is None else (null_key | nk)
+            vals = ewm_mean_segmented(
+                pdf[col].to_numpy(dtype="float64"), changed, a, adjust_
+            )
+            if null_key.any():
+                # pandas groupby drops NA-key groups: transform emits
+                # NaN for those rows (the transform path inherits this
+                # from pandas; the numpy path must impose it)
+                import numpy as _np
+
+                vals = _np.where(null_key, _np.nan, vals)
+            pdf[name] = vals
         else:
+            # per-group pandas ewm (Cython inner kernel) — sum/std/var
+            # and adjust=False keep the reference implementation
             pdf[name] = (
                 pdf.groupby(keys_eff, sort=False)[col]
                 .transform(lambda s: getattr(s.ewm(alpha=a, adjust=adjust_), stat_)())

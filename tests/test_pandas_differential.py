@@ -1555,3 +1555,66 @@ def test_corr_kendall_upper_triangle_mirror(spark):
     assert got.loc["a", "b"] == pytest.approx(want, abs=1e-12)
     assert got.loc["b", "a"] == got.loc["a", "b"]  # mirrored, bit-equal
     assert got.loc["a", "a"] == pytest.approx(1.0)
+
+
+@pytest.mark.parametrize("adjust", [True, False])
+@pytest.mark.parametrize("alpha", [0.3, 0.999, 0.001, 1.0])
+def test_ewm_segmented_kernel_matches_pandas(spark, alpha, adjust):
+    """The r8 lockstep numpy EWM kernel (functions/ewm_np) vs pandas
+    ewm.mean — BIT-EQUAL (the kernel replays pandas' exact arithmetic
+    per lane): NaN gaps (ignore_na=False decay), many tiny groups, one
+    group beyond the LONG routing threshold, extreme alphas, repeated
+    equal values (the wa != cur short-circuit the fuzzer caught)."""
+    from pandas_spark.functions.ewm_np import ewm_mean_segmented
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    pdf = pd.DataFrame({
+        "k": np.repeat([1, 2, 3], [3000, 1500, 500]),  # group 1 > LONG
+        "v": rng.normal(size=n).round(1),               # ties included
+    })
+    pdf.loc[rng.choice(n, 400, replace=False), "v"] = np.nan
+    pdf.loc[3000:3004, "v"] = np.nan  # leading NaN run in group 2
+    pdf.loc[4600:4610, "v"] = 2.5     # run of EQUAL values
+    want = (
+        pdf.groupby("k", sort=False)["v"]
+        .transform(lambda s: s.ewm(alpha=alpha, adjust=adjust).mean())
+        .to_numpy()
+    )
+    u = pdf["k"].to_numpy()
+    got = ewm_mean_segmented(
+        pdf["v"].to_numpy(dtype="float64"), u[1:] != u[:-1], alpha, adjust
+    )
+    w_, g_ = np.nan_to_num(want, nan=-777.0), np.nan_to_num(got, nan=-777.0)
+    assert (w_ == g_).all()  # bit-equal, not just close
+
+
+def test_ewm_mean_engine_matches_pandas_multikey(spark):
+    """ewm_mean through the engine (keyed repartition + segmented
+    kernel) with TWO group keys against pandas."""
+    from pandas_spark.window import ewm_mean
+
+    rng = np.random.default_rng(22)
+    n = 600
+    pdf = pd.DataFrame({
+        "a": rng.integers(0, 3, n),
+        "b": rng.choice(["x", "y"], n),
+        "t": np.arange(n),
+        "v": rng.normal(size=n),
+    })
+    pdf.loc[rng.choice(n, 40, replace=False), "v"] = np.nan
+    want = (
+        pdf.sort_values(["a", "b", "t"])
+        .groupby(["a", "b"], sort=False)["v"]
+        .transform(lambda s: s.ewm(alpha=0.4, adjust=True).mean())
+    )
+    want_map = dict(zip(pdf.sort_values(["a", "b", "t"])["t"], want))
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        ewm_mean(f, "v", alpha=0.4, by=["a", "b"], order_by="t", alias="e")
+        .select(["t", "e"]).to_pandas()
+    )
+    got_map = dict(zip(got["t"], got["e"]))
+    for t in want_map:
+        w, g = want_map[t], got_map[t]
+        assert (np.isnan(w) and np.isnan(g)) or g == pytest.approx(w, abs=1e-9), t
