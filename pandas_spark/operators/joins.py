@@ -395,13 +395,16 @@ def _disambiguate_and_join(
         # the DISTINCT fact keys (key-only shuffle, dim-sized result).
         inner = lsdf2.join(rtag, cond, "inner")
         rkeys = rtag.selectExpr(*[_qi("__rk_" + c) for c in rk2])
-        if r_rows_max is None or r_rows_max > 2_000_000:
+        if r_rows_max is None or r_rows_max > 100_000:
             # the anti join is duplicate-insensitive — distinct() exists
-            # only to bound the broadcast when the fact side's key count
-            # is unknown/huge (the 100 TB case: ALWAYS, absent a proof).
-            # A footer-proven small right (≤2M rows ≈ ≤16 MB of bare
-            # keys) broadcasts raw, skipping the distinct's shuffle and
-            # its AQE stage — one fewer job on the floor-bound path.
+            # to bound the broadcast when the fact side's key count is
+            # unknown/huge (the 100 TB case: ALWAYS, absent a proof).
+            # A footer-proven TINY right broadcasts raw, skipping the
+            # distinct's shuffle and its AQE stage — one fewer job on
+            # the floor-bound path. The cap is the measured breakeven:
+            # at 150k keys skip-vs-distinct is a wash, at 1.5M keys the
+            # raw-key broadcast hash relation costs ~25% MORE than the
+            # distinct it saved (r8, .scratch/sf1ish A/B).
             rkeys = rkeys.distinct()
         acond = None
         for lc, rc in zip(lk2, rk2):
