@@ -46,6 +46,15 @@ _PANDAS_TO_SPARK: dict[str, T.DataType] = {
 }
 
 
+def qi(name: str) -> str:
+    """Spark SQL identifier quoting: wrap in backticks, double embedded
+    backticks — so selectExpr/SQL-text paths resolve names containing
+    dots or backticks as single attributes (advisor-found when the
+    stats SQL twins misparsed a backticked column the Column path
+    handled). The one shared quoter; do not re-implement per module."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def to_spark_type(dtype: str | T.DataType) -> T.DataType:
     """Resolve a pandas dtype string (or Spark type / DDL string) to Catalyst."""
     if isinstance(dtype, T.DataType):

@@ -294,7 +294,7 @@ class DataFrame:
         if names_only:
             # one selectExpr round trip instead of an F.col py4j call
             # per column (plan construction is py4j-bound at small sf)
-            q = lambda n: "`" + n.replace("`", "``") + "`"
+            from pandas_spark.dtypes import qi as q
             names = list(cols) + ([self._order_col] if self._order_col else [])
             sdf = self._sdf.selectExpr(*[q(c) for c in names])
             bd = {c: self._bounds[c] for c in cols if c in self._bounds}

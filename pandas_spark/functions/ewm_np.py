@@ -50,7 +50,8 @@ def ewm_mean_segmented(x: np.ndarray, changed, alpha: float,
     # get_center_of_mass: com = (1-α)/α, then the kernel's α = 1/(1+com))
     # — NOT an identity in floats; replaying it is required for
     # bit-equality (found via a 1-ulp divergence at alpha=0.999)
-    alpha = float(alpha)
+    alpha0 = float(alpha)  # user's alpha — what pandas APIs take
+    alpha = alpha0
     if alpha != 1.0:
         alpha = 1.0 / (1.0 + (1.0 - alpha) / alpha)
     q = 1.0 - alpha
@@ -68,8 +69,12 @@ def ewm_mean_segmented(x: np.ndarray, changed, alpha: float,
         import pandas as pd
 
         for s, e in zip(starts[long_mask], ends[long_mask]):
+            # pass the ORIGINAL alpha — pandas applies the com
+            # round-trip itself; handing it the already-transformed
+            # value would double-transform (non-idempotent for ~0.16%
+            # of alphas → 1-ulp drift at adjust=False)
             out[s:e] = (
-                pd.Series(x[s:e]).ewm(alpha=alpha, adjust=adjust).mean()
+                pd.Series(x[s:e]).ewm(alpha=alpha0, adjust=adjust).mean()
                 .to_numpy()
             )
         starts, ends, lens = starts[~long_mask], ends[~long_mask], lens[~long_mask]

@@ -149,11 +149,7 @@ def _count_skipna_sql(x: str, no_nan: bool = False) -> str:
     return f"count(nanvl({x}, CAST(NULL AS DOUBLE)))"
 
 
-def _q(name: str) -> str:
-    # Spark SQL identifier quoting: embedded backticks double up
-    # (advisor-found — unescaped, a backtick in the column name makes
-    # the SQL-text kernel twin misparse where the Column path is fine)
-    return "`" + name.replace("`", "``") + "`"
+from pandas_spark.dtypes import qi as _q  # shared SQL identifier quoter
 
 
 def exact_sum(col: str | Column, no_inf: bool = False, no_nan: bool = False) -> Column:

@@ -47,11 +47,7 @@ def _aslist(v) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
-def _qi(name: str) -> str:
-    """SQL identifier quoting for selectExpr batching (plan
-    construction is py4j-round-trip-bound at small scale: one
-    selectExpr with N strings replaces ~3N Column-builder calls)."""
-    return "`" + name.replace("`", "``") + "`"
+from pandas_spark.dtypes import qi as _qi  # shared SQL identifier quoter
 
 
 _L_ORD, _R_ORD = "__mlord", "__mrord"
@@ -335,6 +331,17 @@ def _disambiguate_and_join(
     r_rows_max: int | None = None,
 ) -> SparkDF:
     semi_like = how in ("left_semi", "left_anti")
+    # internal tag names must never collide with USER columns: a column
+    # literally named '__rk_<key>' (or '__lp__'/'__rp__') would make the
+    # plain-name output projection ambiguous where the old qualified
+    # refs resolved — grow the prefix until no input column carries it
+    all_cols = set(lsdf.columns) | set(rsdf.columns)
+    rk_tag = "__rk_"
+    while any(c.startswith(rk_tag) for c in all_cols):
+        rk_tag = "_" + rk_tag
+    lp_col, rp_col = "__lp__", "__rp__"
+    while lp_col in all_cols or rp_col in all_cols:
+        lp_col, rp_col = "_" + lp_col, "_" + rp_col
     # rename overlapping non-key output columns with pandas suffixes
     overlap = set(lsdf.columns) & set(rsdf.columns)
     same_key = {l for l, r in zip(lk, rk) if l == r}
@@ -352,15 +359,15 @@ def _disambiguate_and_join(
     # so merge chains pay per-op; measured on the 10x star join)
     rk2set = set(rk2)
     r_all = {
-        c: ("__rk_" + m if m in rk2set else m)
+        c: (rk_tag + m if m in rk2set else m)
         for c in rsdf.columns
         if (m := r_ren.get(c, c)) != c or m in rk2set
     }
     rtag = rsdf.withColumnsRenamed(r_all) if r_all else rsdf
     rsdf2_cols = [r_ren.get(c, c) for c in rsdf.columns]
     if indicator:
-        lsdf2 = lsdf2.withColumn("__lp__", F.lit(True))
-        rtag = rtag.withColumn("__rp__", F.lit(True))
+        lsdf2 = lsdf2.withColumn(lp_col, F.lit(True))
+        rtag = rtag.withColumn(rp_col, F.lit(True))
     cond = None
     for (lc0, rc0), (lc, rc) in zip(zip(lk, rk), zip(lk2, rk2)):
         if lc0 in l_nonnull and rc0 in r_nonnull:
@@ -369,10 +376,10 @@ def _disambiguate_and_join(
             # row-identical to pandas' NULL-matches-NULL `<=>` here,
             # and lets Catalyst push IsNotNull into both scans and
             # skip the null-safe key wrapping in the hash join.
-            term = lsdf2[lc] == rtag["__rk_" + rc]
+            term = lsdf2[lc] == rtag[rk_tag + rc]
         else:
             # null-safe equality: pandas matches NULL keys (merge.py:177)
-            term = lsdf2[lc].eqNullSafe(rtag["__rk_" + rc])
+            term = lsdf2[lc].eqNullSafe(rtag[rk_tag + rc])
         cond = term if cond is None else (cond & term)
 
     if broadcast == "right":
@@ -394,7 +401,7 @@ def _disambiguate_and_join(
         # 100 TB-correct plan); the anti part joins the dim against
         # the DISTINCT fact keys (key-only shuffle, dim-sized result).
         inner = lsdf2.join(rtag, cond, "inner")
-        rkeys = rtag.selectExpr(*[_qi("__rk_" + c) for c in rk2])
+        rkeys = rtag.selectExpr(*[_qi(rk_tag + c) for c in rk2])
         if r_rows_max is None or r_rows_max > 100_000:
             # the anti join is duplicate-insensitive — distinct() exists
             # to bound the broadcast when the fact side's key count is
@@ -408,7 +415,7 @@ def _disambiguate_and_join(
             rkeys = rkeys.distinct()
         acond = None
         for lc, rc in zip(lk2, rk2):
-            term = lsdf2[lc].eqNullSafe(rkeys["__rk_" + rc])
+            term = lsdf2[lc].eqNullSafe(rkeys[rk_tag + rc])
             acond = term if acond is None else (acond & term)
         anti = lsdf2.join(F.broadcast(rkeys), acond, "left_anti")
         # one selectExpr adds every right column as a typed NULL (the
@@ -425,17 +432,17 @@ def _disambiguate_and_join(
         # post-join name is unique — keys ride as __rk_*, overlaps are
         # suffixed — so string exprs resolve unambiguously)
         out_exprs: list[str] = [
-            _qi(c) for c in lsdf2.columns if c != "__lp__"
+            _qi(c) for c in lsdf2.columns if c != lp_col
         ]
         for c in rsdf2_cols:
             if c in same_key:
                 continue
-            src = "__rk_" + c if c in rk2 else c
+            src = rk_tag + c if c in rk2 else c
             out_exprs.append(_qi(c) if src == c else f"{_qi(src)} AS {_qi(c)}")
         if indicator:
             out_exprs.append(
-                "CASE WHEN coalesce(`__lp__`, false) AND coalesce(`__rp__`, false) "
-                "THEN 'both' WHEN coalesce(`__lp__`, false) THEN 'left_only' "
+                f"CASE WHEN coalesce({_qi(lp_col)}, false) AND coalesce({_qi(rp_col)}, false) "
+                f"THEN 'both' WHEN coalesce({_qi(lp_col)}, false) THEN 'left_only' "
                 "ELSE 'right_only' END AS `_merge`"
             )
         return joined.selectExpr(*out_exprs)
@@ -450,22 +457,22 @@ def _disambiguate_and_join(
     # name is unique: keys ride as __rk_*, overlaps are suffixed)
     out_exprs: list[str] = []
     for c in lsdf2.columns:
-        if c == "__lp__":
+        if c == lp_col:
             continue
         if c in same_key and how in ("full", "right"):
             # pandas fills the shared key from whichever side matched
-            out_exprs.append(f"coalesce({_qi(c)}, {_qi('__rk_' + c)}) AS {_qi(c)}")
+            out_exprs.append(f"coalesce({_qi(c)}, {_qi(rk_tag + c)}) AS {_qi(c)}")
         else:
             out_exprs.append(_qi(c))
     for c in rsdf2_cols:
         if c in same_key:
             continue  # shared equi-key emitted once (pandas collapses it)
-        src = "__rk_" + c if c in rk2 else c
+        src = rk_tag + c if c in rk2 else c
         out_exprs.append(_qi(c) if src == c else f"{_qi(src)} AS {_qi(c)}")
     if indicator:
         out_exprs.append(
-            "CASE WHEN coalesce(`__lp__`, false) AND coalesce(`__rp__`, false) "
-            "THEN 'both' WHEN coalesce(`__lp__`, false) THEN 'left_only' "
+            f"CASE WHEN coalesce({_qi(lp_col)}, false) AND coalesce({_qi(rp_col)}, false) "
+            f"THEN 'both' WHEN coalesce({_qi(lp_col)}, false) THEN 'left_only' "
             "ELSE 'right_only' END AS `_merge`"
         )
     return joined.selectExpr(*out_exprs)

@@ -159,30 +159,16 @@ def _path_signature(path: str):
         return None
 
 
-def _footer_rows(path: str, max_files: int = 1024) -> int | None:
-    """Exact table row count from parquet footer metadata (num_rows is
-    always present — no statistics required). One driver-side footer
-    read per file, cached with the scan signature; None = unknown
-    (too many files / unreadable). Downstream this rides the frame as
-    ``rows_max``, an UPPER bound that row-reducing ops preserve —
-    joins/unions/explodes drop it — letting planners skip bounded-size
-    pre-passes (e.g. the broadcast-left anti's distinct) without a
-    count job."""
-    try:
-        import pyarrow.dataset as pads
-        import pyarrow.parquet as pq
+def _footer_proofs(path: str, max_files: int = 1024) -> tuple[frozenset, dict, int | None]:
+    """(null-free columns, double-column bounds, exact row count)
+    proven by parquet footer metadata, in ONE footer sweep.
 
-        files = list(pads.dataset(path, format="parquet").files)
-        if not files or len(files) > max_files:
-            return None
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except Exception:
-        return None
-
-
-def _footer_proofs(path: str, max_files: int = 1024) -> tuple[frozenset, dict]:
-    """(null-free columns, double-column bounds) proven by parquet
-    footer statistics, in ONE footer sweep.
+    * rows: sum of per-file num_rows (always present in the footer —
+      no statistics required); None = unknown (too many files /
+      unreadable). Downstream this rides the frame as ``rows_max``, an
+      UPPER bound that row-reducing ops preserve — joins/unions/
+      explodes drop it — letting planners skip bounded-size pre-passes
+      (e.g. the broadcast-left anti's distinct) without a count job.
 
     * null-free: null_count == 0 in every row group of every file.
     * bounds {col: (lo, hi, nan_free)}: DOUBLE/FLOAT columns whose
@@ -208,12 +194,14 @@ def _footer_proofs(path: str, max_files: int = 1024) -> tuple[frozenset, dict]:
 
         files = list(pads.dataset(path, format="parquet").files)
         if not files or len(files) > max_files:
-            return frozenset(), {}
+            return frozenset(), {}, None
         proven: set | None = None
         ranges: dict | None = None
         all_mr = True
+        rows = 0
         for f in files:
             md = pq.ParquetFile(f).metadata
+            rows += md.num_rows
             if not (md.created_by or "").startswith("parquet-mr"):
                 all_mr = False
             file_ok: set | None = None
@@ -259,9 +247,9 @@ def _footer_proofs(path: str, max_files: int = 1024) -> tuple[frozenset, dict]:
         bounds = {
             c: (lo, hi, all_mr) for c, (lo, hi) in (ranges or {}).items()
         }
-        return frozenset(proven or ()), bounds
+        return frozenset(proven or ()), bounds, rows
     except Exception:
-        return frozenset(), {}
+        return frozenset(), {}, None
 
 
 def read_parquet(
@@ -309,8 +297,7 @@ def read_parquet(
             sdf = sdf.withColumns(
                 {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
             )
-        nonnull, bounds = _footer_proofs(path)
-        rows = _footer_rows(path)
+        nonnull, bounds, rows = _footer_proofs(path)
         is_local = False
         if key[2] is not None and not ns_cols and rows is not None:
             # Footer-proven TINY tables (catalog dims: nation, region,
@@ -566,7 +553,7 @@ def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
     # Arrow keeps float NaN as Spark NaN (a value, not NULL); normalize.
     # Names go through backtick-escaping so columns containing dots or
     # backticks resolve as single attributes, not nested-field paths
-    q = lambda n: "`" + n.replace("`", "``") + "`"
+    from pandas_spark.dtypes import qi as q
     float_cols = {
         f.name: F.when(~F.isnan(q(f.name)), F.col(q(f.name)))
         for f in sdf.schema.fields

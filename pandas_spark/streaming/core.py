@@ -444,23 +444,25 @@ def merge_asof_stream(
         lefts = pdf[~is_r].reset_index(drop=True)
         l_us = ts_us[~is_r]
         idx = np.searchsorted(r_us, l_us, side="right") - 1
-        for c in payload:
+        # vectorized match/fallback (the per-row python loop with an
+        # inner payload.index() scan was O(rows × payload²) on the hot
+        # applyInPandasWithState path): rows with an in-batch match
+        # (idx >= 0) gather from this batch's rights; the rest take the
+        # carried state row; tolerance then nulls stale matches
+        has = idx >= 0
+        prev_ts = prev[0] if prev is not None else np.iinfo("int64").min
+        if len(r_us):
+            m_ts = np.where(has, r_us[np.where(has, idx, 0)], prev_ts)
+        else:
+            m_ts = np.full(len(lefts), prev_ts, dtype="int64")
+        stale = (l_us - m_ts > tol_us) if tol_us is not None else None
+        for pi, c in enumerate(payload):
             rv = rights[c].to_numpy()
             col = np.empty(len(lefts), dtype=object)
-            m_ts = np.empty(len(lefts), dtype="int64")
-            for i, j in enumerate(idx):
-                if j >= 0:
-                    col[i] = rv[j]
-                    m_ts[i] = r_us[j]
-                elif prev is not None:
-                    col[i] = prev[1 + payload.index(c)]
-                    m_ts[i] = prev[0]
-                else:
-                    col[i] = None
-                    m_ts[i] = np.iinfo("int64").min
-                if tol_us is not None and col[i] is not None \
-                        and l_us[i] - m_ts[i] > tol_us:
-                    col[i] = None
+            col[has] = rv[idx[has]]
+            col[~has] = prev[1 + pi] if prev is not None else None
+            if stale is not None:
+                col[stale] = None
             lefts[c] = pd.Series(col).astype(lefts[c].dtype, errors="ignore")
         if len(rights):
             last = rights.iloc[-1]

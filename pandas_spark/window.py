@@ -763,7 +763,14 @@ def ewm_mean(
             f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
         ) + f", `{name}` double"
     a = alpha
-    order_spark = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, sort_asc)]
+    # pandas sort convention is NULLS LAST (na_position='last' default;
+    # frame.py _sort_key) — Spark's bare .asc() is nulls-FIRST, which
+    # would move NULL-order_by rows to the head of every group's decay
+    # sequence and shift every subsequent value
+    order_spark = [
+        F.col(c).asc_nulls_last() if asc else F.col(c).desc_nulls_last()
+        for c, asc in zip(sort_cols, sort_asc)
+    ]
 
     stat_ = stat
     adjust_ = bool(adjust)
@@ -839,7 +846,8 @@ def ewm_mean(
             pdf[name] = vals
         else:
             # per-group pandas ewm (Cython inner kernel) — sum/std/var
-            # and adjust=False keep the reference implementation
+            # keep the reference implementation (mean, any adjust=,
+            # routes to the lockstep kernel above)
             pdf[name] = (
                 pdf.groupby(keys_eff, sort=False)[col]
                 .transform(lambda s: getattr(s.ewm(alpha=a, adjust=adjust_), stat_)())
@@ -931,7 +939,14 @@ def ewm_cov(
             f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
         ) + f", `{name}` double"
     a, stat_ = alpha, stat
-    order_spark = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, sort_asc)]
+    # pandas sort convention is NULLS LAST (na_position='last' default;
+    # frame.py _sort_key) — Spark's bare .asc() is nulls-FIRST, which
+    # would move NULL-order_by rows to the head of every group's decay
+    # sequence and shift every subsequent value
+    order_spark = [
+        F.col(c).asc_nulls_last() if asc else F.col(c).desc_nulls_last()
+        for c, asc in zip(sort_cols, sort_asc)
+    ]
 
     def fn(batches):
         batches = list(batches)

@@ -29,7 +29,7 @@ def _write_pa(tmp_path, name, vals):
 
 def test_footer_proofs_pyarrow_clean(tmp_path):
     p = _write_pa(tmp_path, "clean.parquet", [1.0, 2.5, 3.0])
-    nonnull, bounds = _footer_proofs(p)
+    nonnull, bounds, _ = _footer_proofs(p)
     assert "x" in nonnull
     lo, hi, nan_free = bounds["x"]
     assert (lo, hi) == (1.0, 3.0)
@@ -38,7 +38,7 @@ def test_footer_proofs_pyarrow_clean(tmp_path):
 
 def test_footer_proofs_pyarrow_inf_blocks_bounds(tmp_path):
     p = _write_pa(tmp_path, "inf.parquet", [1.0, float("inf"), 3.0])
-    _, bounds = _footer_proofs(p)
+    _, bounds, _ = _footer_proofs(p)
     assert "x" not in bounds  # inf reaches max → no finite proof
 
 
@@ -46,7 +46,7 @@ def test_footer_proofs_pyarrow_nan_still_bounds(tmp_path):
     # pyarrow IGNORES NaN in min/max: bounds exist (inf-freedom is
     # still proven) but nan_free must stay False
     p = _write_pa(tmp_path, "nan.parquet", [1.0, float("nan"), 3.0])
-    _, bounds = _footer_proofs(p)
+    _, bounds, _ = _footer_proofs(p)
     assert bounds["x"][:2] == (1.0, 3.0)
     assert bounds["x"][2] is False
 
@@ -57,12 +57,12 @@ def test_footer_proofs_sparkwriter_nan_free(spark, tmp_path):
     clean = str(tmp_path / "mr_clean")
     spark.createDataFrame([(1.0,), (2.0,)], "x double").coalesce(1) \
         .write.mode("overwrite").parquet(clean)
-    _, bounds = _footer_proofs(clean)
+    _, bounds, _ = _footer_proofs(clean)
     assert bounds["x"] == (1.0, 2.0, True)
     nanny = str(tmp_path / "mr_nan")
     spark.createDataFrame([(1.0,), (float("nan"),)], "x double").coalesce(1) \
         .write.mode("overwrite").parquet(nanny)
-    _, bounds = _footer_proofs(nanny)
+    _, bounds, _ = _footer_proofs(nanny)
     assert "x" not in bounds  # NaN leaked into max → not finite
 
 

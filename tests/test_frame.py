@@ -463,3 +463,25 @@ def test_groupby_transforms_null_keys_dropna(spark):
         "v", alias="cs", order_by="t"
     ).to_pandas().sort_values("t")
     assert cs2["cs"].tolist() == [1.0, 2.0, 4.0, 6.0]
+
+
+def test_merge_user_column_named_like_internal_tag(spark):
+    """A user column literally named '__rk_<key>' / '__lp__' must not
+    collide with merge's internal tag names (review-found r8: the
+    plain-name selectExpr projection raised AMBIGUOUS_REFERENCE where
+    the old qualified refs resolved)."""
+    import pandas as pd
+
+    left = ps.from_pandas(spark, pd.DataFrame({
+        "b": [1, 2, 3], "__rk_b": ["a", "b", "c"], "__lp__": [7, 8, 9],
+    }))
+    right = ps.from_pandas(spark, pd.DataFrame({
+        "b": [2, 3, 4], "v": [20.0, 30.0, 40.0],
+    }))
+    for how in ("inner", "left", "outer", "right"):
+        got = left.merge(right, on="b", how=how).to_pandas()
+        assert "__rk_b" in got.columns and "__lp__" in got.columns
+        inner_rows = got.dropna(subset=["v"]) if how != "inner" else got
+        assert set(inner_rows["b"]) >= {2, 3}
+    ind = left.merge(right, on="b", how="outer", indicator=True).to_pandas()
+    assert set(ind["_merge"]) == {"left_only", "both", "right_only"}

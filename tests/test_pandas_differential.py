@@ -1558,7 +1558,7 @@ def test_corr_kendall_upper_triangle_mirror(spark):
 
 
 @pytest.mark.parametrize("adjust", [True, False])
-@pytest.mark.parametrize("alpha", [0.3, 0.999, 0.001, 1.0])
+@pytest.mark.parametrize("alpha", [0.3, 0.999, 0.001, 1.0, 0.09396092967164787])
 def test_ewm_segmented_kernel_matches_pandas(spark, alpha, adjust):
     """The r8 lockstep numpy EWM kernel (functions/ewm_np) vs pandas
     ewm.mean — BIT-EQUAL (the kernel replays pandas' exact arithmetic
@@ -1587,6 +1587,35 @@ def test_ewm_segmented_kernel_matches_pandas(spark, alpha, adjust):
     )
     w_, g_ = np.nan_to_num(want, nan=-777.0), np.nan_to_num(got, nan=-777.0)
     assert (w_ == g_).all()  # bit-equal, not just close
+
+
+def test_ewm_mean_null_order_by_sorts_last(spark):
+    """NULL order_by stamps sort LAST in the decay sequence (pandas
+    na_position='last'); Spark's bare .asc() is nulls-FIRST, which
+    would shift every subsequent EWM value in the group
+    (review-found r8)."""
+    from pandas_spark.window import ewm_mean
+
+    pdf = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2],
+        "t": [2.0, np.nan, 1.0, 3.0, 1.0, np.nan],
+        "v": [10.0, 99.0, 5.0, 7.0, 3.0, 4.0],
+    })
+    want = (
+        pdf.sort_values(["k", "t"])  # na_position='last' default
+        .groupby("k", sort=False)["v"]
+        .transform(lambda s: s.ewm(alpha=0.5, adjust=True).mean())
+    )
+    want_map = dict(zip(zip(pdf.sort_values(["k", "t"])["k"],
+                            pdf.sort_values(["k", "t"])["v"]), want))
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        ewm_mean(f, "v", alpha=0.5, by=["k"], order_by="t", alias="e")
+        .select(["k", "v", "e"]).to_pandas()
+    )
+    for _, r in got.iterrows():
+        w = want_map[(r["k"], r["v"])]
+        assert (np.isnan(w) and np.isnan(r["e"])) or r["e"] == pytest.approx(w, abs=1e-12), (r["k"], r["v"])
 
 
 def test_ewm_mean_engine_matches_pandas_multikey(spark):
