@@ -549,6 +549,26 @@ def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    if schema is None and len(pdf) == 0:
+        # Spark can't infer a schema from ZERO rows, but pandas dtypes
+        # are known regardless of row count: build the StructType from
+        # them via Arrow (empty frames are valid pandas inputs —
+        # fuzzer-found when a generated right side came up empty)
+        import pyarrow as pa
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema = from_arrow_schema(
+            pa.Schema.from_pandas(pdf, preserve_index=False),
+            prefer_timestamp_ntz=False,
+        )
+        # a zero-row object column arrives as Arrow null → Spark VOID,
+        # which no downstream op accepts; the dtype bridge's object
+        # reading is string (dtypes._PANDAS_TO_SPARK)
+        schema = T.StructType([
+            T.StructField(f.name, T.StringType() if isinstance(f.dataType, T.NullType) else f.dataType, True)
+            for f in schema.fields
+        ])
     sdf = spark.createDataFrame(pdf, schema=schema)
     # Arrow keeps float NaN as Spark NaN (a value, not NULL); normalize.
     # Names go through backtick-escaping so columns containing dots or

@@ -1195,3 +1195,24 @@ def test_groupby_sample_weighted(spark):
     f2 = ps.from_pandas(spark, pdf2)
     out2 = f2.groupby("g").sample(n=10, seed=3, id_col="i", weights="w").to_pandas()
     assert (out2["i"] >= 90).all()
+
+
+def test_from_pandas_empty_frame_keeps_dtypes(spark):
+    """An EMPTY pandas frame is a valid input: schema comes from the
+    pandas dtypes (Spark alone cannot infer from zero rows —
+    fuzzer-found via an empty generated asof side)."""
+    import pandas as pd
+
+    import pandas_spark as ps
+
+    empty = pd.DataFrame({
+        "k": pd.Series(dtype="int64"),
+        "ts": pd.Series(dtype="datetime64[ns]"),
+        "v": pd.Series(dtype="float64"),
+        "s": pd.Series(dtype="object"),
+    })
+    f = ps.from_pandas(spark, empty)
+    assert f.to_spark().count() == 0
+    assert dict(f.to_spark().dtypes) == {
+        "k": "bigint", "ts": "timestamp", "v": "double", "s": "string",
+    }

@@ -456,3 +456,98 @@ def test_merge_asof_stream_state_across_micro_batches(spark, tmp_path):
     # lid0 (ts100): no right before -> None; lid1 (ts200): right@150 -> 1.5
     # lid2 (ts300) and lid3 (ts400): carried state right@250 -> 2.5
     assert got == {0: None, 1: 1.5, 2: 2.5, 3: 2.5}
+
+
+# ---------------------------------------------------------------------------
+# streaming merge_asof batch-parity fuzz: random data, random time-contiguous
+# micro-batch splits, always compared against batch merge_asof on the same
+# rows. STREAM_FUZZ_EXAMPLES=n switches to a seeded soak (each example spins
+# a real streaming query, so the default stays small).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _asof_case(draw):
+    import pandas as pd
+
+    n_l = draw(st.integers(1, 40))
+    n_r = draw(st.integers(0, 25))
+    keys = draw(st.lists(st.integers(1, 3), min_size=1, max_size=3, unique=True))
+    # second-granularity stamps in a small range → exact-match collisions
+    # between left and right are common; right (k, ts) stays UNIQUE so the
+    # equal-stamp tie rule (frame order) can't differ between harnesses
+    lts = draw(st.lists(st.integers(0, 120), min_size=n_l, max_size=n_l))
+    lk = draw(st.lists(st.sampled_from(keys), min_size=n_l, max_size=n_l))
+    rpairs = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 120)),
+            min_size=n_r, max_size=n_r, unique=True,
+        )
+    )
+    n_splits = draw(st.integers(0, 3))
+    cuts = sorted(draw(st.lists(st.integers(1, 119), min_size=n_splits,
+                                max_size=n_splits, unique=True)))
+    tol = draw(st.sampled_from([None, "10s", "40s"]))
+    left = pd.DataFrame({
+        "k": lk,
+        "ts": pd.to_datetime(lts, unit="s"),
+        "lid": range(n_l),
+    })
+    right = pd.DataFrame({
+        "k": [k for k, _ in rpairs],
+        "ts": pd.to_datetime([t for _, t in rpairs], unit="s"),
+        "v": [float(i) + 0.5 for i in range(n_r)],
+    })
+    return left, right, cuts, tol
+
+
+@settings(
+    max_examples=int(os.environ.get("STREAM_FUZZ_EXAMPLES", "5")),
+    deadline=None,
+    derandomize="STREAM_FUZZ_EXAMPLES" not in os.environ,
+    suppress_health_check=list(HealthCheck),
+)
+@given(case=_asof_case())
+def test_merge_asof_stream_fuzz_matches_batch(spark, tmp_path_factory, case):
+    """Random asof inputs through the streaming operator (random
+    time-contiguous micro-batch splits, so carried state crosses batch
+    boundaries at arbitrary points) must equal batch merge_asof —
+    incl. exact-stamp matches, keys with no right rows, tolerance."""
+    import pandas as pd
+
+    import pandas_spark as ps
+
+    left, right, cuts, tol = case
+    tmp_path = tmp_path_factory.mktemp("asof_fuzz")
+    src = tmp_path / "src"
+    src.mkdir()
+    both = pd.concat([
+        left.assign(side="l", v=pd.Series(dtype="float64")),
+        right.assign(side="r", lid=pd.Series(dtype="float64")),
+    ], ignore_index=True)[["k", "ts", "lid", "side", "v"]]
+    bounds = [pd.Timestamp(0, unit="s")] + [pd.Timestamp(c, unit="s") for c in cuts] \
+        + [pd.Timestamp(121, unit="s")]
+    wrote = 0
+    for i in range(len(bounds) - 1):
+        part = both[(both.ts >= bounds[i]) & (both.ts < bounds[i + 1])]
+        if len(part):
+            part.to_parquet(src / f"b{i:02d}.parquet", index=False)
+            wrote += 1
+    if not wrote:
+        return
+    stream = pss.read_stream_parquet(spark, str(src))
+    lstream = stream.where("side = 'l'").select("k", "ts", "lid")
+    rstream = stream.where("side = 'r'").select("k", "ts", "v")
+    out = pss.merge_asof_stream(lstream, rstream, on="ts", by=["k"],
+                                tolerance=tol)
+    name = f"t_asof_fz_{abs(hash((tuple(cuts), tol, len(both)))) % 10**9}"
+    pss.run_to_memory(out, name, output_mode="append")
+    got = {int(r["lid"]): r["v"] for r in spark.table(name).collect()}
+
+    bl = ps.from_pandas(spark, left)
+    br = ps.from_pandas(spark, right)
+    want_rows = ps.merge_asof(bl, br, on="ts", by="k", tolerance=tol) \
+        .to_spark().collect()
+    want = {int(r["lid"]): r["v"] for r in want_rows}
+    assert got == want
