@@ -2193,9 +2193,10 @@ def _sort_key(c: Column, ascending: bool, na_position: str) -> Column:
 
 def _distributed_avg_rank(sdf: SparkDF, cols: Sequence[str], dtmap: dict) -> SparkDF:
     """Global average ranks (pandas tie rule: min-rank + (ties-1)/2)
-    for each column, with NO single-partition data path.
+    for each column, with NO single-partition data path and NO
+    unbounded per-group buffering.
 
-    Three bounded steps, each batched over ALL columns:
+    Bounded steps, each batched over ALL columns:
 
     1. ONE ``approxQuantile`` call splits every column's value domain
        into ≤B quantile buckets (bounded driver receipt — B-1 doubles
@@ -2206,12 +2207,25 @@ def _distributed_avg_rank(sdf: SparkDF, cols: Sequence[str], dtmap: dict) -> Spa
     2. ONE explode+groupBy pass collects per-(column, bucket) counts
        (≤ m·B-row driver receipt) → each bucket's exclusive prefix
        (rows in all lower buckets).
-    3. One keyed window per column — partitionBy(bucket)
-       orderBy(value) — adds ``rank()`` and the peer count (RANGE
-       frame of width 0 = rows tied with the current one): one
-       full-width shuffle per ranked column, same rank values as a
-       global sort. (A constant column degenerates to one bucket —
-       inherent to ranking by value.)
+    3. Per column: a ``groupBy(value)`` collapses the data to DISTINCT
+       values with their tie counts (hash agg — streaming, any tie
+       multiplicity), an EXCLUSIVE running sum of counts within each
+       bucket (keyed window, ROW frame — streaming) turns them into
+       min-ranks, and a value-equality join carries the finished
+       average rank back onto the rows.
+
+    The first version of this kernel ranked rows directly with a
+    ``rank()`` window plus a RANGE-frame peer count. That range frame
+    buffers each PEER GROUP in executor memory — fine for near-unique
+    columns, a heap OOM for discrete ones (measured: l_quantity has
+    ~50 distinct values; at the 1000× decade each tie group is ~12M
+    rows and the 32-bucket window died in ShuffleExchange with
+    ``java.lang.OutOfMemoryError: Java heap space``). Ranking the
+    distinct-value table instead makes every window input unique-keyed
+    (row frames only, zero buffering) at the cost of one value join —
+    the join side is at most one row per distinct value, so AQE
+    broadcasts it for discrete columns and sort-merges for continuous
+    ones. Memory is O(batch) in every regime.
 
     NULL (and float NaN) rows rank NULL — pandas assigns NaN rank and
     Pearson-on-ranks then drops them pairwise. Rank values depend only
@@ -2240,12 +2254,14 @@ def _distributed_avg_rank(sdf: SparkDF, cols: Sequence[str], dtmap: dict) -> Spa
         for c, bs in zip(cols, all_bnds)
     }
 
-    def _bucket(c):
-        # nested WHEN chain (whole-stage-codegen friendly; a lambda HOF
-        # here measured ~10x slower — interpreted, no codegen)
+    def _bucket(c, ref=None):
+        # nested WHEN chain over `ref` (default: the column itself) —
+        # whole-stage-codegen friendly; a lambda HOF here measured
+        # ~10x slower (interpreted, no codegen)
+        ref = F.col(c) if ref is None else ref
         e = None
         for i, b in enumerate(bnds[c]):
-            cond = F.col(c) <= F.lit(b)
+            cond = ref <= F.lit(b)
             e = F.when(cond, i) if e is None else e.when(cond, i)
         if e is None:
             return F.lit(0)
@@ -2273,28 +2289,42 @@ def _distributed_avg_rank(sdf: SparkDF, cols: Sequence[str], dtmap: dict) -> Spa
     for r in rows:
         cnts[r["c"]][r["b"]] = r["count"]
 
-    # 3. bucket columns, then one keyed rank window per column
-    out = sdf.withColumns(
-        {f"__bk_{c}__": F.when(_valid(c), _bucket(c)) for c in cols}
-    )
-    rank_cols = {}
-    for c in cols:
+    # 3. distinct-value rank map per column, joined back on the value.
+    # Internal names carry a per-column suffix so chained joins never
+    # collide; user columns can't collide (corr() feeds numeric frame
+    # columns, and the map columns are dropped before return).
+    out = sdf
+    for i, c in enumerate(cols):
         offs, run = {}, 0
         for b in sorted(cnts[c]):
             offs[b] = run
             run += cnts[c][b]
+        vtag, ktag = f"__rkv{i}__", f"__rk{i}__"
+        vals = (
+            sdf.where(_valid(c))
+            .groupBy(F.col(c).alias(vtag))
+            .agg(F.count(F.lit(1)).alias("__cnt__"))
+            .withColumn("__bk__", _bucket(c, ref=F.col(vtag)))
+        )
+        w = (
+            W.partitionBy("__bk__")
+            .orderBy(F.col(vtag).asc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        runsum = F.coalesce(F.sum("__cnt__").over(w), F.lit(0)).cast("double")
         off = None
         for b, o in sorted(offs.items()):
-            cond = F.col(f"__bk_{c}__") == F.lit(b)
+            cond = F.col("__bk__") == F.lit(b)
             off = F.when(cond, float(o)) if off is None else off.when(cond, float(o))
         off_expr = off.otherwise(0.0) if off is not None else F.lit(0.0)
-        w = W.partitionBy(f"__bk_{c}__").orderBy(F.col(c).asc())
-        ties = F.count(F.lit(1)).over(w.rangeBetween(0, 0))
-        rk = (
-            F.rank().over(w).cast("double")
-            + (ties.cast("double") - 1.0) / 2.0
-            + off_expr
-        )
-        rank_cols[c] = F.when(_valid(c), rk)
-    out = out.withColumns(rank_cols)
-    return out.select(*[F.col(c) for c in cols])
+        # min-rank = bucket offset + ties below within bucket + 1;
+        # average = min-rank + (cnt - 1)/2
+        avg = off_expr + runsum + (F.col("__cnt__").cast("double") + 1.0) / 2.0
+        rankmap = vals.select(F.col(vtag), avg.alias(ktag))
+        out = out.join(rankmap, on=out[c] == rankmap[vtag], how="left").drop(vtag)
+    return out.select(
+        *[
+            F.when(_valid(c), F.col(f"__rk{i}__")).alias(c)
+            for i, c in enumerate(cols)
+        ]
+    )
