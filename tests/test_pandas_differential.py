@@ -1647,3 +1647,27 @@ def test_ewm_mean_engine_matches_pandas_multikey(spark):
     for t in want_map:
         w, g = want_map[t], got_map[t]
         assert (np.isnan(w) and np.isnan(g)) or g == pytest.approx(w, abs=1e-9), t
+
+
+def test_corr_spearman_heavy_ties_and_signed_zero(spark):
+    """The v2 distinct-value rank kernel in the regimes that killed v1:
+    heavy ties (few distinct values — the 1000x JVM-OOM shape), signed
+    zero (-0.0 groups with 0.0 in both grouping and the value join),
+    and NaN mixed in (pairwise-complete re-rank path)."""
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "a": rng.choice([1.0, 2.0, 2.0, 3.0], 5000),
+        "b": rng.choice([-0.0, 0.0, 1.5, np.nan], 5000),
+        "c": rng.normal(size=5000),
+    })
+    got = (
+        ps.from_pandas(spark, pdf)
+        .corr(subset=["a", "b", "c"], method="spearman")
+        .to_pandas()
+        .pivot(index="col1", columns="col2", values="corr")
+    )
+    want = pdf.corr(method="spearman")
+    for i in ["a", "b", "c"]:
+        for j in ["a", "b", "c"]:
+            g, w = got.loc[i, j], want.loc[i, j]
+            assert (np.isnan(g) and np.isnan(w)) or g == pytest.approx(w, abs=1e-12), (i, j)
