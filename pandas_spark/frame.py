@@ -1259,16 +1259,19 @@ class DataFrame:
                 v = v & ~F.isnan(F.col(c))
             return v
 
-        # bounded receipt: which columns contain any NULL/NaN?
-        counts = sdf.agg(
-            *[F.sum((~_valid(c)).cast("long")).alias(c) for c in cols]
-        ).collect()[0]
-        dirty = {c for c in cols if (counts[c] or 0) > 0}
+        # ONE receipt pass (quantile boundaries + per-bucket counts,
+        # with NULL/NaN rows landing in bucket NULL) answers both
+        # "which columns are dirty" and everything the clean ranking
+        # needs — the former separate full-scan NULL-count aggregate
+        # is gone (one fewer job per corr call)
+        receipts = _rank_receipts(sdf, cols, dtmap)
+        _, _, invalid, _, _ = receipts
+        dirty = {c for c in cols if invalid.get(c, 0) > 0}
         clean = [c for c in cols if c not in dirty]
 
         pieces = []
         if clean:
-            ranked = _distributed_avg_rank(sdf, clean, dtmap)
+            ranked = _distributed_avg_rank(sdf, clean, dtmap, receipts=receipts)
             exprs = [
                 F.corr(a, b).alias(f"__c{i}_{j}")
                 for i, a in enumerate(clean)
@@ -2191,7 +2194,71 @@ def _sort_key(c: Column, ascending: bool, na_position: str) -> Column:
     return c.desc_nulls_last() if na_position == "last" else c.desc_nulls_first()
 
 
-def _distributed_avg_rank(sdf: SparkDF, cols: Sequence[str], dtmap: dict) -> SparkDF:
+def _rank_receipts(sdf: SparkDF, cols: Sequence[str], dtmap: dict):
+    """The two bounded driver receipts the distributed rank needs, in
+    two jobs TOTAL for any number of columns: quantile boundaries, and
+    per-(column, bucket) counts — where bucket NULL collects the
+    invalid (NULL/NaN) rows, so callers also get per-column invalid
+    counts from the SAME pass (corr() previously paid a separate
+    full-scan aggregate just to decide which columns are dirty)."""
+    import math
+
+    B = 32
+
+    def _valid(c):
+        v = F.col(c).isNotNull()
+        if dtmap.get(c) in ("float", "double"):
+            v = v & ~F.isnan(F.col(c))
+        return v
+
+    probs = [i / B for i in range(1, B)]
+    try:
+        all_bnds = sdf.stat.approxQuantile(list(cols), probs, 0.01)
+    except Exception:
+        all_bnds = [[] for _ in cols]
+    bnds = {
+        c: sorted({b for b in bs if b is not None and math.isfinite(b)})
+        for c, bs in zip(cols, all_bnds)
+    }
+
+    def _bucket(c, ref=None):
+        ref = F.col(c) if ref is None else ref
+        e = None
+        for i, b in enumerate(bnds[c]):
+            cond = ref <= F.lit(b)
+            e = F.when(cond, i) if e is None else e.when(cond, i)
+        if e is None:
+            return F.lit(0)
+        return e.otherwise(len(bnds[c]))
+
+    pairs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.when(_valid(c), _bucket(c)).alias("b"),
+            )
+            for c in cols
+        ])
+    ).alias("p")
+    rows = (
+        sdf.select(pairs)
+        .select("p.c", "p.b")
+        .groupBy("c", "b")
+        .count()
+        .collect()
+    )
+    cnts: dict[str, dict[int, int]] = {c: {} for c in cols}
+    invalid: dict[str, int] = {c: 0 for c in cols}
+    for r in rows:
+        if r["b"] is None:
+            invalid[r["c"]] = r["count"]
+        else:
+            cnts[r["c"]][r["b"]] = r["count"]
+    return bnds, cnts, invalid, _bucket, _valid
+
+
+def _distributed_avg_rank(sdf: SparkDF, cols: Sequence[str], dtmap: dict,
+                          receipts=None) -> SparkDF:
     """Global average ranks (pandas tie rule: min-rank + (ties-1)/2)
     for each column, with NO single-partition data path and NO
     unbounded per-group buffering.
@@ -2231,63 +2298,9 @@ def _distributed_avg_rank(sdf: SparkDF, cols: Sequence[str], dtmap: dict) -> Spa
     Pearson-on-ranks then drops them pairwise. Rank values depend only
     on the data, not the partitioning, so the result is deterministic.
     """
-    import math
-
-    B = 32
-
-    def _valid(c):
-        v = F.col(c).isNotNull()
-        if dtmap.get(c) in ("float", "double"):
-            v = v & ~F.isnan(F.col(c))
-        return v
-
-    # 1. boundaries: one bounded receipt for every column at once
-    # (approxQuantile skips NULLs; non-finite boundaries are dropped —
-    # they would compare false against everything anyway)
-    probs = [i / B for i in range(1, B)]
-    try:
-        all_bnds = sdf.stat.approxQuantile(list(cols), probs, 0.01)
-    except Exception:
-        all_bnds = [[] for _ in cols]
-    bnds = {
-        c: sorted({b for b in bs if b is not None and math.isfinite(b)})
-        for c, bs in zip(cols, all_bnds)
-    }
-
-    def _bucket(c, ref=None):
-        # nested WHEN chain over `ref` (default: the column itself) —
-        # whole-stage-codegen friendly; a lambda HOF here measured
-        # ~10x slower (interpreted, no codegen)
-        ref = F.col(c) if ref is None else ref
-        e = None
-        for i, b in enumerate(bnds[c]):
-            cond = ref <= F.lit(b)
-            e = F.when(cond, i) if e is None else e.when(cond, i)
-        if e is None:
-            return F.lit(0)
-        return e.otherwise(len(bnds[c]))
-
-    # 2. per-(column, bucket) counts in ONE pass (≤ m·B-row receipt)
-    pairs = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(c).alias("c"),
-                F.when(_valid(c), _bucket(c)).alias("b"),
-            )
-            for c in cols
-        ])
-    ).alias("p")
-    rows = (
-        sdf.select(pairs)
-        .select("p.c", "p.b")
-        .where(F.col("b").isNotNull())
-        .groupBy("c", "b")
-        .count()
-        .collect()
+    bnds, cnts, _invalid, _bucket, _valid = (
+        receipts if receipts is not None else _rank_receipts(sdf, cols, dtmap)
     )
-    cnts: dict[str, dict[int, int]] = {c: {} for c in cols}
-    for r in rows:
-        cnts[r["c"]][r["b"]] = r["count"]
 
     # 3. distinct-value rank map per column, joined back on the value.
     # Internal names carry a per-column suffix so chained joins never
