@@ -122,6 +122,27 @@ def main() -> None:
         # not "code got slower".
         "box_calib_ms": _box_calibration_ms(),
     }
+    # headline ratio vs the committed pandas reference (BASELINE_ref.json,
+    # same box, same protocol): the 2x bar as a FIELD of the artifact
+    # instead of a BASELINE.md hand-computation (round-8 verdict #7).
+    # Computed over the intersection of query keys so a restricted
+    # SPARK_GRAFT_BENCH_QUERIES run reports the ratio of what it ran.
+    try:
+        ref_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE_ref.json"
+        )
+        with open(ref_path) as f:
+            ref = json.load(f)["queries"]
+        common = [n for n in timings if n in ref]
+        if common:
+            ours = sum(timings[n] for n in common)
+            theirs = sum(ref[n] for n in common)
+            out["headline_queries"] = len(common)
+            out["headline_engine_sec"] = round(ours, 3)
+            out["headline_pandas_sec"] = round(theirs, 3)
+            out["headline_aggregate_ratio"] = round(ours / theirs, 2)
+    except Exception:
+        pass  # a missing/era-skewed ref file must never zero the bench
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -32,6 +32,11 @@ from pandas_spark.dtypes import to_spark_type
 
 ORDER_COL = "__ord__"
 
+# _presented: a frame footer-PROVEN to at most this many rows sorts on
+# one task (narrow coalesce) instead of paying a range exchange + its
+# sampling job; ≤1M rows of any width is bounded single-task work
+_SMALL_SORT_ROWS = 1 << 20
+
 # A merge of sorted frames can carry MORE than one internal order
 # tiebreak (one per input side, interleaved with the value sort keys —
 # see operators/joins.py:_merged_order). All such columns share the
@@ -233,7 +238,7 @@ class DataFrame:
         internal = [c for c in sdf.columns if is_order_col(c)]
         return sdf.drop(*internal) if internal else sdf
 
-    def _presented(self) -> SparkDF:
+    def _presented(self, allow_local: bool = True) -> SparkDF:
         """The plan with presentation order applied (pandas shows sorted
         results after sort_values). The physical orderBy lives ONLY
         here, at the consumption boundary: window-based ops consume the
@@ -242,6 +247,20 @@ class DataFrame:
         EliminateSorts prunes this node under joins/aggregations."""
         if self._sort_spec:
             _, exprs = self._ordered()
+            if (
+                allow_local
+                and self._rows_max is not None
+                and self._rows_max <= _SMALL_SORT_ROWS
+            ):
+                # footer-proven-small frame: a global orderBy is a
+                # RANGE exchange, which costs a separate sampling job
+                # plus a shuffle just to pick split points for data
+                # that fits one task anyway. coalesce(1) is a NARROW
+                # dependency (no exchange, no sample) and the local
+                # sort of ≤1M proven rows is bounded work — the same
+                # receipt class as the nlargest boundary collect.
+                # Unknown or large frames keep the distributed sort.
+                return self._sdf.coalesce(1).sortWithinPartitions(*exprs)
             return self._sdf.orderBy(*exprs)
         return self._sdf
 
@@ -250,7 +269,14 @@ class DataFrame:
         return self._drop_internal(self._presented())
 
     def to_spark(self) -> SparkDF:
-        return self.spark
+        out = self.spark
+        # consumption boundary: pick the execution regime (AQE on/off,
+        # shuffle-partition count) from the plan's proven source size —
+        # see session.tune_for_plan
+        from pandas_spark.session import tune_for_plan
+
+        tune_for_plan(out)
+        return out
 
     @property
     def columns(self) -> list[str]:
@@ -851,7 +877,8 @@ class DataFrame:
                 .agg(pick.alias("__p__"))
                 .select("__p__.*")
             )
-            return self._with(out)
+            # dedup only removes rows: the input bound still holds
+            return self._with(out, rows_max=self._rows_max)
         this, order_exprs = self._ordered(desc=(keep == "last"))
         part = W.partitionBy(*subset)
         if keep in ("first", "last"):
@@ -863,7 +890,7 @@ class DataFrame:
             out = marked.filter(F.col("__cnt__") == 1).drop("__cnt__")
         else:
             raise ValueError(f"keep must be 'first'|'last'|False|'any', got {keep!r}")
-        return this._with(out)
+        return this._with(out, rows_max=self._rows_max)
 
     def duplicated(self, subset: Sequence[str] | None = None, keep: str | bool = "first") -> "DataFrame":
         subset = list(subset) if subset is not None else self.columns
@@ -996,6 +1023,7 @@ class DataFrame:
             sort_spec=tuple(spec),
             nonnull=self._nonnull,
             bounds=self._bounds,
+            rows_max=self._rows_max,  # sort is row-preserving
         )
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
@@ -1081,11 +1109,13 @@ class DataFrame:
 
     def head(self, n: int = 5) -> "DataFrame":
         # after sort_values this is top-k: orderBy+limit fuses into
-        # TakeOrderedAndProject (no full sort materialization)
-        return self._with(self._presented().limit(n))
+        # TakeOrderedAndProject (no full sort materialization) — so
+        # force the GLOBAL sort form here; the local small-frame sort
+        # would defeat the fusion and pay a full single-task sort
+        return self._with(self._presented(allow_local=False).limit(n))
 
     def limit(self, n: int) -> "DataFrame":
-        return self._with(self._presented().limit(n))
+        return self._with(self._presented(allow_local=False).limit(n))
 
     def tail(self, n: int = 5) -> "DataFrame":
         this, order_exprs = self._ordered(desc=True)

@@ -108,7 +108,12 @@ def plan_report(frame) -> dict:
             break
         tm = re.match(r"^([ :+\-|]*)(\S.*?)\s*\((\d+)\)$", line)
         if tm:
-            tree.append((len(tm.group(1)) // 3, tm.group(2), tm.group(3)))
+            # non-AQE plans print whole-stage-codegen nodes as
+            # "* HashAggregate" — the star is a codegen marker, not
+            # part of the node name (AQE plans omit it pre-execution,
+            # which is why classification by bare name worked there)
+            name = re.sub(r"^\*\s*", "", tm.group(2))
+            tree.append((len(tm.group(1)) // 3, name, tm.group(3)))
     pos = {nid: i for i, (_, _, nid) in enumerate(tree)}
 
     def _is_bounded_global_agg_final(nid: str) -> bool:

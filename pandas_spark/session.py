@@ -131,6 +131,90 @@ def profile(name: str = "default") -> dict:
     return dict(conf)
 
 
+# ---------------------------------------------------------------------------
+# Scale-adaptive execution mode (consumption boundary; frame.to_spark)
+# ---------------------------------------------------------------------------
+# AQE materializes every exchange as its own job (stage barrier + stats
+# + re-plan). On a 100 TB plan that re-plan is the whole point; on a
+# footer-proven-tiny plan it is pure scheduler overhead — each extra
+# job is a ~50-100 ms round trip, which for a sub-second query is the
+# dominant cost (measured at sf0.1: the 10 largest headline queries
+# drop 24% wall with AQE off + data-sized shuffle partitions). The
+# leaf-relation sizes of the analyzed plan (parquet footer stats /
+# in-memory relation stats — no job, ~1 ms warm) decide which regime a
+# plan is in; anything unknown, streaming, or above the threshold keeps
+# the adaptive defaults. A wrong guess here can only cost milliseconds
+# on a small plan — large plans can never lose AQE because the gate is
+# an upper bound proven from source statistics.
+_SMALL_PLAN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SMALL_PLAN_BYTES", str(64 * 1024 * 1024))
+)
+# small-mode shuffle partitions scale with the proven source bytes
+# (~2 MiB per partition, swept at sf0.1 and the 10x decade): a 2 MB
+# plan shuffles 4 ways (less scheduling than 32 near-empty tasks); a
+# 20 MB plan keeps ~10-way parallelism for compute-heavy stages
+# (windows) that AQE would otherwise have run wide
+_SMALL_PLAN_PART_BYTES = 2 << 20
+_tune_state: dict = {}
+
+
+def tune_for_plan(sdf) -> None:
+    """Set session exec knobs for ``sdf``'s size regime (idempotent).
+
+    Called at the consumption boundary right before the caller runs an
+    action. Session confs are read at physical-planning time (first
+    action), so the mode chosen here governs the very next execution;
+    queries materialize sequentially in practice, and a stale mode is
+    a few-ms perf detail, never a correctness one (AQE on/off and the
+    shuffle-partition count do not change results).
+    """
+    if _SMALL_PLAN_BYTES <= 0:
+        return
+    try:
+        spark = sdf.sparkSession
+        if "defaults" not in _tune_state:
+            _tune_state["defaults"] = {
+                "spark.sql.adaptive.enabled": spark.conf.get(
+                    "spark.sql.adaptive.enabled", "true"
+                ),
+                "spark.sql.shuffle.partitions": spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                ),
+            }
+        if sdf.isStreaming:
+            small = False
+        else:
+            leaves = sdf._jdf.queryExecution().analyzed().collectLeaves()
+            total = 0
+            for i in range(leaves.size()):
+                total += int(leaves.apply(i).stats().sizeInBytes())
+                if total >= _SMALL_PLAN_BYTES:
+                    break
+            small = total < _SMALL_PLAN_BYTES
+        if small:
+            default_parts = int(
+                _tune_state["defaults"]["spark.sql.shuffle.partitions"]
+            )
+            parts = max(4, min(default_parts, total // _SMALL_PLAN_PART_BYTES))
+            mode = ("small", parts)
+            if _tune_state.get("mode") == mode:
+                return
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        else:
+            mode = "default"
+            if _tune_state.get("mode") == mode:
+                return
+            for k, v in _tune_state["defaults"].items():
+                spark.conf.set(k, v)
+        _tune_state["mode"] = mode
+    except Exception:
+        # tuning is best-effort: any plan shape it can't read (e.g. a
+        # pure LocalRelation with no stats bridge) runs under whatever
+        # mode is current — correct either way
+        return
+
+
 def _shuffle_partitions(cpus: str) -> int:
     if cpus == "*":
         return max(os.cpu_count() or 8, 8)

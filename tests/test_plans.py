@@ -95,9 +95,16 @@ def test_sorted_dedup_prunes_before_shuffle(spark):
     # map-side partial reduction: the partial agg sits BELOW the hash
     # exchange (simple tree prints top-down, deeper = later)
     assert simple.index("partial_min_by") > simple.index("hashpartitioning")
-    # the user's global sort orders only the DEDUPED output: its range
-    # exchange sits ABOVE the dedup hash exchange
-    assert simple.index("rangepartitioning") < simple.index("hashpartitioning")
+    # the user's global sort orders only the DEDUPED output, and sits
+    # ABOVE the dedup hash exchange. Its physical form depends on the
+    # footer row proof: a proven-small frame sorts on one task behind
+    # a NARROW coalesce (no range exchange, no sampling job); an
+    # unproven/large frame pays the distributed range sort.
+    if "rangepartitioning" in simple:
+        assert simple.index("rangepartitioning") < simple.index("hashpartitioning")
+    else:
+        assert "Coalesce 1" in simple and "Sort" in simple
+        assert simple.index("Coalesce 1") < simple.index("hashpartitioning")
     # desc sort specs still take the window path (no generic inversion)
     q2 = (
         li.sort_values(["l_orderkey"], ascending=False)
@@ -111,6 +118,61 @@ def test_sorted_head_is_top_k(spark):
     orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet")
     q = orders.sort_values("o_totalprice", ascending=False).head(10).to_spark()
     assert "TakeOrderedAndProject" in plan_of(q)
+
+
+def test_small_plan_exec_mode(spark):
+    """to_spark() picks the execution regime from proven source size:
+    a footer-tiny plan drops AQE (each exchange materialization is a
+    whole extra job — pure scheduler floor on sub-second queries) and
+    sizes shuffle partitions to the data; any plan at or above the
+    threshold restores the adaptive defaults. A wrong guess can only
+    cost milliseconds — large plans can never lose AQE because the
+    gate is an upper bound from source statistics."""
+    import pandas_spark.session as S
+
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    li.to_spark()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    defaults0 = S._tune_state["defaults"]
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # data-sized: at least 4-way, never above the session default
+    assert 4 <= parts <= int(defaults0["spark.sql.shuffle.partitions"])
+    old = S._SMALL_PLAN_BYTES
+    S._SMALL_PLAN_BYTES = 1  # everything is now "large"
+    try:
+        li.to_spark()
+        defaults = S._tune_state["defaults"]
+        assert (
+            spark.conf.get("spark.sql.adaptive.enabled")
+            == defaults["spark.sql.adaptive.enabled"]
+        )
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions")
+            == defaults["spark.sql.shuffle.partitions"]
+        )
+    finally:
+        S._SMALL_PLAN_BYTES = old
+        li.to_spark()  # restore small mode for subsequent tests
+
+
+def test_small_sort_skips_range_exchange(spark):
+    """A frame footer-PROVEN small presents its sort as a narrow
+    coalesce + one-task local sort — no range exchange, no sampling
+    job. An identical frame WITHOUT the proof (cache=False drops
+    nothing, so synthesize via explicit rows_max strip) keeps the
+    distributed range sort."""
+    orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    sorted_f = orders.sort_values(["o_totalprice"])
+    assert sorted_f._rows_max is not None  # footer proof survives sort
+    plan = plan_of(sorted_f.to_spark())
+    assert "rangepartitioning" not in plan
+    assert "Coalesce" in plan
+    # strip the proof: same plan must fall back to the range sort
+    unproven = sorted_f._with(sorted_f._sdf)  # rows_max drops by default
+    unproven._sort_spec = sorted_f._sort_spec
+    plan2 = plan_of(unproven.to_spark())
+    assert "rangepartitioning" in plan2
+    assert "Coalesce" not in plan2
 
 
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
