@@ -55,6 +55,78 @@ def qi(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def free_name(taken, stem: str, prefix: bool = False) -> str:
+    """THE shared collision-free internal-tag factory (round-8 verdict
+    #2 / advisor finding): grow a leading underscore until ``stem``
+    collides with nothing in ``taken`` — as an exact name, or (with
+    ``prefix=True``) as a name PREFIX, for tags that get per-key
+    suffixes appended. Every operator that materializes an internal
+    column (`__pos__`, `__side__`, `__cnt__`, rank-map tags, …) must
+    derive it here against the frame's user columns; a fixed literal
+    reproduces the AMBIGUOUS_REFERENCE failure the r8 merge fix closed
+    (a user column literally named ``__rk0__`` fed to corr()).
+    Mutates nothing — pass a set and add the result yourself if you
+    derive several tags against the same namespace (see free_names)."""
+    tag = stem
+    if prefix:
+        while any(c.startswith(tag) for c in taken):
+            tag = "_" + tag
+    else:
+        while tag in taken:
+            tag = "_" + tag
+    return tag
+
+
+def free_names(taken, *stems: str) -> list[str]:
+    """Batch :func:`free_name`: each result is also collision-free
+    against the ones derived before it."""
+    pool = set(taken)
+    out = []
+    for stem in stems:
+        tag = free_name(pool, stem)
+        pool.add(tag)
+        out.append(tag)
+    return out
+
+
+def shield_names(sdf, reserved, prefixes: tuple = ()):
+    """Boundary shield for operators whose internals weave fixed tag
+    literals through SQL text (asof's ``__side__``/``__rpos__``/
+    ``__m_<col>`` windows): rename any USER column that collides with
+    the operator's tag namespace (exact ``reserved`` names, or starting
+    with one of ``prefixes``) to a collision-free temporary, run the
+    algorithm, and rename back on the output via the returned inverse
+    map. One projection in, one out — cheaper and far less error-prone
+    than threading a tag variable through every SQL string. Returns
+    ``(sdf, unmap)``; ``unmap`` is empty when nothing collided (the
+    overwhelmingly common case — zero overhead then)."""
+    ren = collision_renames(sdf.columns, reserved, prefixes)
+    if not ren:
+        return sdf, {}
+    return sdf.withColumnsRenamed(ren), {v: k for k, v in ren.items()}
+
+
+def collision_renames(cols, reserved, prefixes: tuple = ()) -> dict:
+    """The rename map :func:`shield_names` applies — exposed for
+    two-sided operators (joins), where shared key columns must rename
+    IDENTICALLY on both sides: pass the union of both sides' columns
+    and apply the one map to each side."""
+    hit = [
+        c
+        for c in cols
+        if c in reserved or any(c.startswith(p) for p in prefixes)
+    ]
+    if not hit:
+        return {}
+    taken = set(cols) | set(reserved)
+    ren = {}
+    for i, c in enumerate(sorted(hit)):
+        t = free_name(taken, f"__usrcol{i}__")
+        taken.add(t)
+        ren[c] = t
+    return ren
+
+
 def to_spark_type(dtype: str | T.DataType) -> T.DataType:
     """Resolve a pandas dtype string (or Spark type / DDL string) to Catalyst."""
     if isinstance(dtype, T.DataType):

@@ -224,7 +224,19 @@ def _lit_col(v: Any) -> Column:
 
 
 def col(name: str) -> Expr:
-    """Deferred reference to a column (pandas ``pd.col``, core/col.py:370)."""
+    """Deferred reference to a column (pandas ``pd.col``, core/col.py:370).
+
+    The name is a LITERAL pandas label, never a struct path — so quote
+    it through the shared qi() when it contains a backtick, which
+    ``F.col``'s attribute-name parser would otherwise reject
+    (INVALID_ATTRIBUTE_NAME_SYNTAX). Dotted names resolve correctly
+    unquoted (Spark's analyzer prefers an exact column-name match over
+    nested-field access), and quoting them here would instead BREAK
+    callers that pass genuine struct paths through pd.col."""
+    if "`" in name:
+        from pandas_spark.dtypes import qi
+
+        return Expr(F.col(qi(name)))
     return Expr(F.col(name))
 
 

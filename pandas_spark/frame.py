@@ -95,6 +95,20 @@ def _warn_unkeyed_window(op: str) -> None:
     )
 
 
+def _fcol(name: str) -> Column:
+    """``F.col`` for a LITERAL pandas label: names containing dots or
+    backticks go through the shared qi() quoter so Spark's analyzer
+    reads one attribute instead of a struct path (a user column named
+    ``price.usd`` fed to sort/dedup raised UNRESOLVED_COLUMN,
+    adversarial-name battery). Clean names skip the quoting — the
+    quoted form is equivalent but this keeps plan strings readable."""
+    if "." in name or "`" in name:
+        from pandas_spark.dtypes import qi
+
+        return F.col(qi(name))
+    return F.col(name)
+
+
 def _cond(c) -> Column:
     """Accept Expr | Column | SQL string as a boolean condition."""
     if isinstance(c, Expr):
@@ -206,7 +220,7 @@ class DataFrame:
             exprs = []
             for c, a, napos in self._sort_spec:
                 a2, p2 = (not a, "first" if napos == "last" else "last") if desc else (a, napos)
-                exprs.append(_sort_key(F.col(c), a2, p2))
+                exprs.append(_sort_key(_fcol(c), a2, p2))
             return self, exprs
         this = self if self._order_col else DataFrame(
             self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
@@ -225,7 +239,7 @@ class DataFrame:
             pairs = []
             for c, a, napos in self._sort_spec:
                 a2, p2 = (not a, "first" if napos == "last" else "last") if desc else (a, napos)
-                pairs.append((F.col(c), a2, p2))
+                pairs.append((_fcol(c), a2, p2))
             return self, pairs
         this = self if self._order_col else DataFrame(
             self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
@@ -862,18 +876,18 @@ class DataFrame:
             # and 10×: 0.64 → 0.48 s when every key is proven)
             ord_key = F.struct(
                 *[
-                    F.col(c).alias(f"k{i}")
+                    _fcol(c).alias(f"k{i}")
                     if c in self._nonnull
                     else F.struct(
-                        F.col(c).isNull().alias("n"), F.col(c).alias("v")
+                        _fcol(c).isNull().alias("n"), _fcol(c).alias("v")
                     ).alias(f"k{i}")
                     for i, c in enumerate(spec_cols + tie_cols)
                 ]
             )
-            payload = F.struct(*[F.col(c) for c in self.columns])
+            payload = F.struct(*[_fcol(c) for c in self.columns])
             pick = F.min_by(payload, ord_key) if keep == "first" else F.max_by(payload, ord_key)
             out = (
-                self._sdf.groupBy(*[F.col(c) for c in subset])
+                self._sdf.groupBy(*[_fcol(c) for c in subset])
                 .agg(pick.alias("__p__"))
                 .select("__p__.*")
             )
@@ -2334,40 +2348,52 @@ def _distributed_avg_rank(sdf: SparkDF, cols: Sequence[str], dtmap: dict,
 
     # 3. distinct-value rank map per column, joined back on the value.
     # Internal names carry a per-column suffix so chained joins never
-    # collide; user columns can't collide (corr() feeds numeric frame
-    # columns, and the map columns are dropped before return).
+    # collide, and EVERY tag is derived collision-free against the
+    # frame's own columns via the shared factory (dtypes.free_names) —
+    # a user column literally named '__rk0__' or '__cnt__' fed to
+    # corr() must rank, not raise AMBIGUOUS_REFERENCE (advisor-found;
+    # the r8 merge fix, now applied here too).
+    from pandas_spark.dtypes import free_names
+
+    stems: list[str] = ["__cnt__", "__bk__"]
+    for i in range(len(cols)):
+        stems += [f"__rkv{i}__", f"__rk{i}__"]
+    tags = free_names(sdf.columns, *stems)
+    cnt_tag, bk_tag = tags[0], tags[1]
+    vtags = tags[2::2]
+    ktags = tags[3::2]
     out = sdf
     for i, c in enumerate(cols):
         offs, run = {}, 0
         for b in sorted(cnts[c]):
             offs[b] = run
             run += cnts[c][b]
-        vtag, ktag = f"__rkv{i}__", f"__rk{i}__"
+        vtag, ktag = vtags[i], ktags[i]
         vals = (
             sdf.where(_valid(c))
             .groupBy(F.col(c).alias(vtag))
-            .agg(F.count(F.lit(1)).alias("__cnt__"))
-            .withColumn("__bk__", _bucket(c, ref=F.col(vtag)))
+            .agg(F.count(F.lit(1)).alias(cnt_tag))
+            .withColumn(bk_tag, _bucket(c, ref=F.col(vtag)))
         )
         w = (
-            W.partitionBy("__bk__")
+            W.partitionBy(bk_tag)
             .orderBy(F.col(vtag).asc())
             .rowsBetween(W.unboundedPreceding, -1)
         )
-        runsum = F.coalesce(F.sum("__cnt__").over(w), F.lit(0)).cast("double")
+        runsum = F.coalesce(F.sum(cnt_tag).over(w), F.lit(0)).cast("double")
         off = None
         for b, o in sorted(offs.items()):
-            cond = F.col("__bk__") == F.lit(b)
+            cond = F.col(bk_tag) == F.lit(b)
             off = F.when(cond, float(o)) if off is None else off.when(cond, float(o))
         off_expr = off.otherwise(0.0) if off is not None else F.lit(0.0)
         # min-rank = bucket offset + ties below within bucket + 1;
         # average = min-rank + (cnt - 1)/2
-        avg = off_expr + runsum + (F.col("__cnt__").cast("double") + 1.0) / 2.0
+        avg = off_expr + runsum + (F.col(cnt_tag).cast("double") + 1.0) / 2.0
         rankmap = vals.select(F.col(vtag), avg.alias(ktag))
         out = out.join(rankmap, on=out[c] == rankmap[vtag], how="left").drop(vtag)
     return out.select(
         *[
-            F.when(_valid(c), F.col(f"__rk{i}__")).alias(c)
+            F.when(_valid(c), F.col(ktags[i])).alias(c)
             for i, c in enumerate(cols)
         ]
     )

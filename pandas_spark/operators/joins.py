@@ -566,6 +566,18 @@ def _asof_broadcast(
     return DataFrame(out.withColumns(cols).drop("__m__"))
 
 
+# every internal tag the asof strategies materialize; user columns
+# colliding with these (or the per-payload prefixes) are shielded at
+# entry (see collision_renames call below)
+_ASOF_TAGS = frozenset(
+    {
+        "__side__", "__rpos__", "__rid__", "__m_ts__", "__b_ts__",
+        "__f_ts__", "__pos__", "__t__", "__arr__", "__m__",
+    }
+)
+_ASOF_TAG_PREFIXES = ("__m_", "__b_", "__f_")
+
+
 def merge_asof(
     left: DataFrame,
     right: DataFrame,
@@ -615,6 +627,30 @@ def merge_asof(
     overlap = (set(lsdf.columns) & set(rsdf.columns)) - {on} - set(by_keys)
     lsdf = lsdf.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
     rsdf = rsdf.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+    # boundary shield (dtypes.collision_renames): the window and
+    # broadcast strategies below weave fixed tags through SQL text;
+    # user columns named like them must survive, so rename collisions
+    # to temps here and invert on every output (shared on/by names
+    # must map identically on both sides — hence one map over the
+    # union). unmap is {} in the no-collision common case.
+    from pandas_spark.dtypes import collision_renames
+
+    _shield = collision_renames(
+        set(lsdf.columns) | set(rsdf.columns),
+        _ASOF_TAGS,
+        _ASOF_TAG_PREFIXES,
+    )
+    if _shield:
+        lsdf = lsdf.withColumnsRenamed(_shield)
+        rsdf = rsdf.withColumnsRenamed(_shield)
+        on = _shield.get(on, on)
+        by_keys = [_shield.get(k, k) for k in by_keys]
+    _unmap = {v: k for k, v in _shield.items()}
+    _unshield = (
+        (lambda f: DataFrame(f.spark.withColumnsRenamed(_unmap)))
+        if _unmap
+        else (lambda f: f)
+    )
     payload = [c for c in rsdf.columns if c != on and c not in by_keys]
 
     if strategy is None and direction in ("backward", "forward"):
@@ -665,10 +701,10 @@ def merge_asof(
         except Exception:
             strategy = "window"
     if strategy == "broadcast" and direction in ("backward", "forward"):
-        return _asof_broadcast(
+        return _unshield(_asof_broadcast(
             lsdf, rsdf, on, by_keys, payload, direction,
             tolerance, allow_exact_matches, _num,
-        )
+        ))
 
     # __rid__ (a unique left-row id for the backward/forward result
     # join) is only needed by direction='nearest' — backward/forward
@@ -772,7 +808,7 @@ def merge_asof(
             [_qi(c) for c in by_keys + [on] + l_cols]
             + [f"{_qi('__m_' + c)} AS {_qi(c)}" for c in payload]
         )
-        return DataFrame(matched.selectExpr(*final_exprs))
+        return _unshield(DataFrame(matched.selectExpr(*final_exprs)))
 
     if direction == "nearest" and allow_exact_matches:
         # Both directions over ONE ordering (on asc, right-before-left
@@ -831,7 +867,7 @@ def merge_asof(
                 for c in payload
             ]
         )
-        return DataFrame(j.select(*final_cols))
+        return _unshield(DataFrame(j.select(*final_cols)))
 
     if direction == "nearest":
         back = apply_tolerance(one_direction(unioned, False), False)
@@ -851,7 +887,7 @@ def merge_asof(
             + l_cols
             + [F.when(use_b, F.col("__b_" + c)).otherwise(F.col("__f_" + c)).alias(c) for c in payload]
         )
-        return DataFrame(j.select(*final_cols))
+        return _unshield(DataFrame(j.select(*final_cols)))
 
     raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
 

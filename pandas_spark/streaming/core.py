@@ -455,7 +455,17 @@ def merge_asof_stream(
             m_ts = np.where(has, r_us[np.where(has, idx, 0)], prev_ts)
         else:
             m_ts = np.full(len(lefts), prev_ts, dtype="int64")
-        stale = (l_us - m_ts > tol_us) if tol_us is not None else None
+        if tol_us is not None:
+            # gap only where a match VALUE exists (in-batch or carried
+            # state) — the int64.min no-state sentinel would overflow
+            # the subtraction (advisor-found; previously benign only
+            # because those rows were already None, but wraparound is
+            # UB-shaped and numpy warns)
+            matched = has | (prev is not None)
+            safe_m = np.where(matched, m_ts, l_us)
+            stale = matched & (l_us - safe_m > tol_us)
+        else:
+            stale = None
         for pi, c in enumerate(payload):
             rv = rights[c].to_numpy()
             col = np.empty(len(lefts), dtype=object)
