@@ -1218,40 +1218,7 @@ class DataFrame:
         if method == "spearman":
             return self._corr_spearman(cols)
         elif method == "kendall":
-            # tau-b (Knight's O(n log n) kernel, functions/stats.py) —
-            # a GLOBAL pair statistic, computed in one Arrow kernel
-            # over a single gathered partition: the same scale caveat
-            # as the spearman rank windows above (use the keyed
-            # groupby.corr variant or sample first at scale)
-            from pandas_spark.functions.stats import kendall_tau_np
-
-            data = sdf.select(*cols).coalesce(1)
-
-            def gen(batches):
-                import pandas as pd
-
-                parts = list(batches)
-                pdf = (
-                    pd.concat(parts, ignore_index=True)
-                    if parts else pd.DataFrame({c: [] for c in cols})
-                )
-                arrs = {c: pdf[c].to_numpy(dtype=float) for c in cols}
-                # tau is symmetric: compute the upper triangle once and
-                # mirror (the full a×b loop ran the O(n log n) kernel
-                # twice per off-diagonal pair — judge-found)
-                tau = {}
-                for i, a in enumerate(cols):
-                    for b in cols[i:]:
-                        tau[(a, b)] = tau[(b, a)] = kendall_tau_np(
-                            arrs[a], arrs[b]
-                        )
-                yield pd.DataFrame(
-                    [(a, b, tau[(a, b)]) for a in cols for b in cols],
-                    columns=["col1", "col2", "corr"],
-                )
-
-            stacked = data.mapInPandas(gen, "col1 string, col2 string, corr double")
-            return DataFrame(stacked)
+            return self._corr_kendall(cols)
         elif method != "pearson":
             raise NotImplementedError(f"corr method {method!r}")
         return self._corr_on(sdf, cols)
@@ -1277,6 +1244,156 @@ class DataFrame:
             ).alias("d")
         ).select("d.*")
         return DataFrame(stacked)
+
+    def _corr_kendall(self, cols: Sequence[str]) -> "DataFrame":
+        """Distributed exact tau-b (reference frame.py:15791 routes
+        kendall to a single-core scipy path; this replaces the r8
+        gathered-partition kernel — the engine's last whole-frame
+        single-task data pass).
+
+        Decomposition (exact for ANY bucketing where equal values
+        share a bucket — here the quantile fences of _rank_receipts,
+        which also balance tile sizes): C − D over all row pairs splits
+        into three disjoint, exactly-mergeable parts per column pair
+
+        1. SAME x-bucket pairs — a Knight C−D kernel per x-bucket tile
+           (``kendall_cd_np``, integer math), summed. Since equal x
+           values never span buckets, this tile pass also yields the
+           GLOBAL x-tie-pair count n1.
+        2. DIFFERENT x-bucket, SAME y-bucket pairs — cross-bucket x is
+           STRICTLY ordered (bucket p's values ≤ fence < bucket q's),
+           so sign(Δx) = bucket order: a Knight kernel per y-bucket
+           tile on (x_bucket, y). Same-x-bucket pairs inside the tile
+           are x-ties there and contribute 0 — no double count with
+           (1). Yields the global y-tie count n2.
+        3. DIFFERENT x-bucket, DIFFERENT y-bucket pairs — sign(Δx) and
+           sign(Δy) are both determined by bucket order alone, so this
+           term needs only the ≤B² grid counts N[p][b] (collected with
+           part 1's partials — a bounded driver receipt) and O(P·B)
+           prefix-sum math on the driver.
+
+        τ_b = (Σcd) / sqrt((n0−n1)(n0−n2)) with all sums integers —
+        bit-identical to the gathered kernel at any partitioning.
+        NaN rows drop pairwise (pandas rule); values compare as
+        doubles, matching both pandas' kernel and the r8 path.
+        Memory is O(tile) everywhere; tiles are quantile-balanced
+        except heavy single-value ties (same caveat as the spearman
+        rank kernel, SCALE.md)."""
+        import pandas as pd
+
+        from pandas_spark.functions.stats import kendall_cd_np
+
+        dtmap = dict(self.dtypes)
+        sdf = self._sdf
+
+        def _valid(c):
+            v = _fcol(c).isNotNull()
+            if dtmap.get(c) in ("float", "double"):
+                v = v & ~F.isnan(_fcol(c))
+            return v
+
+        bnds, _, _, _bucket, _ = _rank_receipts(sdf, cols, dtmap)
+
+        # diagonal: τ(c,c) = 1 iff ≥2 valid rows with ≥2 distinct
+        # values (else the tie term empties the denominator → NaN) —
+        # one batched agg for all columns
+        diag = sdf.agg(
+            *(
+                [
+                    F.count(F.when(_valid(c), 1)).alias(f"n{i}")
+                    for i, c in enumerate(cols)
+                ]
+                + [
+                    F.countDistinct(F.when(_valid(c), _fcol(c))).alias(f"d{i}")
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).collect()[0]
+        tau: dict = {}
+        for i, c in enumerate(cols):
+            tau[(c, c)] = (
+                1.0 if (diag[f"n{i}"] >= 2 and diag[f"d{i}"] >= 2) else float("nan")
+            )
+
+        def tile_a(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # per-x-bucket: local C−D + global x-ties + n, PLUS this
+            # tile's per-y-bucket histogram (the grid receipt rides
+            # the same pass — no third job)
+            cd, tx, _, n = kendall_cd_np(
+                pdf["x"].to_numpy(), pdf["y"].to_numpy()
+            )
+            xb = int(pdf["xb"].iloc[0])
+            rows = [("cd", xb, 0, cd), ("tx", xb, 0, tx), ("n", xb, 0, n)]
+            hist = pdf.groupby("yb").size()
+            rows += [("g", xb, int(b), int(v)) for b, v in hist.items()]
+            return pd.DataFrame(rows, columns=["kind", "xb", "yb", "val"])
+
+        def tile_b(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            cd, _, ty, _ = kendall_cd_np(
+                pdf["xb"].to_numpy(dtype=float), pdf["y"].to_numpy()
+            )
+            return pd.DataFrame({"cd": [cd], "ty": [ty]})
+
+        for i, a in enumerate(cols):
+            for b in cols[i + 1:]:
+                pair = sdf.where(_valid(a) & _valid(b)).select(
+                    _bucket(a, ref=_fcol(a)).alias("xb"),
+                    _bucket(b, ref=_fcol(b)).alias("yb"),
+                    _fcol(a).cast("double").alias("x"),
+                    _fcol(b).cast("double").alias("y"),
+                )
+                parts = (
+                    pair.groupBy("xb")
+                    .applyInPandas(tile_a, "kind string, xb int, yb int, val long")
+                    .collect()
+                )
+                rb = (
+                    pair.groupBy("yb")
+                    .applyInPandas(tile_b, "cd long, ty long")
+                    .agg(F.sum("cd").alias("cd"), F.sum("ty").alias("ty"))
+                    .collect()[0]
+                )
+                cd_a = sum(r["val"] for r in parts if r["kind"] == "cd")
+                n1 = sum(r["val"] for r in parts if r["kind"] == "tx")
+                n = sum(r["val"] for r in parts if r["kind"] == "n")
+                cd_b = int(rb["cd"] or 0)
+                n2 = int(rb["ty"] or 0)
+                # grid term: iterate x-buckets ascending, keeping the
+                # cumulative per-y-bucket counts of all LOWER x-buckets
+                grid: dict[int, dict[int, int]] = {}
+                for r in parts:
+                    if r["kind"] == "g":
+                        grid.setdefault(r["xb"], {})[r["yb"]] = r["val"]
+                ybs = sorted({yb for d in grid.values() for yb in d})
+                ypos = {yb: k for k, yb in enumerate(ybs)}
+                cum = [0] * len(ybs)
+                grid_cd = 0
+                for p in sorted(grid):
+                    pref = [0]
+                    for v in cum:
+                        pref.append(pref[-1] + v)
+                    total = pref[-1]
+                    for yb, m in grid[p].items():
+                        k = ypos[yb]
+                        lower = pref[k]
+                        higher = total - pref[k] - cum[k]
+                        grid_cd += m * (lower - higher)
+                    for yb, m in grid[p].items():
+                        cum[ypos[yb]] += m
+                n0 = n * (n - 1) // 2
+                den = float(n0 - n1) * float(n0 - n2)
+                t = (
+                    (cd_a + cd_b + grid_cd) / den ** 0.5
+                    if n >= 2 and den > 0
+                    else float("nan")
+                )
+                tau[(a, b)] = tau[(b, a)] = t
+
+        rows = [(a, b, tau[(a, b)]) for a in cols for b in cols]
+        out = self._sdf.sparkSession.createDataFrame(
+            rows, "col1 string, col2 string, corr double"
+        )
+        return DataFrame(out)
 
     def _corr_spearman(self, cols: Sequence[str]) -> "DataFrame":
         """Spearman correlation matrix with pandas' exact NaN rule.

@@ -27,7 +27,10 @@ from pandas_spark.groupby import resolve_agg
 from pandas_spark.window import parse_offset_seconds
 
 
-def read_stream_parquet(spark: SparkSession, path: str, schema=None) -> SparkDF:
+def read_stream_parquet(
+    spark: SparkSession, path: str, schema=None,
+    max_files_per_trigger: int | None = 1,
+) -> SparkDF:
     """File-source stream over a parquet directory (micro-batch ingest —
     the streaming analog of chunked ``read_csv(chunksize=)``,
     readers.py:2399). Schema is required by streaming file sources; pass
@@ -44,7 +47,13 @@ def read_stream_parquet(spark: SparkSession, path: str, schema=None) -> SparkDF:
         # streaming file sources accept directories or globs, not bare
         # files — turn the file path into an exact-match glob
         path = f"{path[:-1]}[{path[-1]}]"
-    sdf = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        # one file per micro-batch (availableNow honors it): without
+        # this, a bounded directory collapses into ONE batch and every
+        # "cross-batch state" test is vacuously single-batch (r9-found)
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    sdf = reader.parquet(path)
     if ns_cols:
         sdf = sdf.withColumns(
             {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
@@ -371,34 +380,79 @@ def merge_asof_stream(
     tolerance: str | None = None,
     timeout: str = "NoTimeout",
     suffixes: tuple[str, str] = ("_l", "_r"),
+    direction: str = "backward",
+    lateness: str | None = None,
 ) -> SparkDF:
-    """Streaming ``merge_asof(direction='backward')`` — the stateful
-    twin of the batch union+ordered-window plan (operators/joins.py):
-    SURVEY §2.10's one unmapped row ("merge_asof ≙ stream-stream
-    asof join w/ watermark", previously covered only by the
-    candidate-set ``tolerance_join_stream``).
+    """Streaming ``merge_asof`` — the stateful twin of the batch
+    union+ordered-window plan (operators/joins.py): SURVEY §2.10's
+    "merge_asof ≙ stream-stream asof join w/ watermark" mapping.
 
-    Both streams union on (by, on) with a side tag; per ``by`` key an
-    ``applyInPandasWithState`` walk keeps ONE right row of state — the
-    latest seen — and each left row takes the last right row at or
-    before its stamp (``searchsorted`` within the sorted micro-batch,
-    the carried state when no in-batch right precedes). Exactly the
-    batch plan's semantics per batch, with pandas' positional tie rule
-    (last right row among equal stamps).
+    Two regimes (round-9: the r8 version's ordered-arrival contract is
+    now OPT-OUT, not silent):
 
-    Cross-batch ordering follows the ``ewm_mean_stream`` contract:
-    state advances monotonically, so per-key arrival must be
-    batch-ordered (standard for log-ordered sources; within a batch
-    rows are sorted). On a bounded single-batch source the output
-    equals batch ``merge_asof`` exactly (parity test in
-    tests/test_streaming.py). ``tolerance`` nulls matches older than
-    the given offset. State is ONE row per key — bounded regardless of
-    stream length."""
+    * ``lateness=None`` and ``direction='backward'`` — the fast path:
+      ONE right row of state per key (the latest seen); per-key
+      arrival must be batch-ordered (the ``ewm_mean_stream``
+      contract — log-ordered sources). A late right row would
+      silently corrupt later matches, which is why the buffered
+      regime below exists.
+    * ``lateness='10 minutes'`` — watermark-buffered, ANY direction:
+      per key the state holds every row still inside the lateness
+      horizon (event-time watermark = max stamp seen − lateness,
+      exactly Structured Streaming's own watermark rule). A left row
+      EMITS only when its match provably cannot change:
+      backward — its stamp has passed the watermark (any future right
+      is newer than the row itself); forward — the current candidate
+      has passed the watermark (any future right is newer than the
+      candidate), or ``tolerance`` has expired past the watermark;
+      nearest — both bounds hold (the best gap is within the
+      watermark's reach, so no future row can beat it). Output is
+      sorted by stamp on emit. Rows newer than the FINAL watermark of
+      a bounded run stay pending — honest streaming semantics, the
+      price of tolerating disorder; size state by lateness, which also
+      bounds the buffers. (A forward/nearest left with no candidate
+      and no tolerance pends until one arrives — set tolerance to
+      bound it.)
+
+    ``tolerance`` nulls matches farther than the offset. Positional
+    tie rule matches pandas: among equal right stamps backward takes
+    the LAST arrival, forward the FIRST."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     by = list(by)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if lateness is None and direction != "backward":
+        raise ValueError(
+            "forward/nearest need the buffered regime — pass lateness= "
+            "(use '0 seconds' for a source that is globally ordered)"
+        )
+    # boundary shield (r9, dtypes.collision_renames): both regimes tag
+    # rows with `__side__` — a user column of that name must survive
+    from pandas_spark.dtypes import collision_renames
+
+    _shield = collision_renames(
+        set(left.columns) | set(right.columns), {"__side__", "__ts__"}
+    )
+    if _shield:
+        left = left.withColumnsRenamed(_shield)
+        right = right.withColumnsRenamed(_shield)
+        on = _shield.get(on, on)
+        by = [_shield.get(k, k) for k in by]
+    _unmap = {v: k for k, v in _shield.items()}
+    if lateness is not None:
+        out = _merge_asof_stream_buffered(
+            left, right, on, by, direction, tolerance, lateness,
+            timeout, suffixes,
+        )
+        return out.withColumnsRenamed(_unmap) if _unmap else out
+    if _unmap:
+        inner = merge_asof_stream(
+            left, right, on, by, tolerance, timeout, suffixes,
+        )
+        return inner.withColumnsRenamed(_unmap)
     overlap = (set(left.columns) & set(right.columns)) - {on} - set(by)
     l = left.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
     r = right.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
@@ -489,6 +543,297 @@ def merge_asof_stream(
     return (
         u.groupBy(*by)
         .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
+    )
+
+
+def _merge_asof_stream_buffered(
+    left: SparkDF,
+    right: SparkDF,
+    on: str,
+    by: list,
+    direction: str,
+    tolerance: str | None,
+    lateness: str,
+    timeout: str,
+    suffixes: tuple,
+) -> SparkDF:
+    """The watermark-buffered asof regime (see merge_asof_stream).
+
+    Per-key state = (max stamp seen, arrival counter, pending-left
+    buffer, right buffer within the lateness horizon) as ARRAY-typed
+    state columns. Each micro-batch: append arrivals (any order!),
+    advance the event-time watermark, finalize every left row whose
+    match can no longer change, emit those sorted by stamp, prune the
+    right buffer to the horizon plus ONE carry row (the latest right
+    at-or-under the horizon — the backward candidate for future
+    lefts). All stamps compare as int64 epoch-µs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    overlap = (set(left.columns) & set(right.columns)) - {on} - set(by)
+    l = left.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
+    r = right.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+    payload = [c for c in r.columns if c != on and c not in by]
+    l_cols = [c for c in l.columns if c != on and c not in by]
+    r_types = dict(r.dtypes)
+    l_types = dict(l.dtypes)
+    l_tag = l.selectExpr(
+        "*", "1 AS `__side__`",
+        *[f"CAST(NULL AS {r_types[c]}) AS `{c}`" for c in payload],
+    )
+    r_tag = r.selectExpr(
+        "*", "0 AS `__side__`",
+        *[f"CAST(NULL AS {l_types[c]}) AS `{c}`" for c in l_cols],
+    )
+    # Spark's GLOBAL event-time watermark drives finalization (a
+    # per-key "max seen − lateness" would never advance for a key with
+    # no new arrivals — r9 fuzz-found): withWatermark feeds
+    # state.getCurrentWatermarkMs(), and EventTimeTimeout re-invokes
+    # idle keys once the watermark passes their earliest pending
+    # decision stamp (Structured Streaming runs no-data micro-batches
+    # to fire these, including before an availableNow run terminates).
+    u0 = l_tag.unionByName(r_tag)
+    u = _with_watermark(u0, on, lateness)  # NTZ event time casts first
+
+    # output schema from the PRE-cast union: the watermark cast is an
+    # internal requirement, the caller keeps the source's ts flavor
+    out_fields = [f for f in u0.schema.fields if f.name != "__side__"]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    )
+    out_cols = [f.name for f in out_fields]
+    # buffers: stamps+arrival-seq as long arrays, one value array per
+    # buffered column (left non-key cols; right payload cols)
+    state_schema = (
+        "seq long, l_ts array<long>, l_seq array<long>, "
+        + "r_ts array<long>, r_seq array<long>"
+        + "".join(f", `__l_{c}` array<{l_types[c]}>" for c in l_cols)
+        + "".join(f", `__r_{c}` array<{r_types[c]}>" for c in payload)
+    )
+    tol_us = (
+        int(parse_offset_seconds(tolerance.replace(" ", "")) * 1_000_000)
+        if tolerance is not None else None
+    )
+    NEG = np.iinfo("int64").min
+
+    # pandas widens NULL-padded integer columns to float64 (the union
+    # pads each side's missing columns with typed NULLs), so a bigint
+    # left column arrives as 504.0 — which an array<bigint> state field
+    # NULLs on write (r9-found: every emitted event_id was NULL). Cast
+    # buffered values back to their state type.
+    def _mk_cast(t: str):
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return lambda v: int(v)
+        if t in ("float", "double"):
+            return lambda v: float(v)
+        return lambda v: v.item() if hasattr(v, "item") else v
+
+    l_cast = {c: _mk_cast(l_types[c]) for c in l_cols}
+    r_cast = {c: _mk_cast(r_types[c]) for c in payload}
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            st = state.get
+            seq0 = int(st[0])
+            l_ts = list(st[1]); l_seq = list(st[2])
+            r_ts = list(st[3]); r_seq = list(st[4])
+            l_bufs = {c: list(st[5 + i]) for i, c in enumerate(l_cols)}
+            r_bufs = {
+                c: list(st[5 + len(l_cols) + i]) for i, c in enumerate(payload)
+            }
+        else:
+            seq0 = 0
+            l_ts, l_seq, r_ts, r_seq = [], [], [], []
+            l_bufs = {c: [] for c in l_cols}
+            r_bufs = {c: [] for c in payload}
+
+        parts = list(pdfs)  # empty on an event-time-timeout invocation
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if parts else pd.DataFrame({c: [] for c in out_cols + ["__side__"]})
+        )
+        if len(pdf):
+            ts_us = pdf[on].to_numpy(dtype="datetime64[us]").astype("int64")
+            is_r = (pdf["__side__"] == 0).to_numpy()
+            for i in range(len(pdf)):
+                t = int(ts_us[i])
+                row = pdf.iloc[i]
+                if is_r[i]:
+                    r_ts.append(t); r_seq.append(seq0)
+                    for c in payload:
+                        v = row[c]
+                        r_bufs[c].append(None if pd.isna(v) else r_cast[c](v))
+                else:
+                    l_ts.append(t); l_seq.append(seq0)
+                    for c in l_cols:
+                        v = row[c]
+                        l_bufs[c].append(None if pd.isna(v) else l_cast[c](v))
+                seq0 += 1
+
+        wm_ms = state.getCurrentWatermarkMs()
+        # a future row can carry a stamp EQUAL to the watermark
+        # (Spark drops only strictly-late data), so decisions use
+        # strict comparisons: wm here is "greatest stamp that can no
+        # longer be beaten", i.e. watermark − 1µs
+        wm = wm_ms * 1000 - 1 if wm_ms > 0 else NEG // 2
+        # sort the right buffer by (ts, arrival) — stable positional
+        # tie rule: backward takes the last arrival among equal
+        # stamps, forward the first
+        r_order = sorted(range(len(r_ts)), key=lambda i: (r_ts[i], r_seq[i]))
+        rts = np.array([r_ts[i] for i in r_order], dtype="int64")
+
+        lts = np.array(l_ts, dtype="int64")
+
+        def at(idx, valid):
+            # rts[idx] where valid, 0 elsewhere (safe on empty buffers)
+            if not len(rts):
+                return np.zeros(len(lts), dtype="int64")
+            return rts[np.clip(idx, 0, len(rts) - 1)] * valid
+
+        if direction == "backward":
+            bidx = np.searchsorted(rts, lts, side="right") - 1
+            has = bidx >= 0
+            gap = np.where(has, lts - at(bidx, has), 0)
+            fin = lts <= wm
+            use_idx = np.where(has, bidx, -1)
+        elif direction == "forward":
+            fidx = np.searchsorted(rts, lts, side="left")
+            has = fidx < len(rts)
+            cand = at(fidx, has)
+            gap = np.where(has, cand - lts, 0)
+            fin = has & (cand <= wm)
+            if tol_us is not None:
+                fin = fin | (lts + tol_us <= wm)
+            use_idx = np.where(has, fidx, -1)
+        else:  # nearest: smaller gap wins, tie -> backward (pandas)
+            bidx = np.searchsorted(rts, lts, side="right") - 1
+            fidx = np.searchsorted(rts, lts, side="left")
+            has_b = bidx >= 0
+            has_f = fidx < len(rts)
+            BIG = np.int64(np.iinfo("int64").max)
+            bgap = np.where(has_b, lts - at(bidx, has_b), BIG)
+            fgap = np.where(has_f, at(fidx, has_f) - lts, BIG)
+            if tol_us is not None:
+                # pandas rule: tolerance RESTRICTS the candidate set
+                # BEFORE picking the nearest — a within-tolerance far
+                # side beats an out-of-tolerance near side (matches the
+                # batch path's b_ok/f_ok gating, operators/joins.py)
+                has_b = has_b & (bgap <= tol_us)
+                has_f = has_f & (fgap <= tol_us)
+                bgap = np.where(has_b, bgap, BIG)
+                fgap = np.where(has_f, fgap, BIG)
+            use_b = has_b & (~has_f | (bgap <= fgap))
+            has = has_b | has_f
+            gap = np.where(has, np.minimum(bgap, fgap), 0)
+            use_idx = np.where(use_b, bidx, np.where(has_f, fidx, -1))
+            # no future row (stamp > wm, so gap > wm - lts) can beat
+            # the current best once that best is within the horizon
+            fin = (lts <= wm) & has & (gap <= wm - lts)
+            if tol_us is not None:
+                fin = fin | ((lts <= wm) & (lts + tol_us <= wm))
+        if tol_us is not None:
+            oob = gap > tol_us
+        else:
+            oob = np.zeros(len(lts), dtype=bool)
+        matched = (use_idx >= 0) & ~oob & fin
+
+        emit = None
+        if fin.any():
+            order = np.lexsort((np.array(l_seq, dtype="int64")[fin],
+                                lts[fin]))
+            sel = np.flatnonzero(fin)[order]
+            data = {}
+            data[on] = pd.to_datetime(lts[sel], unit="us")
+            for c in l_cols:
+                arr = np.array(l_bufs[c], dtype=object)
+                data[c] = arr[sel]
+            for pi, c in enumerate(payload):
+                vals = np.array([r_bufs[c][r_order[k]] if k >= 0 else None
+                                 for k in use_idx], dtype=object)
+                vals[~matched] = None
+                data[c] = vals[sel]
+            emit = pd.DataFrame(data)
+            for i, k in enumerate(by):
+                emit[k] = key[i]
+            emit = emit[[c for c in out_cols]]
+
+        # shrink buffers: drop finalized lefts; prune rights to the
+        # horizon + one carry row under it
+        keep_l = np.flatnonzero(~fin)
+        l_ts2 = [l_ts[i] for i in keep_l]
+        l_seq2 = [l_seq[i] for i in keep_l]
+        l_bufs2 = {c: [l_bufs[c][i] for i in keep_l] for c in l_cols}
+        thresh = min([wm] + l_ts2) if l_ts2 else wm
+        keep_r, carry = [], None
+        for pos, i in enumerate(r_order):
+            if r_ts[i] >= thresh:
+                keep_r.append(i)
+            else:
+                carry = i  # r_order is (ts, seq)-ascending: last wins
+        if carry is not None:
+            keep_r = [carry] + keep_r
+        r_ts2 = [r_ts[i] for i in keep_r]
+        r_seq2 = [r_seq[i] for i in keep_r]
+        r_bufs2 = {c: [r_bufs[c][i] for i in keep_r] for c in payload}
+
+        if not l_ts2 and not r_ts2:
+            if state.exists:
+                state.remove()
+            if emit is not None and len(emit):
+                yield emit
+            return
+        state.update((
+            int(seq0), l_ts2, l_seq2, r_ts2, r_seq2,
+            *[l_bufs2[c] for c in l_cols],
+            *[r_bufs2[c] for c in payload],
+        ))
+        # event-time timer: wake this key when the watermark passes its
+        # earliest pending DECISION stamp, so lefts finalize even if no
+        # further data arrives for the key. Decision per pending left:
+        # backward — its own stamp; forward/nearest — candidate stamp
+        # (or stamp+gap) and/or the tolerance expiry.
+        if l_ts2:
+            decisions = []
+            lt2 = np.array(l_ts2, dtype="int64")
+            if direction == "backward":
+                decisions.append(int(lt2.min()))
+            else:
+                if tol_us is not None:
+                    decisions.append(int((lt2 + tol_us).min()))
+                rt2 = np.array(sorted(r_ts2), dtype="int64")
+                if direction == "forward":
+                    fi = np.searchsorted(rt2, lt2, side="left")
+                    hf = fi < len(rt2)
+                    if hf.any():
+                        decisions.append(
+                            int(rt2[np.clip(fi[hf], 0, len(rt2) - 1)].min())
+                        )
+                else:  # nearest: wake at stamp + best-known gap
+                    bi = np.searchsorted(rt2, lt2, side="right") - 1
+                    fi = np.searchsorted(rt2, lt2, side="left")
+                    BIG = np.int64(np.iinfo("int64").max // 4)
+                    bg = np.where(bi >= 0, lt2 - rt2[np.clip(bi, 0, max(len(rt2) - 1, 0))], BIG) if len(rt2) else np.full(len(lt2), BIG)
+                    fg = np.where(fi < len(rt2), rt2[np.clip(fi, 0, max(len(rt2) - 1, 0))] - lt2, BIG) if len(rt2) else np.full(len(lt2), BIG)
+                    g = np.minimum(bg, fg)
+                    ok = g < BIG
+                    if ok.any():
+                        decisions.append(int((lt2 + g)[ok].min()))
+            if decisions:
+                # fire strictly after the decision stamp clears the
+                # watermark; must also be > current watermark or Spark
+                # rejects the timestamp
+                fire_ms = max(min(decisions) // 1000 + 1, wm_ms + 1)
+                state.setTimeoutTimestamp(fire_ms)
+        if emit is not None and len(emit):
+            yield emit
+
+    return (
+        u.groupBy(*by)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

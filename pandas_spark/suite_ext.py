@@ -4765,3 +4765,165 @@ def streaming_merge_asof(spark: SparkSession, sf_dir: str) -> SparkDF:
     out = pss.merge_asof_stream(clicks, purchases, on="ts", by=["user_id"])
     pss.run_to_memory(out, "suite_stream_asof", output_mode="append")
     return spark.table("suite_stream_asof")
+
+
+# ---------------------------------------------------------------------------
+# batch 41 (round 9): distributed kendall tau-b — the r8 verdict's last
+# whole-frame gathered kernel replaced by the bucket-tiled exact
+# decomposition (frame._corr_kendall); oracle is the tau-b DEFINITION
+# as a brute-force O(n²) pair self-join on the 100-row supplier table
+# ---------------------------------------------------------------------------
+
+@query(
+    "kendall_corr",
+    oracle="""
+    WITH s AS (
+        SELECT row_number() OVER ()     AS i,
+               s_suppkey::DOUBLE        AS x,
+               s_acctbal::DOUBLE        AS y
+        FROM supplier
+    ),
+    p AS (
+        SELECT sign(a.x - b.x) * sign(a.y - b.y) AS sg,
+               (a.x = b.x)::INT AS ex,
+               (a.y = b.y)::INT AS ey
+        FROM s a JOIN s b ON a.i < b.i
+    ),
+    t AS (
+        SELECT sum(sg) / sqrt((count(*) - sum(ex)) * (count(*) - sum(ey))) AS tau
+        FROM p
+    )
+    SELECT 's_suppkey' AS col1, 's_suppkey' AS col2, 1.0::DOUBLE AS corr
+    UNION ALL
+    SELECT 's_suppkey', 's_acctbal', tau FROM t
+    UNION ALL
+    SELECT 's_acctbal', 's_suppkey', tau FROM t
+    UNION ALL
+    SELECT 's_acctbal', 's_acctbal', 1.0::DOUBLE
+    """,
+)
+def kendall_corr(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """corr(method='kendall'): exact distributed tau-b — quantile-
+    bucket tiles (Knight C−D kernel per tile, integer sums) + a
+    bounded grid receipt for the cross-bucket term; no gathered
+    whole-frame partition (reference frame.py:15791 routes kendall to
+    single-core scipy). Oracle = the tau-b definition, brute-forced
+    over all pairs."""
+    sup = _t(spark, sf_dir, "supplier")
+    return sup.corr(subset=["s_suppkey", "s_acctbal"], method="kendall").to_spark()
+
+
+@query(
+    "streaming_merge_asof_buffered",
+    oracle="""
+    WITH c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-25'),
+         p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.user_id, c.ts, c.event_id, p.value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def streaming_merge_asof_buffered(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The r9 watermark-BUFFERED streaming asof (streaming/core.py
+    _merge_asof_stream_buffered): per-key buffers inside the lateness
+    horizon, Spark's global event-time watermark + event-time timers
+    drive finalization — out-of-order arrival within lateness is
+    handled, unlike the ordered-contract fast path. lateness='0
+    seconds' + a left cutoff below the stream's max stamp makes a
+    bounded run emit every restricted left, so the DuckDB ASOF oracle
+    is exact."""
+    from pandas_spark import streaming as pss
+
+    stream = pss.read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    clicks = stream.where(
+        "event_type = 'click' AND ts < TIMESTAMP '2024-01-25'"
+    ).select("user_id", "ts", "event_id")
+    purchases = stream.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = pss.merge_asof_stream(
+        clicks, purchases, on="ts", by=["user_id"],
+        direction="backward", lateness="0 seconds",
+    )
+    pss.run_to_memory(out, "suite_stream_asof_buf", output_mode="append")
+    return spark.table("suite_stream_asof_buf")
+
+
+@query(
+    "streaming_merge_asof_fwd",
+    oracle="""
+    WITH c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-25'),
+         p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.user_id, c.ts, c.event_id,
+           CASE WHEN p.ts - c.ts <= INTERVAL '1 day' THEN p.value END AS value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def streaming_merge_asof_fwd(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Streaming asof direction='forward' (r8 verdict missing #3): the
+    buffered regime's first-right-at-or-after match; tolerance both
+    nulls far matches and bounds how long a no-candidate left pends
+    (finalizes once ts+tolerance clears the watermark)."""
+    from pandas_spark import streaming as pss
+
+    stream = pss.read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    clicks = stream.where(
+        "event_type = 'click' AND ts < TIMESTAMP '2024-01-25'"
+    ).select("user_id", "ts", "event_id")
+    purchases = stream.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = pss.merge_asof_stream(
+        clicks, purchases, on="ts", by=["user_id"],
+        direction="forward", lateness="0 seconds", tolerance="1 day",
+    )
+    pss.run_to_memory(out, "suite_stream_asof_fwd", output_mode="append")
+    return spark.table("suite_stream_asof_fwd")
+
+
+@query(
+    "streaming_merge_asof_nearest",
+    oracle="""
+    WITH c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-25'),
+         p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         b AS (SELECT c.event_id, p.ts AS bts, p.value AS bv
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.ts >= p.ts),
+         f AS (SELECT c.event_id, p.ts AS fts, p.value AS fv
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT c.user_id, c.ts, c.event_id,
+           CASE WHEN b_ok AND (NOT f_ok OR (c.ts - bts) <= (fts - c.ts))
+                THEN bv
+                WHEN f_ok THEN fv END AS value
+    FROM c
+    JOIN (SELECT event_id, bts, bv,
+                 bts IS NOT NULL AND bts >= c2.ts - INTERVAL '1 day' AS b_ok
+          FROM b JOIN (SELECT event_id, ts FROM c) c2 USING (event_id)) b2
+      USING (event_id)
+    JOIN (SELECT event_id, fts, fv,
+                 fts IS NOT NULL AND fts <= c3.ts + INTERVAL '1 day' AS f_ok
+          FROM f JOIN (SELECT event_id, ts FROM c) c3 USING (event_id)) f2
+      USING (event_id)
+    """,
+)
+def streaming_merge_asof_nearest(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Streaming asof direction='nearest': both bounds buffered, the
+    smaller gap wins (tie -> backward, pandas' rule), tolerance gates
+    each side BEFORE the pick (batch-path parity)."""
+    from pandas_spark import streaming as pss
+
+    stream = pss.read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    clicks = stream.where(
+        "event_type = 'click' AND ts < TIMESTAMP '2024-01-25'"
+    ).select("user_id", "ts", "event_id")
+    purchases = stream.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = pss.merge_asof_stream(
+        clicks, purchases, on="ts", by=["user_id"],
+        direction="nearest", lateness="0 seconds", tolerance="1 day",
+    )
+    pss.run_to_memory(out, "suite_stream_asof_nr", output_mode="append")
+    return spark.table("suite_stream_asof_nr")

@@ -42,7 +42,11 @@ _AGGS = {
 }
 
 _FREQ_SECONDS = {
-    "s": 1, "min": 60, "T": 60, "h": 3600, "H": 3600, "D": 86400, "W": 604800,
+    "s": 1, "sec": 1, "second": 1, "seconds": 1,
+    "min": 60, "T": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "H": 3600, "hour": 3600, "hours": 3600,
+    "D": 86400, "day": 86400, "days": 86400,
+    "W": 604800,
 }
 
 

@@ -1352,6 +1352,57 @@ def test_corr_kendall_matches_taub(spark):
     assert xx == pytest.approx(1.0)
 
 
+def test_corr_kendall_distributed_bitequal_gathered(spark):
+    """The r9 distributed tau-b (bucket tiles + grid receipt,
+    frame._corr_kendall) must be BIT-identical to the single-array
+    Knight kernel — all sums are integers, so any partitioning gives
+    the same numerator/denominator. Heavy ties + NaN + ±inf stress the
+    bucket decomposition's equal-values-share-a-bucket invariant."""
+    from pandas_spark.functions.stats import kendall_tau_np
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    pdf = pd.DataFrame({
+        "x": rng.choice([1.0, 2.0, 2.0, 2.0, 3.0, 7.5, np.nan], size=n),
+        "y": np.round(rng.normal(size=n), 1),
+        "z": rng.normal(size=n),
+    })
+    pdf.loc[rng.integers(0, n, 100), "y"] = np.nan
+    pdf.loc[rng.integers(0, n, 3), "z"] = np.inf
+    f = ps.from_pandas(spark, pdf)
+    got = f.corr(method="kendall").to_pandas()
+    cols = ["x", "y", "z"]
+    for a in cols:
+        for b in cols:
+            g = got[(got.col1 == a) & (got.col2 == b)]["corr"].iloc[0]
+            if a == b:
+                assert g == 1.0, (a, b)
+                continue
+            m = ~(np.isnan(pdf[a].to_numpy()) | np.isnan(pdf[b].to_numpy()))
+            ref = kendall_tau_np(pdf[a].to_numpy()[m], pdf[b].to_numpy()[m])
+            assert g == ref, (a, b, g, ref)  # bit-equal, not approx
+
+
+def test_count_inversions_matches_bruteforce():
+    """The bottom-up merge counter (r9 rewrite) vs O(n²) truth across
+    tie-heavy, ±inf, and tiny inputs."""
+    from pandas_spark.functions.stats import _count_inversions
+
+    def brute(a):
+        if len(a) < 2:
+            return 0
+        iu, ju = np.triu_indices(len(a), 1)
+        return int((a[iu] > a[ju]).sum())
+
+    rng = np.random.default_rng(5)
+    for _ in range(120):
+        n = int(rng.integers(0, 260))
+        a = rng.choice(
+            [1.0, 2.0, 2.0, 3.5, -1.0, np.inf, -np.inf, 7.0], size=n
+        )
+        assert _count_inversions(a) == brute(a)
+
+
 def test_resample_interpolate_matches_pandas(spark):
     """Resampler.interpolate (reference core/resample.py:851): grid =
     bucket-floored min..max, values only at EXACT grid stamps, linear

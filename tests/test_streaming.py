@@ -551,3 +551,184 @@ def test_merge_asof_stream_fuzz_matches_batch(spark, tmp_path_factory, case):
         .to_spark().collect()
     want = {int(r["lid"]): r["v"] for r in want_rows}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 9: watermark-buffered asof — out-of-order arrival within lateness,
+# forward/nearest directions (r8 verdict "missing" #3)
+# ---------------------------------------------------------------------------
+
+# buffered-asof stamps ride on a 2001 base: Spark's event-time watermark
+# starts at 0 = epoch, so epoch-relative second stamps would start BELOW
+# the initial watermark and rows at ts 0 get dropped as late (a test-data
+# artifact, not a semantics one)
+_ASOF_BASE_S = 1_000_000_000
+
+
+def _run_asof_batches(spark, tmp_path, batches, direction, lateness,
+                      tolerance=None, name="t_asof_buf"):
+    """Write each batch list[(side, ts_s, lid_or_v)] as one trigger file,
+    run the buffered asof, return {lid: v} of emitted rows."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    for i, rows in enumerate(batches):
+        pd.DataFrame({
+            "k": [1] * len(rows),
+            "ts": pd.to_datetime([_ASOF_BASE_S + t for _, t, _ in rows], unit="s"),
+            "lid": [x if s == "l" else None for s, _, x in rows],
+            "side": [s for s, _, _ in rows],
+            "v": [x if s == "r" else None for s, _, x in rows],
+        }).to_parquet(src / f"b{i:02d}.parquet", index=False)
+    stream = pss.read_stream_parquet(spark, str(src))
+    lstream = stream.where("side = 'l'").select("k", "ts", "lid")
+    rstream = stream.where("side = 'r'").select("k", "ts", "v")
+    out = pss.merge_asof_stream(
+        lstream, rstream, on="ts", by=["k"],
+        direction=direction, lateness=lateness, tolerance=tolerance,
+    )
+    pss.run_to_memory(out, name, output_mode="append")
+    return {int(r["lid"]): r["v"] for r in spark.table(name).collect()}
+
+
+def test_asof_buffered_late_right_corrects_match(spark, tmp_path):
+    """A right row arriving one batch LATE (but inside lateness) must
+    become the match of a still-pending left — the case the r8
+    ordered-contract path silently got wrong."""
+    got = _run_asof_batches(
+        spark, tmp_path,
+        [
+            [("r", 90, 1.0), ("l", 100, 0), ("l", 200, 1)],   # wm=150: lid0 out
+            [("r", 180, 2.0), ("l", 260, 2)],                  # wm=210: lid1 out
+        ],
+        direction="backward", lateness="50 seconds",
+        name="t_asof_late_r",
+    )
+    # lid1's match is the LATE right@180, not the batch-1 right@90;
+    # lid2 (ts 260 > final wm 210) stays pending — honest watermark
+    assert got == {0: 1.0, 1: 2.0}
+
+
+def test_asof_buffered_forward_late_candidate_wins(spark, tmp_path):
+    """forward: a late-arriving right BETWEEN the left and its current
+    candidate must win (first-at-or-after semantics)."""
+    got = _run_asof_batches(
+        spark, tmp_path,
+        [
+            [("l", 100, 0), ("r", 150, 1.0)],     # cand 150 > wm 100: pending
+            [("r", 120, 2.0), ("r", 300, 9.0)],   # wm=250 >= 120: finalize
+        ],
+        direction="forward", lateness="50 seconds",
+        name="t_asof_fwd_late",
+    )
+    assert got == {0: 2.0}
+
+
+def test_asof_buffered_nearest(spark, tmp_path):
+    got = _run_asof_batches(
+        spark, tmp_path,
+        [
+            [("r", 90, 1.0), ("l", 100, 0), ("r", 105, 2.0)],
+            [("r", 200, 9.0)],   # advances wm to 150 >= gap bound
+        ],
+        direction="nearest", lateness="50 seconds",
+        name="t_asof_nearest",
+    )
+    assert got == {0: 2.0}  # gap 5 (forward) beats gap 10 (backward)
+
+
+def test_asof_buffered_tolerance_nulls_and_finalizes(spark, tmp_path):
+    """tolerance both NULLs far matches and lets no-candidate forward
+    lefts finalize once the window provably closed."""
+    got = _run_asof_batches(
+        spark, tmp_path,
+        [
+            [("l", 100, 0), ("r", 90, 1.0)],      # backward match gap 10
+            [("l", 110, 1), ("r", 300, 9.0)],     # wm=250
+        ],
+        direction="backward", lateness="50 seconds", tolerance="5 seconds",
+        name="t_asof_tol_buf",
+    )
+    # both lefts finalized (<= wm); both matches farther than 5s -> NULL
+    assert got == {0: None, 1: None}
+
+
+@settings(
+    max_examples=int(os.environ.get("STREAM_FUZZ_EXAMPLES", "5")),
+    deadline=None,
+    derandomize="STREAM_FUZZ_EXAMPLES" not in os.environ,
+    suppress_health_check=list(HealthCheck),
+)
+@given(case=_asof_case(), data=st.data())
+def test_asof_buffered_fuzz_out_of_order(spark, tmp_path_factory, case, data):
+    """Random asof inputs arriving OUT OF ORDER — arrival order is
+    stamp + jitter bounded by lateness (so the watermark contract
+    holds), split into random micro-batches. Every emitted row must
+    equal batch merge_asof, and every left at or under the FINAL
+    watermark must have been emitted (backward completeness)."""
+    import pandas as pd
+
+    import pandas_spark as ps
+
+    left, right, cuts, tol = case
+    base = pd.Timedelta(seconds=_ASOF_BASE_S)
+    left = left.assign(ts=left.ts + base)
+    right = right.assign(ts=right.ts + base)
+    LATE = 30  # seconds
+    tmp_path = tmp_path_factory.mktemp("asof_buf_fuzz")
+    src = tmp_path / "src"
+    src.mkdir()
+    both = pd.concat([
+        left.assign(side="l", v=pd.Series(dtype="float64")),
+        right.assign(side="r", lid=pd.Series(dtype="float64")),
+    ], ignore_index=True)[["k", "ts", "lid", "side", "v"]]
+    # arrival key = stamp + jitter in [0, LATE): any prefix's max stamp
+    # is at most jitter ahead, so late rows stay inside the horizon
+    jit = [data.draw(st.integers(0, LATE - 1)) for _ in range(len(both))]
+    both = both.assign(
+        __arr=[t.value // 10**9 + j for t, j in zip(both.ts, jit)]
+    ).sort_values("__arr", kind="stable").drop(columns="__arr")
+    n_b = data.draw(st.integers(1, 4))
+    parts = [both.iloc[i::1] for i in [0]]  # placeholder
+    idx = sorted(data.draw(st.lists(
+        st.integers(1, max(len(both) - 1, 1)),
+        min_size=n_b - 1, max_size=n_b - 1, unique=True,
+    ))) if len(both) > 1 else []
+    bounds = [0] + idx + [len(both)]
+    wrote = 0
+    for i in range(len(bounds) - 1):
+        part = both.iloc[bounds[i]:bounds[i + 1]]
+        if len(part):
+            part.to_parquet(src / f"b{i:02d}.parquet", index=False)
+            wrote += 1
+    if not wrote:
+        return
+    stream = pss.read_stream_parquet(spark, str(src))
+    lstream = stream.where("side = 'l'").select("k", "ts", "lid")
+    rstream = stream.where("side = 'r'").select("k", "ts", "v")
+    out = pss.merge_asof_stream(
+        lstream, rstream, on="ts", by=["k"], tolerance=tol,
+        direction="backward", lateness=f"{LATE} seconds",
+    )
+    name = f"t_asof_bfz_{abs(hash((tuple(cuts), tol, len(both), tuple(jit)))) % 10**9}"
+    pss.run_to_memory(out, name, output_mode="append")
+    got = {int(r["lid"]): r["v"] for r in spark.table(name).collect()}
+
+    bl = ps.from_pandas(spark, left)
+    br = ps.from_pandas(spark, right)
+    want = {
+        int(r["lid"]): r["v"]
+        for r in ps.merge_asof(bl, br, on="ts", by="k", tolerance=tol)
+        .to_spark().collect()
+    }
+    # soundness: everything emitted is the batch answer
+    for lid, v in got.items():
+        assert v == want[lid], (lid, v, want[lid])
+    # completeness: every left STRICTLY under the final watermark
+    # emitted (rows AT the watermark can still be beaten by an
+    # equal-stamp arrival, so they legitimately pend)
+    final_wm = int(both.ts.max().value // 10**9) - LATE
+    for _, row in left.iterrows():
+        if int(row.ts.value // 10**9) < final_wm:
+            assert int(row.lid) in got, (row.lid, final_wm)
