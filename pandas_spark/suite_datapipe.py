@@ -1890,3 +1890,30 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> SparkDF:
     emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     out = kmeans_assign(emb, k=8, iters=2)
     return out.select(["vec_id", "cell"]).to_spark()
+
+
+@query(
+    "multimodal_decode_ppm",
+    oracle="""
+    SELECT doc_id AS id,
+           8                                       AS width,
+           4                                       AS height,
+           (length(text) % 96 + 32)::DOUBLE        AS r_mean
+    FROM documents
+    """,
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """REAL image decode end-to-end (r9): synthesize a valid binary P6
+    PPM per document JVM-side (header + 8x4 pixels of one byte value
+    derived from the text — kept in the single-byte UTF-8 range so
+    encode() is exact), decode it with the pure-numpy PPM codec inside
+    Arrow-batched mapInPandas, and report dims + red-channel mean the
+    oracle derives independently from the construction."""
+    docs = _docs(spark, sf_dir)
+    b = F.pmod(F.length(F.col("text")), F.lit(96)) + F.lit(32)
+    payload = F.concat(
+        F.encode(F.lit("P6\n8 4 255\n"), "utf-8"),
+        F.encode(F.repeat(F.char(b), 8 * 4 * 3), "utf-8"),
+    )
+    framed = DataFrame(docs.spark.withColumn("payload", payload))
+    return multimodal.decode_image_stats(framed, id_col="doc_id").to_spark()

@@ -416,6 +416,36 @@ def test_decode_image_both_paths(monkeypatch):
     assert set(feats) == {"byte_len", "digest", "pseudo_width", "pseudo_height"}
 
 
+def test_decode_ppm_bmp_native(monkeypatch):
+    """r9: BMP/PPM decode is REAL in-container (pure numpy, no Pillow)
+    — round-trips through the writer twins, covers row padding (odd
+    widths), bottom-up storage, P3 ascii, comments, and 16-bit maxval
+    rescale; dispatch by magic bytes beats the Pillow probe."""
+    import numpy as np
+
+    from pandas_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_PIL_Image", None)  # prove no Pillow needed
+    rng = np.random.default_rng(9)
+    for h, w in [(1, 1), (4, 8), (5, 3), (7, 7)]:  # odd widths → padding
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (mm.decode_image(mm.encode_ppm(arr)) == arr).all(), (h, w)
+        assert (mm.decode_image(mm.encode_bmp(arr)) == arr).all(), (h, w)
+    # P3 ascii with comments
+    p3 = b"P3\n# a comment\n2 1\n255\n255 0 0  0 128 64\n"
+    assert (mm.decode_image(p3) == [[[255, 0, 0], [0, 128, 64]]]).all()
+    # 16-bit maxval rescales to 8-bit
+    a16 = (np.array([[[65535, 0, 32768]]], dtype=">u2")).tobytes()
+    p6_16 = b"P6\n1 1\n65535\n" + a16
+    assert (mm.decode_image(p6_16) == [[[255, 0, 128]]]).all()
+    # real features over a native decode
+    feats = mm.real_decode_features(mm.encode_bmp(rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)))
+    assert feats["pseudo_width"] == 5 and feats["pseudo_height"] == 3
+    # unknown formats still raise honestly without Pillow
+    with pytest.raises(NotImplementedError, match="pillow"):
+        mm.decode_image(b"\x89PNG....")
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, frame):
     """read_sql/to_sql against the Derby embedded driver Spark ships
     for its Hive metastore — a real JDBC round-trip (plain read, SELECT
