@@ -1929,10 +1929,10 @@ class DataFrame:
         return DataFrame(self._sdf, order_col=self._order_col, index_cols=())
 
     # -- window conveniences (frame-level; SURVEY §2.5) -----------------------
-    def rolling(self, window, on: str | None = None, by: Sequence[str] | None = None, min_periods: int | None = None, center: bool = False, closed: str | None = None, win_type: str | None = None):
+    def rolling(self, window, on: str | None = None, by: Sequence[str] | None = None, min_periods: int | None = None, center: bool = False, closed: str | None = None, win_type: str | None = None, step: int | None = None, forward: bool = False):
         from pandas_spark.window import Rolling
 
-        return Rolling(self, window, on=on, by=by, min_periods=min_periods, center=center, closed=closed, win_type=win_type)
+        return Rolling(self, window, on=on, by=by, min_periods=min_periods, center=center, closed=closed, win_type=win_type, step=step, forward=forward)
 
     def expanding(self, min_periods: int = 1, on: str | None = None, by: Sequence[str] | None = None):
         from pandas_spark.window import Expanding

@@ -4927,3 +4927,57 @@ def streaming_merge_asof_nearest(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
     pss.run_to_memory(out, "suite_stream_asof_nr", output_mode="append")
     return spark.table("suite_stream_asof_nr")
+
+
+@query(
+    "rolling_step",
+    oracle="""
+    SELECT event_id, m FROM (
+        SELECT event_id,
+               CASE WHEN count(value) OVER w >= 2
+                    THEN avg(value) OVER w END          AS m,
+               row_number() OVER (ORDER BY event_id) - 1 AS pos
+        FROM events
+        WINDOW w AS (ORDER BY event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ) WHERE pos % 5 = 0
+    """,
+)
+def rolling_step(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rolling(step=k): evaluate at every k-th frame position
+    (reference window/rolling.py:158) — r9 reference-test sweep."""
+    ev = _t(spark, sf_dir, "events").select(["event_id", "value"])
+    return (
+        ev.sort_values("event_id")
+        .rolling(4, min_periods=2, step=5)
+        .mean("value", alias="m")
+        .select(["event_id", "m"])
+        .to_spark()
+    )
+
+
+@query(
+    "rolling_forward",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN count(value) OVER w >= 2
+                THEN sum(value) OVER w END AS s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+    """,
+)
+def rolling_forward(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """forward-looking fixed window — pandas
+    FixedForwardWindowIndexer(window_size=n) (reference
+    indexers/objects.py:205) as rolling(forward=True), per user key
+    (keyed → fully parallel; the unkeyed global form is the same
+    positional class as frame cumsum and stays test-only)."""
+    ev = _t(spark, sf_dir, "events").select(["event_id", "user_id", "value"])
+    return (
+        ev.sort_values("event_id")
+        .rolling(4, min_periods=2, forward=True, by=["user_id"])
+        .sum("value", alias="s")
+        .select(["event_id", "s"])
+        .to_spark()
+    )

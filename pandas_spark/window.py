@@ -135,12 +135,28 @@ class Rolling:
         center: bool = False,
         closed: str | None = None,
         win_type: str | None = None,
+        step: int | None = None,
+        forward: bool = False,
     ):
         self._frame = frame
         self._window = window
         self._on = on
         self._by = list(by or [])
         self._center = center
+        # pandas rolling(step=k): evaluate at every k-th FRAME position
+        # (reference window/rolling.py:158 validates step; groupby
+        # rolling rejects it — same here). Positional by definition.
+        if step is not None and (not isinstance(step, int) or step < 1):
+            raise ValueError(f"step must be a positive int, got {step!r}")
+        if step is not None and by:
+            raise NotImplementedError("step= is not supported with by= (pandas parity)")
+        self._step = step
+        # forward=True is the engine spelling of pandas'
+        # FixedForwardWindowIndexer(window_size=n): frame [i, i+n-1]
+        # (reference indexers/objects.py:205). Only fixed int windows.
+        if forward and (not isinstance(window, int) or center or win_type):
+            raise ValueError("forward=True needs a plain fixed int window")
+        self._forward = forward
         if win_type is not None and not isinstance(window, int):
             raise ValueError("win_type requires a fixed int window")
         self._win_type = win_type
@@ -148,6 +164,9 @@ class Rolling:
             raise ValueError(f"closed must be right/left/both/neither, got {closed!r}")
         self._closed = closed or "right"
 
+        # class-level safety for subclasses with their own __init__
+        if not hasattr(self, "_step"):
+            self._step, self._forward = None, False
         if self._closed == "neither" and window == 1:
             # pandas returns all-NaN here (an empty window every row);
             # Spark cannot declare an empty rows frame — fail loudly
@@ -164,7 +183,10 @@ class Rolling:
     def _spec(self, frame: DataFrame):
         if isinstance(self._window, int):
             n = self._window
-            if self._center:
+            if self._forward:
+                # FixedForwardWindowIndexer: [i, i+n-1]
+                lo, hi = 0, n - 1
+            elif self._center:
                 lo, hi = -(n // 2), n - 1 - n // 2
             else:
                 # pandas closed= endpoint rules for fixed windows
@@ -231,7 +253,26 @@ class Rolling:
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(F.col(col)).over(w)
             val = F.when(cnt >= self._min_periods, val)
-        return frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
+        out = frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
+        if self._step:
+            # keep frame positions 0, step, 2·step, … (pandas step=
+            # semantics — positional, so this is a whole-frame ordered
+            # pass, the same documented class as take/iloc)
+            from pandas_spark.dtypes import free_name
+            from pandas_spark.frame import _warn_unkeyed_window
+
+            _warn_unkeyed_window("rolling(step=)")
+            _, order_exprs = out._ordered()
+            pos_tag = free_name(out._sdf.columns, "__pos__")
+            stepped = (
+                out._sdf.withColumn(
+                    pos_tag, F.row_number().over(W.orderBy(*order_exprs)) - 1
+                )
+                .filter((F.col(pos_tag) % self._step) == 0)
+                .drop(pos_tag)
+            )
+            out = out._with(stepped)
+        return out
 
     def weighted_mean(self, col: str, weights, alias: str | None = None):
         """Weighted rolling mean (pandas ``win_type`` windows,

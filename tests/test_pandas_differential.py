@@ -285,6 +285,44 @@ def test_resample_matches_pandas(spark):
     assert list(got["v_count"]) == list(want["count"])
 
 
+def test_rolling_step_matches_pandas(spark):
+    """rolling(step=k) keeps every k-th frame position (reference
+    window/rolling.py:158) — r9 sweep closure."""
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame({"i": range(23), "v": rng.normal(size=23).round(3)})
+    want = pdf["v"].rolling(4, min_periods=2, step=3).mean()
+
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = (
+        f.rolling(4, min_periods=2, step=3)
+        .mean("v", alias="m")
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert list(got["i"]) == list(range(0, 23, 3))
+    assert_col_matches(got, want.reset_index(drop=True), "m")
+
+
+def test_rolling_forward_matches_pandas(spark):
+    """forward=True ≙ pandas FixedForwardWindowIndexer(window_size=n)
+    (reference indexers/objects.py:205)."""
+    from pandas.api.indexers import FixedForwardWindowIndexer
+
+    rng = np.random.default_rng(22)
+    pdf = pd.DataFrame({"i": range(19), "v": rng.normal(size=19).round(3)})
+    idx = FixedForwardWindowIndexer(window_size=4)
+    want = pdf["v"].rolling(idx, min_periods=2).sum()
+
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    got = (
+        f.rolling(4, min_periods=2, forward=True)
+        .sum("v", alias="s")
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert_col_matches(got, want, "s")
+
+
 def test_rolling_median_matches_pandas(spark):
     rng = np.random.default_rng(11)
     pdf = pd.DataFrame(

@@ -59,6 +59,7 @@ SINGLE_PARTITION_OK = {
     "merge_ordered_ffill",
     "mixture_summary",
     "qcut_quartiles",
+    "rolling_step",  # step= is frame-POSITIONAL by definition (r9)
     "take_positions",
     "value_counts_normalize",
 }
