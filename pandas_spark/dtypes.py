@@ -106,6 +106,32 @@ def shield_names(sdf, reserved, prefixes: tuple = ()):
     return sdf.withColumnsRenamed(ren), {v: k for k, v in ren.items()}
 
 
+def safe_map_in_pandas(sdf, fn, schema):
+    """``mapInPandas`` that tolerates dotted/backticked column NAMES:
+    pyspark's own implementation builds the UDF inputs via
+    ``self[col] for col in self.columns``, which parses a dotted name
+    as a struct path (UNRESOLVED_COLUMN) and rejects raw backticks —
+    an upstream limitation, adversarial-name-fuzzer-found. Shield such
+    columns to temps for the call and restore the caller's names on
+    every incoming batch, so the kernel and the (backtick-quoted)
+    declared output schema both see the original names."""
+    hit = [c for c in sdf.columns if "." in c or "`" in c]
+    if not hit:
+        return sdf.mapInPandas(fn, schema)
+    taken = set(sdf.columns)
+    ren = {}
+    for i, c in enumerate(sorted(hit)):
+        t = free_name(taken, f"__usrdot{i}__")
+        taken.add(t)
+        ren[c] = t
+    back = {v: k for k, v in ren.items()}
+
+    def shielded_fn(batches):
+        yield from fn(pdf.rename(columns=back) for pdf in batches)
+
+    return sdf.withColumnsRenamed(ren).mapInPandas(shielded_fn, schema)
+
+
 def collision_renames(cols, reserved, prefixes: tuple = ()) -> dict:
     """The rename map :func:`shield_names` applies — exposed for
     two-sided operators (joins), where shared key columns must rename

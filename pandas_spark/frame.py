@@ -893,15 +893,19 @@ class DataFrame:
             )
             # dedup only removes rows: the input bound still holds
             return self._with(out, rows_max=self._rows_max)
+        from pandas_spark.dtypes import free_name
+
         this, order_exprs = self._ordered(desc=(keep == "last"))
-        part = W.partitionBy(*subset)
+        part = W.partitionBy(*[_fcol(c) for c in subset])
         if keep in ("first", "last"):
             w = part.orderBy(*order_exprs)
-            marked = this._sdf.withColumn("__rn__", F.row_number().over(w))
-            out = marked.filter(F.col("__rn__") == 1).drop("__rn__")
+            rn = free_name(this._sdf.columns, "__rn__")
+            marked = this._sdf.withColumn(rn, F.row_number().over(w))
+            out = marked.filter(F.col(rn) == 1).drop(rn)
         elif keep is False:
-            marked = this._sdf.withColumn("__cnt__", F.count("*").over(part))
-            out = marked.filter(F.col("__cnt__") == 1).drop("__cnt__")
+            cnt = free_name(this._sdf.columns, "__cnt__")
+            marked = this._sdf.withColumn(cnt, F.count("*").over(part))
+            out = marked.filter(F.col(cnt) == 1).drop(cnt)
         else:
             raise ValueError(f"keep must be 'first'|'last'|False|'any', got {keep!r}")
         return this._with(out, rows_max=self._rows_max)
@@ -909,7 +913,7 @@ class DataFrame:
     def duplicated(self, subset: Sequence[str] | None = None, keep: str | bool = "first") -> "DataFrame":
         subset = list(subset) if subset is not None else self.columns
         this, order_exprs = self._ordered(desc=(keep == "last"))
-        part = W.partitionBy(*subset)
+        part = W.partitionBy(*[_fcol(c) for c in subset])
         if keep in ("first", "last"):
             flag = F.row_number().over(part.orderBy(*order_exprs)) > 1
         else:
@@ -2212,7 +2216,9 @@ class DataFrame:
 
     # -- UDF surface (SURVEY §2.11) ---------------------------------------------
     def map_in_pandas(self, fn, schema) -> "DataFrame":
-        return DataFrame(self.spark.mapInPandas(fn, schema))
+        from pandas_spark.dtypes import safe_map_in_pandas
+
+        return DataFrame(safe_map_in_pandas(self.spark, fn, schema))
 
     def pipe(self, fn: Callable, *args, **kwargs):
         return fn(self, *args, **kwargs)

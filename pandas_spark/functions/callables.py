@@ -112,7 +112,9 @@ def row_apply(sdf: SparkDF, fn: Callable, alias: str, dtype: str) -> SparkDF:
             pdf[alias] = pdf.apply(fn, axis=1) if len(pdf) else pd.Series([], dtype="object")
             yield pdf
 
-    return sdf.mapInPandas(gen, schema)
+    from pandas_spark.dtypes import safe_map_in_pandas
+
+    return safe_map_in_pandas(sdf, gen, schema)
 
 
 def window_array_udf(fn: Callable, dtype: str, raw: bool = True):

@@ -899,10 +899,13 @@ def ewm_mean(
             )
         yield pdf
 
-    out = (
+    from pandas_spark.dtypes import safe_map_in_pandas
+
+    out = safe_map_in_pandas(
         sdf.repartition(*keys_eff)
-        .sortWithinPartitions(*[F.col(k) for k in keys_eff], *order_spark)
-        .mapInPandas(fn, schema)
+        .sortWithinPartitions(*[F.col(k) for k in keys_eff], *order_spark),
+        fn,
+        schema,
     )
     from pandas_spark.frame import is_order_col
     drop = [c for c in out.columns if (c == "__g__" or is_order_col(c)) and c not in frame.columns]
@@ -1013,10 +1016,13 @@ def ewm_cov(
         pdf[name] = pd.concat(parts)
         yield pdf
 
-    out = (
+    from pandas_spark.dtypes import safe_map_in_pandas
+
+    out = safe_map_in_pandas(
         sdf.repartition(*keys_eff)
-        .sortWithinPartitions(*[F.col(k) for k in keys_eff], *order_spark)
-        .mapInPandas(fn, schema)
+        .sortWithinPartitions(*[F.col(k) for k in keys_eff], *order_spark),
+        fn,
+        schema,
     )
     from pandas_spark.frame import is_order_col
     drop = [c for c in out.columns if (c == "__g__" or is_order_col(c)) and c not in frame.columns]
