@@ -412,7 +412,11 @@ def merge_asof_stream(
       price of tolerating disorder; size state by lateness, which also
       bounds the buffers. (A forward/nearest left with no candidate
       and no tolerance pends until one arrives — set tolerance to
-      bound it.)
+      bound it.) Rows later than the lateness horizon are dropped by
+      Spark's own watermark filter and COUNTED in the query progress
+      metrics (``lastProgress["stateOperators"][0]
+      ["numRowsDroppedByWatermark"]``) — monitor that counter to size
+      ``lateness`` against the source's real disorder.
 
     ``tolerance`` nulls matches farther than the offset. Positional
     tie rule matches pandas: among equal right stamps backward takes
