@@ -132,7 +132,8 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "BASELINE_ref.json"
         )
         with open(ref_path) as f:
-            ref = json.load(f)["queries"]
+            ref_rec = json.load(f)
+        ref = ref_rec["queries"]
         common = [n for n in timings if n in ref]
         if common:
             ours = sum(timings[n] for n in common)
@@ -141,6 +142,23 @@ def main() -> None:
             out["headline_engine_sec"] = round(ours, 3)
             out["headline_pandas_sec"] = round(theirs, 3)
             out["headline_aggregate_ratio"] = round(ours / theirs, 2)
+            # Calib-normalized ratio (round-9 verdict #1b): the raw
+            # ratio divides THIS run's engine seconds by the ARCHIVED
+            # pandas seconds, so box contention inflates only the
+            # numerator — driver/judge/committed runs read
+            # 2.48/2.68/2.09 on the SAME engine tree in round 9.
+            # Normalize first-order: scale engine seconds by
+            # ref_calib/run_calib (both sides expressed at the box
+            # speed the pandas reference was measured under), THEN
+            # divide. box_calib_ms is the fixed single-thread probe,
+            # so the scale factor is code-independent.
+            ref_calib = ref_rec.get("box_calib_ms")
+            run_calib = out["box_calib_ms"]
+            if ref_calib and run_calib:
+                out["ref_box_calib_ms"] = ref_calib
+                out["headline_aggregate_ratio_calib_normalized"] = round(
+                    (ours * ref_calib / run_calib) / theirs, 2
+                )
     except Exception:
         pass  # a missing/era-skewed ref file must never zero the bench
     if errors:

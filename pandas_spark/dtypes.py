@@ -55,6 +55,31 @@ def qi(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def fcol(name: str):
+    """``F.col`` for a LITERAL pandas label (THE shared builder —
+    frame._fcol aliases this): names containing dots or backticks
+    quote through qi() so Spark's analyzer reads one attribute
+    instead of a struct path / syntax error. Clean names skip the
+    quoting — the quoted form is equivalent but this keeps plan
+    strings readable."""
+    from pyspark.sql import functions as _F
+
+    if "." in name or "`" in name:
+        return _F.col(qi(name))
+    return _F.col(name)
+
+
+def dfitem(sdf, name: str):
+    """``sdf[name]`` for a LITERAL pandas label: pyspark's
+    ``__getitem__`` feeds the string to the same attribute parser as
+    ``F.col`` (dots → struct path, stray backticks → syntax error),
+    but the QUOTED form resolves the literal name AND keeps the
+    dataframe-instance binding joins need for disambiguation."""
+    if "." in name or "`" in name:
+        return sdf[qi(name)]
+    return sdf[name]
+
+
 def free_name(taken, stem: str, prefix: bool = False) -> str:
     """THE shared collision-free internal-tag factory (round-8 verdict
     #2 / advisor finding): grow a leading underscore until ``stem``

@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import Any, Mapping
 
 from pyspark.sql import Column
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 
 def _unwrap(v: Any) -> Any:
@@ -226,14 +226,14 @@ def _lit_col(v: Any) -> Column:
 def col(name: str) -> Expr:
     """Deferred reference to a column (pandas ``pd.col``, core/col.py:370).
 
-    The name is a LITERAL pandas label, never a struct path — so quote
-    it through the shared qi() when it contains a backtick, which
-    ``F.col``'s attribute-name parser would otherwise reject
-    (INVALID_ATTRIBUTE_NAME_SYNTAX). Dotted names resolve correctly
-    unquoted (Spark's analyzer prefers an exact column-name match over
-    nested-field access), and quoting them here would instead BREAK
-    callers that pass genuine struct paths through pd.col."""
-    if "`" in name:
+    The name is a LITERAL pandas label, never a struct path — so names
+    containing dots or backticks quote through the shared qi(), the
+    same rule as the internal _fcol paths: Spark parses an unquoted
+    ``F.col("price.usd")`` as struct-field access and raises
+    UNRESOLVED_COLUMN (r9 ADVICE — verified live; the analyzer does
+    NOT prefer an exact column-name match). Callers with genuine
+    struct paths drop to raw ``F.col``/``F.col(...).getField``."""
+    if "." in name or "`" in name:
         from pandas_spark.dtypes import qi
 
         return Expr(F.col(qi(name)))

@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Any, Callable, Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame as SparkDF, Window as W
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.expr import Expr, _lit_col, _unwrap
 from pandas_spark.dtypes import to_spark_type
@@ -95,18 +95,10 @@ def _warn_unkeyed_window(op: str) -> None:
     )
 
 
-def _fcol(name: str) -> Column:
-    """``F.col`` for a LITERAL pandas label: names containing dots or
-    backticks go through the shared qi() quoter so Spark's analyzer
-    reads one attribute instead of a struct path (a user column named
-    ``price.usd`` fed to sort/dedup raised UNRESOLVED_COLUMN,
-    adversarial-name battery). Clean names skip the quoting — the
-    quoted form is equivalent but this keeps plan strings readable."""
-    if "." in name or "`" in name:
-        from pandas_spark.dtypes import qi
-
-        return F.col(qi(name))
-    return F.col(name)
+# THE shared literal-label column builder (dtypes.fcol): quotes dots
+# and backticks via qi() so sort/dedup/groupby/... resolve a user
+# column named ``price.usd`` or ``a`b`` as one attribute.
+from pandas_spark.dtypes import fcol as _fcol  # noqa: E402
 
 
 def _cond(c) -> Column:
@@ -1319,49 +1311,127 @@ class DataFrame:
                 1.0 if (diag[f"n{i}"] >= 2 and diag[f"d{i}"] >= 2) else float("nan")
             )
 
-        def tile_a(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            # per-x-bucket: local C−D + global x-ties + n, PLUS this
-            # tile's per-y-bucket histogram (the grid receipt rides
-            # the same pass — no third job)
-            cd, tx, _, n = kendall_cd_np(
-                pdf["x"].to_numpy(), pdf["y"].to_numpy()
-            )
-            xb = int(pdf["xb"].iloc[0])
-            rows = [("cd", xb, 0, cd), ("tx", xb, 0, tx), ("n", xb, 0, n)]
-            hist = pdf.groupby("yb").size()
-            rows += [("g", xb, int(b), int(v)) for b, v in hist.items()]
-            return pd.DataFrame(rows, columns=["kind", "xb", "yb", "val"])
+        # ONE pass per x-column covering ALL its partners, plus one
+        # pass per y-column (round-9 verdict #6: the per-pair version
+        # launched two sequential jobs per pair — O(k²) jobs on a
+        # k-column frame). Receipts are the same per-pair integer
+        # sums (pairwise-complete masking moves INTO the kernel, the
+        # tile sets are identical), so τ is bit-identical; job count
+        # is now 2(k−1) + the batched diag.
 
-        def tile_b(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            cd, _, ty, _ = kendall_cd_np(
-                pdf["xb"].to_numpy(dtype=float), pdf["y"].to_numpy()
+        def tile_a_multi(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # per-x-bucket, per partner j: local C−D + x-ties + n over
+            # the PAIRWISE-COMPLETE rows (y_j non-null — the same rows
+            # the per-pair filter selected), plus the per-y-bucket
+            # histogram (grid receipt rides the same pass)
+            xb = int(pdf["xb"].iloc[0])
+            x = pdf["x"].to_numpy()
+            rows = []
+            for jc in pdf.columns:
+                if not jc.startswith("y") or jc.startswith("yb"):
+                    continue
+                j = int(jc[1:])
+                mask = pdf[jc].notna().to_numpy()
+                if not mask.any():
+                    continue
+                cd, tx, _, n = kendall_cd_np(
+                    x[mask], pdf[jc].to_numpy()[mask]
+                )
+                rows += [("cd", j, xb, 0, cd), ("tx", j, xb, 0, tx),
+                         ("n", j, xb, 0, n)]
+                hist = pdf.loc[mask].groupby(f"yb{j}").size()
+                rows += [("g", j, xb, int(b), int(v)) for b, v in hist.items()]
+            out = pd.DataFrame(rows, columns=["kind", "j", "xb", "yb", "val"])
+            if not rows:  # all partners fully masked in this tile
+                out = out.astype({"kind": "object", "j": "int64",
+                                  "xb": "int64", "yb": "int64", "val": "int64"})
+            return out
+
+        def tile_b_multi(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            y = pdf["y"].to_numpy()
+            rows = []
+            for jc in pdf.columns:
+                if not jc.startswith("xb") or jc == "xb_self":
+                    continue
+                j = int(jc[2:])
+                mask = pdf[jc].notna().to_numpy()
+                if not mask.any():
+                    continue
+                cd, _, ty, _ = kendall_cd_np(
+                    pdf[jc].to_numpy(dtype=float)[mask], y[mask]
+                )
+                rows.append((j, cd, ty))
+            out = pd.DataFrame(rows, columns=["j", "cd", "ty"])
+            if not rows:
+                out = out.astype({"j": "int64", "cd": "int64", "ty": "int64"})
+            return out
+
+        acc: dict = {}  # (a, b) -> dict of receipt sums
+        for i, a in enumerate(cols):
+            partners = cols[i + 1:]
+            if not partners:
+                continue
+            sel = [
+                _bucket(a, ref=_fcol(a)).alias("xb"),
+                _fcol(a).cast("double").alias("x"),
+            ]
+            for j, b in enumerate(partners):
+                sel.append(
+                    F.when(_valid(b), _fcol(b).cast("double")).alias(f"y{j}")
+                )
+                sel.append(
+                    F.when(_valid(b), _bucket(b, ref=_fcol(b))).alias(f"yb{j}")
+                )
+            parts = (
+                sdf.where(_valid(a))
+                .select(*sel)
+                .groupBy("xb")
+                .applyInPandas(
+                    tile_a_multi, "kind string, j int, xb int, yb int, val long"
+                )
+                .collect()
             )
-            return pd.DataFrame({"cd": [cd], "ty": [ty]})
+            for j, b in enumerate(partners):
+                mine = [r for r in parts if r["j"] == j]
+                acc[(a, b)] = {
+                    "cd_a": sum(r["val"] for r in mine if r["kind"] == "cd"),
+                    "n1": sum(r["val"] for r in mine if r["kind"] == "tx"),
+                    "n": sum(r["val"] for r in mine if r["kind"] == "n"),
+                    "grid_rows": [r for r in mine if r["kind"] == "g"],
+                }
+        for jdx, b in enumerate(cols):
+            partners = cols[:jdx]
+            if not partners:
+                continue
+            sel = [
+                _bucket(b, ref=_fcol(b)).alias("yb_self"),
+                _fcol(b).cast("double").alias("y"),
+            ]
+            for j, a in enumerate(partners):
+                sel.append(
+                    F.when(_valid(a), _bucket(a, ref=_fcol(a))).alias(f"xb{j}")
+                )
+            rb_rows = (
+                sdf.where(_valid(b))
+                .select(*sel)
+                .groupBy("yb_self")
+                .applyInPandas(tile_b_multi, "j int, cd long, ty long")
+                .groupBy("j")
+                .agg(F.sum("cd").alias("cd"), F.sum("ty").alias("ty"))
+                .collect()
+            )
+            by_j = {int(r["j"]): r for r in rb_rows}
+            for j, a in enumerate(partners):
+                r = by_j.get(j)
+                acc[(a, b)]["cd_b"] = int(r["cd"] or 0) if r is not None else 0
+                acc[(a, b)]["n2"] = int(r["ty"] or 0) if r is not None else 0
 
         for i, a in enumerate(cols):
             for b in cols[i + 1:]:
-                pair = sdf.where(_valid(a) & _valid(b)).select(
-                    _bucket(a, ref=_fcol(a)).alias("xb"),
-                    _bucket(b, ref=_fcol(b)).alias("yb"),
-                    _fcol(a).cast("double").alias("x"),
-                    _fcol(b).cast("double").alias("y"),
-                )
-                parts = (
-                    pair.groupBy("xb")
-                    .applyInPandas(tile_a, "kind string, xb int, yb int, val long")
-                    .collect()
-                )
-                rb = (
-                    pair.groupBy("yb")
-                    .applyInPandas(tile_b, "cd long, ty long")
-                    .agg(F.sum("cd").alias("cd"), F.sum("ty").alias("ty"))
-                    .collect()[0]
-                )
-                cd_a = sum(r["val"] for r in parts if r["kind"] == "cd")
-                n1 = sum(r["val"] for r in parts if r["kind"] == "tx")
-                n = sum(r["val"] for r in parts if r["kind"] == "n")
-                cd_b = int(rb["cd"] or 0)
-                n2 = int(rb["ty"] or 0)
+                rec = acc[(a, b)]
+                cd_a, n1, n = rec["cd_a"], rec["n1"], rec["n"]
+                cd_b, n2 = rec.get("cd_b", 0), rec.get("n2", 0)
+                parts = rec["grid_rows"]
                 # grid term: iterate x-buckets ascending, keeping the
                 # cumulative per-y-bucket counts of all LOWER x-buckets
                 grid: dict[int, dict[int, int]] = {}
@@ -2282,17 +2352,24 @@ class DataFrame:
         return self._with(self._sdf.withColumn(alias or col, u(F.col(col))))
 
     # -- actions ------------------------------------------------------------
+    # Every action routes through to_spark() so the exec-mode tuner
+    # sees THIS plan (r9 ADVICE: collect/to_pandas/show consumed via
+    # .spark without re-tuning, so a large query run after a
+    # small-plan to_spark() executed under small-mode settings).
     def collect(self):
-        return self.spark.collect()
+        return self.to_spark().collect()
 
     def to_pandas(self):
-        return self.spark.toPandas()
+        return self.to_spark().toPandas()
 
     def count(self) -> int:
+        from pandas_spark.session import tune_for_plan
+
+        tune_for_plan(self._sdf)
         return self._sdf.count()
 
     def show(self, n: int = 20, truncate: bool = True) -> None:
-        self.spark.show(n, truncate)
+        self.to_spark().show(n, truncate)
 
     def explain(self, mode: str = "formatted") -> None:
         self._sdf.explain(mode)
@@ -2332,6 +2409,9 @@ class DataFrame:
         sdf = self._drop_internal(self._sdf)
         if sort_by:
             sdf = sdf.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
+        from pandas_spark.session import tune_for_plan
+
+        tune_for_plan(sdf)
         w = sdf.write.mode(mode)
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", int(max_records_per_file))
@@ -2342,13 +2422,13 @@ class DataFrame:
         w.parquet(path)
 
     def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
-        self.spark.write.mode(mode).option("header", header).csv(path)
+        self.to_spark().write.mode(mode).option("header", header).csv(path)
 
     def to_json(self, path: str, mode: str = "overwrite") -> None:
-        self.spark.write.mode(mode).json(path)
+        self.to_spark().write.mode(mode).json(path)
 
     def to_orc(self, path: str, mode: str = "overwrite") -> None:
-        self.spark.write.mode(mode).orc(path)
+        self.to_spark().write.mode(mode).orc(path)
 
     def createOrReplaceTempView(self, name: str) -> None:
         self.spark.createOrReplaceTempView(name)

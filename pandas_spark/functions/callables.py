@@ -35,7 +35,7 @@ from typing import Any, Callable
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame as SparkDF
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.dtypes import to_spark_type
 

@@ -12,7 +12,7 @@ divergence, SURVEY.md §1.3).
 from __future__ import annotations
 
 from pyspark.sql import Column, SparkSession
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 
 class DatetimeMethods:

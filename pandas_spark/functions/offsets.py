@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame as SparkDF, SparkSession, Window as W
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.frame import DataFrame
 

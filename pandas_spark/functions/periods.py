@@ -35,7 +35,7 @@ tests, tests/test_periods.py):
 from __future__ import annotations
 
 from pyspark.sql import Column, SparkSession
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 def _epoch() -> Column:
     # built lazily: constructing a Column literal needs an active session

@@ -13,7 +13,7 @@ built-in aggregates — they stay inside Tungsten hash aggregation
 from __future__ import annotations
 
 from pyspark.sql import Column
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 # Order-independent summation for double aggregates. Summing doubles
 # is order-dependent (partial aggregation merges in shuffle arrival

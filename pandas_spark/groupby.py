@@ -20,8 +20,10 @@ from __future__ import annotations
 from typing import Any, Callable, Mapping, Sequence
 
 from pyspark.sql import Column, Window as W
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
+from pandas_spark.dtypes import fcol as _fcol
+from pandas_spark.dtypes import qi
 from pandas_spark.expr import Expr
 from pandas_spark.functions import stats
 
@@ -207,15 +209,29 @@ class GroupBy:
         return resolve_agg(func, col, self._dt(col), self._frame._bounds)
 
     # -- plumbing -----------------------------------------------------------
+    def _kcols(self) -> list[Column]:
+        """Group keys as Columns via the shared literal-label builder
+        (quotes dots/backticks) — pyspark's STRING-name APIs
+        (groupBy/partitionBy/na.drop) parse attribute paths and
+        reject/misread adversarial labels."""
+        return [_fcol(k) for k in self._keys]
+
+    def _drop_null_keys(self, sdf):
+        """na.drop(subset=keys) twin that survives adversarial names."""
+        cond = F.lit(True)
+        for k in self._keys:
+            cond = cond & _fcol(k).isNotNull()
+        return sdf.filter(cond)
+
     def _source(self):
         sdf = self._frame._sdf
         if self._dropna:
             # pandas drops NA group keys by default (frame.py:12936 dropna=)
-            sdf = sdf.na.drop(subset=self._keys)
+            sdf = self._drop_null_keys(sdf)
         return sdf
 
     def _grouped(self):
-        return self._source().groupBy(*self._keys)
+        return self._source().groupBy(*self._kcols())
 
     def _value_cols(self, numeric_only: bool = False) -> list[str]:
         num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
@@ -396,7 +412,7 @@ class GroupBy:
         if order_by or (spec and all(a and p == "last" for _, a, p in spec)):
             sdf = self._frame._sdf
             if self._dropna:
-                sdf = sdf.na.drop(subset=self._keys)
+                sdf = self._drop_null_keys(sdf)
             cols = [c for c in self._frame.columns]
             if order_by:
                 keyparts = [
@@ -426,7 +442,7 @@ class GroupBy:
             payload = F.struct(*[F.col(c) for c in cols])
             pick = F.max_by(payload, ord_key) if desc else F.min_by(payload, ord_key)
             out = (
-                sdf.groupBy(*[F.col(k) for k in self._keys])
+                sdf.groupBy(*self._kcols())
                 .agg(pick.alias("__p__"))
                 .select("__p__.*")
             )
@@ -434,8 +450,8 @@ class GroupBy:
         frame, order_exprs = self._frame._ordered(desc=desc)
         sdf = frame._sdf
         if self._dropna:
-            sdf = sdf.na.drop(subset=self._keys)
-        w = W.partitionBy(*self._keys).orderBy(*order_exprs)
+            sdf = self._drop_null_keys(sdf)
+        w = W.partitionBy(*self._kcols()).orderBy(*order_exprs)
         out = (
             sdf.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1)
@@ -453,8 +469,8 @@ class GroupBy:
             frame, order_exprs = self._frame._ordered()
         sdf = frame._sdf
         if self._dropna:
-            sdf = sdf.na.drop(subset=self._keys)
-        w = W.partitionBy(*self._keys).orderBy(*order_exprs)
+            sdf = self._drop_null_keys(sdf)
+        w = W.partitionBy(*self._kcols()).orderBy(*order_exprs)
         out = (
             sdf.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == n + 1)
@@ -466,7 +482,7 @@ class GroupBy:
         return self._result(out.drop(*internal) if internal else out)
 
     def ohlc(self, col: str, order_by: str):
-        w = W.partitionBy(*self._keys).orderBy(order_by)
+        w = W.partitionBy(*self._kcols()).orderBy(order_by)
         sdf = (
             self._source()
             .withColumn("__open__", F.first(col).over(w))
@@ -476,7 +492,7 @@ class GroupBy:
             )
         )
         return self._result(
-            sdf.groupBy(*self._keys).agg(
+            sdf.groupBy(*self._kcols()).agg(
                 F.first("__open__").alias("open"),
                 F.max(col).alias("high"),
                 F.min(col).alias("low"),
@@ -488,12 +504,12 @@ class GroupBy:
         cols = list(subset)
         out = self._grouped_with(cols).agg(F.count("*").alias("count"))
         if normalize:
-            w = W.partitionBy(*self._keys)
+            w = W.partitionBy(*self._kcols())
             out = out.withColumn("proportion", F.col("count") / F.sum("count").over(w)).drop("count")
         return self._result(out)
 
     def _grouped_with(self, extra: list[str]):
-        return self._source().groupBy(*self._keys, *extra)
+        return self._source().groupBy(*self._kcols(), *[_fcol(c) for c in extra])
 
     def describe(self, col: str):
         c = F.col(col)
@@ -523,15 +539,15 @@ class GroupBy:
             sdf = self._source().filter(F.col(x).isNotNull() & F.col(y).isNotNull())
             ranked = {}
             for c in (x, y):
-                w = W.partitionBy(*self._keys).orderBy(F.col(c).asc())
-                ties = F.count(F.lit(1)).over(W.partitionBy(*self._keys, F.col(c)))
+                w = W.partitionBy(*self._kcols()).orderBy(F.col(c).asc())
+                ties = F.count(F.lit(1)).over(W.partitionBy(*self._kcols(), _fcol(c)))
                 ranked[c] = (
                     F.rank().over(w).cast("double") + (ties.cast("double") - 1.0) / 2.0
                 )
             sdf = sdf.select(
                 *self._keys, ranked[x].alias("__rx__"), ranked[y].alias("__ry__")
             )
-            out = sdf.groupBy(*self._keys).agg(
+            out = sdf.groupBy(*self._kcols()).agg(
                 stats.exact_corr("__rx__", "__ry__").alias("corr")
             )
             return self._result(out)
@@ -545,7 +561,7 @@ class GroupBy:
             src = self._source().select(*self._keys, x, y)
             dt = dict(src.dtypes)
             schema = ", ".join(
-                [f"`{k}` {dt[k]}" for k in self._keys] + ["`corr` double"]
+                [f"{qi(k)} {dt[k]}" for k in self._keys] + ["`corr` double"]
             )
             keys = list(self._keys)
 
@@ -566,7 +582,7 @@ class GroupBy:
 
     # -- window-compiled transforms (no join-back; SURVEY §2.4 transform) -------
     def _part(self) -> W:
-        return W.partitionBy(*self._keys)
+        return W.partitionBy(*self._kcols())
 
     def _ordered_part(self, order_by: str | None = None):
         if order_by:
@@ -574,11 +590,11 @@ class GroupBy:
             # sort_values whose default puts NaN last; plain .asc() is
             # NULLS FIRST and flipped head()/cum* on outer-join residue
             # rows (fuzzer-found)
-            return self._frame, W.partitionBy(*self._keys).orderBy(
+            return self._frame, W.partitionBy(*self._kcols()).orderBy(
                 F.col(order_by).asc_nulls_last()
             )
         frame, order_exprs = self._frame._ordered()
-        return frame, W.partitionBy(*self._keys).orderBy(*order_exprs)
+        return frame, W.partitionBy(*self._kcols()).orderBy(*order_exprs)
 
     def _keys_nonnull(self):
         """All-group-keys-non-null predicate, or None when dropna=False.
@@ -635,7 +651,7 @@ class GroupBy:
         frame = self._frame if sort_spec else self._frame._ensure_order()
         sdf = frame._sdf
         if self._dropna:
-            sdf = sdf.na.drop(subset=self._keys)
+            sdf = self._drop_null_keys(sdf)
         schema_fields = [
             f for f in sdf.schema.fields if f.name != name
         ]
@@ -705,7 +721,7 @@ class GroupBy:
     def ngroup(self, alias: str = "ngroup"):
         # nulls_last so NULL-key groups (masked to NULL under dropna)
         # never shift the numbering of real groups, matching pandas
-        w = W.orderBy(*[F.col(k).asc_nulls_last() for k in self._keys])
+        w = W.orderBy(*[_fcol(k).asc_nulls_last() for k in self._keys])
         val = self._mask_dropped(F.dense_rank().over(w) - 1)
         return self._frame._with(self._frame._sdf.withColumn(alias, val))
 
@@ -786,8 +802,8 @@ class GroupBy:
         and the rank expression itself is NULL for null values.
         """
         order = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
-        w = W.partitionBy(*self._keys).orderBy(order)
-        part = W.partitionBy(*self._keys, col)
+        w = W.partitionBy(*self._kcols()).orderBy(order)
+        part = W.partitionBy(*self._kcols(), _fcol(col))
         if method == "min":
             r = F.rank().over(w).cast("double")
         elif method == "dense":
@@ -802,7 +818,7 @@ class GroupBy:
         else:
             raise ValueError(f"unknown rank method {method!r}")
         if pct:
-            n = F.count(col).over(W.partitionBy(*self._keys))
+            n = F.count(col).over(W.partitionBy(*self._kcols()))
             r = r / n
         name = alias or f"{col}_rank"
         r = self._mask_dropped(F.when(F.col(col).isNotNull(), r))
@@ -856,7 +872,7 @@ class GroupBy:
             _, fwd_pairs = this._order_pairs(False)
             sel_tie = [_sort_key(F.when(~missing, c), a, p) for c, a, p in rev_pairs]
             pad_tie = [_sort_key(F.when(missing, c), a, p) for c, a, p in fwd_pairs]
-            w = W.partitionBy(*self._keys).orderBy(
+            w = W.partitionBy(*self._kcols()).orderBy(
                 missing.asc(), key, *sel_tie, *pad_tie
             )
             out = (
@@ -868,9 +884,9 @@ class GroupBy:
             return this._with(out)
         if keep != "all":
             raise ValueError(f"keep must be 'first', 'last' or 'all', got {keep!r}")
-        w = W.partitionBy(*self._keys).orderBy(missing.asc(), key)
+        w = W.partitionBy(*self._kcols()).orderBy(missing.asc(), key)
         nonnull = F.sum(F.when(~missing, F.lit(1)).otherwise(F.lit(0))).over(
-            W.partitionBy(*self._keys)
+            W.partitionBy(*self._kcols())
         )
         out = (
             self._filter_dropped(frame._sdf)
@@ -919,7 +935,7 @@ class GroupBy:
                 ) / F.lit(float(1 << 60))
                 wcol = F.col(weights).cast("double")
                 key = F.log(u) / wcol
-                w = W.partitionBy(*self._keys).orderBy(key.desc(), F.col(id_col).asc())
+                w = W.partitionBy(*self._kcols()).orderBy(key.desc(), F.col(id_col).asc())
                 out = (
                     self._filter_dropped(self._frame._sdf)
                     .filter(wcol.isNotNull() & (wcol > 0))
@@ -929,7 +945,7 @@ class GroupBy:
                 )
                 return self._frame._with(out)
             if n is not None:
-                w = W.partitionBy(*self._keys).orderBy(h.asc(), F.col(id_col).asc())
+                w = W.partitionBy(*self._kcols()).orderBy(h.asc(), F.col(id_col).asc())
                 out = (
                     self._filter_dropped(self._frame._sdf)
                     .withColumn("__rn__", F.row_number().over(w))
@@ -957,7 +973,7 @@ class GroupBy:
         # partition-seeded RNG stream, so it is run-reproducible only
         # under a fixed partitioning; pass id_col for the cross-engine
         # deterministic path.
-        part = W.partitionBy(*self._keys)
+        part = W.partitionBy(*self._kcols())
         w = part.orderBy(F.rand(seed if seed is not None else 0).asc())
         cap = (
             F.lit(n)
@@ -983,7 +999,7 @@ class GroupBy:
             frame, order_exprs = self._frame, [F.col(order_by).desc_nulls_first()]
         else:
             frame, order_exprs = self._frame._ordered(desc=True)
-        w = W.partitionBy(*self._keys).orderBy(*order_exprs)
+        w = W.partitionBy(*self._kcols()).orderBy(*order_exprs)
         out = (
             self._filter_dropped(frame._sdf).withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= n)

@@ -29,7 +29,7 @@ from typing import Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame as SparkDF
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.frame import DataFrame
 

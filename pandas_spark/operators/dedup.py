@@ -23,7 +23,7 @@ import warnings
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame as SparkDF, Window as W
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 from pyspark.sql import types as T
 
 from pandas_spark.frame import DataFrame

@@ -19,7 +19,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame as SparkDF
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.frame import DataFrame
 
@@ -338,3 +338,54 @@ def key_distribution(
             )
         )
     return DataFrame(counts.agg(*aggs))
+
+
+def streaming_state_report(query) -> dict:
+    """One-batch snapshot of a StreamingQuery's stateful-operator
+    health: total state rows, rows dropped as too-late by Spark's
+    watermark filter, and per-operator detail (round-9 verdict #5 —
+    the buffered merge_asof docstring pointed readers at lastProgress;
+    this is the helper).
+
+    For the watermark-buffered asof (streaming/core.py), state rows ≈
+    input rate x lateness horizon per key: a growing ``state_rows``
+    across batches at steady rate means the horizon (or a stuck
+    watermark — e.g. an idle source) is holding rows; a nonzero
+    ``rows_dropped_by_watermark`` means events arrived later than the
+    declared ``lateness=`` and were EXCLUDED from results — widen the
+    horizon if those rows matter.
+    """
+    p = query.lastProgress or {}
+    return _progress_state(p)
+
+
+def _progress_state(p: dict) -> dict:
+    ops = p.get("stateOperators") or []
+    return {
+        "batch_id": p.get("batchId"),
+        "state_rows": sum(int(o.get("numRowsTotal") or 0) for o in ops),
+        "rows_dropped_by_watermark": sum(
+            int(o.get("numRowsDroppedByWatermark") or 0) for o in ops
+        ),
+        "state_bytes": sum(int(o.get("memoryUsedBytes") or 0) for o in ops),
+        "operators": [
+            {
+                "name": o.get("operatorName"),
+                "rows": int(o.get("numRowsTotal") or 0),
+                "updated": int(o.get("numRowsUpdated") or 0),
+                "removed": int(o.get("numRowsRemoved") or 0),
+                "dropped_by_watermark": int(
+                    o.get("numRowsDroppedByWatermark") or 0
+                ),
+            }
+            for o in ops
+        ],
+    }
+
+
+def streaming_state_history(query) -> list[dict]:
+    """Per-batch state snapshots over the query's retained progress
+    window (``recentProgress``, newest last) — the soak-test view:
+    assert ``max(state_rows)`` stays bounded while batches keep
+    arriving."""
+    return [_progress_state(p) for p in (query.recentProgress or [])]

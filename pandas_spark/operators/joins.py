@@ -21,7 +21,7 @@ import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame as SparkDF, Window as W
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.dtypes import ordinal_seconds
 from pandas_spark.frame import DataFrame, ORDER_COL
@@ -48,6 +48,7 @@ def _aslist(v) -> list[str]:
 
 
 from pandas_spark.dtypes import qi as _qi  # shared SQL identifier quoter
+from pandas_spark.dtypes import dfitem as _it  # literal-label sdf[name]
 
 
 _L_ORD, _R_ORD = "__mlord", "__mrord"
@@ -376,10 +377,10 @@ def _disambiguate_and_join(
             # row-identical to pandas' NULL-matches-NULL `<=>` here,
             # and lets Catalyst push IsNotNull into both scans and
             # skip the null-safe key wrapping in the hash join.
-            term = lsdf2[lc] == rtag[rk_tag + rc]
+            term = _it(lsdf2, lc) == _it(rtag, rk_tag + rc)
         else:
             # null-safe equality: pandas matches NULL keys (merge.py:177)
-            term = lsdf2[lc].eqNullSafe(rtag[rk_tag + rc])
+            term = _it(lsdf2, lc).eqNullSafe(_it(rtag, rk_tag + rc))
         cond = term if cond is None else (cond & term)
 
     if broadcast == "right":
@@ -389,6 +390,19 @@ def _disambiguate_and_join(
 
     if how == "cross":
         joined = lsdf2.crossJoin(rtag)
+    elif (
+        how == "left" and broadcast == "left" and lk2
+        and r_rows_max is not None and r_rows_max <= 1_000_000
+    ):
+        # broadcast='left' with a footer-PROVEN small right: the
+        # rewrite below exists for the huge-fact case; here the right
+        # itself fits a broadcast (BuildRight IS legal for LeftOuter),
+        # so ONE plain join — no distinct, no anti, no union, half the
+        # job count on the floor-bound path (r10, verdict #2/#1c).
+        # Catalyst picks broadcast-right on its own from the leaf
+        # stats; at 100 TB rows_max is absent/huge and the rewrite
+        # keeps the fact streaming.
+        joined = lsdf2.join(rtag, cond, "left")
     elif how == "left" and broadcast == "left" and lk2:
         # Spark cannot broadcast the PRESERVED side of an outer join
         # (BroadcastHashJoin LeftOuter only supports BuildRight), so a
@@ -415,7 +429,7 @@ def _disambiguate_and_join(
             rkeys = rkeys.distinct()
         acond = None
         for lc, rc in zip(lk2, rk2):
-            term = lsdf2[lc].eqNullSafe(rkeys[rk_tag + rc])
+            term = _it(lsdf2, lc).eqNullSafe(_it(rkeys, rk_tag + rc))
             acond = term if acond is None else (acond & term)
         anti = lsdf2.join(F.broadcast(rkeys), acond, "left_anti")
         # one selectExpr adds every right column as a typed NULL (the
@@ -532,7 +546,7 @@ def _asof_broadcast(
         g2 = grouped.withColumnsRenamed({k: "__rby_" + k for k in by_keys})
         cond = None
         for k in by_keys:
-            t = lsdf[k].eqNullSafe(g2["__rby_" + k])
+            t = _it(lsdf, k).eqNullSafe(_it(g2, "__rby_" + k))
             cond = t if cond is None else (cond & t)
         joined = lsdf.join(F.broadcast(g2), cond, "left").drop(
             *["__rby_" + k for k in by_keys]

@@ -16,7 +16,7 @@ import hashlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.frame import DataFrame
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, Window as W
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.frame import DataFrame
 from pandas_spark.groupby import resolve_agg
@@ -28,23 +28,55 @@ _MAX_PIVOT_VALUES = 10_000
 
 # memo for implicit pivot-value discovery: Spark's groupBy().pivot(col)
 # with no explicit values runs its own distinct-collect JOB before
-# planning. The distinct set is a pure function of the input PLAN, so
-# re-planning the same pivot (bench loops, retried notebooks) re-pays
-# that job for the same answer — cache it per analyzed-plan semantic
-# hash, exactly the _ASOF_STRATEGY_CACHE pattern (operators/joins.py).
+# planning. The distinct set is a pure function of the input plan AND
+# the underlying data, so the key is (analyzed-plan semantic hash,
+# column, data fingerprint): the fingerprint is the plan's file-index
+# snapshot — each input file's path+size+mtime — so overwriting a
+# parquet path and re-running the identical pivot MISSES the cache
+# (r9 ADVICE: semanticHash alone is data-independent and served stale
+# columns). Plans with no input files are cached only when fully
+# local (from_pandas LocalRelation — immutable in-session); external
+# non-file sources (JDBC) are never cached. Invalidation hook:
+# clear_pivot_values_cache().
 _PIVOT_VALUES_CACHE: dict = {}
+
+
+def clear_pivot_values_cache() -> None:
+    """Drop all memoized implicit pivot-value sets (e.g. after
+    rewriting a source a cached pivot read)."""
+    _PIVOT_VALUES_CACHE.clear()
+
+
+def _pivot_cache_key(sdf, column: str):
+    """(semanticHash, column, file fingerprint) or None = uncacheable."""
+    import os
+
+    try:
+        files = sorted(sdf.inputFiles())
+        if not files and not sdf.isLocal():
+            return None  # external non-file source — may change under us
+        sig = []
+        for f in files:
+            p = f[7:] if f.startswith("file:") else f
+            try:
+                st = os.stat(p)
+                sig.append((f, st.st_size, st.st_mtime_ns))
+            except OSError:
+                sig.append((f, -1, -1))
+        sem = sdf._jdf.queryExecution().analyzed().semanticHash()
+        return (sem, column, tuple(sig))
+    except Exception:
+        return None
 
 
 def _pivot_values(sdf, column: str, explicit) -> list:
     if explicit:
         return list(explicit)
-    try:
-        key = (sdf._jdf.queryExecution().analyzed().semanticHash(), column)
+    key = _pivot_cache_key(sdf, column)
+    if key is not None:
         hit = _PIVOT_VALUES_CACHE.get(key)
         if hit is not None:
             return hit
-    except Exception:
-        key = None
     rows = (
         sdf.select(column)
         .distinct()

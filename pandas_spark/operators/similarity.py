@@ -15,7 +15,8 @@ import random
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame as SparkDF, Window as W
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
+from pandas_spark.dtypes import qi
 
 from pandas_spark.frame import DataFrame
 
@@ -1079,7 +1080,7 @@ def _pq_encode_arrow(
     C = codebooks.astype(np.float64)
     fields = [f for f in sdf.schema.fields if f.name != vec_col]
     out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+        f"{qi(f.name)} {f.dataType.simpleString()}" for f in fields
     ) + f", `{code_col}` array<int>"
 
     def gen(batches):

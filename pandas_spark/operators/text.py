@@ -14,7 +14,8 @@ import math
 from typing import Sequence
 
 from pyspark.sql import Column
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
+from pandas_spark.dtypes import qi
 
 from pandas_spark.frame import DataFrame
 
@@ -1424,8 +1425,8 @@ def _repetition_signals_arrow(
 ) -> DataFrame:
     names = _rep_col_names(top_ns, dup_ns)
     schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in frame.spark.schema.fields
-    ) + ", " + ", ".join(f"`{n}` double" for n in names) + ", `repetition_keep` boolean"
+        f"{qi(f.name)} {f.dataType.simpleString()}" for f in frame.spark.schema.fields
+    ) + ", " + ", ".join(f"{qi(n)} double" for n in names) + ", `repetition_keep` boolean"
 
     def fn(batches):
         import numpy as np

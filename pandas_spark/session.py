@@ -172,17 +172,8 @@ def tune_for_plan(sdf) -> None:
         return
     try:
         spark = sdf.sparkSession
-        if "defaults" not in _tune_state:
-            _tune_state["defaults"] = {
-                "spark.sql.adaptive.enabled": spark.conf.get(
-                    "spark.sql.adaptive.enabled", "true"
-                ),
-                "spark.sql.shuffle.partitions": spark.conf.get(
-                    "spark.sql.shuffle.partitions"
-                ),
-            }
         if sdf.isStreaming:
-            small = False
+            total, small = 0, False
         else:
             leaves = sdf._jdf.queryExecution().analyzed().collectLeaves()
             total = 0
@@ -191,23 +182,52 @@ def tune_for_plan(sdf) -> None:
                 if total >= _SMALL_PLAN_BYTES:
                     break
             small = total < _SMALL_PLAN_BYTES
+        keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+        cur = {
+            "spark.sql.adaptive.enabled": spark.conf.get(
+                "spark.sql.adaptive.enabled", "true"
+            ),
+            "spark.sql.shuffle.partitions": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+        }
+        # `applied` = the values WE set when entering small mode (None
+        # when in default mode); `baseline` = the user's conf as of
+        # small-mode entry, refreshed with any key the user changed
+        # while small mode was live — so leaving small mode restores
+        # the user's CURRENT intent, never a stale first-call snapshot
+        # (r9 ADVICE: the one-time defaults snapshot clobbered later
+        # user conf changes).
+        applied = _tune_state.get("applied")
+        if applied is not None:
+            for k in keys:
+                if cur[k] != applied[k]:  # user override while small
+                    _tune_state["baseline"][k] = cur[k]
         if small:
+            if applied is None:
+                _tune_state["baseline"] = dict(cur)
             default_parts = int(
-                _tune_state["defaults"]["spark.sql.shuffle.partitions"]
+                _tune_state["baseline"]["spark.sql.shuffle.partitions"]
             )
             parts = max(4, min(default_parts, total // _SMALL_PLAN_PART_BYTES))
-            mode = ("small", parts)
-            if _tune_state.get("mode") == mode:
+            want = {
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.shuffle.partitions": str(parts),
+            }
+            if applied == want:
                 return
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        else:
-            mode = "default"
-            if _tune_state.get("mode") == mode:
-                return
-            for k, v in _tune_state["defaults"].items():
+            for k, v in want.items():
                 spark.conf.set(k, v)
-        _tune_state["mode"] = mode
+            _tune_state["applied"] = want
+        else:
+            if applied is None:
+                return  # already in default mode — never touch user conf
+            for k in keys:
+                # restore only keys still holding OUR value; a user
+                # override made during small mode wins
+                if cur[k] == applied[k]:
+                    spark.conf.set(k, _tune_state["baseline"][k])
+            _tune_state["applied"] = None
     except Exception:
         # tuning is best-effort: any plan shape it can't read (e.g. a
         # pure LocalRelation with no stats bridge) runs under whatever

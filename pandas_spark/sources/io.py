@@ -292,10 +292,10 @@ def read_parquet(
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         sdf = spark.read.parquet(path)
         if ns_cols:
-            from pyspark.sql import functions as F
+            from pandas_spark import fshim as F  # backtick-safe F.col facade
 
             sdf = sdf.withColumns(
-                {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
+                {c: F.timestamp_micros(F.expr(f"{qi(c)} div 1000")) for c in ns_cols}
             )
         nonnull, bounds, rows = _footer_proofs(path)
         is_local = False
@@ -481,7 +481,7 @@ def read_fwf(
     Catalyst expression, so parsing is JVM-side and column-pruned (an
     unused colspec never evaluates). ``colspecs`` are half-open
     [start, end) byte offsets per pandas convention."""
-    from pyspark.sql import functions as F
+    from pandas_spark import fshim as F  # backtick-safe F.col facade
 
     if len(colspecs) != len(names):
         raise ValueError("colspecs and names must have the same length")
@@ -547,7 +547,7 @@ def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
     values. With schema= the engine→pandas→engine loop is a fixpoint
     for every FIXTURES.md §1 dtype.
     """
-    from pyspark.sql import functions as F
+    from pandas_spark import fshim as F  # backtick-safe F.col facade
 
     if schema is None and len(pdf) == 0:
         # Spark can't infer a schema from ZERO rows, but pandas dtypes

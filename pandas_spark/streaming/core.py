@@ -20,7 +20,8 @@ import os
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame as SparkDF, SparkSession
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
+from pandas_spark.dtypes import qi
 from pyspark.sql import types as T
 
 from pandas_spark.groupby import resolve_agg
@@ -56,7 +57,7 @@ def read_stream_parquet(
     sdf = reader.parquet(path)
     if ns_cols:
         sdf = sdf.withColumns(
-            {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
+            {c: F.timestamp_micros(F.expr(f"{qi(c)} div 1000")) for c in ns_cols}
         )
     return sdf
 
@@ -282,7 +283,7 @@ def running_agg_stream(
 
     key_fields = [f for f in sdf.schema.fields if f.name in set(keys)]
     out_schema = (
-        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields)
+        ", ".join(f"{qi(f.name)} {f.dataType.simpleString()}" for f in sdf.schema.fields)
         + ", `running_sum` double, `running_count` bigint"
     )
     state_schema = "s double, c bigint"
@@ -339,7 +340,7 @@ def ewm_mean_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
-        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields)
+        ", ".join(f"{qi(f.name)} {f.dataType.simpleString()}" for f in sdf.schema.fields)
         + f", `{value_col}_ewm` double"
     )
     state_schema = "num double, den double"
@@ -476,12 +477,12 @@ def merge_asof_stream(
 
     out_fields = [f for f in u.schema.fields if f.name != "__side__"]
     out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+        f"{qi(f.name)} {f.dataType.simpleString()}" for f in out_fields
     )
     out_cols = [f.name for f in out_fields]
     # state: the latest right row — stamp as int64 epoch-µs plus payload
     state_schema = "__ts__ long, " + ", ".join(
-        f"`{c}` {r_types[c]}" for c in payload
+        f"{qi(c)} {r_types[c]}" for c in payload
     )
     tol_us = (
         int(parse_offset_seconds(tolerance.replace(" ", "")) * 1_000_000)
@@ -604,7 +605,7 @@ def _merge_asof_stream_buffered(
     # internal requirement, the caller keeps the source's ts flavor
     out_fields = [f for f in u0.schema.fields if f.name != "__side__"]
     out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+        f"{qi(f.name)} {f.dataType.simpleString()}" for f in out_fields
     )
     out_cols = [f.name for f in out_fields]
     # buffers: stamps+arrival-seq as long arrays, one value array per
@@ -909,7 +910,7 @@ def kmeans_stream(
     C0 = np.asarray(init_centroids, dtype=np.float64)
     k, dim = C0.shape
     out_schema = (
-        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields)
+        ", ".join(f"{qi(f.name)} {f.dataType.simpleString()}" for f in sdf.schema.fields)
         + ", `cell` int"
     )
     state_schema = "c array<double>, n array<bigint>"

@@ -15,7 +15,7 @@ cannot drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame as SparkDF, SparkSession
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark import read_parquet
 from pandas_spark.frame import DataFrame

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame as SparkDF, SparkSession
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 import pandas_spark as ps
 from pandas_spark import col

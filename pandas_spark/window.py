@@ -23,7 +23,8 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import Column, Window as W
-from pyspark.sql import functions as F
+from pandas_spark import fshim as F  # backtick-safe F.col facade
+from pandas_spark.dtypes import qi
 
 from pandas_spark.dtypes import epoch_micros
 from pandas_spark.frame import DataFrame
@@ -143,6 +144,27 @@ class Rolling:
         self._on = on
         self._by = list(by or [])
         self._center = center
+        # Custom BaseIndexer escape hatch (reference
+        # core/indexers/objects.py:21, round-9 verdict #4): a
+        # user-pluggable bound generator is row-at-a-time Python BY
+        # CONSTRUCTION (pandas runs get_window_bounds over the whole
+        # array), so it executes as per-group pandas via applyInPandas
+        # — bit-exact pandas semantics, with an explicit scale
+        # warning. Library-served shapes stay declarative: pandas'
+        # only stdlib subclass, FixedForwardWindowIndexer, is the
+        # `forward=` Catalyst path (objects.py:429).
+        self._indexer = window if hasattr(window, "get_window_bounds") else None
+        if self._indexer is not None:
+            if win_type or forward:
+                raise ValueError(
+                    "a BaseIndexer window cannot combine with win_type=/forward="
+                )
+            if step is not None:
+                raise NotImplementedError(
+                    "step= with a BaseIndexer window is not supported; "
+                    "filter positions after the rolling instead"
+                )
+            self._mp_arg, self._closed_arg = min_periods, closed
         # pandas rolling(step=k): evaluate at every k-th FRAME position
         # (reference window/rolling.py:158 validates step; groupby
         # rolling rejects it — same here). Positional by definition.
@@ -164,9 +186,6 @@ class Rolling:
             raise ValueError(f"closed must be right/left/both/neither, got {closed!r}")
         self._closed = closed or "right"
 
-        # class-level safety for subclasses with their own __init__
-        if not hasattr(self, "_step"):
-            self._step, self._forward = None, False
         if self._closed == "neither" and window == 1:
             # pandas returns all-NaN here (an empty window every row);
             # Spark cannot declare an empty rows frame — fail loudly
@@ -230,6 +249,8 @@ class Rolling:
         return F.when(cond, val)
 
     def _apply(self, func: str, col: str, alias: str | None):
+        if self._indexer is not None:
+            return self._apply_indexer(func, col, alias)
         frame = self._frame if (self._on or isinstance(self._window, str)) else self._frame._ensure_order()
         w = self._spec(frame)
         name = alias or f"{col}_{func}"
@@ -262,17 +283,92 @@ class Rolling:
             from pandas_spark.frame import _warn_unkeyed_window
 
             _warn_unkeyed_window("rolling(step=)")
-            _, order_exprs = out._ordered()
-            pos_tag = free_name(out._sdf.columns, "__pos__")
+            # _ordered() may materialize the order key into a NEW
+            # frame (on=/time-offset windows never ran _ensure_order);
+            # build the stepped plan from THAT frame, or the order
+            # expressions reference a column the plan doesn't have
+            src, order_exprs = out._ordered()
+            pos_tag = free_name(src._sdf.columns, "__pos__")
             stepped = (
-                out._sdf.withColumn(
+                src._sdf.withColumn(
                     pos_tag, F.row_number().over(W.orderBy(*order_exprs)) - 1
                 )
                 .filter((F.col(pos_tag) % self._step) == 0)
                 .drop(pos_tag)
             )
-            out = out._with(stepped)
+            out = src._with(stepped)
         return out
+
+    def _apply_indexer(self, func: str, col: str, alias: str | None):
+        """Arbitrary ``BaseIndexer`` windows (reference
+        core/indexers/objects.py:21): per-group pandas rolling via
+        applyInPandas — the indexer's ``get_window_bounds`` runs
+        inside pandas itself, so semantics are bit-exact by
+        construction. Scale: with ``by=`` each group is one pandas
+        frame (parallel across groups, group must fit a worker);
+        without ``by=`` the WHOLE frame gathers to one task — the
+        documented whole-frame-ordered class (same as take/iloc),
+        escalated by strict-scale mode."""
+        import pandas as pd
+
+        from pandas_spark.dtypes import fcol as _fc
+        from pandas_spark.frame import (
+            DataFrame, ORDER_COL, _warn_unkeyed_window,
+        )
+
+        if not self._by:
+            _warn_unkeyed_window("rolling(BaseIndexer)")
+        name = alias or f"{col}_{func}"
+        frame = self._frame if self._frame._sort_spec else self._frame._ensure_order()
+        sort_spec = frame._sort_spec
+        sdf = frame._sdf
+        out_fields = [f for f in sdf.schema.fields if f.name != name]
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(list(out_fields)).add(name, T.DoubleType())
+        indexer, mp, center = self._indexer, self._mp_arg, self._center
+        closed, by = self._closed_arg, list(self._by)
+
+        def g(pdf: pd.DataFrame) -> pd.DataFrame:
+            if sort_spec:
+                cols = [c for c, _, _ in sort_spec]
+                asc = [a for _, a, _ in sort_spec]
+                pdf = pdf.sort_values(cols, ascending=asc,
+                                      na_position=sort_spec[0][2])
+            else:
+                pdf = pdf.sort_values(ORDER_COL)
+            out = pdf if name not in pdf.columns else pdf.drop(columns=[name])
+            out = out.copy()
+            r = pdf[col].rolling(indexer, min_periods=mp, center=center,
+                                 closed=closed)
+            vals = getattr(r, func)()
+            if by and len(pdf) and any(pd.isna(pdf.iloc[0][k]) for k in by):
+                # pandas groupby(dropna=True) parity: NULL-key group
+                # rows transform to NaN (Rolling._mask_by twin)
+                vals = vals * float("nan")
+            out[name] = vals.astype("float64")
+            return out
+
+        if by:
+            out_sdf = sdf.groupBy(*[_fc(k) for k in by]).applyInPandas(g, out_schema)
+        else:
+            # one synthetic constant group = the whole frame in one
+            # pandas batch (Spark 4 rejects a bare literal in groupBy
+            # as an unresolved ordinal — use a materialized column)
+            from pandas_spark.dtypes import free_name
+
+            tag = free_name(sdf.columns, "__g__")
+
+            def g_all(pdf: pd.DataFrame) -> pd.DataFrame:
+                return g(pdf.drop(columns=[tag]))
+
+            out_sdf = (
+                sdf.withColumn(tag, F.lit(1))
+                .groupBy(tag)
+                .applyInPandas(g_all, out_schema)
+            )
+        return DataFrame(out_sdf, order_col=frame._order_col,
+                         index_cols=frame._index_cols, sort_spec=sort_spec)
 
     def weighted_mean(self, col: str, weights, alias: str | None = None):
         """Weighted rolling mean (pandas ``win_type`` windows,
@@ -800,12 +896,12 @@ def ewm_mean(
     # the kernel returns (fuzzer-found RESULT_COLUMN_SCHEMA_MISMATCH)
     if name in {f.name for f in out_fields}:
         schema = ", ".join(
-            f"`{f.name}` {'double' if f.name == name else f.dataType.simpleString()}"
+            f"{qi(f.name)} {'double' if f.name == name else f.dataType.simpleString()}"
             for f in out_fields
         )
     else:
         schema = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+            f"{qi(f.name)} {f.dataType.simpleString()}" for f in out_fields
         ) + f", `{name}` double"
     a = alpha
     # pandas sort convention is NULLS LAST (na_position='last' default;
@@ -979,12 +1075,12 @@ def ewm_cov(
 
     if name in {f.name for f in sdf.schema.fields}:
         schema = ", ".join(
-            f"`{f.name}` {'double' if f.name == name else f.dataType.simpleString()}"
+            f"{qi(f.name)} {'double' if f.name == name else f.dataType.simpleString()}"
             for f in sdf.schema.fields
         )
     else:
         schema = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+            f"{qi(f.name)} {f.dataType.simpleString()}" for f in sdf.schema.fields
         ) + f", `{name}` double"
     a, stat_ = alpha, stat
     # pandas sort convention is NULLS LAST (na_position='last' default;

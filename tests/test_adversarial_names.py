@@ -205,3 +205,62 @@ def test_quoting_stressors_still_work(spark):
     exp2 = pdf[pdf[v] > 0][[g, v]]
     got2 = e.filter(col(v) > 0).select([g, v])
     assert _canon(got2) == _canon(exp2)
+    # pd.col on a LITERAL dotted label (r10, r9 ADVICE): Spark parses
+    # an unquoted dotted F.col as a struct path and raises
+    # UNRESOLVED_COLUMN — pd.col must quote it like the internal
+    # _fcol paths do
+    exp3 = pdf[pdf[g].notna()][[g]]
+    got3 = e.filter(col(g).notna()).select([g])
+    assert _canon(got3) == _canon(exp3)
+
+
+def test_backtick_names_across_operators(spark):
+    """Raw-BACKTICK column names (r10, closes the COVERAGE.md batch-40
+    KNOWN LIMIT): pyspark's F.col attribute parser rejects a literal
+    backtick, so every internal Column-building path must quote it.
+    The engine routes F.col through pandas_spark.fshim, which quotes
+    backtick-containing names once, at the bottom."""
+    g, k, v, t, ts = "a`b", "x``", "`lead", "t`", "s` p"
+    pdf, e = _frames(spark, g=g, k=k, v=v, t=t, ts=ts)
+
+    # select / filter / sort / dedup
+    exp = pdf[pdf[v].notna()].sort_values([t]).drop_duplicates(subset=[g], keep="first")[[g, v, t]]
+    got = (
+        e.filter(col(v).notna())
+        .sort_values([t])
+        .drop_duplicates(subset=[g], keep="first")
+        .select([g, v, t])
+    )
+    assert _canon(got) == _canon(exp)
+
+    # groupby agg
+    exp2 = pdf.groupby(g, dropna=True).agg(s=(v, "sum"), n=(v, "count")).reset_index()
+    got2 = e.groupby(g).agg(s=(v, "sum"), n=(v, "count"))
+    assert _canon(got2) == _canon(exp2)
+
+    # groupby transform window (cumsum) + shift
+    exp3 = pdf.sort_values(t).assign(
+        cs=pdf.sort_values(t).groupby(g, dropna=True)[v].cumsum(),
+        lag=pdf.sort_values(t).groupby(g, dropna=True)[v].shift(1),
+    )[[g, t, "cs", "lag"]]
+    got3 = (
+        e.sort_values(t)
+        .groupby(g)
+        .cumsum(v, alias="cs")
+        .groupby(g)
+        .shift(v, 1, alias="lag")
+        .select([g, t, "cs", "lag"])
+    )
+    assert _canon(got3) == _canon(exp3)
+
+    # merge on the backticked key
+    right = pdf[[g, k]].dropna(subset=[g]).drop_duplicates(subset=[g])
+    r_e = ps.from_pandas(spark, right.rename(columns={k: "r`val"}))
+    exp4 = pdf.merge(right.rename(columns={k: "r`val"}), on=g, how="inner")[[g, v, "r`val"]]
+    got4 = e.merge(r_e, on=g, how="inner").select([g, v, "r`val"])
+    assert _canon(got4) == _canon(exp4)
+
+    # rolling over the backticked value column
+    exp5 = pdf.sort_values(t).assign(m=pdf.sort_values(t)[v].rolling(3, min_periods=1).mean())[[t, "m"]]
+    got5 = e.sort_values(t).rolling(3, min_periods=1).mean(v, alias="m").select([t, "m"])
+    assert _canon(got5) == _canon(exp5)

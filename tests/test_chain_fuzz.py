@@ -719,7 +719,7 @@ def test_chain_differential(spark, data):
 # these silently corrupts data or raises AMBIGUOUS_REFERENCE (round-9
 # verdict #2: the adversarial-name family over ALL operators, not just
 # merge). __ord__-shaped names stay excluded (documented reserved).
-DECOYS = ["__rk0__", "__pos__", "__cnt__", "__p__", "__side__", "with.dot"]
+DECOYS = ["__rk0__", "__pos__", "__cnt__", "__p__", "__side__", "with.dot", "tick`mark"]
 
 
 def _add_decoys(spark, pdf, edf):
@@ -732,6 +732,7 @@ def _add_decoys(spark, pdf, edf):
         "__p__": pdf["t"] * -2.0,
         "__side__": (pdf["t"] % 2).astype("int64"),
         "with.dot": pdf["t"] + 0.25,
+        "tick`mark": pdf["t"] - 0.5,
     })
     sdf = edf._sdf.withColumns({
         "__rk0__": SF.col("t") * 1.5,
@@ -740,6 +741,7 @@ def _add_decoys(spark, pdf, edf):
         "__p__": SF.col("t") * -2.0,
         "__side__": (SF.col("t") % 2).cast("long"),
         "with.dot": SF.col("t") + 0.25,
+        "tick`mark": SF.col("t") - 0.5,
     })
     return pdf, edf._with(sdf)
 

@@ -349,6 +349,35 @@ def test_pivot_strict_raises_on_duplicates(spark):
     assert len(out.to_spark().collect()) == 2
 
 
+def test_pivot_values_cache_sees_source_rewrite(spark, tmp_path):
+    """r9 ADVICE: the implicit pivot-value memo keyed on semanticHash
+    only, which doesn't change when the same parquet path is
+    overwritten — a repeated pivot silently dropped the new columns.
+    The key now carries the file-index fingerprint (path+size+mtime)."""
+    import os
+    import time
+
+    import pandas as pd
+    import pandas_spark as ps
+    from pandas_spark.operators.reshape import pivot
+
+    path = str(tmp_path / "piv.parquet")
+    pd.DataFrame({"k": [1, 2], "c": ["a", "a"], "v": [1.0, 2.0]}).to_parquet(path)
+    f1 = ps.read_parquet(spark, path)
+    out1 = pivot(f1, index="k", columns="c", values="v")
+    assert set(out1.columns) == {"k", "a"}
+
+    # overwrite the SAME path with a new pivot-column universe; bump
+    # mtime explicitly in case the fs clock is coarse
+    pd.DataFrame({"k": [1, 2], "c": ["b", "z"], "v": [3.0, 4.0]}).to_parquet(path)
+    os.utime(path, (time.time() + 2, time.time() + 2))
+    f2 = ps.read_parquet(spark, path)
+    out2 = pivot(f2, index="k", columns="c", values="v")
+    assert set(out2.columns) == {"k", "b", "z"}, (
+        "stale pivot-value cache served the pre-rewrite column set"
+    )
+
+
 def test_strict_scale_escalates_unkeyed_window(spark):
     import pandas_spark as ps
     import pandas as pd

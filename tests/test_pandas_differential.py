@@ -303,6 +303,31 @@ def test_rolling_step_matches_pandas(spark):
     assert_col_matches(got, want.reset_index(drop=True), "m")
 
 
+def test_rolling_step_with_on_matches_pandas(spark):
+    """rolling(n, on=, step=) — r9 ADVICE: the step pass discarded the
+    frame _ordered() returned, so on= (which skips _ensure_order)
+    raised UNRESOLVED_COLUMN __ord__. The order key must come from the
+    frame the order expressions were built against."""
+    rng = np.random.default_rng(33)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=17, freq="1h"),
+            "v": rng.normal(size=17).round(3),
+        }
+    )
+    want = pdf.rolling(3, on="ts", min_periods=1, step=2)["v"].mean()
+
+    f = ps.from_pandas(spark, pdf)
+    got = (
+        f.rolling(3, on="ts", min_periods=1, step=2)
+        .mean("v", alias="m")
+        .sort_values("ts")
+        .to_pandas()
+    )
+    assert list(got["ts"]) == list(pdf["ts"][::2])
+    assert_col_matches(got, want.reset_index(drop=True), "m")
+
+
 def test_rolling_forward_matches_pandas(spark):
     """forward=True ≙ pandas FixedForwardWindowIndexer(window_size=n)
     (reference indexers/objects.py:205)."""
@@ -321,6 +346,59 @@ def test_rolling_forward_matches_pandas(spark):
         .to_pandas()
     )
     assert_col_matches(got, want, "s")
+
+
+def test_rolling_custom_baseindexer_matches_pandas(spark):
+    """Custom BaseIndexer escape hatch (reference indexers/objects.py:21,
+    r9 verdict #4): arbitrary user bound generators execute as
+    per-group pandas via applyInPandas — semantics bit-exact by
+    construction. Library shapes (FixedForwardWindowIndexer) stay on
+    the declarative forward= path."""
+    import warnings
+
+    from pandas.api.indexers import BaseIndexer
+
+    class BlockIndexer(BaseIndexer):
+        """Window = positions since the last multiple-of-3 boundary."""
+
+        def get_window_bounds(self, num_values=0, min_periods=None,
+                              center=None, closed=None, step=None):
+            idx = np.arange(num_values, dtype="int64")
+            return idx - (idx % 3), idx + 1
+
+    rng = np.random.default_rng(44)
+    pdf = pd.DataFrame(
+        {
+            "i": range(25),
+            "k": rng.integers(0, 3, 25),
+            "v": rng.normal(size=25).round(3),
+        }
+    )
+    idx = BlockIndexer()
+    want = pdf["v"].rolling(idx, min_periods=1).mean()
+    f = ps.from_pandas(spark, pdf).sort_values("i")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # whole-frame scale warning
+        got = (
+            f.rolling(idx, min_periods=1)
+            .mean("v", alias="m")
+            .sort_values("i")
+            .to_pandas()
+        )
+    assert_col_matches(got, want, "m")
+
+    # per-group: parallel applyInPandas, NULL-key parity not exercised
+    want_g = pd.Series(index=pdf.index, dtype="float64")
+    for _, grp in pdf.groupby("k"):
+        r = grp["v"].reset_index(drop=True).rolling(idx, min_periods=1).sum()
+        want_g.loc[grp.index] = r.to_numpy()
+    got_g = (
+        f.rolling(idx, min_periods=1, by=["k"])
+        .sum("v", alias="s")
+        .sort_values("i")
+        .to_pandas()
+    )
+    assert_col_matches(got_g, want_g, "s")
 
 
 def test_rolling_median_matches_pandas(spark):
@@ -1760,3 +1838,33 @@ def test_corr_spearman_heavy_ties_and_signed_zero(spark):
         for j in ["a", "b", "c"]:
             g, w = got.loc[i, j], want.loc[i, j]
             assert (np.isnan(g) and np.isnan(w)) or g == pytest.approx(w, abs=1e-12), (i, j)
+
+
+def test_corr_kendall_wide_frame_job_count_linear(spark):
+    """r9 verdict #6: k-column kendall must launch O(k) Spark jobs,
+    not O(k²) — one fused pass per x-column (all partners ride along)
+    plus one per y-column. k=5 → 2(k−1)=8 pair passes + quantile +
+    diag + result assembly; the old per-pair version ran 2·C(5,2)=20
+    pair jobs alone."""
+    rng = np.random.default_rng(5)
+    n = 600
+    pdf = pd.DataFrame({f"c{i}": rng.normal(size=n).round(2) for i in range(5)})
+    f = ps.from_pandas(spark, pdf)
+    sc = spark.sparkContext
+    sc.setJobGroup("kendall_jobs", "job-count probe")
+    try:
+        mat = f.corr(method="kendall").to_pandas()
+    finally:
+        sc.setJobGroup(None, None)
+    ids = sc.statusTracker().getJobIdsForGroup("kendall_jobs")
+    assert len(mat) == 25
+    # 8 fused passes; AQE materializes each exchange as its own job so
+    # one pass ≈ 3 jobs (measured 28 total). The per-pair O(k²)
+    # version ran 20 pair passes ≈ 60+ jobs under the same inflation.
+    assert len(ids) <= 32, f"kendall launched {len(ids)} jobs for 5 columns"
+    # values still match the single-array kernel bit-for-bit
+    from pandas_spark.functions.stats import kendall_tau_np
+
+    g = mat[(mat.col1 == "c0") & (mat.col2 == "c4")]["corr"].iloc[0]
+    ref = kendall_tau_np(pdf["c0"].to_numpy(), pdf["c4"].to_numpy())
+    assert g == ref

@@ -133,26 +133,70 @@ def test_small_plan_exec_mode(spark):
     li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
     li.to_spark()
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-    defaults0 = S._tune_state["defaults"]
+    baseline0 = S._tune_state["baseline"]
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # data-sized: at least 4-way, never above the session default
-    assert 4 <= parts <= int(defaults0["spark.sql.shuffle.partitions"])
+    assert 4 <= parts <= int(baseline0["spark.sql.shuffle.partitions"])
     old = S._SMALL_PLAN_BYTES
     S._SMALL_PLAN_BYTES = 1  # everything is now "large"
     try:
         li.to_spark()
-        defaults = S._tune_state["defaults"]
+        assert S._tune_state["applied"] is None
         assert (
             spark.conf.get("spark.sql.adaptive.enabled")
-            == defaults["spark.sql.adaptive.enabled"]
+            == baseline0["spark.sql.adaptive.enabled"]
         )
         assert (
             spark.conf.get("spark.sql.shuffle.partitions")
-            == defaults["spark.sql.shuffle.partitions"]
+            == baseline0["spark.sql.shuffle.partitions"]
         )
     finally:
         S._SMALL_PLAN_BYTES = old
         li.to_spark()  # restore small mode for subsequent tests
+
+
+def test_exec_mode_retunes_at_every_consumption_boundary(spark):
+    """r9 ADVICE: collect()/to_pandas()/count() consumed via .spark
+    without re-tuning, so a LARGE query run after a small-plan
+    to_spark() executed under small-mode settings. Every action now
+    routes through the tuner, so the large plan restores defaults."""
+    import pandas_spark.session as S
+
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    li.to_spark()  # enter small mode
+    assert S._tune_state["applied"] is not None
+    old = S._SMALL_PLAN_BYTES
+    S._SMALL_PLAN_BYTES = 1  # the same plan is now "large"
+    try:
+        li.head(1).to_pandas()  # a mere ACTION must re-tune
+        assert S._tune_state["applied"] is None
+        assert spark.conf.get("spark.sql.adaptive.enabled") != "false"
+    finally:
+        S._SMALL_PLAN_BYTES = old
+        li.to_spark()
+
+
+def test_exec_mode_respects_user_conf_overrides(spark):
+    """Leaving small mode restores the user's CURRENT conf intent:
+    a key the user changed while small mode was live keeps the user's
+    value (r9 ADVICE: the one-time defaults snapshot clobbered it)."""
+    import pandas_spark.session as S
+
+    li = ps.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    li.to_spark()  # enter small mode
+    assert S._tune_state["applied"] is not None
+    before = S._tune_state["baseline"]["spark.sql.shuffle.partitions"]
+    spark.conf.set("spark.sql.shuffle.partitions", "7")  # user override
+    old = S._SMALL_PLAN_BYTES
+    S._SMALL_PLAN_BYTES = 1
+    try:
+        li.to_spark()  # leave small mode
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert S._tune_state["applied"] is None
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        S._SMALL_PLAN_BYTES = old
+        li.to_spark()
 
 
 def test_small_sort_skips_range_exchange(spark):
@@ -227,20 +271,34 @@ def test_lsh_candidates_are_one_shuffle_no_selfjoin(spark):
 
 
 def test_left_join_broadcasts_preserved_dim(spark):
-    """broadcast='left' on a left join must honor the hint via the
-    inner-∪-anti rewrite: the dim side broadcasts into the inner part
-    (fact streams, never shuffles) and the anti part broadcasts the
-    distinct fact keyset — no SortMergeJoin, no fact-side broadcast."""
+    """broadcast='left' on a left join: with the right footer-PROVEN
+    small (sf0.1 orders), the hint collapses to ONE plain LeftOuter —
+    BuildRight is legal there, no rewrite machinery (r10). Without the
+    proof (rows_max stripped — the 100 TB fact case), the hint is
+    honored via the inner-∪-anti rewrite: the dim side broadcasts into
+    the inner part (fact streams, never shuffles) and the anti part
+    broadcasts the distinct fact keyset — no SortMergeJoin, no
+    fact-side broadcast."""
     cust = ps.read_parquet(spark, f"{SF_DIR}/customer.parquet")
     orders = ps.read_parquet(spark, f"{SF_DIR}/orders.parquet")
     j = cust.merge(orders, left_on="c_custkey", right_on="o_custkey",
                    how="left", broadcast="left")
     plan = plan_of(j.to_spark())
     assert "SortMergeJoin" not in plan
-    assert "Union" in plan
+    assert "Union" not in plan  # proven-small right: single plain join
     assert "BroadcastHashJoin" in plan
+
+    # strip the right side's footer proof: same merge must take the
+    # rewrite (the huge-fact regime)
+    unproven = orders._with(orders._sdf)  # rows_max drops by default
+    j2 = cust.merge(unproven, left_on="c_custkey", right_on="o_custkey",
+                    how="left", broadcast="left")
+    plan2 = plan_of(j2.to_spark())
+    assert "SortMergeJoin" not in plan2
+    assert "Union" in plan2
+    assert "BroadcastHashJoin" in plan2
     # the inner part must build (broadcast) the LEFT/dim side
-    assert "BuildLeft" in plan
+    assert "BuildLeft" in plan2
 
 
 def test_corpus_scrub_ops_are_map_only(spark):

@@ -732,3 +732,76 @@ def test_asof_buffered_fuzz_out_of_order(spark, tmp_path_factory, case, data):
     for _, row in left.iterrows():
         if int(row.ts.value // 10**9) < final_wm:
             assert int(row.lid) in got, (row.lid, final_wm)
+
+
+def test_merge_asof_stream_buffered_state_stays_bounded(spark, tmp_path):
+    """Long soak of the watermark-buffered asof (r9 verdict #5): a hot
+    key streaming through MANY micro-batches must hold only
+    rate x lateness rows of state — the per-key lateness buffers evict
+    as the watermark advances, so state is flat while total input
+    grows linearly. Also ticks numRowsDroppedByWatermark via genuinely
+    too-late rows, surfaced through diagnostics.streaming_state_report."""
+    import pandas as pd
+
+    from pandas_spark.operators.diagnostics import (
+        streaming_state_history,
+        streaming_state_report,
+    )
+
+    src = tmp_path / "soak"
+    src.mkdir()
+    n_files = 120
+    rows_per_file = 10
+    # event time advances 60s per file; lateness horizon 90s → state
+    # should hold ~2.5 files' worth of rows (+ per-key bookkeeping),
+    # never anything close to the 1200-row total
+    for i in range(n_files):
+        t0 = 1_000 + i * 60
+        recs = []
+        for j in range(rows_per_file - 2):
+            recs.append(("r", 1, t0 + j * 7, float(i * 100 + j)))
+        recs.append(("l", 1, t0 + 50, None))
+        if i % 10 == 5:
+            # a genuinely too-late right row: 10 minutes behind the
+            # watermark — must be counted dropped, not matched
+            recs.append(("r", 1, t0 - 600, -1.0))
+        else:
+            recs.append(("l", 1, t0 + 55, None))
+        pd.DataFrame(
+            recs, columns=["side", "k", "tsec", "v"]
+        ).assign(ts=lambda d: pd.to_datetime(d.pop("tsec"), unit="s")).to_parquet(
+            src / f"b{i:04d}.parquet", index=False
+        )
+
+    stream = pss.read_stream_parquet(spark, str(src))
+    lstream = stream.where("side = 'l'").select("k", "ts")
+    rstream = stream.where("side = 'r'").select("k", "ts", "v")
+    out = pss.merge_asof_stream(
+        lstream, rstream, on="ts", by=["k"], lateness="90 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_asof_soak")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    hist = [h for h in streaming_state_history(q) if h["batch_id"] is not None]
+    assert len(hist) >= 50, f"soak ran only {len(hist)} retained batches"
+    peak = max(h["state_rows"] for h in hist)
+    total_rows = n_files * rows_per_file
+    # bound: rate x lateness = ~15 data rows in-horizon per batch; allow
+    # generous bookkeeping headroom but stay an order of magnitude
+    # under the linear-growth failure mode
+    assert 0 < peak <= 120, f"state peaked at {peak} rows (total input {total_rows})"
+    # late rows were DROPPED by the watermark filter and counted
+    last = streaming_state_report(q)
+    dropped_total = sum(h["rows_dropped_by_watermark"] for h in hist)
+    assert dropped_total > 0 or last["rows_dropped_by_watermark"] > 0
+    # flatness: the max over the last third of batches is no bigger
+    # than the overall peak (no end-of-run growth)
+    tail_peak = max(h["state_rows"] for h in hist[-len(hist) // 3:])
+    assert tail_peak <= peak

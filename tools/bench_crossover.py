@@ -179,6 +179,7 @@ def main():
                     "replication": REPS,
                     "protocol": "engine only: bench.py (target-sf warmup, "
                     f"median of {runs}); pandas side skipped (--engine-only)",
+                    "engine_box_calib_ms": calib,
                     "engine_only": engine["queries"],
                     "total": len(engine["queries"]),
                 }
@@ -193,6 +194,24 @@ def main():
         text=True,
     )
     pandas_side = json.loads(ref.stdout.strip().splitlines()[-1])
+
+    # BOTH columns must come from the same box moment (round-9 verdict
+    # #7): the engine and pandas sides each stamp box_calib_ms; a >25%
+    # spread between them means one column ran on a loaded box and the
+    # per-query ratios are fiction — refuse the mix.
+    pd_calib = pandas_side.get("box_calib_ms")
+    if (
+        calib and pd_calib
+        and abs(calib - pd_calib) / min(calib, pd_calib) > 0.25
+        and not os.environ.get("CROSSOVER_IGNORE_CALIB")
+    ):
+        print(
+            f"REFUSED: engine column calib {calib} vs pandas column calib "
+            f"{pd_calib} — >25% cross-moment drift within one crossover run; "
+            "rerun on an idle box or set CROSSOVER_IGNORE_CALIB=1",
+            file=sys.stderr,
+        )
+        sys.exit(2)
 
     shared = sorted(set(engine["queries"]) & set(pandas_side["queries"]))
     table = {
@@ -210,6 +229,8 @@ def main():
                 "replication": REPS,
                 "protocol": "engine: bench.py (target-sf warmup, median of 3); "
                 "pandas: bench_pandas_ref.py (median of 5 after 1 warmup)",
+                "engine_box_calib_ms": calib,
+                "pandas_box_calib_ms": pd_calib,
                 "queries": table,
                 "engine_only": {
                     q: engine["queries"][q]

@@ -28,6 +28,9 @@ sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
 COLS = ["l_quantity", "l_extendedprice"]
+# --wide5: the r10 fused-pass check — 5 numeric columns, job count
+# O(k) (one pass per x-column with all partners riding along)
+WIDE5 = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"]
 
 
 def frame(spark, spec: str):
@@ -55,11 +58,17 @@ def main() -> None:
 
     spec = sys.argv[1]
     method = sys.argv[2] if len(sys.argv) > 2 else "kendall"
+    global COLS
+    if "--wide5" in sys.argv:
+        COLS = WIDE5
     spark = get_spark("decade_kernels")
     f, reps = frame(spark, spec)
     t0 = time.time()
+    sc = spark.sparkContext
+    j0 = sc._jsc.sc().dagScheduler().nextJobId()
     rows = f.corr(subset=COLS, method=method).to_spark().collect()
     wall = round(time.time() - t0, 2)
+    n_jobs = sc._jsc.sc().dagScheduler().nextJobId() - j0
     xy = next(
         r["corr"] for r in rows if r["col1"] == COLS[0] and r["col2"] == COLS[1]
     )
@@ -71,6 +80,7 @@ def main() -> None:
                 "explode_reps": reps,
                 "pair": COLS,
                 "wall_s": wall,
+                "n_jobs": n_jobs,
                 "corr_xy": xy,
             }
         )

@@ -207,6 +207,13 @@ def main() -> None:
         timings[name] = bench(fn)
         print(f"{name}: {timings[name]}s", file=sys.stderr)
 
+    # Stamp the box state these numbers were taken under (same probe
+    # bench.py uses), so bench.py can calib-normalize its ratio
+    # against this reference by construction.
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _box_calibration_ms
+
     print(
         json.dumps(
             {
@@ -217,6 +224,7 @@ def main() -> None:
                 "queries": timings,
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "box_calib_ms": _box_calibration_ms(),
             }
         )
     )
