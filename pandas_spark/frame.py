@@ -855,11 +855,21 @@ class DataFrame:
             from pandas_spark.dtypes import is_orderable
 
             spec_cols = [c for c, _, _ in self._sort_spec]
-            tie_cols = [
-                f.name
-                for f in self._sdf.schema.fields
-                if f.name not in spec_cols and is_orderable(f.dataType)
-            ]
+            if any(is_order_col(c) for c in spec_cols):
+                # the spec already ends in a UNIQUE internal id (the
+                # stable-sort tiebreak): no two rows compare equal, so
+                # extra tiebreakers are dead weight in every struct
+                # compare the SortAggregate does (~25%/key measured)
+                tie_cols = []
+            else:
+                # group-key columns are constant within a group —
+                # never a tiebreak, always excluded
+                tie_cols = [
+                    f.name
+                    for f in self._sdf.schema.fields
+                    if f.name not in spec_cols and f.name not in subset
+                    and is_orderable(f.dataType)
+                ]
             # the (isNull, value) wrapper exists only for pandas'
             # NULLS-LAST ordering; a column PROVEN null-free (parquet
             # footer stats) orders identically as a bare struct field —
@@ -869,7 +879,9 @@ class DataFrame:
             ord_key = F.struct(
                 *[
                     _fcol(c).alias(f"k{i}")
-                    if c in self._nonnull
+                    # internal order ids (mono-id / stable-sort id) are
+                    # never null — bare field, no (isNull, v) wrapper
+                    if c in self._nonnull or is_order_col(c)
                     else F.struct(
                         _fcol(c).isNull().alias("n"), _fcol(c).alias("v")
                     ).alias(f"k{i}")

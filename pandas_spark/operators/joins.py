@@ -318,6 +318,137 @@ def merge(
     return res
 
 
+_TINY_DIM_ROWS = 256
+_TINY_DIM_LITERALS = 4096
+_TINY_KEY_TYPES = ("tinyint", "smallint", "int", "bigint", "string",
+                   "date", "boolean")
+
+
+def _sql_lit(v, dtype: str) -> str:
+    """One driver value → a Spark SQL literal of the column's type.
+    Raises on shapes it can't spell (arrays, structs, binary, decimal)
+    — the caller's try/except then takes the real join."""
+    import datetime
+    import math
+
+    if v is None:
+        return f"CAST(NULL AS {dtype})"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"CAST({v} AS {dtype})" if dtype != "bigint" else str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST('{v!r}' AS {dtype if dtype in ('float', 'double') else 'double'})"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, datetime.datetime):
+        base = f"'{v.replace(tzinfo=None).isoformat(sep=' ')}'"
+        return (f"TIMESTAMP_NTZ {base}"
+                if dtype.startswith("timestamp_ntz") else f"TIMESTAMP {base}")
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    raise TypeError(f"unliteralizable {type(v).__name__} for {dtype}")
+
+
+def _tiny_dim_compose(lsdf2, rtag, lk2, rk2, rk_tag, how, indicator,
+                      r_rows_max):
+    """Fold a footer-proven TINY driver-local dim join into literal
+    expressions — the zero-job broadcast (round-9 verdict #2).
+
+    Even a LocalTableScan dim pays a BroadcastExchange JOB per join
+    (measured: 2 jobs of the sf0.1 star join's 3 are dim broadcast
+    builds). When the right side is a driver-local relation (tiny-dim
+    read path, sources/io.py) with ≤256 unique non-null keys on ONE
+    integral/string/date key, the join IS a lookup table: each right
+    column becomes ``element_at(create_map(<literals>), left_key)``
+    (cast back to its declared type), membership becomes a literal
+    IN-set — all whole-stage-codegen'd, no exchange, no job, and
+    Catalyst constant-folds the maps once per task. Collecting the dim
+    is driver-side (``isLocal`` ⇒ ``executeCollect``), not a job.
+
+    Falls back (returns None) for anything outside the proof: >1 key,
+    float keys (NaN), duplicate or NULL right keys (a map can't
+    duplicate rows), non-literalizable values, indicator=, or a right
+    side that isn't local — the 100 TB case by construction.
+    """
+    if (
+        how not in ("inner", "left", "left_semi", "left_anti")
+        or indicator
+        or len(lk2) != 1
+        or r_rows_max is None
+        or not 0 < r_rows_max <= _TINY_DIM_ROWS
+    ):
+        return None
+    try:
+        from pandas_spark.frame import is_order_col
+
+        # the right side's order-id slot (a nondeterministic mono-id)
+        # blocks locality AND can't literalize — but with UNIQUE right
+        # keys (checked below) each left row matches ≤1 right row, so
+        # the right-side tiebreak can never decide an order: re-add it
+        # as a constant after the compose
+        ordcols = [c for c in rtag.columns if is_order_col(c)]
+        core = rtag.drop(*ordcols) if ordcols else rtag
+        opt = core._jdf.queryExecution().optimizedPlan()
+        if opt.getClass().getSimpleName() != "LocalRelation":
+            return None
+        ktype = dict(core.dtypes).get(rk_tag + rk2[0], "")
+        if ktype not in _TINY_KEY_TYPES:
+            return None
+        rows = core.collect()
+        if not rows:
+            return None  # empty dim: the real join handles it
+        kcol = rk_tag + rk2[0]
+        keys = [r[kcol] for r in rows]
+        if (
+            len(rows) > _TINY_DIM_ROWS
+            or len(rows) * (len(core.columns) + 1) > _TINY_DIM_LITERALS
+            or len(set(keys)) != len(keys)
+            or any(k is None for k in keys)
+        ):
+            return None
+        if how == "left_semi":
+            klits = [_sql_lit(k, ktype) for k in keys]
+            return lsdf2.where(f"{_qi(lk2[0])} IN ({', '.join(klits)})")
+        if how == "left_anti":
+            # NULL left keys match nothing (right keys proven
+            # non-null) — pandas anti KEEPS them; NOT IN over a NULL
+            # key is NULL (filtered), so keep NULLs explicitly
+            klits = [_sql_lit(k, ktype) for k in keys]
+            k_sql = _qi(lk2[0])
+            return lsdf2.where(
+                f"{k_sql} IS NULL OR {k_sql} NOT IN ({', '.join(klits)})"
+            )
+        # SQL-text construction: the Column-builder form costs 2·rows
+        # py4j round trips PER COLUMN (~0.2 s of pure plan build on the
+        # 25-row nation dim) — one parsed selectExpr is ~3 calls total
+        dt = dict(core.dtypes)
+        key_sql = _qi(lk2[0])
+        klits = [_sql_lit(k, ktype) for k in keys]
+        exprs = ["*"]
+        for c in core.columns:
+            pairs = ", ".join(
+                f"{kl}, {_sql_lit(r[c], dt[c])}" for kl, r in zip(klits, rows)
+            )
+            exprs.append(
+                f"CAST(element_at(map({pairs}), {key_sql}) AS {dt[c]}) "
+                f"AS {_qi(c)}"
+            )
+        rt = dict(rtag.dtypes)
+        for c in ordcols:  # constant: can never break a tie (unique keys)
+            exprs.append(f"CAST(0 AS {rt[c]}) AS {_qi(c)}")
+        src = lsdf2
+        if how == "inner":
+            src = lsdf2.where(f"{key_sql} IN ({', '.join(klits)})")
+        return src.selectExpr(*exprs)
+    except Exception:
+        return None  # any unliteralizable shape takes the real join
+
+
 def _disambiguate_and_join(
     lsdf: SparkDF,
     rsdf: SparkDF,
@@ -388,7 +519,13 @@ def _disambiguate_and_join(
     if broadcast == "left":
         lsdf2 = F.broadcast(lsdf2)
 
-    if how == "cross":
+    joined = _tiny_dim_compose(
+        lsdf2, rtag, lk2, rk2, rk_tag, how, indicator, r_rows_max
+    )
+    if joined is not None:
+        if semi_like:
+            return joined
+    elif how == "cross":
         joined = lsdf2.crossJoin(rtag)
     elif (
         how == "left" and broadcast == "left" and lk2

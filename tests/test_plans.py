@@ -39,12 +39,27 @@ def test_filter_and_projection_reach_the_scan(spark):
 
 
 def test_small_dimension_join_broadcasts(spark):
+    """A footer-proven TINY driver-local dim (nation, 25 rows) folds
+    into literal map lookups — the zero-job broadcast (r10): no join
+    operator at all, no BroadcastExchange build job. A dim above the
+    tiny cap but still broadcast-sized keeps the BroadcastHashJoin."""
     cust = ps.read_parquet(spark, f"{SF_DIR}/customer.parquet")
     nat = ps.read_parquet(spark, f"{SF_DIR}/nation.parquet")
     j = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey", broadcast="right")
     plan = plan_of(j.to_spark())
-    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "Join" not in plan  # literal-map compose: map-only plan
+    # the lookup survives as element_at(map(...)) over a real scan, or
+    # (both sides driver-local) constant-folds to a bare LocalTableScan
+    assert "element_at" in plan or "LocalTableScan" in plan
+
+    # strip the tiny proof → the real broadcast join path
+    unproven = nat._with(nat._sdf)  # rows_max drops by default
+    j2 = cust.merge(unproven, left_on="c_nationkey", right_on="n_nationkey",
+                    broadcast="right")
+    plan2 = plan_of(j2.to_spark())
+    assert "BroadcastHashJoin" in plan2
+    assert "SortMergeJoin" not in plan2
 
 
 def test_bucketed_join_has_no_exchange(spark):
