@@ -197,6 +197,19 @@ def merge(
     physical sort in the join plan."""
     if how not in _HOWS:
         raise ValueError(f"how must be one of {sorted(_HOWS)}, got {how!r}")
+    # pandas suffix rules (reference merge.py _items_overlap_with_suffix):
+    # a None component keeps that side's name unsuffixed; BOTH None (or
+    # both empty) with any overlapping column raises
+    suffixes = tuple("" if s is None else str(s) for s in suffixes)
+    if suffixes == ("", ""):
+        overlap = set(left.columns) & set(right.columns)
+        lk0 = _aslist(left_on) or _aslist(on)
+        rk0 = _aslist(right_on) or _aslist(on)
+        overlap -= {l for l, r in zip(lk0 or [], rk0 or []) if l == r}
+        if overlap:
+            raise ValueError(
+                f"columns overlap but no suffix specified: {sorted(overlap)}"
+            )
     lsdf, l_slots = _side_slots(left, _L_ORD)
     if _HOWS[how] in ("left_semi", "left_anti"):
         rsdf, r_slots = right.spark, []
@@ -463,6 +476,8 @@ def _disambiguate_and_join(
     r_rows_max: int | None = None,
 ) -> SparkDF:
     semi_like = how in ("left_semi", "left_anti")
+    # pandas indicator=: True -> '_merge', a string names the column
+    ind_name = indicator if isinstance(indicator, str) else "_merge"
     # internal tag names must never collide with USER columns: a column
     # literally named '__rk_<key>' (or '__lp__'/'__rp__') would make the
     # plain-name output projection ambiguous where the old qualified
@@ -594,7 +609,7 @@ def _disambiguate_and_join(
             out_exprs.append(
                 f"CASE WHEN coalesce({_qi(lp_col)}, false) AND coalesce({_qi(rp_col)}, false) "
                 f"THEN 'both' WHEN coalesce({_qi(lp_col)}, false) THEN 'left_only' "
-                "ELSE 'right_only' END AS `_merge`"
+                f"ELSE 'right_only' END AS {_qi(ind_name)}"
             )
         return joined.selectExpr(*out_exprs)
     else:
@@ -624,7 +639,7 @@ def _disambiguate_and_join(
         out_exprs.append(
             f"CASE WHEN coalesce({_qi(lp_col)}, false) AND coalesce({_qi(rp_col)}, false) "
             f"THEN 'both' WHEN coalesce({_qi(lp_col)}, false) THEN 'left_only' "
-            "ELSE 'right_only' END AS `_merge`"
+            f"ELSE 'right_only' END AS {_qi(ind_name)}"
         )
     return joined.selectExpr(*out_exprs)
 

@@ -1275,3 +1275,27 @@ def test_from_pandas_empty_frame_keeps_dtypes(spark):
     assert dict(f.to_spark().dtypes) == {
         "k": "bigint", "ts": "timestamp", "v": "double", "s": "string",
     }
+
+
+def test_merge_suffix_none_and_indicator_name(spark):
+    """Reference merge.py parity (r10 sweep): a None suffix component
+    keeps that side's name unsuffixed; BOTH None with an overlap
+    raises; indicator=<str> names the indicator column."""
+    import pandas as pd
+    import pandas_spark as ps
+
+    l = pd.DataFrame({"k": [1, 2, 2], "v": [1.0, 2.0, 3.0]})
+    r = pd.DataFrame({"k": [1, 3], "v": [10.0, 20.0]})
+    el, er = ps.from_pandas(spark, l), ps.from_pandas(spark, r)
+
+    exp = l.merge(r, on="k", suffixes=(None, "_y"))
+    got = el.merge(er, on="k", suffixes=(None, "_y"))
+    assert sorted(got.columns) == sorted(exp.columns)
+
+    with pytest.raises(ValueError, match="overlap"):
+        el.merge(er, on="k", suffixes=(None, None))
+
+    exp2 = l.merge(r, on="k", how="left", indicator="src")
+    got2 = el.merge(er, on="k", how="left", indicator="src").to_pandas()
+    assert sorted(got2.columns) == sorted(exp2.columns)
+    assert sorted(got2["src"].astype(str)) == sorted(exp2["src"].astype(str))
