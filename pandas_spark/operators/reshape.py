@@ -19,6 +19,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, Window as W
 from pandas_spark import fshim as F  # backtick-safe F.col facade
 
+from pandas_spark.dtypes import qi
 from pandas_spark.frame import DataFrame
 from pandas_spark.groupby import resolve_agg
 
@@ -238,13 +239,35 @@ def crosstab(
     normalize: bool | str = False,
     values: str | None = None,
     aggfunc: str | None = None,
+    margins: bool = False,
+    margins_name: str = "All",
 ) -> DataFrame:
     """Frequency table (pivot.py:982); normalize ∈ {False,'all','index','columns'}.
     ``values=``/``aggfunc=`` aggregate a value column per cell instead of
     counting (pandas crosstab's pivot_table mode — empty cells stay NULL
-    there, unlike the count mode's 0)."""
+    there, unlike the count mode's 0). ``margins=True`` adds the row/
+    column totals (count mode only, like pandas' most common use; the
+    normalize × margins combinations pandas supports beyond 'all' are
+    out of scope)."""
     if (values is None) != (aggfunc is None):
         raise ValueError("pass values= and aggfunc= together")
+    if margins:
+        if normalize or values is not None:
+            raise NotImplementedError(
+                "crosstab margins= is supported in count mode without "
+                "normalize (pandas' normalize×margins matrix is declared "
+                "out of scope)"
+            )
+        base = crosstab(frame, index, columns)
+        data_cols = [c for c in base.columns if c != index]
+        sdf = base.spark
+        row_total = sum((F.col(c) for c in data_cols), F.lit(0))
+        sdf = sdf.select("*", row_total.alias(margins_name))
+        # margin row: one aggregate over the (tiny) pivoted table
+        totals = sdf.agg(
+            *[F.sum(c).alias(c) for c in data_cols + [margins_name]]
+        ).select(F.lit(margins_name).alias(index), "*")
+        return DataFrame(sdf.unionByName(totals))
     if values is not None:
         from pandas_spark.groupby import resolve_agg
 
@@ -286,9 +309,14 @@ def get_dummies(
     prefix_sep: str = "_",
     dtype: str = "int",
     categories: Mapping[str, Sequence] | None = None,
+    drop_first: bool = False,
+    dummy_na: bool = False,
 ) -> DataFrame:
     """One-hot encode (encoding.py:44). Pass ``categories`` to skip the
-    distinct scans (required at scale)."""
+    distinct scans (required at scale). ``drop_first`` drops the first
+    (sorted) category per column — the k-1 encoding; ``dummy_na`` adds
+    a ``<col><sep>nan`` indicator for missing values (reference
+    encoding.py get_dummies signature)."""
     sdf = frame.spark
     new_cols: dict[str, Column] = {}
     for c in columns:
@@ -304,8 +332,17 @@ def get_dummies(
                     "distinct values; pass categories= explicitly"
                 )
             vals = [r[0] for r in rows if r[0] is not None]
+        if drop_first:
+            vals = vals[1:]
         for v in vals:
-            new_cols[f"{c}{prefix_sep}{v}"] = (F.col(c) == F.lit(v)).cast(dtype)
+            # NULL input rows one-hot to 0 in pandas (encoding.py:
+            # missing is simply "not this category"), but Spark's
+            # NULL == v is NULL — coalesce to the zero of the dtype
+            new_cols[f"{c}{prefix_sep}{v}"] = F.coalesce(
+                (F.col(c) == F.lit(v)).cast(dtype), F.lit(0).cast(dtype)
+            )
+        if dummy_na:
+            new_cols[f"{c}{prefix_sep}nan"] = F.col(c).isNull().cast(dtype)
     keep = [c for c in sdf.columns if c not in set(columns)]
     return DataFrame(sdf.select(*keep, *[e.alias(n) for n, e in new_cols.items()]))
 
@@ -322,10 +359,13 @@ def cut(
     """``pd.cut`` with explicit edges (tile.py:59) — a chained-when expression
     (codegen'd; no UDF). Out-of-range → NULL, matching pandas.
     ``include_lowest=True`` closes the FIRST interval on the left
-    (pandas tile.py: the qcut default)."""
+    (pandas tile.py: the qcut default). ``labels=False`` returns the
+    integer bin CODES (0-based), pandas parity — distinct from
+    ``labels=None`` (interval strings)."""
     name = alias or f"{col}_bin"
     c = F.col(col)
-    expr = F.lit(None).cast("string")
+    codes = labels is False
+    expr = F.lit(None).cast("int" if codes else "string")
     n = len(bins) - 1
     for i in range(n - 1, -1, -1):
         lo, hi = bins[i], bins[i + 1]
@@ -334,7 +374,9 @@ def cut(
             pred = ((c >= lo) if first_closed else (c > lo)) & (c <= hi)
         else:
             pred = (c >= lo) & (c < hi)
-        if labels:
+        if codes:
+            label = i
+        elif labels:
             label = labels[i]
         elif right:
             label = f"[{lo}, {hi}]" if first_closed else f"({lo}, {hi}]"
@@ -361,7 +403,7 @@ def qcut(
     if not isinstance(q, int):
         qs = [float(x) for x in q]
         row = frame._sdf.agg(
-            F.expr(f"percentile(`{col}`, array({', '.join(str(x) for x in qs)}))").alias("e")
+            F.expr(f"percentile({qi(col)}, array({', '.join(str(x) for x in qs)}))").alias("e")
         ).first()
         edges = list(row["e"])
         dedup = sorted(set(edges))

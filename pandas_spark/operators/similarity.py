@@ -1081,7 +1081,7 @@ def _pq_encode_arrow(
     fields = [f for f in sdf.schema.fields if f.name != vec_col]
     out_schema = ", ".join(
         f"{qi(f.name)} {f.dataType.simpleString()}" for f in fields
-    ) + f", `{code_col}` array<int>"
+    ) + f", {qi(code_col)} array<int>"
 
     def gen(batches):
         for b in batches:

@@ -341,7 +341,7 @@ def ewm_mean_stream(
 
     out_schema = (
         ", ".join(f"{qi(f.name)} {f.dataType.simpleString()}" for f in sdf.schema.fields)
-        + f", `{value_col}_ewm` double"
+        + f", {qi(value_col + '_ewm')} double"
     )
     state_schema = "num double, den double"
     in_cols = [f.name for f in sdf.schema.fields]
@@ -467,11 +467,11 @@ def merge_asof_stream(
     l_types = dict(l.dtypes)
     l_tag = l.selectExpr(
         "*", "1 AS `__side__`",
-        *[f"CAST(NULL AS {r_types[c]}) AS `{c}`" for c in payload],
+        *[f"CAST(NULL AS {r_types[c]}) AS {qi(c)}" for c in payload],
     )
     r_tag = r.selectExpr(
         "*", "0 AS `__side__`",
-        *[f"CAST(NULL AS {l_types[c]}) AS `{c}`" for c in l_cols],
+        *[f"CAST(NULL AS {l_types[c]}) AS {qi(c)}" for c in l_cols],
     )
     u = l_tag.unionByName(r_tag)
 
@@ -585,11 +585,11 @@ def _merge_asof_stream_buffered(
     l_types = dict(l.dtypes)
     l_tag = l.selectExpr(
         "*", "1 AS `__side__`",
-        *[f"CAST(NULL AS {r_types[c]}) AS `{c}`" for c in payload],
+        *[f"CAST(NULL AS {r_types[c]}) AS {qi(c)}" for c in payload],
     )
     r_tag = r.selectExpr(
         "*", "0 AS `__side__`",
-        *[f"CAST(NULL AS {l_types[c]}) AS `{c}`" for c in l_cols],
+        *[f"CAST(NULL AS {l_types[c]}) AS {qi(c)}" for c in l_cols],
     )
     # Spark's GLOBAL event-time watermark drives finalization (a
     # per-key "max seen − lateness" would never advance for a key with

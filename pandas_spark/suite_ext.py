@@ -4981,3 +4981,75 @@ def rolling_forward(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(["event_id", "s"])
         .to_spark()
     )
+
+
+@query(
+    "cut_codes",
+    oracle="""
+    SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 15 THEN 0
+                WHEN l_quantity > 15 AND l_quantity <= 35 THEN 1
+                WHEN l_quantity > 35 AND l_quantity <= 50 THEN 2 END AS qty_code,
+           count(*)::BIGINT AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def cut_codes(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """pd.cut(labels=False) → integer bin codes (reference tile.py;
+    r10 sweep — distinct from labels=None's interval strings)."""
+    li = _t(spark, sf_dir, "lineitem").select(["l_quantity"])
+    binned = ps.cut(li, "l_quantity", bins=[0, 15, 35, 50], labels=False,
+                    alias="qty_code")
+    return (
+        binned.groupby("qty_code").agg(n=("qty_code", "size")).to_spark()
+    )
+
+
+@query(
+    "get_dummies_drop_first_na",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_returnflag = 'N')::INT AS "l_returnflag_N",
+           (l_returnflag = 'R')::INT AS "l_returnflag_R",
+           (l_returnflag IS NULL)::INT AS "l_returnflag_nan"
+    FROM lineitem
+    """,
+)
+def get_dummies_drop_first_na(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """get_dummies(drop_first=True, dummy_na=True) — the k-1 encoding
+    plus the NaN indicator (reference encoding.py; r10 sweep). NULL
+    rows one-hot to 0 on every category column, pandas parity."""
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        ["l_orderkey", "l_linenumber", "l_returnflag"]
+    )
+    return ps.get_dummies(
+        lineitem, ["l_returnflag"],
+        categories={"l_returnflag": ["A", "N", "R"]},
+        drop_first=True, dummy_na=True,
+    ).to_spark()
+
+
+@query(
+    "crosstab_margins",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS F,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS O,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS P,
+           count(*)::BIGINT AS "All"
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'All',
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT,
+           count(*)::BIGINT
+    FROM orders
+    """,
+)
+def crosstab_margins(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """crosstab(margins=True) — row/column totals (reference
+    pivot.py:982 margins; r10 sweep)."""
+    orders = _t(spark, sf_dir, "orders")
+    return ps.crosstab(
+        orders, "o_orderpriority", "o_orderstatus", margins=True
+    ).to_spark()

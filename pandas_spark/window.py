@@ -902,7 +902,7 @@ def ewm_mean(
     else:
         schema = ", ".join(
             f"{qi(f.name)} {f.dataType.simpleString()}" for f in out_fields
-        ) + f", `{name}` double"
+        ) + f", {qi(name)} double"
     a = alpha
     # pandas sort convention is NULLS LAST (na_position='last' default;
     # frame.py _sort_key) — Spark's bare .asc() is nulls-FIRST, which
@@ -1081,7 +1081,7 @@ def ewm_cov(
     else:
         schema = ", ".join(
             f"{qi(f.name)} {f.dataType.simpleString()}" for f in sdf.schema.fields
-        ) + f", `{name}` double"
+        ) + f", {qi(name)} double"
     a, stat_ = alpha, stat
     # pandas sort convention is NULLS LAST (na_position='last' default;
     # frame.py _sort_key) — Spark's bare .asc() is nulls-FIRST, which

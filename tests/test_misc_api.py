@@ -1299,3 +1299,41 @@ def test_merge_suffix_none_and_indicator_name(spark):
     got2 = el.merge(er, on="k", how="left", indicator="src").to_pandas()
     assert sorted(got2.columns) == sorted(exp2.columns)
     assert sorted(got2["src"].astype(str)) == sorted(exp2["src"].astype(str))
+
+
+def test_cut_labels_false_returns_codes(spark):
+    """pd.cut(labels=False) returns integer bin CODES — distinct from
+    labels=None (interval strings); reference tile.py (r10 sweep)."""
+    import pandas as pd
+    import pandas_spark as ps
+    from pandas_spark.operators.reshape import cut
+
+    pdf = pd.DataFrame({"v": [1.0, 3.5, 7.2, 2.2, 9.9, 5.0, None]})
+    e = ps.from_pandas(spark, pdf)
+    got = cut(e, "v", bins=[0, 3, 6, 10], labels=False).to_pandas()
+    got = got.sort_values("v", na_position="last")["v_bin"]
+    exp = pd.cut(pdf.sort_values("v", na_position="last")["v"],
+                 bins=[0, 3, 6, 10], labels=False)
+    assert [None if pd.isna(x) else int(x) for x in got] == [
+        None if pd.isna(x) else int(x) for x in exp
+    ]
+
+
+def test_get_dummies_drop_first_and_dummy_na(spark):
+    """reference encoding.py options (r10 sweep): drop_first = k-1
+    encoding, dummy_na = NaN indicator column."""
+    import pandas as pd
+    import pandas_spark as ps
+    from pandas_spark.operators.reshape import get_dummies
+
+    pdf = pd.DataFrame({"c": ["a", "b", None, "c", "b"], "x": range(5)})
+    e = ps.from_pandas(spark, pdf)
+    got = get_dummies(e, ["c"], drop_first=True, dummy_na=True).to_pandas()
+    exp = pd.get_dummies(pdf, columns=["c"], drop_first=True, dummy_na=True,
+                         dtype="int64")
+    # pandas names the NaN column 'c_nan'
+    assert sorted(got.columns) == sorted(exp.columns)
+    g = got.sort_values("x").reset_index(drop=True)
+    x = exp.sort_values("x").reset_index(drop=True)
+    for c in ("c_b", "c_c", "c_nan"):
+        assert list(g[c]) == list(x[c]), c
