@@ -63,13 +63,17 @@ def main() -> None:
         for k in ("text_stats", "dedup_minhash_lsh", "sim_topk_cosine")
         if k in eng
     )
+    sm = rec["result"].get("headline_aggregate_ratio_same_moment")
+    infl = rec["result"].get("pandas_probe_inflation")
     totals = (
         f"Totals: pandas {round(tot_p, 3)}s (measured at box_calib_ms "
         f"{ref.get('box_calib_ms')}) vs engine {round(tot_e, 3)}s (at "
         f"box_calib_ms {rec.get('box_calib_ms')}) over the headline set — "
-        f"**{raw}× raw, {norm}× calib-normalized** (the normalized field "
-        f"`headline_aggregate_ratio_calib_normalized` is stamped in every "
-        f"bench line; it is the number to compare across runs). The engine "
+        f"**{raw}× raw, {norm}× calib-normalized, {sm}× same-moment** "
+        f"(the same-moment field re-probes three pandas queries in-run — "
+        f"measured inflation {infl} this record — so numerator and "
+        f"denominator share the box moment by construction; it is the "
+        f"most trustworthy single number). The engine "
         f"set also times pipeline ops pandas has no analog for: {extras}."
     )
     path = os.path.join(ROOT, "BASELINE.md")
