@@ -2025,10 +2025,13 @@ class DataFrame:
 
         return Expanding(self, on=on, by=by, min_periods=min_periods)
 
-    def resample(self, rule: str, on: str, by: Sequence[str] | None = None):
+    def resample(self, rule: str, on: str, by: Sequence[str] | None = None,
+                 origin: str = "epoch", offset: str | None = None,
+                 closed: str = "left", label: str = "left"):
         from pandas_spark.window import Resampler
 
-        return Resampler(self, rule, on, by=by)
+        return Resampler(self, rule, on, by=by, origin=origin,
+                         offset=offset, closed=closed, label=label)
 
     def ewm(self, alpha=None, span=None, halflife=None, adjust: bool = True,
             times: str | None = None, by: Sequence[str] | None = None,

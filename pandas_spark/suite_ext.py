@@ -5053,3 +5053,25 @@ def crosstab_margins(spark: SparkSession, sf_dir: str) -> SparkDF:
     return ps.crosstab(
         orders, "o_orderpriority", "o_orderstatus", margins=True
     ).to_spark()
+
+
+@query(
+    "resample_closed_right",
+    oracle="""
+    SELECT date_trunc('hour', ts - INTERVAL '1 microsecond') + INTERVAL '1 hour' AS ts,
+           {ES} AS v_sum,
+           count(value)::BIGINT AS v_count
+    FROM events GROUP BY 1
+    """.replace("{ES}", ESUM("value")),
+)
+def resample_closed_right(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample(closed='right', label='right') — buckets (start, end]
+    labeled by end (reference core/resample.py:2404; r10 sweep). A
+    boundary stamp belongs to the EARLIER bucket."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.resample("1h", on="ts", closed="right", label="right")
+        .agg({"value": ["sum", "count"]})
+        .to_spark()
+        .selectExpr("ts", "value_sum AS v_sum", "value_count AS v_count")
+    )

@@ -649,6 +649,8 @@ class Resampler:
         by: Sequence[str] | None = None,
         origin: str = "epoch",
         offset: str | None = None,
+        closed: str = "left",
+        label: str = "left",
     ):
         self._frame = frame
         self._rule = rule
@@ -656,6 +658,18 @@ class Resampler:
         self._by = list(by or [])
         self._origin = origin
         self._offset = offset
+        # pandas closed=/label= (core/resample.py:2404): closed='right'
+        # buckets (start, end] — a boundary point belongs to the
+        # EARLIER bucket; label='right' reports the bucket's end.
+        # Fixed-width rules default left/left in pandas (the
+        # right/right defaults apply only to month/quarter/year/W
+        # anchored freqs, which parse_offset_seconds doesn't accept).
+        if closed not in ("left", "right"):
+            raise ValueError(f"closed must be 'left'|'right', got {closed!r}")
+        if label not in ("left", "right"):
+            raise ValueError(f"label must be 'left'|'right', got {label!r}")
+        self._closed = closed
+        self._label = label
 
     def _start_seconds(self) -> int:
         """Bucket-boundary shift in seconds (pandas ``origin``/``offset``,
@@ -687,15 +701,28 @@ class Resampler:
             base += parse_offset_seconds(self._offset)
         return base % secs
 
+    def _tcol(self):
+        """The bucketing timestamp: closed='right' shifts every stamp
+        back 1µs so an exact boundary point lands in the EARLIER
+        bucket — interior points are unaffected and the reported
+        window bounds stay those of the original buckets."""
+        c = F.col(self._on)
+        if self._closed == "right":
+            return F.timestamp_micros(epoch_micros(c) - 1)
+        return c
+
     def _win(self):
         secs = parse_offset_seconds(self._rule)
         start = self._start_seconds()
         if start:
             return F.window(
-                F.col(self._on), f"{secs} seconds", f"{secs} seconds",
+                self._tcol(), f"{secs} seconds", f"{secs} seconds",
                 f"{start} seconds",
             )
-        return F.window(F.col(self._on), f"{secs} seconds")
+        return F.window(self._tcol(), f"{secs} seconds")
+
+    def _label_col(self):
+        return F.col("__win__.end" if self._label == "right" else "__win__.start")
 
     def _bucketed(self):
         return self._frame.spark.groupBy(*self._by, self._win().alias("__win__"))
@@ -726,7 +753,7 @@ class Resampler:
         out = self._bucketed().agg(*exprs)
         out = out.select(
             *self._by,
-            F.col("__win__.start").alias(self._on),
+            self._label_col().alias(self._on),
             *[c for c in out.columns if c not in (*self._by, "__win__")],
         )
         return DataFrame(out)
@@ -755,7 +782,7 @@ class Resampler:
                 F.min(col).alias("low"),
                 F.first("__last__").alias("close"),
             )
-            .select(*self._by, F.col("__win__.start").alias(self._on), "open", "high", "low", "close")
+            .select(*self._by, self._label_col().alias(self._on), "open", "high", "low", "close")
         )
         return DataFrame(out)
 

@@ -1868,3 +1868,27 @@ def test_corr_kendall_wide_frame_job_count_linear(spark):
     g = mat[(mat.col1 == "c0") & (mat.col2 == "c4")]["corr"].iloc[0]
     ref = kendall_tau_np(pdf["c0"].to_numpy(), pdf["c4"].to_numpy())
     assert g == ref
+
+
+def test_resample_closed_label_matches_pandas(spark):
+    """resample closed=/label= (reference core/resample.py:2404; r10
+    sweep): all four combinations over boundary-heavy stamps — points
+    exactly ON the bucket edge are the cases that flip."""
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01 00:00", periods=13, freq="30min"),
+            "v": [float(x) for x in range(13)],
+        }
+    )
+    f = ps.from_pandas(spark, pdf)
+    for closed in ("left", "right"):
+        for label in ("left", "right"):
+            exp = pdf.set_index("ts").resample("1h", closed=closed, label=label)["v"].sum()
+            got = (
+                f.resample("1h", on="ts", closed=closed, label=label)
+                .agg({"v": "sum"})
+                .to_pandas()
+                .sort_values("ts")
+            )
+            assert list(got["ts"]) == list(exp.index), (closed, label)
+            assert [float(x) for x in got["v"]] == [float(x) for x in exp], (closed, label)
