@@ -398,14 +398,25 @@ def read_csv(
     escapechar: str | None = None,
     date_format: str | None = None,
     infer_schema: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
-    """``pd.read_csv`` option surface → Spark csv datasource options."""
+    """``pd.read_csv`` option surface → Spark csv datasource options.
+
+    ``multiline=True`` parses quoted fields containing embedded
+    newlines (pandas handles these by DEFAULT; Spark's line-splitting
+    reader silently breaks such rows apart). It is opt-in because
+    Spark's multiLine mode makes each file NON-SPLITTABLE — one task
+    per file — which is the wrong default at the 100 TB design point;
+    enable it when the data actually embeds newlines, and keep files
+    small when you do."""
     reader = (
         spark.read.option("sep", sep)
         .option("header", header is not False and header is not None)
         .option("quote", quotechar)
         .option("inferSchema", infer_schema and dtype is None)
     )
+    if multiline:
+        reader = reader.option("multiLine", True)
     if escapechar:
         reader = reader.option("escape", escapechar)
     if comment:

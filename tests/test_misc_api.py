@@ -1337,3 +1337,16 @@ def test_get_dummies_drop_first_and_dummy_na(spark):
     x = exp.sort_values("x").reset_index(drop=True)
     for c in ("c_b", "c_c", "c_nan"):
         assert list(g[c]) == list(x[c]), c
+
+
+def test_read_csv_multiline_quoted_newlines(tmp_path, spark):
+    """Quoted fields with embedded newlines (pandas parses these by
+    default; Spark needs multiLine — r10 sweep found the default
+    silently splitting such rows)."""
+    from pandas_spark.sources.io import read_csv
+
+    p = tmp_path / "m.csv"
+    p.write_text('id,txt\n1,"line1\nline2"\n2,plain\n')
+    df = read_csv(spark, str(p), multiline=True)
+    rows = {r["id"]: r["txt"] for r in df.spark.collect()}
+    assert rows == {1: "line1\nline2", 2: "plain"}
