@@ -159,33 +159,43 @@ def main() -> None:
                 out["headline_aggregate_ratio_calib_normalized"] = round(
                     (ours * ref_calib / run_calib) / theirs, 2
                 )
-            # SAME-MOMENT ratio (round-9 verdict #1b, alternative (b)):
-            # the single-thread calib probe bounds but does not fully
-            # capture box state for parallel work (measured: a calib-43
-            # run normalized BETTER than a calib-35 run of the same
-            # tree). So re-run three real pandas probes IN-RUN — the
-            # three largest pandas lines, ~0.6 s total — and scale the
-            # archived reference by the measured inflation before
-            # dividing. Engine and pandas then share the exact moment.
+            # SAME-MOMENT ratio (round-9 verdict #1b; round-10 #1b/#4
+            # extended to the FULL headline set): the single-thread
+            # calib probe bounds but does not fully capture box state
+            # for parallel work (measured: a calib-43 run normalized
+            # BETTER than a calib-35 run of the same tree). So re-run
+            # the pandas side of EVERY headline query IN-RUN (shared
+            # bodies: tools/pandas_ref_queries.py, median of 3 after 1
+            # warmup, ~5 s at sf0.1) — numerator and denominator then
+            # share the exact box moment by construction and the ratio
+            # needs NO archived denominator. Driver, judge, and
+            # committed records agree by construction.
             try:
-                # only meaningful when this run reads the SAME data the
-                # archived reference was measured on
-                probes = (
-                    _pandas_probes()
-                    if ref_rec.get("sf_dir") == SF_DIR
-                    else {}
-                )
-                common_p = [k for k in probes if k in ref]
+                probes = _pandas_probes(names)
+                common_p = [k for k in probes if k in timings]
                 if common_p:
-                    infl = sum(probes[k] for k in common_p) / sum(
-                        ref[k] for k in common_p
-                    )
-                    out["pandas_probe_inflation"] = round(infl, 3)
+                    p_sum = sum(probes[k] for k in common_p)
+                    e_sum = sum(timings[k] for k in common_p)
+                    out["pandas_same_moment"] = probes
                     out["headline_aggregate_ratio_same_moment"] = round(
-                        ours / (theirs * infl), 2
+                        e_sum / p_sum, 2
                     )
-            except Exception:
-                pass  # probe failure must never zero the bench
+                    # per-query same-moment ratio table — BASELINE.md §6
+                    # regenerates from THIS field (tools/regen_baseline.py)
+                    out["queries_ratio_same_moment"] = {
+                        k: round(timings[k] / probes[k], 2) for k in common_p
+                    }
+                    # archived-reference drift indicator (box moment vs
+                    # the BASELINE_ref.json moment; >1 = box now slower)
+                    common_r = [k for k in common_p if k in ref]
+                    if common_r:
+                        out["pandas_probe_inflation"] = round(
+                            sum(probes[k] for k in common_r)
+                            / sum(ref[k] for k in common_r),
+                            3,
+                        )
+            except Exception as probe_err:
+                out["pandas_probe_error"] = str(probe_err)[:200]
     except Exception:
         pass  # a missing/era-skewed ref file must never zero the bench
     if errors:
@@ -219,55 +229,33 @@ def main() -> None:
             json.dump(rec, f, indent=1)
 
 
-def _pandas_probes() -> dict[str, float]:
-    """Median-of-3 in-run timings of three real pandas headline
-    queries (same shapes as tools/bench_pandas_ref.py) — the
-    same-moment denominator scale. Chosen as the three largest pandas
-    lines so the inflation estimate is signal, not timer noise."""
+def _pandas_probes(names: list[str]) -> dict[str, float]:
+    """Median-of-3 in-run timings of the pandas side of every headline
+    query (bodies shared with tools/bench_pandas_ref.py via
+    tools/pandas_ref_queries.py) — the same-moment denominator.
+
+    Gated by SPARK_GRAFT_PANDAS_PROBES: 'auto' (default) probes only
+    the standard sf0.1 protocol dir (a 100× decade run would spend
+    minutes re-measuring pandas mid-bench); '1' forces, '0' disables."""
     import statistics
 
-    import pandas as pd
+    mode = os.environ.get("SPARK_GRAFT_PANDAS_PROBES", "auto")
+    if mode == "0":
+        return {}
+    if mode == "auto" and not SF_DIR.rstrip("/").endswith("sf0.1"):
+        return {}
 
-    lineitem = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
-    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
-    events = pd.read_parquet(f"{SF_DIR}/events.parquet")
-    cutoff = pd.Timestamp("1998-09-02")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from pandas_ref_queries import build
 
-    def q1():
-        df = lineitem[lineitem.l_shipdate <= cutoff]
-        return (
-            df.assign(
-                disc_price=df.l_extendedprice * (1 - df.l_discount),
-                charge=df.l_extendedprice * (1 - df.l_discount) * (1 + df.l_tax),
-            )
-            .groupby(["l_returnflag", "l_linestatus"])
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                sum_charge=("charge", "sum"),
-                avg_qty=("l_quantity", "mean"),
-                avg_price=("l_extendedprice", "mean"),
-                avg_disc=("l_discount", "mean"),
-                count_order=("l_quantity", "size"),
-            )
-        )
-
-    def join_inner():
-        o = orders[orders.o_orderdate >= pd.Timestamp("1996-01-01")]
-        m = lineitem.merge(o, left_on="l_orderkey", right_on="o_orderkey", how="inner")
-        m = m.assign(rev=m.l_extendedprice * (1 - m.l_discount))
-        return m.groupby("o_orderpriority").agg(revenue=("rev", "sum"), n=("rev", "size"))
-
-    def ewm_mean():
-        df = events.sort_values("event_id", kind="stable")
-        return df.groupby("user_id")["value"].transform(
-            lambda s: s.ewm(alpha=0.3, adjust=True).mean()
-        )
-
-    fns = {"q1_groupby_agg": q1, "join_inner": join_inner, "ewm_mean": ewm_mean}
+    fns = build(SF_DIR)
     timings = {}
-    for name, fn in fns.items():
+    for name in names:
+        fn = fns.get(name)
+        if fn is None:
+            continue  # engine-only query (no pandas analog)
         fn()  # warmup
         ts = []
         for _ in range(3):

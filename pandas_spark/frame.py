@@ -2027,7 +2027,7 @@ class DataFrame:
 
     def resample(self, rule: str, on: str, by: Sequence[str] | None = None,
                  origin: str = "epoch", offset: str | None = None,
-                 closed: str = "left", label: str = "left"):
+                 closed: str | None = None, label: str | None = None):
         from pandas_spark.window import Resampler
 
         return Resampler(self, rule, on, by=by, origin=origin,

@@ -246,28 +246,73 @@ def crosstab(
     ``values=``/``aggfunc=`` aggregate a value column per cell instead of
     counting (pandas crosstab's pivot_table mode — empty cells stay NULL
     there, unlike the count mode's 0). ``margins=True`` adds the row/
-    column totals (count mode only, like pandas' most common use; the
-    normalize × margins combinations pandas supports beyond 'all' are
-    out of scope)."""
+    column totals; the full pandas normalize × margins matrix (r11):
+    'all' keeps BOTH margins divided by the grand total (corner = 1.0),
+    'index' keeps only the margin ROW (overall column distribution),
+    'columns' keeps only the margin COLUMN (overall row distribution) —
+    each reduces to "extend the raw counts with the margin, then apply
+    the plain normalize rule", which is how it's built here (verified
+    against pandas in tests). values=/aggfunc= with margins stays out
+    of scope (loud raise)."""
     if (values is None) != (aggfunc is None):
         raise ValueError("pass values= and aggfunc= together")
     if margins:
-        if normalize or values is not None:
+        if values is not None:
             raise NotImplementedError(
-                "crosstab margins= is supported in count mode without "
-                "normalize (pandas' normalize×margins matrix is declared "
-                "out of scope)"
+                "crosstab margins= with values=/aggfunc= is out of scope "
+                "(count mode only)"
             )
         base = crosstab(frame, index, columns)
         data_cols = [c for c in base.columns if c != index]
         sdf = base.spark
         row_total = sum((F.col(c) for c in data_cols), F.lit(0))
+        if normalize == "index":
+            # margin ROW only: append raw column totals, then
+            # row-normalize everything (the All row's own total is the
+            # grand total, so it lands on col_sums/grand — pandas' rule)
+            totals = sdf.agg(*[F.sum(c).alias(c) for c in data_cols]).select(
+                F.lit(margins_name).alias(index), "*"
+            )
+            un = sdf.unionByName(totals)
+            rt = sum((F.col(c) for c in data_cols), F.lit(0))
+            return DataFrame(
+                un.select(index, *[(F.col(c) / rt).alias(c) for c in data_cols])
+            )
         sdf = sdf.select("*", row_total.alias(margins_name))
+        if normalize == "columns":
+            # margin COLUMN only: the All column's sum is the grand
+            # total, so plain column-normalize covers it too. The
+            # pivoted table is tiny (≤ _MAX_PIVOT_VALUES rows) — the
+            # single-partition window is bounded by construction.
+            w = W.partitionBy()
+            return DataFrame(
+                sdf.select(
+                    index,
+                    *[
+                        (F.col(c) / F.sum(c).over(w)).alias(c)
+                        for c in data_cols + [margins_name]
+                    ],
+                )
+            )
         # margin row: one aggregate over the (tiny) pivoted table
         totals = sdf.agg(
             *[F.sum(c).alias(c) for c in data_cols + [margins_name]]
         ).select(F.lit(margins_name).alias(index), "*")
-        return DataFrame(sdf.unionByName(totals))
+        un = sdf.unionByName(totals)
+        if normalize in ("all", True):
+            grand = sdf.agg(F.sum(margins_name).alias("__t__"))
+            return DataFrame(
+                un.crossJoin(F.broadcast(grand)).select(
+                    index,
+                    *[
+                        (F.col(c) / F.col("__t__")).alias(c)
+                        for c in data_cols + [margins_name]
+                    ],
+                )
+            )
+        if normalize:
+            raise ValueError(f"unknown normalize {normalize!r}")
+        return DataFrame(un)
     if values is not None:
         from pandas_spark.groupby import resolve_agg
 

@@ -100,6 +100,14 @@ def resample_stream(
     """Streaming ``resample(rule).agg(spec)``: tumbling event-time
     window + watermark. Identical results to the batch Resampler when
     no rows arrive later than the watermark."""
+    from pandas_spark.window import parse_anchored
+
+    if parse_anchored(rule) is not None:
+        raise NotImplementedError(
+            f"resample_stream({rule!r}): calendar-anchored frequencies are "
+            "batch-only (Structured Streaming F.window needs a fixed width); "
+            "use a fixed-width rule, e.g. '7D' or '30D'"
+        )
     secs = parse_offset_seconds(rule)
     src = _with_watermark(sdf, on, watermark)
     exprs = _agg_exprs(spec, dict(sdf.dtypes))

@@ -5075,3 +5075,170 @@ def resample_closed_right(spark: SparkSession, sf_dir: str) -> SparkDF:
         .to_spark()
         .selectExpr("ts", "value_sum AS v_sum", "value_count AS v_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 calendar-anchored resample (r11: ME/MS/QE/YE/W — reference
+# core/resample.py:2402 TimeGrouper, offsets.pyx Week:5192/MonthEnd:4680)
+# ---------------------------------------------------------------------------
+
+@query(
+    "resample_month_end",
+    oracle="""
+    SELECT CAST(last_day(o_orderdate) AS TIMESTAMP) AS ts,
+           {ES} AS price_sum,
+           count(o_totalprice)::BIGINT AS n
+    FROM orders GROUP BY 1
+    """.replace("{ES}", ESUM("o_totalprice")),
+)
+def resample_month_end(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample('ME') — calendar-month buckets labeled by month end,
+    pandas right/right defaults with day-end-adjusted edges (reference
+    core/resample.py:2404, _adjust_bin_edges). JVM-side: one
+    last_day/trunc expression per row, ONE shuffle for the agg —
+    identical plan shape at 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.resample("ME", on="o_orderdate")
+        .agg({"o_totalprice": ["sum", "count"]})
+        .to_spark()
+        .selectExpr(
+            "o_orderdate AS ts",
+            "o_totalprice_sum AS price_sum",
+            "o_totalprice_count AS n",
+        )
+    )
+
+
+@query(
+    "resample_month_start_label_left",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS ts,
+           {ES} AS price_sum
+    FROM orders GROUP BY 1
+    """.replace("{ES}", ESUM("o_totalprice")),
+)
+def resample_month_start_label_left(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample('MS') — month-start buckets, left/left pandas defaults
+    for start-anchored freqs (core/resample.py:2404)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.resample("MS", on="o_orderdate")
+        .agg({"o_totalprice": "sum"})
+        .to_spark()
+        .selectExpr("o_orderdate AS ts", "o_totalprice AS price_sum")
+    )
+
+
+@query(
+    "resample_month_end_label_left",
+    oracle="""
+    SELECT CAST(last_day(CAST(o_orderdate - INTERVAL 1 MONTH AS DATE)) AS TIMESTAMP) AS ts,
+           count(*)::BIGINT AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def resample_month_end_label_left(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample('ME', label='left') — non-default label side: the bin's
+    LEFT edge (previous month end) labels each calendar-month bucket."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.resample("ME", on="o_orderdate", label="left")
+        .agg({"o_orderkey": "count"})
+        .to_spark()
+        .selectExpr("o_orderdate AS ts", "o_orderkey AS n")
+    )
+
+
+@query(
+    "resample_week_sunday",
+    oracle="""
+    SELECT CAST(CAST(o_orderdate AS DATE)
+                + CAST((7 - isodow(o_orderdate)) % 7 AS INTEGER) AS TIMESTAMP) AS ts,
+           {ES} AS price_sum,
+           count(*)::BIGINT AS n
+    FROM orders GROUP BY 1
+    """.replace("{ES}", ESUM("o_totalprice")),
+)
+def resample_week_sunday(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample('W') == W-SUN (offsets.pyx:5192) — weeks END on Sunday,
+    right/right defaults, Sunday itself closing its own week (day-end
+    adjusted edges). Replaces the pre-r11 silent epoch-anchored 604800 s
+    bucketing (1970-01-01 is a THURSDAY — wrong boundaries)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.resample("W", on="o_orderdate")
+        .agg({"o_totalprice": ["sum", "count"]})
+        .to_spark()
+        .selectExpr(
+            "o_orderdate AS ts",
+            "o_totalprice_sum AS price_sum",
+            "o_totalprice_count AS n",
+        )
+    )
+
+
+@query(
+    "resample_quarter_year_end",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(last_day(CAST(date_trunc('quarter', o_orderdate)
+                                + INTERVAL 2 MONTH AS DATE)) AS TIMESTAMP) AS ts,
+             count(*)::BIGINT AS n
+      FROM orders GROUP BY 1
+    ), y AS (
+      SELECT CAST(last_day(CAST(date_trunc('year', o_orderdate)
+                                + INTERVAL 11 MONTH AS DATE)) AS TIMESTAMP) AS ts,
+             count(*)::BIGINT AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT 'QE' AS freq, ts, n FROM q
+    UNION ALL
+    SELECT 'YE' AS freq, ts, n FROM y
+    """,
+)
+def resample_quarter_year_end(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample('QE') / resample('YE') — quarter/year-end anchored
+    buckets (QE-DEC / YE-DEC defaults), unioned under a freq tag."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def one(freq: str) -> SparkDF:
+        return (
+            orders.resample(freq, on="o_orderdate")
+            .agg({"o_orderkey": "count"})
+            .to_spark()
+            .selectExpr(f"'{freq}' AS freq", "o_orderdate AS ts", "o_orderkey AS n")
+        )
+
+    return one("QE").unionAll(one("YE"))
+
+
+@query(
+    "crosstab_norm_margins",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE AS fc,
+             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::DOUBLE AS oc,
+             sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::DOUBLE AS pc,
+             count(*)::DOUBLE AS alc
+      FROM orders GROUP BY 1
+    ), g AS (SELECT sum(alc) AS t FROM c)
+    SELECT o_orderpriority,
+           fc / t AS "F", oc / t AS "O", pc / t AS "P", alc / t AS "All"
+    FROM c, g
+    UNION ALL
+    SELECT 'All', sum(fc) / max(t), sum(oc) / max(t),
+           sum(pc) / max(t), sum(alc) / max(t)
+    FROM c, g
+    """,
+)
+def crosstab_norm_margins(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """crosstab(normalize='all', margins=True) — r11: the full pandas
+    normalize×margins matrix (reference pivot.py:982); both margins
+    divided by the grand total, corner = 1.0."""
+    orders = _t(spark, sf_dir, "orders")
+    return ps.crosstab(
+        orders, "o_orderpriority", "o_orderstatus",
+        normalize="all", margins=True,
+    ).to_spark()

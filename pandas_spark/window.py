@@ -118,6 +118,90 @@ def parse_offset_seconds(freq: str) -> int:
     return n * _FREQ_SECONDS[unit]
 
 
+# --- calendar-anchored frequencies (pandas core/resample.py:2402
+#     TimeGrouper; _libs/tslibs/offsets.pyx Week:5192 / MonthEnd:4680) ----
+
+_WEEK_DOW = {"MON": 1, "TUE": 2, "WED": 3, "THU": 4, "FRI": 5, "SAT": 6, "SUN": 7}
+_MONTH_NUM = {
+    "JAN": 1, "FEB": 2, "MAR": 3, "APR": 4, "MAY": 5, "JUN": 6,
+    "JUL": 7, "AUG": 8, "SEP": 9, "OCT": 10, "NOV": 11, "DEC": 12,
+}
+
+
+class AnchoredRule:
+    """A parsed calendar-anchored resample frequency.
+
+    ``kind`` ∈ {'month_end', 'month_start', 'week'};
+    ``p`` = period width in months (1/3/12) for the month kinds;
+    ``m`` = anchor month (the period's END month for month_end —
+    QE-DEC → 12 — or its START month for month_start — QS-OCT → 10);
+    ``dow`` = ISO day-of-week (Mon=1..Sun=7) for week rules.
+    ``end_anchored`` drives the pandas closed/label defaults
+    (right/right for ME/QE/YE/W, left/left otherwise —
+    reference core/resample.py:2404)."""
+
+    __slots__ = ("kind", "p", "m", "dow", "end_anchored")
+
+    def __init__(self, kind: str, p: int = 1, m: int = 12, dow: int = 7):
+        self.kind = kind
+        self.p = p
+        self.m = m
+        self.dow = dow
+        self.end_anchored = kind in ("month_end", "week")
+
+
+_ANCHOR_BASE = {
+    # alias → (kind, months-per-period, default anchor month)
+    "ME": ("month_end", 1, 1), "M": ("month_end", 1, 1),
+    "QE": ("month_end", 3, 12), "Q": ("month_end", 3, 12),
+    "YE": ("month_end", 12, 12), "Y": ("month_end", 12, 12),
+    "A": ("month_end", 12, 12),
+    "MS": ("month_start", 1, 1),
+    "QS": ("month_start", 3, 1),
+    "YS": ("month_start", 12, 1), "AS": ("month_start", 12, 1),
+}
+
+
+def parse_anchored(freq: str) -> "AnchoredRule | None":
+    """'ME' / 'QS-OCT' / 'W' / 'W-WED' → AnchoredRule; None if the rule
+    is not calendar-anchored (fixed-width rules fall through to
+    ``parse_offset_seconds``). Multiples ('2W', '3ME') raise — their
+    bins are origin-dependent and out of scope (loud, not silent)."""
+    import re
+
+    mm = re.fullmatch(r"(\d+)?\s*([A-Za-z]+)(?:-([A-Za-z]{3}))?", freq.strip())
+    if not mm:
+        return None
+    n, base, suffix = int(mm.group(1) or 1), mm.group(2), mm.group(3)
+    # exact-case alias match: 'ms' is MILLISECONDS, 'MS' is month-start
+    is_week = base == "W"
+    if base not in _ANCHOR_BASE and not is_week:
+        return None
+    if n != 1:
+        raise NotImplementedError(
+            f"resample({freq!r}): multiples of calendar-anchored frequencies "
+            "are not supported (origin-dependent bins); use n=1 anchored or a "
+            "fixed-width rule"
+        )
+    if is_week:
+        # pandas 'W' == 'W-SUN' (offsets.pyx:5192 Week). The rolling
+        # path still treats 'W' as a fixed 7-day width
+        # (pd.Timedelta('W') semantics) — only resample routes here.
+        if suffix is None:
+            return AnchoredRule("week", dow=7)
+        if suffix.upper() not in _WEEK_DOW:
+            raise ValueError(f"unknown weekday anchor in {freq!r}")
+        return AnchoredRule("week", dow=_WEEK_DOW[suffix.upper()])
+    kind, p, m = _ANCHOR_BASE[base]
+    if suffix is not None:
+        if suffix.upper() not in _MONTH_NUM:
+            raise ValueError(f"unknown month anchor in {freq!r}")
+        if p == 1:
+            raise ValueError(f"month anchor suffix invalid on {base!r} ({freq!r})")
+        m = _MONTH_NUM[suffix.upper()]
+    return AnchoredRule(kind, p=p, m=m)
+
+
 class Rolling:
     """pandas ``rolling`` (reference window/rolling.py). Documented
     divergence: pandas' online rolling kernels treat ±inf as missing
@@ -649,8 +733,8 @@ class Resampler:
         by: Sequence[str] | None = None,
         origin: str = "epoch",
         offset: str | None = None,
-        closed: str = "left",
-        label: str = "left",
+        closed: str | None = None,
+        label: str | None = None,
     ):
         self._frame = frame
         self._rule = rule
@@ -658,12 +742,27 @@ class Resampler:
         self._by = list(by or [])
         self._origin = origin
         self._offset = offset
+        # Calendar-anchored rules (ME/MS/QE/QS/YE/YS/W[-DOW]) bucket by
+        # calendar periods, not fixed widths (pandas core/resample.py:2402).
+        self._anchored = parse_anchored(rule)
+        if self._anchored is None:
+            parse_offset_seconds(rule)  # validate eagerly (loud, not at agg)
+        elif self._origin != "epoch" or self._offset:
+            raise NotImplementedError(
+                f"resample({rule!r}): origin=/offset= with calendar-anchored "
+                "frequencies is not supported (pandas anchors these to the "
+                "calendar, origin is only honored for fixed-width rules here)"
+            )
         # pandas closed=/label= (core/resample.py:2404): closed='right'
         # buckets (start, end] — a boundary point belongs to the
         # EARLIER bucket; label='right' reports the bucket's end.
-        # Fixed-width rules default left/left in pandas (the
-        # right/right defaults apply only to month/quarter/year/W
-        # anchored freqs, which parse_offset_seconds doesn't accept).
+        # Defaults: right/right for END-anchored freqs (ME/QE/YE/W),
+        # left/left for everything else — exactly pandas' rule.
+        end_anchored = self._anchored is not None and self._anchored.end_anchored
+        if closed is None:
+            closed = "right" if end_anchored else "left"
+        if label is None:
+            label = "right" if end_anchored else "left"
         if closed not in ("left", "right"):
             raise ValueError(f"closed must be 'left'|'right', got {closed!r}")
         if label not in ("left", "right"):
@@ -711,7 +810,45 @@ class Resampler:
             return F.timestamp_micros(epoch_micros(c) - 1)
         return c
 
+    def _anchored_edges(self, c):
+        """(start, end) DATE exprs of the calendar bucket holding
+        timestamp column ``c``.
+
+        End-anchored freqs (ME/QE/YE/W) use pandas' day-end-adjusted
+        edges (core/resample.py _adjust_bin_edges): membership is
+        decided at DAY granularity — Jan 31 23:59 is still January,
+        Sunday 05:00 still ends that Sunday's week — so closed='left'
+        shifts the DATE by +1 day (edge day opens the next bin).
+        Start-anchored freqs (MS/QS/YS) keep plain midnight edges, so
+        closed='right' is the engine's usual −1 µs timestamp shift.
+        Verified against pandas on boundary-heavy stamps for all four
+        closed×label combinations (tests/test_resample_anchored.py)."""
+        a = self._anchored
+        if a.kind == "week":
+            d = F.to_date(c)
+            dd = F.date_add(d, 1) if self._closed == "left" else d
+            iso = F.weekday(dd) + F.lit(1)  # weekday(): Mon=0..Sun=6
+            end = F.date_add(dd, F.pmod(F.lit(a.dow) - iso, F.lit(7)))
+            return F.date_sub(end, 7), end
+        if a.kind == "month_end":
+            d = F.to_date(c)
+            dd = F.date_add(d, 1) if self._closed == "left" else d
+            off = F.pmod(F.lit(a.m) - F.month(dd), F.lit(a.p))
+            end = F.last_day(F.add_months(F.trunc(dd, "MM"), off))
+            return F.last_day(F.add_months(F.trunc(end, "MM"), -a.p)), end
+        # month_start
+        tsx = F.timestamp_micros(epoch_micros(c) - 1) if self._closed == "right" else c
+        d0 = F.trunc(F.to_date(tsx), "MM")
+        start = F.add_months(d0, -F.pmod(F.month(d0) - F.lit(a.m), F.lit(a.p)))
+        return start, F.add_months(start, a.p)
+
     def _win(self):
+        if self._anchored is not None:
+            start, end = self._anchored_edges(F.col(self._on))
+            return F.struct(
+                start.cast("timestamp").alias("start"),
+                end.cast("timestamp").alias("end"),
+            )
         secs = parse_offset_seconds(self._rule)
         start = self._start_seconds()
         if start:
@@ -817,7 +954,14 @@ class Resampler:
         ``F.window``/``date_trunc`` buckets) so spine keys join exactly
         against resampled aggregates. With ``by=`` groups: one spine
         per group over THAT group's bounds (a groupBy agg, then a
-        per-row sequence explode — no global bounds, no cross join)."""
+        per-row sequence explode — no global bounds, no cross join).
+
+        Calendar-anchored rules build the spine over canonical period
+        STARTS (always day-1 dates, so month-interval stepping never
+        clamps mid-sequence) and map each to the bucket LABEL (per
+        ``label=``)."""
+        if self._anchored is not None:
+            return self._asfreq_spine_anchored()
         secs = parse_offset_seconds(self._rule)
         start = self._start_seconds()
 
@@ -840,6 +984,47 @@ class Resampler:
             F.explode(
                 F.sequence("lo", "hi", F.expr(f"INTERVAL {secs} seconds"))
             ).alias(self._on),
+        )
+        return DataFrame(spine)
+
+    def _asfreq_spine_anchored(self) -> DataFrame:
+        """Anchored-frequency spine: one bounds agg (min/max ts →
+        bucket edges via the SAME expressions agg() buckets with),
+        then a month-start / week-edge sequence mapped to labels."""
+        a = self._anchored
+
+        def label_of(c):
+            start, end = self._anchored_edges(c)
+            return end if self._label == "right" else start
+
+        agg_cols = [
+            label_of(F.min(self._on)).alias("lo"),
+            label_of(F.max(self._on)).alias("hi"),
+        ]
+        if self._by:
+            bounds = self._frame.spark.groupBy(*self._by).agg(*agg_cols)
+        else:
+            bounds = self._frame.spark.agg(*agg_cols)
+        if a.kind == "week":
+            seq = F.sequence("lo", "hi", F.expr("INTERVAL 7 days"))
+            lab = F.explode(seq)
+        else:
+            # step over period STARTS (day-1 dates: month arithmetic
+            # is exact), then re-derive the label from each start
+            step = F.expr(f"INTERVAL {a.p} months")
+            seq = F.sequence(F.trunc("lo", "MM"), F.trunc("hi", "MM"), step)
+            lab = F.explode(seq)
+        spine = bounds.select(*self._by, lab.alias("__p__"))
+        # lo/hi are the LABEL dates themselves, so the sequence element
+        # (its month start / the week edge) maps back uniformly:
+        # month_end labels are month-ends, month_start labels are
+        # month starts, week labels are the edges.
+        if a.kind == "month_end":
+            label = F.last_day(F.col("__p__"))
+        else:
+            label = F.col("__p__")
+        spine = spine.select(
+            *self._by, label.cast("timestamp").alias(self._on)
         )
         return DataFrame(spine)
 

@@ -1350,3 +1350,43 @@ def test_read_csv_multiline_quoted_newlines(tmp_path, spark):
     df = read_csv(spark, str(p), multiline=True)
     rows = {r["id"]: r["txt"] for r in df.spark.collect()}
     assert rows == {1: "line1\nline2", 2: "plain"}
+
+
+def test_crosstab_normalize_margins_matrix_matches_pandas(spark):
+    """r11: the full pandas normalize × margins matrix (pivot.py:982):
+    'all' keeps both margins /grand (corner 1.0), 'index' keeps only
+    the margin ROW, 'columns' only the margin COLUMN."""
+    from pandas_spark.operators.reshape import crosstab
+    from pandas_spark.sources.io import from_pandas
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "a": ["x", "x", "y", "y", "y", "z", "z", "x"],
+            "b": ["p", "q", "p", "p", "q", "q", "p", "p"],
+        }
+    )
+    f = from_pandas(spark, pdf)
+    for norm in ["all", "index", "columns", True]:
+        want = pd.crosstab(pdf.a, pdf.b, normalize=norm, margins=True)
+        got = (
+            crosstab(f, "a", "b", normalize=norm, margins=True)
+            .spark.toPandas()
+            .set_index("a")
+        )
+        assert set(got.index) == set(want.index), norm
+        assert set(got.columns) == set(want.columns), norm
+        for r in want.index:
+            for c in want.columns:
+                assert abs(want.loc[r, c] - got.loc[r, c]) < 1e-12, (norm, r, c)
+
+
+def test_crosstab_margins_values_still_raises(spark):
+    from pandas_spark.operators.reshape import crosstab
+    from pandas_spark.sources.io import from_pandas
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": ["x"], "b": ["p"], "v": [1.0]})
+    f = from_pandas(spark, pdf)
+    with pytest.raises(NotImplementedError, match="count mode"):
+        crosstab(f, "a", "b", values="v", aggfunc="mean", margins=True)

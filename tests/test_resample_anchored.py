@@ -1,0 +1,179 @@
+"""Calendar-anchored resample (ME/MS/QE/QS/YE/YS/W[-DOW]) vs pandas.
+
+pandas semantics verified here (reference core/resample.py:2402
+TimeGrouper, :2404 end-anchored right/right defaults, _adjust_bin_edges
+day-end adjustment; offsets.pyx Week:5192, MonthEnd:4680):
+
+* END-anchored freqs (ME/QE/YE/W) decide membership at DAY granularity
+  (edges are day-end-adjusted): Jan 31 23:59 is still January,
+  Sunday 05:00 still ends that Sunday's week.
+* START-anchored freqs (MS/QS/YS) keep midnight edges: closed='right'
+  moves an exactly-midnight month-start into the earlier bucket.
+* Defaults: closed/label = right/right for end-anchored, left/left
+  otherwise.
+
+The engine only emits OCCUPIED buckets (pandas emits empty bins for
+interior gaps); the comparison therefore filters pandas' result to
+count>0 bins — upsampling/gap-filling is `asfreq_spine`/`interpolate`,
+tested separately below.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+import pandas_spark as ps
+
+FREQS = [
+    "ME", "MS", "QE", "QS", "YE", "YS", "W",
+    "W-WED", "W-MON", "QE-FEB", "YE-JUN", "QS-OCT", "YS-JUL",
+]
+
+BOUNDARY_STAMPS = [
+    "2024-01-15 10:00", "2024-01-31 00:00", "2024-01-31 00:01",
+    "2024-01-31 23:59", "2024-02-01 00:00", "2024-02-01 10:00",
+    "2024-02-29 12:00", "2024-03-01 00:00", "2023-12-31 00:00",
+    "2023-12-31 05:00", "2024-06-30 23:59:59.999999",
+    "2024-07-01 00:00:00.000001", "2024-12-31 23:59:59",
+    "2025-01-01 00:00:00",
+]
+
+
+def _random_boundary_stamps(n: int, seed: int) -> list[pd.Timestamp]:
+    """Stamps clustered around month/week boundaries ±2h, plus interior."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        month = rng.randint(1, 12)
+        year = rng.choice([2023, 2024])
+        anchor = pd.Timestamp(year=year, month=month, day=1)
+        if rng.random() < 0.7:
+            off = rng.randint(-7200, 7200)  # ±2h around a month edge
+        else:
+            off = rng.randint(0, 27 * 86400)
+        out.append(anchor + pd.Timedelta(seconds=off))
+    return out
+
+
+def _compare(pdf: pd.DataFrame, eng: ps.DataFrame, freq: str, closed, label):
+    kw = {}
+    if closed:
+        kw["closed"] = closed
+    if label:
+        kw["label"] = label
+    grp = pdf.set_index("ts").resample(freq, **kw)["v"]
+    exp = grp.sum().reset_index().rename(columns={"v": "s"})
+    exp = exp[grp.count().values > 0].reset_index(drop=True)
+    got = (
+        eng.resample(freq, on="ts", **kw)
+        .agg({"v": "sum"})
+        .to_spark()
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+        .rename(columns={"v": "s"})
+    )
+    assert len(exp) == len(got), (freq, closed, label, exp, got)
+    assert (exp["ts"].values == got["ts"].values).all(), (freq, closed, label, exp, got)
+    assert (abs(exp["s"].values - got["s"].values) < 1e-9).all(), (freq, closed, label)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    stamps = list(pd.to_datetime(BOUNDARY_STAMPS, format="mixed"))
+    stamps += _random_boundary_stamps(120, seed=11)
+    pdf = pd.DataFrame({"ts": stamps, "v": [float(i % 17) + 0.25 for i in range(len(stamps))]})
+    return pdf, ps.DataFrame(spark.createDataFrame(pdf))
+
+
+@pytest.mark.parametrize("freq", FREQS)
+def test_anchored_defaults_match_pandas(frames, freq):
+    pdf, eng = frames
+    _compare(pdf, eng, freq, None, None)
+
+
+@pytest.mark.parametrize("freq", ["ME", "MS", "W", "QE"])
+@pytest.mark.parametrize("closed", ["left", "right"])
+@pytest.mark.parametrize("label", ["left", "right"])
+def test_anchored_closed_label_matrix(frames, freq, closed, label):
+    pdf, eng = frames
+    _compare(pdf, eng, freq, closed, label)
+
+
+def test_anchored_multiple_raises(frames):
+    _, eng = frames
+    with pytest.raises(NotImplementedError, match="multiples"):
+        eng.resample("2ME", on="ts").agg({"v": "sum"})
+    with pytest.raises(NotImplementedError, match="multiples"):
+        eng.resample("3W", on="ts").agg({"v": "sum"})
+
+
+def test_anchored_origin_offset_raise(frames):
+    _, eng = frames
+    with pytest.raises(NotImplementedError, match="origin"):
+        eng.resample("ME", on="ts", origin="start")
+    with pytest.raises(NotImplementedError, match="origin"):
+        eng.resample("W", on="ts", offset="1D")
+
+
+def test_ms_is_not_milliseconds_confusion(frames):
+    """'ms' (lowercase) must NOT parse as month-start: it is pandas'
+    millisecond alias, which the engine doesn't support — loud raise."""
+    _, eng = frames
+    with pytest.raises(ValueError, match="unsupported frequency unit"):
+        eng.resample("ms", on="ts").agg({"v": "sum"})
+
+
+def test_anchored_spine_matches_agg_labels(frames):
+    """asfreq_spine covers exactly the label range of the aggregate and
+    every aggregate label is on the spine (upsample-join contract)."""
+    pdf, eng = frames
+    for freq in ["ME", "MS", "W", "QE", "YE"]:
+        r = eng.resample(freq, on="ts")
+        agg = r.agg({"v": "sum"}).to_spark().toPandas()
+        spine = r.asfreq_spine().to_spark().toPandas()
+        agg_ts = set(agg["ts"])
+        spine_ts = set(spine["ts"])
+        assert agg_ts <= spine_ts, (freq, sorted(agg_ts - spine_ts)[:3])
+        assert min(spine_ts) == min(agg_ts) and max(spine_ts) == max(agg_ts), freq
+
+
+def test_anchored_count_matches_pandas_weekly_by_group(frames, spark):
+    """Grouped weekly resample (by=) against pandas groupby().resample()."""
+    pdf, _ = frames
+    pdf = pdf.assign(k=[i % 3 for i in range(len(pdf))])
+    eng = ps.DataFrame(spark.createDataFrame(pdf))
+    exp = (
+        pdf.set_index("ts")
+        .groupby("k")
+        .resample("W")["v"]
+        .count()
+        .reset_index()
+        .rename(columns={"v": "n"})
+    )
+    exp = exp[exp["n"] > 0].sort_values(["k", "ts"]).reset_index(drop=True)
+    got = (
+        eng.resample("W", on="ts", by=["k"])
+        .agg({"v": "count"})
+        .to_spark()
+        .toPandas()
+        .rename(columns={"v": "n"})
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    assert exp[["k", "n"]].values.tolist() == got[["k", "n"]].values.tolist()
+    assert (exp["ts"].values == got["ts"].values).all()
+
+
+def test_streaming_resample_rejects_anchored(spark):
+    from pandas_spark import fshim as F
+    from pandas_spark.streaming.core import resample_stream
+
+    sdf = spark.range(1).select(
+        F.current_timestamp().alias("ts"), F.lit(1.0).alias("v")
+    )
+    with pytest.raises(NotImplementedError, match="batch-only"):
+        resample_stream(sdf, "ME", "ts", {"v": "sum"})

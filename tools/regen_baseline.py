@@ -41,13 +41,24 @@ def main() -> None:
     with open(os.path.join(ROOT, "BENCH_HEAD.json")) as f:
         rec = json.load(f)
     eng = rec["result"]["queries"]
+    # Prefer the IN-RUN pandas probes (r10 verdict #1b/#4: bench.py
+    # times the pandas side of every headline query in the same run,
+    # so both table columns carry ONE shared moment stamp); fall back
+    # to the archived BASELINE_ref.json for legacy records.
+    sm_probes = rec["result"].get("pandas_same_moment") or {}
+    same_moment_table = bool(sm_probes)
+    pq = sm_probes if same_moment_table else ref["queries"]
+    src_note = (
+        "in-run same-moment probe" if same_moment_table
+        else f"archived BASELINE_ref.json @ calib {ref.get('box_calib_ms')}"
+    )
     lines = [
-        "| metric (query shape) | pandas ref (s) | our engine (s) | ratio | config | bench key |",
+        f"| metric (query shape) | pandas (s, {src_note}) | our engine (s) | ratio | config | bench key |",
         "|---|---|---|---|---|---|",
     ]
     tot_p = tot_e = 0.0
     for k, label in LABELS.items():
-        p, e = ref["queries"].get(k), eng.get(k)
+        p, e = pq.get(k), eng.get(k)
         if p is None or e is None:
             continue
         tot_p += p
@@ -65,17 +76,32 @@ def main() -> None:
     )
     sm = rec["result"].get("headline_aggregate_ratio_same_moment")
     infl = rec["result"].get("pandas_probe_inflation")
-    totals = (
-        f"Totals: pandas {round(tot_p, 3)}s (measured at box_calib_ms "
-        f"{ref.get('box_calib_ms')}) vs engine {round(tot_e, 3)}s (at "
-        f"box_calib_ms {rec.get('box_calib_ms')}) over the headline set — "
-        f"**{raw}× raw, {norm}× calib-normalized, {sm}× same-moment** "
-        f"(the same-moment field re-probes three pandas queries in-run — "
-        f"measured inflation {infl} this record — so numerator and "
-        f"denominator share the box moment by construction; it is the "
-        f"most trustworthy single number). The engine "
-        f"set also times pipeline ops pandas has no analog for: {extras}."
-    )
+    if same_moment_table:
+        totals = (
+            f"Totals: pandas {round(tot_p, 3)}s vs engine {round(tot_e, 3)}s "
+            f"over the headline set, BOTH columns measured in ONE bench run "
+            f"at box_calib_ms {rec.get('box_calib_ms')} (bench.py re-runs "
+            f"the pandas side of every headline query in-run; bodies shared "
+            f"via tools/pandas_ref_queries.py) — **{sm}× same-moment** is "
+            f"the headline number and needs no cross-moment normalization. "
+            f"For continuity: {raw}× raw / {norm}× calib-normalized against "
+            f"the archived BASELINE_ref.json (drift indicator "
+            f"pandas_probe_inflation {infl}: in-run pandas vs archived). "
+            f"The engine set also times pipeline ops pandas has no analog "
+            f"for: {extras}."
+        )
+    else:
+        totals = (
+            f"Totals: pandas {round(tot_p, 3)}s (measured at box_calib_ms "
+            f"{ref.get('box_calib_ms')}) vs engine {round(tot_e, 3)}s (at "
+            f"box_calib_ms {rec.get('box_calib_ms')}) over the headline set — "
+            f"**{raw}× raw, {norm}× calib-normalized, {sm}× same-moment** "
+            f"(the same-moment field re-probes pandas queries in-run — "
+            f"measured inflation {infl} this record — so numerator and "
+            f"denominator share the box moment by construction; it is the "
+            f"most trustworthy single number). The engine "
+            f"set also times pipeline ops pandas has no analog for: {extras}."
+        )
     path = os.path.join(ROOT, "BASELINE.md")
     with open(path) as f:
         doc = f.read()
