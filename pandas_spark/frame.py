@@ -2026,7 +2026,7 @@ class DataFrame:
         return Expanding(self, on=on, by=by, min_periods=min_periods)
 
     def resample(self, rule: str, on: str, by: Sequence[str] | None = None,
-                 origin: str = "epoch", offset: str | None = None,
+                 origin: str | None = None, offset: str | None = None,
                  closed: str | None = None, label: str | None = None):
         from pandas_spark.window import Resampler
 

@@ -5242,3 +5242,58 @@ def crosstab_norm_margins(spark: SparkSession, sf_dir: str) -> SparkDF:
         orders, "o_orderpriority", "o_orderstatus",
         normalize="all", margins=True,
     ).to_spark()
+
+
+@query(
+    "resample_7d_start_day",
+    oracle="""
+    WITH m AS (SELECT date_trunc('day', min(o_orderdate)) AS m0 FROM orders)
+    SELECT m0 + to_days(7 * CAST((epoch_us(o_orderdate) - epoch_us(m0))
+                                 // 604800000000 AS INTEGER)) AS ts,
+           {ES} AS price_sum,
+           count(*)::BIGINT AS n
+    FROM orders, m GROUP BY 1
+    """.replace("{ES}", ESUM("o_totalprice")),
+)
+def resample_7d_start_day(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample('7D') under pandas' DEFAULT origin='start_day'
+    (reference core/resample.py:2441; r11 sweep): bins anchor to the
+    data's first midnight, NOT epoch — 7 days does not divide into the
+    epoch grid, so the pre-r11 epoch default produced shifted bins.
+    One bounded min(ts) scalar job, then the same single-shuffle agg."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.resample("7D", on="o_orderdate")
+        .agg({"o_totalprice": ["sum", "count"]})
+        .to_spark()
+        .selectExpr(
+            "o_orderdate AS ts",
+            "o_totalprice_sum AS price_sum",
+            "o_totalprice_count AS n",
+        )
+    )
+
+
+@query(
+    "resample_origin_end",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT make_timestamp(epoch_us(m)
+             - ((epoch_us(m) - epoch_us(ts)) // 21600000000) * 21600000000) AS ts,
+           {ES} AS v_sum,
+           count(value)::BIGINT AS n
+    FROM events, mx GROUP BY 1
+    """.replace("{ES}", ESUM("value")),
+)
+def resample_origin_end(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """resample('6h', origin='end') — bins anchored so the LAST bin
+    ends exactly at max(ts) (microsecond precision), closed/label
+    defaulting to right/right (reference core/resample.py:2495; r11
+    sweep). One bounded max(ts) scalar job."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.resample("6h", on="ts", origin="end")
+        .agg({"value": ["sum", "count"]})
+        .to_spark()
+        .selectExpr("ts", "value_sum AS v_sum", "value_count AS n")
+    )

@@ -151,14 +151,17 @@ class AnchoredRule:
 
 
 _ANCHOR_BASE = {
-    # alias → (kind, months-per-period, default anchor month)
-    "ME": ("month_end", 1, 1), "M": ("month_end", 1, 1),
-    "QE": ("month_end", 3, 12), "Q": ("month_end", 3, 12),
-    "YE": ("month_end", 12, 12), "Y": ("month_end", 12, 12),
-    "A": ("month_end", 12, 12),
+    # alias → (kind, months-per-period, default anchor month).
+    # Deprecated aliases M/Q/Y/A are NOT accepted: current pandas
+    # raises "Invalid frequency: M" for resample (reference
+    # tests/resample test_resample_M_Q_Y_raises) — they fall through
+    # to the fixed-width parser, which raises the same way.
+    "ME": ("month_end", 1, 1),
+    "QE": ("month_end", 3, 12),
+    "YE": ("month_end", 12, 12),
     "MS": ("month_start", 1, 1),
     "QS": ("month_start", 3, 1),
-    "YS": ("month_start", 12, 1), "AS": ("month_start", 12, 1),
+    "YS": ("month_start", 12, 1),
 }
 
 
@@ -731,7 +734,7 @@ class Resampler:
         rule: str,
         on: str,
         by: Sequence[str] | None = None,
-        origin: str = "epoch",
+        origin: str | None = None,
         offset: str | None = None,
         closed: str | None = None,
         label: str | None = None,
@@ -740,29 +743,44 @@ class Resampler:
         self._rule = rule
         self._on = on
         self._by = list(by or [])
+        # pandas' DEFAULT origin is 'start_day' (core/resample.py:2441),
+        # NOT epoch. For widths that evenly divide a day the two anchor
+        # identical bins (any midnight ≡ 0 mod width), so the engine
+        # keeps the free epoch shortcut there; otherwise (2D, 7D,
+        # 7min, ...) origin=None resolves to a true 'start_day' — one
+        # bounded min(ts) scalar job — for pandas parity (r11 sweep;
+        # previously these bins were silently epoch-anchored).
         self._origin = origin
         self._offset = offset
         # Calendar-anchored rules (ME/MS/QE/QS/YE/YS/W[-DOW]) bucket by
         # calendar periods, not fixed widths (pandas core/resample.py:2402).
         self._anchored = parse_anchored(rule)
         if self._anchored is None:
-            parse_offset_seconds(rule)  # validate eagerly (loud, not at agg)
-        elif self._origin != "epoch" or self._offset:
+            try:
+                parse_offset_seconds(rule)  # validate eagerly (loud, not at agg)
+            except ValueError as e:
+                # pandas message shape (test_resample_M_Q_Y_raises):
+                # deprecated/business aliases M/Q/Y/A/BME/BQE/B/C raise
+                raise ValueError(f"Invalid frequency: {rule} ({e})") from None
+        elif (origin is not None and origin != "epoch") or self._offset:
             raise NotImplementedError(
                 f"resample({rule!r}): origin=/offset= with calendar-anchored "
                 "frequencies is not supported (pandas anchors these to the "
-                "calendar, origin is only honored for fixed-width rules here)"
+                "calendar and only warns; here it raises loudly)"
             )
         # pandas closed=/label= (core/resample.py:2404): closed='right'
         # buckets (start, end] — a boundary point belongs to the
         # EARLIER bucket; label='right' reports the bucket's end.
-        # Defaults: right/right for END-anchored freqs (ME/QE/YE/W),
+        # Defaults: right/right for END-anchored freqs (ME/QE/YE/W) AND
+        # for origin='end'/'end_day' (backward resample, resample.py:2495);
         # left/left for everything else — exactly pandas' rule.
-        end_anchored = self._anchored is not None and self._anchored.end_anchored
+        end_default = (
+            self._anchored is not None and self._anchored.end_anchored
+        ) or origin in ("end", "end_day")
         if closed is None:
-            closed = "right" if end_anchored else "left"
+            closed = "right" if end_default else "left"
         if label is None:
-            label = "right" if end_anchored else "left"
+            label = "right" if end_default else "left"
         if closed not in ("left", "right"):
             raise ValueError(f"closed must be 'left'|'right', got {closed!r}")
         if label not in ("left", "right"):
@@ -770,35 +788,48 @@ class Resampler:
         self._closed = closed
         self._label = label
 
-    def _start_seconds(self) -> int:
-        """Bucket-boundary shift in seconds (pandas ``origin``/``offset``,
-        core/resample.py:2466 _get_timestamp_range_edges → Spark
-        ``F.window(..., startTime=)``).
+    _DAY_US = 86_400_000_000
 
-        ``origin='epoch'`` (default) anchors to 1970-01-01;
-        ``'start'``/``'start_day'`` anchor to the data's first
-        timestamp / its midnight — those need min(ts), ONE scalar agg
-        collected before planning (bounded, any data size); an ISO
-        timestamp string anchors without any job. ``offset`` adds on
-        top, as in pandas."""
-        secs = parse_offset_seconds(self._rule)
+    def _start_micros(self) -> int:
+        """Bucket-boundary shift in MICROSECONDS (pandas ``origin``/
+        ``offset``, core/resample.py:3093 _get_timestamp_range_edges →
+        Spark ``F.window(..., startTime=)``).
+
+        ``origin=None`` (default) = pandas 'start_day' semantics: free
+        epoch anchoring when the width divides a day (identical bins),
+        else the data's first midnight. ``'start'``/``'start_day'`` /
+        ``'end'``/``'end_day'`` anchor to min(ts)/max(ts) (± day
+        normalize/ceil) — ONE bounded scalar agg collected before
+        planning (any data size); an ISO timestamp string anchors
+        without any job. ``offset`` adds on top, as in pandas."""
+        w_us = parse_offset_seconds(self._rule) * 1_000_000
+        origin = self._origin
+        if origin is None:
+            origin = "epoch" if self._DAY_US % w_us == 0 else "start_day"
         base = 0
-        if self._origin in ("start", "start_day"):
+        if origin == "epoch":
+            base = 0
+        elif origin in ("start", "start_day", "end", "end_day"):
+            agg = F.min if origin.startswith("start") else F.max
             row = self._frame.spark.agg(
-                F.min(epoch_micros(F.col(self._on))).alias("m")
+                agg(epoch_micros(F.col(self._on))).alias("m")
             ).collect()[0]
-            first_s = (row["m"] or 0) // 1_000_000
-            if self._origin == "start_day":
-                first_s -= first_s % 86400
-            base = first_s % secs
-        elif self._origin != "epoch":
+            edge_us = row["m"] or 0
+            if origin == "start_day":
+                edge_us -= edge_us % self._DAY_US
+            elif origin == "end_day":
+                edge_us = -(-edge_us // self._DAY_US) * self._DAY_US
+            base = edge_us % w_us
+        else:
             import datetime as _dt
 
-            ts = _dt.datetime.fromisoformat(self._origin)
-            base = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp()) % secs
+            ts = _dt.datetime.fromisoformat(origin)
+            base = int(
+                ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+            ) % w_us
         if self._offset:
-            base += parse_offset_seconds(self._offset)
-        return base % secs
+            base += parse_offset_seconds(self._offset) * 1_000_000
+        return base % w_us
 
     def _tcol(self):
         """The bucketing timestamp: closed='right' shifts every stamp
@@ -850,11 +881,11 @@ class Resampler:
                 end.cast("timestamp").alias("end"),
             )
         secs = parse_offset_seconds(self._rule)
-        start = self._start_seconds()
-        if start:
+        start_us = self._start_micros()
+        if start_us:
             return F.window(
                 self._tcol(), f"{secs} seconds", f"{secs} seconds",
-                f"{start} seconds",
+                f"{start_us} microseconds",
             )
         return F.window(self._tcol(), f"{secs} seconds")
 
@@ -862,7 +893,11 @@ class Resampler:
         return F.col("__win__.end" if self._label == "right" else "__win__.start")
 
     def _bucketed(self):
-        return self._frame.spark.groupBy(*self._by, self._win().alias("__win__"))
+        # pandas drops NaT index rows before binning (resample tests
+        # test_resample_with_nat) — a NULL ts must not become a
+        # NULL-labeled bucket
+        src = self._frame.spark.where(F.col(self._on).isNotNull())
+        return src.groupBy(*self._by, self._win().alias("__win__"))
 
     def agg(self, spec) -> DataFrame:
         from pandas_spark.groupby import resolve_agg
@@ -908,6 +943,7 @@ class Resampler:
         )
         sdf = (
             self._frame.spark
+            .where(F.col(self._on).isNotNull())  # pandas drops NaT rows
             .withColumn("__first__", F.first(col).over(w))
             .withColumn("__last__", F.last(col).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
         )
@@ -963,12 +999,13 @@ class Resampler:
         if self._anchored is not None:
             return self._asfreq_spine_anchored()
         secs = parse_offset_seconds(self._rule)
-        start = self._start_seconds()
+        w_us = secs * 1_000_000
+        start_us = self._start_micros()
 
         def bucket(c):
-            return F.timestamp_seconds(
-                F.floor((F.unix_timestamp(c) - start) / secs).cast("long") * secs
-                + start
+            return F.timestamp_micros(
+                F.floor((epoch_micros(c) - start_us) / w_us).cast("long") * w_us
+                + start_us
             )
 
         agg_cols = [

@@ -73,6 +73,9 @@ NESTED_LOOP_OK = {
     "interval_join_bands",
     "pivot_margins",
     "pivot_margins_multi",
+    # normalize='all' × margins: deliberate broadcast of the ONE-ROW
+    # grand-total relation against the ≤_MAX_PIVOT_VALUES pivoted table
+    "crosstab_norm_margins",
     "skew_report_full",
     "skew_report_users",
     "tfidf_top_terms",

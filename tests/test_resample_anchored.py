@@ -177,3 +177,87 @@ def test_streaming_resample_rejects_anchored(spark):
     )
     with pytest.raises(NotImplementedError, match="batch-only"):
         resample_stream(sdf, "ME", "ts", {"v": "sum"})
+
+
+# --- r11 reference sweep: origin semantics, NaT, invalid freqs ----------
+# (reference tests/resample/test_datetime_index.py: test_resample_origin,
+# test_resample_multiday_closed_right_43198, test_resample_7D_vs_168h,
+# test_resample_with_nat, test_resample_M_Q_Y_raises)
+
+
+def _origin_frames(spark):
+    rng = random.Random(43)
+    base = pd.Timestamp("2024-03-05 13:47:21.123456")
+    stamps = [
+        base + pd.Timedelta(seconds=rng.randint(0, 40 * 86400),
+                            microseconds=rng.randint(0, 999999))
+        for _ in range(250)
+    ]
+    pdf = pd.DataFrame({"ts": stamps, "v": [round(i * 0.37, 3) for i in range(250)]})
+    return pdf, ps.DataFrame(spark.createDataFrame(pdf))
+
+
+@pytest.mark.parametrize(
+    "rule,kw",
+    [
+        # pandas' DEFAULT origin is 'start_day': for widths that do NOT
+        # divide a day (2D/7D/7min) epoch anchoring gives different bins
+        ("2D", {}),
+        ("7D", {}),
+        ("7min", {}),
+        ("90min", {}),
+        ("6h", {"origin": "end"}),       # defaults flip to right/right
+        ("6h", {"origin": "end_day"}),
+        ("2D", {"origin": "end"}),
+        ("35min", {"origin": "start"}),
+        ("45min", {"origin": "end", "closed": "left"}),
+        ("1D", {"origin": "2024-03-01 06:00:00"}),
+        ("7D", {"origin": "epoch"}),
+        ("2D", {"closed": "right"}),     # start_day default × closed
+    ],
+)
+def test_resample_origin_matches_pandas(spark, rule, kw):
+    pdf, eng = _origin_frames(spark)
+    grp = pdf.set_index("ts").resample(rule, **kw)["v"]
+    exp = grp.sum().reset_index().rename(columns={"v": "s"})
+    exp = exp[grp.count().values > 0].reset_index(drop=True)
+    got = (
+        eng.resample(rule, on="ts", **kw)
+        .agg({"v": "sum"})
+        .to_spark()
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+        .rename(columns={"v": "s"})
+    )
+    assert len(exp) == len(got), (rule, kw, exp, got)
+    assert (exp["ts"].values == got["ts"].values).all(), (rule, kw)
+    assert (abs(exp["s"].values - got["s"].values) < 1e-9).all(), (rule, kw)
+
+
+def test_resample_nat_rows_dropped(spark):
+    """pandas drops NaT index rows before binning (test_resample_with_nat)."""
+    pdf = pd.DataFrame(
+        {
+            "ts": [pd.NaT, pd.Timestamp("2024-01-01"), pd.NaT,
+                   pd.Timestamp("2024-01-01 00:00:01")],
+            "v": [2.0, 3.0, 5.0, 7.0],
+        }
+    )
+    eng = ps.DataFrame(spark.createDataFrame(pdf))
+    got = eng.resample("1s", on="ts").agg({"v": "sum"}).to_spark().toPandas()
+    assert len(got) == 2 and got["ts"].notna().all()
+    got_me = eng.resample("ME", on="ts").agg({"v": "sum"}).to_spark().toPandas()
+    assert len(got_me) == 1 and got_me["ts"].notna().all()
+    got_ohlc = eng.resample("1s", on="ts").ohlc("v").to_spark().toPandas()
+    assert len(got_ohlc) == 2 and got_ohlc["ts"].notna().all()
+
+
+@pytest.mark.parametrize("freq", ["M", "Q", "Y", "A", "2BM", "1BQ", "B", "C"])
+def test_resample_invalid_frequency_raises(spark, freq):
+    """pandas raises 'Invalid frequency: M' for the deprecated/business
+    aliases (test_resample_M_Q_Y_raises, test_resample_BM_BQ_raises)."""
+    pdf = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01")], "v": [1.0]})
+    eng = ps.DataFrame(spark.createDataFrame(pdf))
+    with pytest.raises(ValueError, match="Invalid frequency"):
+        eng.resample(freq, on="ts").agg({"v": "sum"})
