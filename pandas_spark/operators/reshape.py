@@ -361,22 +361,24 @@ def get_dummies(
     distinct scans (required at scale). ``drop_first`` drops the first
     (sorted) category per column — the k-1 encoding; ``dummy_na`` adds
     a ``<col><sep>nan`` indicator for missing values (reference
-    encoding.py get_dummies signature)."""
+    encoding.py get_dummies signature).
+
+    Category discovery is single-pass (r11): ONE approx_count_distinct
+    guard job over all encoded columns (bounded HLL sketches — raises
+    loudly before anything large materializes), then ONE stacked
+    explode→collect_set job per column DTYPE group — 2 jobs for the
+    typical all-string call instead of k (one distinct scan per
+    column). Typed values throughout, so drop_first's sorted-first
+    category matches pandas on numeric columns."""
     sdf = frame.spark
+    need = [c for c in columns if not (categories and c in categories)]
+    discovered = _multi_column_distincts(sdf, need) if need else {}
     new_cols: dict[str, Column] = {}
     for c in columns:
         if categories and c in categories:
             vals = list(categories[c])
         else:
-            # the distinct scan collects to the driver — bounded so a
-            # high-cardinality column fails loudly instead of OOMing
-            rows = sdf.select(c).distinct().orderBy(c).limit(_MAX_PIVOT_VALUES + 1).collect()
-            if len(rows) > _MAX_PIVOT_VALUES:
-                raise ValueError(
-                    f"get_dummies: column {c!r} has more than {_MAX_PIVOT_VALUES} "
-                    "distinct values; pass categories= explicitly"
-                )
-            vals = [r[0] for r in rows if r[0] is not None]
+            vals = discovered[c]
         if drop_first:
             vals = vals[1:]
         for v in vals:
@@ -390,6 +392,64 @@ def get_dummies(
             new_cols[f"{c}{prefix_sep}nan"] = F.col(c).isNull().cast(dtype)
     keep = [c for c in sdf.columns if c not in set(columns)]
     return DataFrame(sdf.select(*keep, *[e.alias(n) for n, e in new_cols.items()]))
+
+
+def _multi_column_distincts(sdf, need: Sequence[str]) -> dict[str, list]:
+    """Sorted distinct non-null values for several columns in O(1) jobs.
+
+    Job 1 — ONE aggregate of approx_count_distinct over every column:
+    HLL sketch state is O(1) per partition at any scale, so a
+    high-cardinality column raises loudly BEFORE any set materializes
+    (the 2× slack covers the sketch's ~5% rsd; borderline columns get
+    the exact check below). Job 2..G — one per column DTYPE group
+    (values must share a Spark type to ride one exploded struct
+    array): explode (col_name, value) pairs map-side, drop nulls,
+    groupBy(col_name).collect_set — partial sets are ≤2×cap per
+    column by the guard, the shuffle carries ≤G×2×cap rows."""
+    dtmap = dict(sdf.dtypes)
+    ests = (
+        sdf.agg(
+            *[F.approx_count_distinct(c).alias(f"e{i}") for i, c in enumerate(need)]
+        ).collect()[0]
+    )
+    for i, c in enumerate(need):
+        if ests[i] > _MAX_PIVOT_VALUES * 2:
+            raise ValueError(
+                f"get_dummies: column {c!r} has more than {_MAX_PIVOT_VALUES} "
+                "distinct values; pass categories= explicitly"
+            )
+    by_dtype: dict[str, list[str]] = {}
+    for c in need:
+        by_dtype.setdefault(dtmap[c], []).append(c)
+    out: dict[str, list] = {}
+    for cols_dt in by_dtype.values():
+        pairs = sdf.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("k"), F.col(c).alias("v"))
+                        for c in cols_dt
+                    ]
+                )
+            ).alias("s")
+        ).select("s.k", "s.v")
+        rows = (
+            pairs.where(F.col("v").isNotNull())
+            .groupBy("k")
+            .agg(F.sort_array(F.collect_set("v")).alias("vs"))
+            .collect()
+        )
+        got = {r["k"]: list(r["vs"]) for r in rows}
+        for c in cols_dt:
+            vals = got.get(c, [])
+            if len(vals) > _MAX_PIVOT_VALUES:
+                raise ValueError(
+                    f"get_dummies: column {c!r} has more than "
+                    f"{_MAX_PIVOT_VALUES} distinct values; pass categories= "
+                    "explicitly"
+                )
+            out[c] = vals
+    return out
 
 
 def cut(

@@ -750,7 +750,10 @@ def test_merge_asof_stream_buffered_state_stays_bounded(spark, tmp_path):
 
     src = tmp_path / "soak"
     src.mkdir()
-    n_files = 120
+    # default 30 batches (~40 s) so the bounded-state assertion runs in
+    # EVERY suite pass (r10 verdict #6 — regressions must not land
+    # silently); STREAM_SOAK_BATCHES=120 restores the long soak
+    n_files = int(os.environ.get("STREAM_SOAK_BATCHES", "30"))
     rows_per_file = 10
     # event time advances 60s per file; lateness horizon 90s → state
     # should hold ~2.5 files' worth of rows (+ per-key bookkeeping),
@@ -790,7 +793,9 @@ def test_merge_asof_stream_buffered_state_stays_bounded(spark, tmp_path):
     q.awaitTermination(600)
 
     hist = [h for h in streaming_state_history(q) if h["batch_id"] is not None]
-    assert len(hist) >= 50, f"soak ran only {len(hist)} retained batches"
+    assert len(hist) >= max(10, n_files // 3), (
+        f"soak ran only {len(hist)} retained batches"
+    )
     peak = max(h["state_rows"] for h in hist)
     total_rows = n_files * rows_per_file
     # bound: rate x lateness = ~15 data rows in-horizon per batch; allow
