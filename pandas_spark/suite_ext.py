@@ -5297,3 +5297,41 @@ def resample_origin_end(spark: SparkSession, sf_dir: str) -> SparkDF:
         .to_spark()
         .selectExpr("ts", "value_sum AS v_sum", "value_count AS n")
     )
+
+
+@query(
+    "resample_upsample_ffill_limit",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hts, count(value)::BIGINT AS nn
+      FROM events GROUP BY 1
+    ), b AS (SELECT min(hts) AS lo, max(hts) AS hi FROM h),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS ts FROM b
+    ), j AS (
+      SELECT s.ts, h.hts, h.nn
+      FROM spine s ASOF LEFT JOIN h ON h.hts <= s.ts
+    )
+    SELECT ts,
+           CASE WHEN (epoch_us(ts) // 900000000)
+                     - (epoch_us(hts) // 900000000) <= 2
+                THEN nn END AS n
+    FROM j
+    """,
+)
+def resample_upsample_ffill_limit(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Resampler.ffill(limit=) — r11: upsample hourly counts onto a
+    15-minute grid; the fill value is the asof-backward original and
+    each original fills at most `limit` consecutive grid slots
+    (pandas reindex-fill semantics, reference core/resample.py ffill).
+    Plan: bounded spine-bounds agg + ONE asof join + a map-side
+    grid-index mask — no windows, no per-run state; same shape at
+    any scale."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.resample("1h", on="ts").agg({"value": "count"})
+    return (
+        hourly.resample("15min", on="ts")
+        .ffill(limit=2)
+        .to_spark()
+        .selectExpr("ts", "value AS n")
+    )

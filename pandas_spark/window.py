@@ -983,6 +983,104 @@ class Resampler:
             **kwargs,
         )
 
+    def asfreq(self) -> DataFrame:
+        """pandas ``Resampler.asfreq()`` (core/resample.py:851 family):
+        the dense rule grid, with each column's value taken from rows
+        whose stamp EXACTLY hits a grid point (off-grid originals are
+        dropped, pandas rule); everything else NULL. One bounded
+        spine-bounds agg + one exact-stamp left equi-join."""
+        spine = self.asfreq_spine().spark
+        keys = [*self._by, self._on]
+        joined = spine.join(
+            self._frame._drop_internal(self._frame._sdf), on=keys, how="left"
+        )
+        return DataFrame(joined, sort_spec=tuple((k, True, "last") for k in keys))
+
+    def ffill(self, limit: int | None = None) -> DataFrame:
+        """pandas ``Resampler.ffill(limit=)``: each grid stamp takes the
+        LAST original row at-or-before it (including OFF-grid
+        originals — pandas reindex-ffill semantics, not asfreq+ffill),
+        with ``limit`` capping the number of consecutive grid slots
+        filled past an exactly-hit slot. One merge_asof backward of
+        the spine against the frame; the limit mask is a grid-side
+        window over occupied-slot runs."""
+        return self._upsample_fill("backward", limit)
+
+    def bfill(self, limit: int | None = None) -> DataFrame:
+        """pandas ``Resampler.bfill(limit=)`` — mirror of ffill: each
+        grid stamp takes the FIRST original row at-or-after it;
+        ``limit`` fills only the last ``limit`` slots of each empty
+        run (the ones nearest the next original)."""
+        return self._upsample_fill("forward", limit)
+
+    def nearest(self) -> DataFrame:
+        """pandas ``Resampler.nearest()``: each grid stamp takes the
+        nearest original row (either side; backward wins exact ties,
+        pandas rule via merge_asof nearest). ``limit=`` is not
+        supported — raise loudly rather than approximate."""
+        return self._upsample_fill("nearest", None)
+
+    def _upsample_fill(self, direction: str, limit: int | None) -> DataFrame:
+        from pandas_spark.operators.joins import merge_asof
+
+        if limit is not None and direction == "nearest":
+            raise NotImplementedError("nearest(limit=) is not supported")
+        if limit is not None and self._anchored is not None:
+            raise NotImplementedError(
+                "ffill/bfill(limit=) with calendar-anchored rules is not "
+                "supported; use a fixed-width rule or limit=None"
+            )
+        spine = self.asfreq_spine()
+        src = self._frame
+        rts = "__rts_limit__"
+        if limit is not None:
+            # carry the matched ORIGINAL stamp through the asof join so
+            # the limit mask can measure grid-slot distance to it
+            src = src._with(src._sdf.withColumn(rts, F.col(self._on)))
+        out = merge_asof(
+            spine,
+            src,
+            on=self._on,
+            by=self._by or None,
+            direction=direction,
+        )
+        if limit is None:
+            return out
+        # pandas reindex-fill limit semantics (verified differentially:
+        # the fill VALUE is the plain asof match, but each ORIGINAL row
+        # may fill at most `limit` consecutive grid slots — the gate is
+        # the number of grid stamps strictly between the original and
+        # the target (0 when the original hits the grid exactly):
+        #   ffill: idx(target) − idx(original)        ≤ limit
+        #   bfill: ceil_idx(original) − idx(target)   ≤ limit
+        # where idx(x) = floor((x − anchor)/width) on the rule grid.
+        w_us = parse_offset_seconds(self._rule) * 1_000_000
+        start_us = self._start_micros()
+
+        def idx(c):
+            return F.floor((epoch_micros(c) - start_us) / w_us)
+
+        def ceil_idx(c):
+            return -F.floor(-(epoch_micros(c) - start_us) / w_us)
+
+        t = F.col(self._on)
+        o = F.col(rts)
+        if direction == "backward":
+            keep = (idx(t) - idx(o)) <= limit
+        else:
+            keep = (ceil_idx(o) - idx(t)) <= limit
+        sdf = out.spark
+        value_cols = [
+            c for c in sdf.columns if c not in (*self._by, self._on, rts)
+        ]
+        sdf = sdf.select(
+            *self._by,
+            self._on,
+            *[F.when(keep, F.col(qi(c))).alias(c) for c in value_cols],
+        )
+        keys = [*self._by, self._on]
+        return DataFrame(sdf, sort_spec=tuple((k, True, "last") for k in keys))
+
     def asfreq_spine(self) -> DataFrame:
         """Dense time spine for upsampling (F.sequence + explode).
 

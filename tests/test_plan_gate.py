@@ -76,6 +76,10 @@ NESTED_LOOP_OK = {
     # normalize='all' × margins: deliberate broadcast of the ONE-ROW
     # grand-total relation against the ≤_MAX_PIVOT_VALUES pivoted table
     "crosstab_norm_margins",
+    # un-keyed merge_asof small-right strategy: the hourly aggregate
+    # (≤720 rows) broadcasts as a ONE-ROW sorted array; the spine scans
+    # it via element_at(filter(...)) — deliberate broadcast-scalar
+    "resample_upsample_ffill_limit",
     "skew_report_full",
     "skew_report_users",
     "tfidf_top_terms",

@@ -261,3 +261,77 @@ def test_resample_invalid_frequency_raises(spark, freq):
     eng = ps.DataFrame(spark.createDataFrame(pdf))
     with pytest.raises(ValueError, match="Invalid frequency"):
         eng.resample(freq, on="ts").agg({"v": "sum"})
+
+
+# --- r11: Resampler.asfreq / ffill / bfill / nearest (upsample fills) ----
+
+
+@pytest.mark.parametrize("rule", ["1s", "2s", "5s"])
+@pytest.mark.parametrize(
+    "method,limit",
+    [("asfreq", None), ("ffill", None), ("ffill", 1), ("ffill", 2),
+     ("bfill", None), ("bfill", 1), ("nearest", None)],
+)
+def test_resampler_upsample_fills_match_pandas(spark, rule, method, limit):
+    """reference core/resample.py ffill/bfill/nearest/asfreq: the fill
+    VALUE comes from the nearest ORIGINAL row (off-grid rows count —
+    reindex semantics, not asfreq-then-fill), while limit= caps the
+    consecutive grid slots filled per occupied-slot run."""
+    rng = random.Random(7)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    stamps = sorted(
+        base + pd.Timedelta(milliseconds=rng.randint(0, 120_000))
+        for _ in range(25)
+    )
+    pdf = pd.DataFrame({"ts": stamps, "v": [float(i) for i in range(25)]})
+    pdf = pdf.drop_duplicates("ts")
+    eng = ps.DataFrame(spark.createDataFrame(pdf))
+    rp = pdf.set_index("ts")["v"].resample(rule)
+    re = eng.resample(rule, on="ts")
+    if method == "asfreq":
+        exp, got_df = rp.asfreq(), re.asfreq()
+    elif method == "ffill":
+        exp, got_df = rp.ffill(limit=limit), re.ffill(limit=limit)
+    elif method == "bfill":
+        exp, got_df = rp.bfill(limit=limit), re.bfill(limit=limit)
+    else:
+        exp, got_df = rp.nearest(), re.nearest()
+    got = (
+        got_df.to_spark().toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    exp = exp.reset_index()
+    exp.columns = ["ts", "v"]
+    assert len(got) == len(exp), (method, limit, rule)
+    assert (got["ts"].values == exp["ts"].values).all(), (method, limit, rule)
+    for a, b in zip(got["v"], exp["v"]):
+        assert (pd.isna(a) and pd.isna(b)) or a == b, (method, limit, rule, a, b)
+
+
+def test_resampler_ffill_grouped_matches_pandas(spark):
+    rng = random.Random(3)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for k in ["a", "b"]:
+        for _ in range(15):
+            rows.append((k, base + pd.Timedelta(seconds=rng.randint(0, 90)), rng.random()))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"]).drop_duplicates(["k", "ts"])
+    eng = ps.DataFrame(spark.createDataFrame(pdf))
+    exp = (
+        pdf.set_index("ts").groupby("k")["v"].resample("5s").ffill()
+        .reset_index().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    got = (
+        eng.resample("5s", on="ts", by=["k"]).ffill()
+        .to_spark().toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["ts"].values == exp["ts"].values).all()
+    for a, b in zip(got["v"], exp["v"]):
+        assert (pd.isna(a) and pd.isna(b)) or a == b
+
+
+def test_resampler_nearest_limit_raises(spark):
+    pdf = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01")], "v": [1.0]})
+    eng = ps.DataFrame(spark.createDataFrame(pdf))
+    with pytest.raises(NotImplementedError, match="nearest"):
+        eng.resample("1s", on="ts")._upsample_fill("nearest", 1)
