@@ -229,6 +229,17 @@ def _footer_proofs(path: str, max_files: int = 1024) -> tuple[frozenset, dict, i
                         and math.isfinite(st.max)
                     ):
                         rg_rng[name] = (st.min, st.max)
+                    elif (
+                        # INTEGER bounds (r11): INT32/INT64 min/max feed
+                        # the packed-order-key dedup fast path and
+                        # interval arithmetic; inf/NaN don't exist for
+                        # ints so the nan_free flag is trivially true
+                        col.physical_type in ("INT32", "INT64")
+                        and st.has_min_max
+                        and isinstance(st.min, int)
+                        and isinstance(st.max, int)
+                    ):
+                        rg_rng[name] = (st.min, st.max)
                 # a column must be proven in EVERY row group
                 file_ok = rg_ok if file_ok is None else (file_ok & rg_ok)
                 file_rng = rg_rng if file_rng is None else {
@@ -245,7 +256,9 @@ def _footer_proofs(path: str, max_files: int = 1024) -> tuple[frozenset, dict, i
                 if (b := file_rng.get(c)) is not None
             }
         bounds = {
-            c: (lo, hi, all_mr) for c, (lo, hi) in (ranges or {}).items()
+            # ints can't hold NaN — trivially nan_free whatever the writer
+            c: (lo, hi, all_mr or isinstance(lo, int))
+            for c, (lo, hi) in (ranges or {}).items()
         }
         return frozenset(proven or ()), bounds, rows
     except Exception:

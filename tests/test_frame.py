@@ -485,3 +485,200 @@ def test_merge_user_column_named_like_internal_tag(spark):
         assert set(inner_rows["b"]) >= {2, 3}
     ind = left.merge(right, on="b", how="outer", indicator=True).to_pandas()
     assert set(ind["_merge"]) == {"left_only", "both", "right_only"}
+
+
+def test_drop_duplicates_packed_spec_reduce_matches_pandas(spark, tmp_path):
+    """r11: when every output column is a group key or an INTEGRAL
+    footer-proven sort key, keep=first/last dedup collapses to ONE
+    HashAggregate over a packed bigint (frame._dedup_spec_reduce) —
+    values must match pandas exactly, including on duplicate sort
+    keys (ties are output-identical by construction)."""
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 40, 4000),
+            "a": rng.integers(-500, 500, 4000),
+            "b": rng.integers(0, 7, 4000),
+        }
+    )
+    p = tmp_path / "t.parquet"
+    pdf.to_parquet(p, index=False)
+    f = ps.read_parquet(spark, str(p))
+    assert "a" in f._bounds and isinstance(f._bounds["a"][0], int)
+    for keep in ["first", "last"]:
+        fs = f.sort_values(["a", "b"])
+        out = fs.drop_duplicates(subset=["g"], keep=keep)
+        plan = out.spark._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan, "packed path not taken"
+        got = (
+            out.to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        exp = (
+            pdf.sort_values(["a", "b"], kind="stable")
+            .drop_duplicates(subset=["g"], keep=keep)
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert got[["g", "a", "b"]].values.tolist() == exp[["g", "a", "b"]].values.tolist(), keep
+
+
+def test_drop_duplicates_spec_reduce_falls_back_cleanly(spark, tmp_path):
+    """A double sort key whose proven range spans 0 → struct path
+    (a range through 0 reaches subnormal gaps no 38-digit decimal
+    grid can separate, so the packed path declines), with identical
+    results."""
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.default_rng(20)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 30, 2000),
+            "a": rng.integers(0, 100, 2000),
+            "v": rng.normal(size=2000).round(4),
+        }
+    )
+    p = tmp_path / "t2.parquet"
+    pdf.to_parquet(p, index=False)
+    f = ps.read_parquet(spark, str(p))
+    # 'v' (double) rides in the sort → packed path must decline
+    out = f.sort_values(["a", "v"]).drop_duplicates(subset=["g"], keep="first")
+    got = out.to_pandas().sort_values("g").reset_index(drop=True)
+    exp = (
+        pdf.sort_values(["a", "v"], kind="stable")
+        .drop_duplicates(subset=["g"], keep="first")
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got[["g", "a", "v"]].values.tolist() == exp[["g", "a", "v"]].values.tolist()
+
+
+def test_drop_duplicates_decimal_packed_double_key_bit_exact(spark, tmp_path):
+    """r11: double sort keys with footer-proven positive finite range
+    take the decimal(38,0)-packed HashAggregate; decoded doubles must
+    be BIT-exact vs pandas, including ulp-adjacent values at binade
+    boundaries (the shortest-repr round-trip argument in
+    frame._dedup_pack_decimal)."""
+    import math
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    random.seed(11)
+    vals = []
+    for base in [1.0, 2.0, 31.999999999999996, 32.0, 49.99999999999999, 50.0]:
+        vals += [base, math.nextafter(base, 100.0)]
+        if math.nextafter(base, 0.0) >= 1.0:
+            vals.append(math.nextafter(base, 0.0))
+    vals += [1.0 + random.random() * 60 for _ in range(40)]
+    rows = [
+        (
+            random.randrange(0, 50),
+            random.randrange(0, 3000),
+            random.randrange(1, 8),
+            random.choice(vals),
+        )
+        for _ in range(5000)
+    ]
+    pdf = pd.DataFrame(rows, columns=["g", "ok", "ln", "q"])
+    pdf["q"] = pdf["q"].astype(np.float64)
+    p = tmp_path / "d.parquet"
+    pdf.to_parquet(p, index=False)
+    f = ps.read_parquet(spark, str(p))
+    assert isinstance(f._bounds["q"][0], float) and f._bounds["q"][0] > 0
+    for keep in ["first", "last"]:
+        out = f.sort_values(["ok", "ln", "q"]).drop_duplicates(
+            subset=["g"], keep=keep
+        )
+        plan = out.spark._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan and "decimal(38,0)" in plan, keep
+        got = out.to_pandas().sort_values("g").reset_index(drop=True)
+        exp = (
+            pdf.sort_values(["ok", "ln", "q"], kind="stable")
+            .drop_duplicates(subset=["g"], keep=keep)
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        # bit-exact double comparison
+        for gc, ec in zip(got["q"], exp["q"]):
+            assert gc.hex() == ec.hex(), (keep, gc, ec)
+        assert got[["g", "ok", "ln"]].values.tolist() == exp[
+            ["g", "ok", "ln"]
+        ].values.tolist(), keep
+
+
+def test_drop_duplicates_decimal_packed_nan_sentinel(spark, tmp_path):
+    """NaN in a packed double key needs no nan-free footer proof:
+    pandas sorts NaN last within its key level, matched by the
+    all-9s max sentinel — NaN-keyed rows lose to any real value for
+    keep='first', win for keep='last', and decode back to NaN."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 20, 800)
+    q = rng.uniform(1.0, 9.0, 800).round(3)
+    q[::7] = np.nan
+    # one group that is ALL NaN → its kept row must stay NaN
+    q[g == 19] = np.nan
+    p = tmp_path / "n.parquet"
+    # write via pyarrow from numpy DIRECTLY: NaN stays a VALUE
+    # (null_count 0) and parquet-cpp stats ignore it (finite min/max)
+    # — the exact adversarial footer the sentinel defends against.
+    # (pandas.to_parquet would convert NaN→NULL and void the proof.)
+    pq.write_table(pa.table({"g": pa.array(g), "q": pa.array(q)}), p)
+    pdf = pd.DataFrame({"g": g, "q": q})
+    f = ps.read_parquet(spark, str(p))
+    assert f._bounds["q"][0] > 0
+    assert "q" in f._nonnull
+    for keep in ["first", "last"]:
+        out = f.sort_values(["q"]).drop_duplicates(subset=["g"], keep=keep)
+        plan = out.spark._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan, keep
+        got = out.to_pandas().sort_values("g").reset_index(drop=True)
+        exp = (
+            pdf.sort_values(["q"], kind="stable")
+            .drop_duplicates(subset=["g"], keep=keep)
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert got["g"].tolist() == exp["g"].tolist(), keep
+        assert (
+            got["q"].isna().tolist() == exp["q"].isna().tolist()
+        ), keep
+        assert got["q"].fillna(-1).tolist() == exp["q"].fillna(-1).tolist(), keep
+
+
+def test_drop_duplicates_decimal_packed_float32_key(spark, tmp_path):
+    """float32 sort keys ride the same decimal packing (≤9-sig
+    shortest reprs are finer-grained-covered by the double rule) and
+    decode bit-exact."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(29)
+    q32 = rng.uniform(1.0, 500.0, 3000).astype(np.float32)
+    q32[::11] = np.nextafter(q32[::11], np.float32(1000.0))
+    pdf = pd.DataFrame({"g": rng.integers(0, 40, 3000), "q": q32})
+    p = tmp_path / "f.parquet"
+    pdf.to_parquet(p, index=False)
+    f = ps.read_parquet(spark, str(p))
+    out = f.sort_values(["q"]).drop_duplicates(subset=["g"], keep="first")
+    plan = out.spark._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    got = out.to_pandas().sort_values("g").reset_index(drop=True)
+    exp = (
+        pdf.sort_values(["q"], kind="stable")
+        .drop_duplicates(subset=["g"], keep="first")
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got["g"].tolist() == exp["g"].tolist()
+    assert [v.hex() for v in got["q"]] == [float(v).hex() for v in exp["q"]]

@@ -1892,3 +1892,46 @@ def test_resample_closed_label_matches_pandas(spark):
             )
             assert list(got["ts"]) == list(exp.index), (closed, label)
             assert [float(x) for x in got["v"]] == [float(x) for x in exp], (closed, label)
+
+
+def test_pivot_compiled_matches_spark_pivot_edge_cells(spark):
+    """r11: pivot_table compiles to ONE conditional HashAggregate when
+    the pivot values are known (reshape._pivot_compiled). The compiled
+    form must reproduce Spark's .pivot EXACTLY on the edge cells where
+    empty-input ≠ all-NULL-input: MISSING (idx, pval) cells stay NULL
+    for count/sum (not 0), while PRESENT cells whose values are all
+    NULL keep the identity (sum→0) / 0 (count)."""
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "b", "b", "c"],
+            "c": ["x", "y", "x", "x", "y"],
+            # group b has NO 'y' rows (missing cell); group c's only
+            # 'y' row carries a NULL value (all-null present cell)
+            "v": [1.0, 2.0, 3.0, 4.0, None],
+        }
+    )
+    f = ps.from_pandas(spark, pdf)
+    for fn in ["sum", "count", "mean", "min", "nunique"]:
+        got = (
+            ps.pivot_table(f, values="v", index="g", columns="c",
+                           aggfunc=fn, column_values=["x", "y"])
+            .to_pandas().set_index("g").sort_index()
+        )
+        # the .pivot reference formulation, forced via a non-compilable
+        # label type? instead: build it directly
+        ref = (
+            f.spark.groupBy("g")
+            .pivot("c", ["x", "y"])
+            .agg(__import__("pandas_spark.groupby", fromlist=["resolve_agg"])
+                 .resolve_agg(fn, "v", "double"))
+            .toPandas().set_index("g").sort_index()
+        )
+        for g_ in ["a", "b", "c"]:
+            for c_ in ["x", "y"]:
+                e, w = got.loc[g_, c_], ref.loc[g_, c_]
+                assert (pd.isna(w) and pd.isna(e)) or e == w, (fn, g_, c_, e, w)
+        # and the pandas posture for the two edge cells (NaN both)
+        pref = pd.pivot_table(pdf, values="v", index="g", columns="c", aggfunc=fn)
+        assert pd.isna(got.loc["b", "y"]) == pd.isna(
+            pref.reindex(index=["b"], columns=["y"]).iloc[0, 0]
+        )
