@@ -849,38 +849,35 @@ class DataFrame:
         buffer (the struct-ordered min_by fallback is a
         SortAggregate, and the gap widens in the spill regime):
 
-        * all-integral specs pack (col−lo) bit-fields into a LONG
-          (≤62 bits; measured 0.58 → 0.22 s on a two-int-key sf0.1
-          dedup);
-        * specs with double/float keys (or >62 bits of ints) pack
-          digit-fields into a DECIMAL(38,0) — still a hash agg
-          (UnsafeRow decimals are mutable at any precision; measured
-          0.75 → 0.38 s warm vs min_by on the sf0.1 lineitem spec).
+        Applies to ALL-INTEGRAL specs only, packing (col−lo)
+        bit-fields into a LONG (≤62 bits; measured honestly with
+        collect(): 0.60 → 0.40 s on a two-int-key 600k-row dedup at
+        calib 40 — earlier count()-based numbers were invalid,
+        Catalyst prunes the un-consumed aggregate).
 
-        Floating keys are encoded EXACTLY, no epsilon semantics:
-        ``cast(col as decimal(p, f))`` with ``f = 16 −
-        floor(log10(lo))`` digits keeps every shortest-decimal
-        representation intact (17 significant digits round-trip any
-        IEEE double; Spark's double→decimal cast goes through that
-        repr, and distinct doubles have disjoint repr intervals so
-        order is preserved and ``cast(back as double)`` recovers the
-        exact input bits — the same f also satisfies the coarser
-        ``10^−f ≤ ulp(lo)`` grid bound, so the round-trip holds even
-        under an exact-binary-expansion cast). Requires footer-proven
-        ``lo > 0`` (a range spanning 0 reaches subnormal gaps no
-        38-digit grid can separate) and finite bounds (finite footer
-        min/max prove inf-freedom under both parquet writers —
-        bounds.py). NaN needs no nan-free proof: pandas sorts NaN
-        last within its key level, so NaN encodes as the field's
-        all-9s max sentinel (plan-time collision check widens the
-        field if round-up(hi·10^f) could reach it), decoded back to
-        NaN. A residual UNPROVEN sort key was prototyped as a
-        two-stage reduce (min per (group, packed), then
-        min_by(residual, packed)) and measured SLOWER than the
-        SortAggregate (0.58–0.65 vs 0.33 s at calib 38: stage 1
-        groups on (key, packed) ≈ the row count, a full extra
-        shuffle with no reduction) — a real dead-end receipt; such
-        specs return None and keep the struct path. Returns None
+        Two prototyped generalizations are MEASURED dead ends, kept
+        here as receipts so they aren't re-attempted:
+
+        * double/float sort keys packed as digit-fields into a
+          DECIMAL(38,0) via ``cast(col as decimal(p, 16−⌊log10 lo⌋))``
+          — exact (shortest-decimal reprs round-trip doubles and have
+          disjoint, order-preserving intervals; NaN as an all-9s max
+          sentinel matches pandas NaN-last) and still a HashAggregate
+          (UnsafeRow decimals are hash-mutable at any precision), but
+          SLOWER than the struct min_by it replaces: 0.94 vs 0.59 s
+          on the sf0.1 lineitem (ok, ln, qty) spec with collect().
+          The per-row double→decimal cast goes through
+          Double.toString + BigDecimal parse — string allocation and
+          parsing per input row swamps the SortAggregate it saves.
+          (A bit-exact IEEE-key long encode exists — exponent via
+          corrected log2 + mantissa scaling — but needs 55+ bits per
+          double, overflowing the 62-bit long with any second key.)
+        * a residual UNPROVEN sort key as a two-stage reduce (min per
+          (group, packed), then min_by(residual, packed)): 0.58–0.65
+          vs 0.33 s at calib 38 — stage 1 groups on (key, packed) ≈
+          the row count, a full extra shuffle with no reduction.
+
+        Such specs return None and keep the struct path. Returns None
         whenever any condition fails.
 
         Reference parity: pandas keep='first'/'last' first-occurrence
@@ -895,8 +892,7 @@ class DataFrame:
         if any(c in self.columns for c in ("__pk__", "__r__", "__rn__")):
             return None  # internal scratch names shadowed by user columns
         total_bits = 0
-        all_int = True
-        fields = []  # ("int", c, lo, hi, bits) | ("fp", c, lo, hi, None)
+        fields = []  # ("int", c, lo, hi, bits)
         for c in user_spec:
             if c not in self._nonnull or c not in self._bounds:
                 return None
@@ -906,14 +902,11 @@ class DataFrame:
                 bits = max(1, (hi - lo + 1).bit_length())
                 total_bits += bits
                 fields.append(("int", c, lo, hi, bits))
-            elif dt in ("double", "float") and isinstance(lo, float):
-                all_int = False
-                fields.append(("fp", c, lo, hi, None))
             else:
                 return None
-        if all_int and total_bits <= 62:
-            return self._dedup_pack_long(fields, subset, keep, dtmap)
-        return self._dedup_pack_decimal(fields, subset, keep, dtmap)
+        if total_bits > 62:
+            return None
+        return self._dedup_pack_long(fields, subset, keep, dtmap)
 
     def _dedup_pack_long(self, fields, subset, keep, dtmap):
         pk = None
@@ -933,104 +926,6 @@ class DataFrame:
             ) + F.lit(lo)
             decoded[c] = piece.cast(dtmap[c])
             shift += bits
-        out_cols = [
-            decoded[c].alias(c) if c in decoded else _fcol(c)
-            for c in self.columns
-        ]
-        return agg.select(*out_cols)
-
-    @staticmethod
-    def _dec_lit(v: int, prec: int = 38):
-        return F.expr(f"cast('{v}' as decimal({prec},0))")
-
-    def _dedup_pack_decimal(self, fields, subset, keep, dtmap):
-        """Digit-field packing into decimal(38,0) — see
-        _dedup_spec_reduce for the exactness argument."""
-        import math
-        from decimal import ROUND_CEILING
-        from decimal import Decimal as D
-
-        plan = []  # (kind, c, width_digits, enc_params)
-        digits_total = 0
-        for kind, c, lo, hi, _bits in fields:
-            if kind == "int":
-                width = len(str(hi - lo))
-                plan.append(("int", c, width, (lo,)))
-            else:
-                if math.isnan(lo) or math.isnan(hi) or not lo > 0.0:
-                    return None
-                f = 16 - D(lo).adjusted()
-                # exact-binary-cast world: grid must stay under ulp(lo)
-                f = max(f, -D(math.ulp(lo)).adjusted())
-                if f < 0:
-                    # huge magnitudes: every double ≥ 2^53 is integral
-                    if lo < 2.0**53:
-                        return None
-                    f = 0
-                int_digits = max(1, D(hi).adjusted() + 1)
-                p = int_digits + f
-                # cast(col as decimal(p,f)) * 10^f must stay exact:
-                # precision p + (f+1) + 1 must not overflow 38 (same
-                # bound keeps the decode division exact)
-                if p + f + 2 > 38:
-                    return None
-                width = p
-                hi_scaled = int(
-                    D(hi).scaleb(f).to_integral_value(rounding=ROUND_CEILING)
-                )
-                if hi_scaled >= 10**width - 1:
-                    width += 1  # keep the NaN sentinel collision-free
-                plan.append(("fp", c, width, (p, f)))
-            digits_total += width
-            if digits_total > 38:
-                return None
-        enc = None
-        for kind, c, width, params in plan:
-            if kind == "int":
-                (lo,) = params
-                piece = (
-                    _fcol(c).cast("decimal(19,0)") - self._dec_lit(lo, 19)
-                ).cast("decimal(38,0)")
-            else:
-                p, f = params
-                scaled = (
-                    _fcol(c).cast(f"decimal({p},{f})")
-                    * self._dec_lit(10**f, f + 1)
-                ).cast("decimal(38,0)")
-                piece = F.when(
-                    F.isnan(_fcol(c)), self._dec_lit(10**width - 1)
-                ).otherwise(scaled)
-            if enc is None:
-                enc = piece
-            else:
-                enc = (enc * self._dec_lit(10**width) + piece).cast(
-                    "decimal(38,0)"
-                )
-        lead = F.min if keep == "first" else F.max
-        agg = self._sdf.groupBy(*[_fcol(c) for c in subset]).agg(
-            lead(enc).alias("__pk__")
-        )
-        rem = F.col("__pk__")
-        decoded = {}
-        for kind, c, width, params in reversed(plan):
-            ten_w = self._dec_lit(10**width)
-            fv = rem % ten_w
-            rem = ((rem - fv) / ten_w).cast("decimal(38,0)")
-            if kind == "int":
-                (lo,) = params
-                # int64 offsets can span 20 digits (full-range hi−lo)
-                decoded[c] = (
-                    fv.cast("decimal(20,0)") + self._dec_lit(lo, 20)
-                ).cast(dtmap[c])
-            else:
-                p, f = params
-                val = (
-                    fv.cast(f"decimal({width},0)") / self._dec_lit(10**f, f + 1)
-                ).cast(dtmap[c])
-                decoded[c] = F.when(
-                    fv == self._dec_lit(10**width - 1),
-                    F.expr(f"cast('NaN' as {dtmap[c]})"),
-                ).otherwise(val)
         out_cols = [
             decoded[c].alias(c) if c in decoded else _fcol(c)
             for c in self.columns

@@ -197,6 +197,11 @@ def merge(
     physical sort in the join plan."""
     if how not in _HOWS:
         raise ValueError(f"how must be one of {sorted(_HOWS)}, got {how!r}")
+    if how == "cross" and (on is not None or left_on is not None or right_on is not None):
+        # pandas MergeError (merge.py:149 validation): cross takes no keys
+        raise ValueError(
+            "Can not pass on, right_on, left_on for how='cross'"
+        )
     # pandas suffix rules (reference merge.py _items_overlap_with_suffix):
     # a None component keeps that side's name unsuffixed; BOTH None (or
     # both empty) with any overlapping column raises
@@ -285,6 +290,38 @@ def merge(
         )
     if len(lk) != len(rk):
         raise ValueError("left_on and right_on must be same length")
+
+    # pandas key-dtype compatibility (reference merge.py
+    # _maybe_coerce_merge_keys): merging an int key against a string
+    # key RAISES — Spark would instead insert an implicit cast and
+    # silently match 1 == "1" (caught by the r11 reference merge
+    # sweep). Families: numerics interchange (pandas allows
+    # int64↔float64), timestamps interchange; everything else must
+    # match its own family. Plan-time only, no scan.
+    _lt, _rt = dict(lsdf.dtypes), dict(rsdf.dtypes)
+
+    def _key_family(dt: str) -> str:
+        base = dt.split("(")[0]
+        if base in ("tinyint", "smallint", "int", "bigint", "float",
+                    "double", "decimal"):
+            return "numeric"
+        if base in ("timestamp", "timestamp_ntz"):
+            return "timestamp"
+        if base in ("string", "varchar", "char"):
+            return "string"
+        return base  # boolean, date, binary, array<…>, void, …
+
+    for _l, _r in zip(lk, rk):
+        lt, rt = _lt.get(_l), _rt.get(_r)
+        if (
+            lt and rt and lt not in ("void", "null") and rt not in ("void", "null")
+            and _key_family(lt) != _key_family(rt)
+        ):
+            raise ValueError(
+                f"You are trying to merge on {lt} and {rt} columns for "
+                f"key {_l!r}. If you wish to proceed you should cast the "
+                "key to a common type first"
+            )
 
     if validate:
         _validate(lsdf, rsdf, lk, rk, validate)
@@ -747,7 +784,7 @@ _ASOF_TAG_PREFIXES = ("__m_", "__b_", "__f_")
 def merge_asof(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | None = None,
     by: str | Sequence[str] | None = None,
     direction: str = "backward",
     tolerance=None,
@@ -755,6 +792,8 @@ def merge_asof(
     suffixes: tuple[str, str] = ("_x", "_y"),
     left_by: str | Sequence[str] | None = None,
     right_by: str | Sequence[str] | None = None,
+    left_on: str | None = None,
+    right_on: str | None = None,
     strategy: str | None = None,
 ) -> DataFrame:
     """pandas ``merge_asof`` via union + ordered window (no range explosion).
@@ -772,9 +811,50 @@ def merge_asof(
     to the left on the by-key, and the asof lookup is an array filter +
     try_element_at — the LEFT (fact) side never shuffles at all, the
     same reasoning as broadcasting a small dim in an equi-join. The
-    window path remains the both-sides-big plan."""
+    window path remains the both-sides-big plan.
+
+    DOCUMENTED divergences from pandas (r11 sweep of reference
+    tests/reshape/merge/test_merge_asof.py), both graceful supersets —
+    the engine accepts what pandas' merge-path implementation rejects:
+
+    * UNSORTED inputs: pandas raises "left keys must be sorted" (its
+      kernel requires pre-sorted frames); the engine's window/
+      broadcast plans sort internally, so unsorted input yields the
+      CORRECT asof result — at 100 TB requiring a pre-sort pass just
+      to satisfy an argument check would be a wasted shuffle.
+    * NULL ``on`` keys: pandas raises "Merge keys contain null
+      values"; the engine keeps such left rows with NULL payload (no
+      right row can match a NULL stamp) — detecting them to raise
+      would cost a full data scan before planning.
+
+    Argument validation (direction, allow_exact_matches, tolerance
+    sign + on-dtype compatibility) raises exactly like pandas — those
+    are plan-time checks, no scan."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction invalid: {direction}")
+    if not isinstance(allow_exact_matches, bool):
+        raise ValueError(
+            f"allow_exact_matches must be boolean, passed {allow_exact_matches}"
+        )
     by_keys = _aslist(by)
     lsdf, rsdf = left.spark, right.spark
+    if left_on is not None or right_on is not None:
+        # pandas left_on=/right_on= (reference reshape/merge.py:689):
+        # differently-named asof keys; the matched right row's key
+        # VALUE survives in the output as a payload column. Normalize
+        # by copying the right key under the left's name (the original
+        # right_on column rides on as payload).
+        if on is not None or left_on is None or right_on is None:
+            raise ValueError("pass either on= or both left_on=/right_on=")
+        if left_on in rsdf.columns:
+            raise NotImplementedError(
+                f"right side already has a column named {left_on!r}; "
+                "rename it before merge_asof(left_on=, right_on=)"
+            )
+        rsdf = rsdf.withColumn(left_on, F.col(right_on))
+        on = left_on
+    if on is None:
+        raise ValueError("merge_asof requires on= (or left_on=/right_on=)")
     if left_by or right_by:
         # pandas left_by/right_by (merge.py:644): differently-named
         # group keys per side — normalize by renaming the right side to
@@ -789,6 +869,32 @@ def merge_asof(
     # so go through the dtype-aware helper
     on_dt = lsdf.schema[on].dataType
     _num = lambda c: ordinal_seconds(c, on_dt)
+    if tolerance is not None:
+        # pandas argument validation (reference reshape/merge.py
+        # _validate_tolerance): sign and on-dtype compatibility are
+        # plan-time checks — silent acceptance of a Timedelta against
+        # an int key (or a negative tolerance) produced garbage-empty
+        # matches before r11. Zero is allowed (pandas raises on < 0
+        # only); bool is rejected like pandas (not a numeric).
+        _temporal = on_dt.simpleString() in ("timestamp", "timestamp_ntz", "date")
+        _td = hasattr(tolerance, "total_seconds") or isinstance(tolerance, str)
+        _numtol = isinstance(tolerance, (int, float)) and not isinstance(tolerance, bool)
+        if (_td and not _temporal) or (_numtol and _temporal) or not (_td or _numtol):
+            raise ValueError(
+                f"incompatible tolerance {tolerance!r}, must be compat "
+                f"with type {on_dt.simpleString()}"
+            )
+        from pandas_spark.window import parse_offset_seconds as _pos
+
+        _tval = (
+            tolerance.total_seconds()
+            if hasattr(tolerance, "total_seconds")
+            else _pos(tolerance)
+            if isinstance(tolerance, str)
+            else tolerance
+        )
+        if _tval < 0:
+            raise ValueError("tolerance must be positive")
 
     overlap = (set(lsdf.columns) & set(rsdf.columns)) - {on} - set(by_keys)
     lsdf = lsdf.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
@@ -1063,12 +1169,34 @@ def merge_ordered(
     right: DataFrame,
     on: str,
     left_by: str | Sequence[str] | None = None,
+    right_by: str | Sequence[str] | None = None,
     fill_method: str | None = None,
     suffixes: tuple[str, str] = ("_x", "_y"),
 ) -> DataFrame:
     """pandas ``merge_ordered`` (merge.py:500): outer join ordered on key,
-    optional group-wise forward fill."""
-    by = _aslist(left_by)
+    optional group-wise forward fill.
+
+    ``left_by``/``right_by`` REPLICATE the other (ungrouped) frame into
+    every group of the grouped side (reference merge.py:303
+    _groupby_and_merge) — the ungrouped side has no group column, so
+    this is a broadcast cross of the distinct group values against it,
+    then a plain outer merge on (by, on). The distinct-group side is
+    broadcast: pandas' semantics make the output |groups| × |other|
+    rows, so the group list being driver-sized is inherent to the
+    operation, not a plan choice. (Pre-r11 this joined on the group
+    key directly — an UNRESOLVED_COLUMN error, caught by the r11
+    reference sweep of tests/reshape/merge/test_merge_ordered.py.)"""
+    if fill_method not in (None, "ffill"):
+        raise ValueError("fill_method must be 'ffill' or None")
+    if left_by is not None and right_by is not None:
+        raise ValueError("Can only group either left or right frames")
+    by = _aslist(left_by) or _aslist(right_by)
+    if left_by is not None:
+        groups = left.spark.select(*[F.col(c) for c in by]).dropDuplicates()
+        right = DataFrame(right.spark.crossJoin(F.broadcast(groups)))
+    elif right_by is not None:
+        groups = right.spark.select(*[F.col(c) for c in by]).dropDuplicates()
+        left = DataFrame(left.spark.crossJoin(F.broadcast(groups)))
     out = merge(left, right, on=([*by, on] if by else on), how="outer", suffixes=suffixes)
     sdf = out.spark.orderBy(*by, on)
     if fill_method == "ffill":

@@ -556,129 +556,47 @@ def test_drop_duplicates_spec_reduce_falls_back_cleanly(spark, tmp_path):
     assert got[["g", "a", "v"]].values.tolist() == exp[["g", "a", "v"]].values.tolist()
 
 
-def test_drop_duplicates_decimal_packed_double_key_bit_exact(spark, tmp_path):
-    """r11: double sort keys with footer-proven positive finite range
-    take the decimal(38,0)-packed HashAggregate; decoded doubles must
-    be BIT-exact vs pandas, including ulp-adjacent values at binade
-    boundaries (the shortest-repr round-trip argument in
-    frame._dedup_pack_decimal)."""
+def test_drop_duplicates_double_key_struct_path_exact(spark, tmp_path):
+    """Double sort keys keep the struct min_by path (the exact
+    decimal(38,0) packing was prototyped and measured SLOWER — the
+    per-row double->decimal cast string-parses; receipt in
+    frame._dedup_spec_reduce) — results bit-exact vs pandas,
+    including ulp-adjacent values and NaN (NaN-last ordering)."""
     import math
     import random
 
     import numpy as np
     import pandas as pd
-
-    random.seed(11)
-    vals = []
-    for base in [1.0, 2.0, 31.999999999999996, 32.0, 49.99999999999999, 50.0]:
-        vals += [base, math.nextafter(base, 100.0)]
-        if math.nextafter(base, 0.0) >= 1.0:
-            vals.append(math.nextafter(base, 0.0))
-    vals += [1.0 + random.random() * 60 for _ in range(40)]
-    rows = [
-        (
-            random.randrange(0, 50),
-            random.randrange(0, 3000),
-            random.randrange(1, 8),
-            random.choice(vals),
-        )
-        for _ in range(5000)
-    ]
-    pdf = pd.DataFrame(rows, columns=["g", "ok", "ln", "q"])
-    pdf["q"] = pdf["q"].astype(np.float64)
-    p = tmp_path / "d.parquet"
-    pdf.to_parquet(p, index=False)
-    f = ps.read_parquet(spark, str(p))
-    assert isinstance(f._bounds["q"][0], float) and f._bounds["q"][0] > 0
-    for keep in ["first", "last"]:
-        out = f.sort_values(["ok", "ln", "q"]).drop_duplicates(
-            subset=["g"], keep=keep
-        )
-        plan = out.spark._jdf.queryExecution().executedPlan().toString()
-        assert "SortAggregate" not in plan and "decimal(38,0)" in plan, keep
-        got = out.to_pandas().sort_values("g").reset_index(drop=True)
-        exp = (
-            pdf.sort_values(["ok", "ln", "q"], kind="stable")
-            .drop_duplicates(subset=["g"], keep=keep)
-            .sort_values("g")
-            .reset_index(drop=True)
-        )
-        # bit-exact double comparison
-        for gc, ec in zip(got["q"], exp["q"]):
-            assert gc.hex() == ec.hex(), (keep, gc, ec)
-        assert got[["g", "ok", "ln"]].values.tolist() == exp[
-            ["g", "ok", "ln"]
-        ].values.tolist(), keep
-
-
-def test_drop_duplicates_decimal_packed_nan_sentinel(spark, tmp_path):
-    """NaN in a packed double key needs no nan-free footer proof:
-    pandas sorts NaN last within its key level, matched by the
-    all-9s max sentinel — NaN-keyed rows lose to any real value for
-    keep='first', win for keep='last', and decode back to NaN."""
-    import numpy as np
-    import pandas as pd
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rng = np.random.default_rng(23)
-    g = rng.integers(0, 20, 800)
-    q = rng.uniform(1.0, 9.0, 800).round(3)
-    q[::7] = np.nan
-    # one group that is ALL NaN → its kept row must stay NaN
-    q[g == 19] = np.nan
-    p = tmp_path / "n.parquet"
-    # write via pyarrow from numpy DIRECTLY: NaN stays a VALUE
-    # (null_count 0) and parquet-cpp stats ignore it (finite min/max)
-    # — the exact adversarial footer the sentinel defends against.
-    # (pandas.to_parquet would convert NaN→NULL and void the proof.)
-    pq.write_table(pa.table({"g": pa.array(g), "q": pa.array(q)}), p)
-    pdf = pd.DataFrame({"g": g, "q": q})
-    f = ps.read_parquet(spark, str(p))
-    assert f._bounds["q"][0] > 0
-    assert "q" in f._nonnull
+    random.seed(11)
+    vals = [1.0, 2.0, 32.0, 50.0]
+    for base in [1.0, 2.0, 31.999999999999996, 49.99999999999999]:
+        vals.append(math.nextafter(base, 100.0))
+    vals += [1.0 + random.random() * 60 for _ in range(40)]
+    g = np.array([random.randrange(0, 50) for _ in range(4000)])
+    ok = np.array([random.randrange(0, 3000) for _ in range(4000)])
+    q = np.array([random.choice(vals) for _ in range(4000)])
+    q[::13] = np.nan  # NaN stays a VALUE under the pyarrow writer
+    pq.write_table(
+        pa.table({"g": pa.array(g), "ok": pa.array(ok), "q": pa.array(q)}),
+        tmp_path / "d.parquet",
+    )
+    pdf = pd.DataFrame({"g": g, "ok": ok, "q": q})
+    f = ps.read_parquet(spark, str(tmp_path / "d.parquet"))
     for keep in ["first", "last"]:
-        out = f.sort_values(["q"]).drop_duplicates(subset=["g"], keep=keep)
-        plan = out.spark._jdf.queryExecution().executedPlan().toString()
-        assert "SortAggregate" not in plan, keep
+        out = f.sort_values(["ok", "q"]).drop_duplicates(
+            subset=["g"], keep=keep
+        )
         got = out.to_pandas().sort_values("g").reset_index(drop=True)
         exp = (
-            pdf.sort_values(["q"], kind="stable")
+            pdf.sort_values(["ok", "q"], kind="stable")
             .drop_duplicates(subset=["g"], keep=keep)
             .sort_values("g")
             .reset_index(drop=True)
         )
         assert got["g"].tolist() == exp["g"].tolist(), keep
-        assert (
-            got["q"].isna().tolist() == exp["q"].isna().tolist()
-        ), keep
-        assert got["q"].fillna(-1).tolist() == exp["q"].fillna(-1).tolist(), keep
-
-
-def test_drop_duplicates_decimal_packed_float32_key(spark, tmp_path):
-    """float32 sort keys ride the same decimal packing (≤9-sig
-    shortest reprs are finer-grained-covered by the double rule) and
-    decode bit-exact."""
-    import numpy as np
-    import pandas as pd
-
-    rng = np.random.default_rng(29)
-    q32 = rng.uniform(1.0, 500.0, 3000).astype(np.float32)
-    q32[::11] = np.nextafter(q32[::11], np.float32(1000.0))
-    pdf = pd.DataFrame({"g": rng.integers(0, 40, 3000), "q": q32})
-    p = tmp_path / "f.parquet"
-    pdf.to_parquet(p, index=False)
-    f = ps.read_parquet(spark, str(p))
-    out = f.sort_values(["q"]).drop_duplicates(subset=["g"], keep="first")
-    plan = out.spark._jdf.queryExecution().executedPlan().toString()
-    assert "SortAggregate" not in plan
-    got = out.to_pandas().sort_values("g").reset_index(drop=True)
-    exp = (
-        pdf.sort_values(["q"], kind="stable")
-        .drop_duplicates(subset=["g"], keep="first")
-        .sort_values("g")
-        .reset_index(drop=True)
-    )
-    assert got["g"].tolist() == exp["g"].tolist()
-    assert [v.hex() for v in got["q"]] == [float(v).hex() for v in exp["q"]]
+        assert got["ok"].tolist() == exp["ok"].tolist(), keep
+        for gv, ev in zip(got["q"], exp["q"]):
+            assert (math.isnan(gv) and math.isnan(ev)) or gv.hex() == ev.hex(), keep

@@ -1935,3 +1935,144 @@ def test_pivot_compiled_matches_spark_pivot_edge_cells(spark):
         assert pd.isna(got.loc["b", "y"]) == pd.isna(
             pref.reindex(index=["b"], columns=["y"]).iloc[0, 0]
         )
+
+
+# ---------------------------------------------------------------------------
+# r11 reference sweep: tests/reshape/merge (test_merge_asof.py,
+# test_merge_ordered.py, test_merge_cross.py)
+# ---------------------------------------------------------------------------
+
+def test_merge_asof_argument_validation_matches_pandas(spark):
+    """Plan-time validation parity (reference merge.py _AsOfMerge):
+    direction, allow_exact_matches, tolerance sign + dtype compat.
+    These raised nothing before r11 — silent garbage matches."""
+    from pandas_spark.operators.joins import merge_asof
+
+    L = ps.from_pandas(spark, pd.DataFrame({"t": [1, 5], "lv": [1, 2]}))
+    R = ps.from_pandas(spark, pd.DataFrame({"t": [1, 8], "rv": [10, 40]}))
+    with pytest.raises(ValueError, match="direction invalid"):
+        merge_asof(L, R, on="t", direction="sideways")
+    with pytest.raises(ValueError, match="allow_exact_matches must be boolean"):
+        merge_asof(L, R, on="t", allow_exact_matches="yes")
+    with pytest.raises(ValueError, match="tolerance must be positive"):
+        merge_asof(L, R, on="t", tolerance=-1)
+    with pytest.raises(ValueError, match="incompatible tolerance"):
+        merge_asof(L, R, on="t", tolerance=pd.Timedelta("1s"))  # int key
+    with pytest.raises(ValueError, match="incompatible tolerance"):
+        merge_asof(L, R, on="t", tolerance=True)  # bool is not numeric
+    # tolerance=0 is legal (pandas raises on < 0 only)
+    out = merge_asof(L, R, on="t", tolerance=0).to_pandas().sort_values("t")
+    exp = pd.merge_asof(
+        pd.DataFrame({"t": [1, 5], "lv": [1, 2]}),
+        pd.DataFrame({"t": [1, 8], "rv": [10, 40]}), on="t", tolerance=0)
+    assert out["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+    # timestamp key rejects a numeric tolerance
+    Lt = ps.from_pandas(spark, pd.DataFrame(
+        {"t": pd.to_datetime(["2020-01-01", "2020-01-05"]), "lv": [1, 2]}))
+    Rt = ps.from_pandas(spark, pd.DataFrame(
+        {"t": pd.to_datetime(["2020-01-01", "2020-01-08"]), "rv": [10, 40]}))
+    with pytest.raises(ValueError, match="incompatible tolerance"):
+        merge_asof(Lt, Rt, on="t", tolerance=5)
+
+
+def test_merge_asof_left_on_right_on_matches_pandas(spark):
+    """left_on=/right_on= (reference merge.py:689): differently-named
+    asof keys; the matched right row's key VALUE survives as payload."""
+    from pandas_spark.operators.joins import merge_asof
+
+    lp = pd.DataFrame({"a": [1, 5, 10], "lv": [1, 2, 3]})
+    rp = pd.DataFrame({"b": [1, 6, 8], "rv": [10, 20, 40]})
+    got = (
+        merge_asof(ps.from_pandas(spark, lp), ps.from_pandas(spark, rp),
+                   left_on="a", right_on="b")
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    )
+    exp = pd.merge_asof(lp, rp, left_on="a", right_on="b")
+    assert got.columns.tolist() == exp.columns.tolist()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    with pytest.raises(ValueError, match="on="):
+        merge_asof(ps.from_pandas(spark, lp), ps.from_pandas(spark, rp),
+                   on="a", left_on="a", right_on="b")
+
+
+def test_merge_asof_documented_divergences_graceful(spark):
+    """The two DOCUMENTED supersets (joins.merge_asof docstring):
+    unsorted input yields the correct asof result (pandas raises
+    'left keys must be sorted'); NULL on-keys keep the left row with
+    NULL payload (pandas raises 'Merge keys contain null values').
+    Assert the engine's documented behavior so it cannot drift."""
+    from pandas_spark.operators.joins import merge_asof
+
+    Lu = ps.from_pandas(spark, pd.DataFrame({"t": [5, 1], "lv": [1, 2]}))
+    R = ps.from_pandas(spark, pd.DataFrame({"t": [1, 1, 1, 8], "rv": [10, 20, 30, 40]}))
+    out = merge_asof(Lu, R, on="t").to_pandas().sort_values("t")
+    # same values as the sorted-input pandas run
+    exp = pd.merge_asof(pd.DataFrame({"t": [1, 5], "lv": [2, 1]}),
+                        pd.DataFrame({"t": [1, 1, 1, 8], "rv": [10, 20, 30, 40]}), on="t")
+    assert out["rv"].tolist() == exp["rv"].tolist() == [30, 30]
+    Ln = ps.from_pandas(spark, pd.DataFrame({"t": [1.0, None], "lv": [1, 2]}))
+    Rf = ps.from_pandas(spark, pd.DataFrame({"t": [1.0, 8.0], "rv": [10, 40]}))
+    out2 = merge_asof(Ln, Rf, on="t").to_pandas()
+    assert len(out2) == 2
+    null_row = out2[out2["t"].isna()]
+    assert len(null_row) == 1 and null_row["rv"].isna().all()
+
+
+def test_merge_ordered_left_by_right_by_matches_pandas(spark):
+    """left_by/right_by replicate the ungrouped frame into every group
+    (reference merge.py:303 _groupby_and_merge). Pre-r11 this joined
+    ON the group key — an UNRESOLVED_COLUMN error."""
+    from pandas_spark.operators.joins import merge_ordered
+
+    lp = pd.DataFrame({"g": ["x", "x", "y"], "k": [1, 3, 2], "lv": [1, 2, 3]})
+    rp = pd.DataFrame({"k": [2, 3], "rv": [10, 20]})
+    got = (
+        merge_ordered(ps.from_pandas(spark, lp), ps.from_pandas(spark, rp),
+                      on="k", left_by="g")
+        .to_pandas().sort_values(["g", "k"]).reset_index(drop=True)
+    )
+    exp = pd.merge_ordered(lp, rp, on="k", left_by="g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    got2 = (
+        merge_ordered(ps.from_pandas(spark, rp), ps.from_pandas(spark, lp),
+                      on="k", right_by="g")
+        .to_pandas().sort_values(["g", "k"]).reset_index(drop=True)
+    )
+    exp2 = (pd.merge_ordered(rp, lp, on="k", right_by="g")
+            .sort_values(["g", "k"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2[exp2.columns], exp2, check_dtype=False)
+    with pytest.raises(ValueError, match="fill_method"):
+        merge_ordered(ps.from_pandas(spark, lp), ps.from_pandas(spark, rp),
+                      on="k", fill_method="bfill")
+    with pytest.raises(ValueError, match="group either"):
+        merge_ordered(ps.from_pandas(spark, lp), ps.from_pandas(spark, rp),
+                      on="k", left_by="g", right_by="g")
+
+
+def test_merge_cross_rejects_keys_like_pandas(spark):
+    """how='cross' with on/left_on/right_on raises (reference
+    merge.py:149 validation) — silently ignored before r11."""
+    L = ps.from_pandas(spark, pd.DataFrame({"k": [1], "lv": [1]}))
+    R = ps.from_pandas(spark, pd.DataFrame({"k": [2], "rv": [10]}))
+    from pandas_spark.operators.joins import merge
+
+    with pytest.raises(ValueError, match="cross"):
+        merge(L, R, how="cross", on="k")
+    with pytest.raises(ValueError, match="cross"):
+        merge(L, R, how="cross", left_on="k", right_on="k")
+
+
+def test_merge_key_dtype_mismatch_raises_like_pandas(spark):
+    """int key vs string key raises (reference merge.py
+    _maybe_coerce_merge_keys) — before r11 Spark's implicit cast
+    silently matched 1 == "1". Numeric↔numeric stays allowed
+    (pandas permits int64↔float64 merges)."""
+    from pandas_spark.operators.joins import merge
+
+    L = ps.from_pandas(spark, pd.DataFrame({"k": [1], "lv": [1]}))
+    Rs = ps.from_pandas(spark, pd.DataFrame({"k": ["1"], "rv": [10]}))
+    with pytest.raises(ValueError, match="trying to merge on"):
+        merge(L, Rs, on="k")
+    Rf = ps.from_pandas(spark, pd.DataFrame({"k": [1.0], "rv": [10]}))
+    out = merge(L, Rf, on="k").to_pandas()
+    assert out.values.tolist() == [[1, 1, 10]]

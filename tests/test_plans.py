@@ -94,22 +94,21 @@ def test_sorted_dedup_prunes_before_shuffle(spark):
         .to_spark()
     )
     plan = plan_of(q)
-    # keep=first under an ascending sort compiles to min_by hash
-    # aggregation: partial agg prunes per task BEFORE the exchange and
-    # there is no map-side sort at all (the former WindowGroupLimit
-    # plan sorted every task's rows first)
-    # (struct-valued min_by buffers are not unsafe-row mutable, so the
-    # agg is SortAggregate — still partial+final with map-side
-    # reduction, sorted by the GROUP KEY only, not the window path's
-    # (key, order...) sort plus window evaluation)
+    # keep=first under an ascending sort with footer-PROVEN integral
+    # sort keys compiles to the packed-long HashAggregate
+    # (frame._dedup_pack_long, r11): min of ONE packed bigint, partial
+    # agg prunes per task BEFORE the exchange, no map-side sort, no
+    # struct min_by (the former SortAggregate formulation), no
+    # WindowGroupLimit (the pre-r10 window plan)
     simple = q._sc._jvm.PythonSQLUtils.explainString(
         q._jdf.queryExecution(), "simple"
     )
-    assert "partial_min_by" in simple
+    assert "partial_min(" in simple
+    assert "SortAggregate" not in simple
     assert "WindowGroupLimit" not in simple
     # map-side partial reduction: the partial agg sits BELOW the hash
     # exchange (simple tree prints top-down, deeper = later)
-    assert simple.index("partial_min_by") > simple.index("hashpartitioning")
+    assert simple.index("partial_min(") > simple.index("hashpartitioning")
     # the user's global sort orders only the DEDUPED output, and sits
     # ABOVE the dedup hash exchange. Its physical form depends on the
     # footer row proof: a proven-small frame sorts on one task behind
