@@ -124,6 +124,7 @@ class DataFrame:
         nonnull: frozenset = frozenset(),
         bounds: Mapping | None = None,
         rows_max: int | None = None,
+        order_weak: bool = False,
     ):
         self._sdf = sdf
         self._order_col = order_col
@@ -160,6 +161,15 @@ class DataFrame:
         # broadcast-left anti keeps raw keys when the fact side is
         # proven small instead of a distinct shuffle).
         self._rows_max = rows_max
+        # WEAK declared order (groupby sort=True key order): real for
+        # every order-sensitive consumer (head/window/to_pandas — the
+        # last sorts DRIVER-side, results that reach a driver are
+        # driver-sized by definition), but NOT worth a range exchange +
+        # sampling job in a to_spark()/write plan when the row bound is
+        # unproven — Spark DataFrames are unordered and the driver
+        # oracle compares order-insensitively. A footer-proven small
+        # frame still takes the narrow coalesce(1) presentation sort.
+        self._order_weak = bool(order_weak)
 
     # -- plumbing --------------------------------------------------------
     def _with(
@@ -187,6 +197,7 @@ class DataFrame:
             sort_spec=spec,
             nonnull=nonnull if nonnull is not None else frozenset(),
             bounds=bounds,
+            order_weak=self._order_weak and bool(spec),
             rows_max=rows_max,
         )
 
@@ -267,6 +278,11 @@ class DataFrame:
                 # receipt class as the nlargest boundary collect.
                 # Unknown or large frames keep the distributed sort.
                 return self._sdf.coalesce(1).sortWithinPartitions(*exprs)
+            if self._order_weak:
+                # weak key order (groupby sort=True) without a proven
+                # bound: skip the range exchange — to_pandas re-sorts
+                # driver-side, ordered ops window on the spec directly
+                return self._sdf
             return self._sdf.orderBy(*exprs)
         return self._sdf
 
@@ -1973,11 +1989,13 @@ class DataFrame:
         return self._with(self._sdf.withColumn(alias or f"row_{func}", expr))
 
     # -- groupby (SURVEY §2.4) -----------------------------------------------
-    def groupby(self, by: str | Sequence[str], dropna: bool = True) -> "GroupBy":
+    def groupby(
+        self, by: str | Sequence[str], dropna: bool = True, sort: bool = True
+    ) -> "GroupBy":
         from pandas_spark.groupby import GroupBy
 
         keys = [by] if isinstance(by, str) else list(by)
-        return GroupBy(self, keys, dropna=dropna)
+        return GroupBy(self, keys, dropna=dropna, sort=sort)
 
     def value_counts(
         self,
@@ -2482,7 +2500,26 @@ class DataFrame:
         return self.to_spark().collect()
 
     def to_pandas(self):
-        return self.to_spark().toPandas()
+        pdf = self.to_spark().toPandas()
+        if (
+            self._order_weak
+            and self._sort_spec
+            and not (
+                self._rows_max is not None
+                and self._rows_max <= _SMALL_SORT_ROWS
+            )
+        ):
+            # weak declared order skipped in-plan (_presented): apply
+            # it here, driver-side — anything that reached the driver
+            # is driver-sized, so this is O(result) with zero Spark
+            # stages. All weak specs are value keys (group columns).
+            cols = [c for c, _, _ in self._sort_spec if c in pdf.columns]
+            asc = [a for c, a, _ in self._sort_spec if c in pdf.columns]
+            if cols:
+                pdf = pdf.sort_values(
+                    cols, ascending=asc, na_position="last", kind="stable"
+                ).reset_index(drop=True)
+        return pdf
 
     def count(self) -> int:
         from pandas_spark.session import tune_for_plan

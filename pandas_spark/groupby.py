@@ -133,10 +133,25 @@ def resolve_agg(func: str, col: str, dtype: str | None = None,
 class GroupBy:
     """Deferred grouped view (pandas' one lazy object — groupby/groupby.py:752)."""
 
-    def __init__(self, frame, keys: Sequence[str], dropna: bool = True):
+    def __init__(
+        self, frame, keys: Sequence[str], dropna: bool = True,
+        sort: bool = True,
+    ):
         self._frame = frame
         self._keys = list(keys)
         self._dropna = dropna
+        # pandas sort= (groupby/groupby.py:——  default True): aggregated
+        # results come back ordered by group key. The engine declares
+        # that as LAZY order metadata on aggregate-shaped results
+        # (_result keyed=True) — no physical sort until a consumption
+        # boundary, where the usual footer-proven small-result rules
+        # apply. sort=False is pandas' "first occurrence" order; the
+        # engine leaves that UNDECLARED (documented divergence: at
+        # cluster scale arrival order is partition order, and
+        # reproducing first-occurrence order would force an order-id
+        # min through every aggregate for a property sort=False users
+        # explicitly opted out of caring about).
+        self._sort = sort
         self._dtmap: dict[str, str] | None = None
 
     def rolling(self, window, **kwargs):
@@ -201,6 +216,10 @@ class GroupBy:
         """String agg name → builtin expression; callable → GROUPED_AGG
         pandas_udf (Series → scalar, Arrow-batched; SURVEY §2.11
         agg-UDAF; reference core/apply.py GroupByApply)."""
+        if col not in self._frame.columns:
+            # pandas KeyError (groupby/generic.py _aggregate) — before
+            # r11 this surfaced as a raw Spark AnalysisException
+            raise KeyError(f"Column(s) {[col]} do not exist")
         if callable(func) and not isinstance(func, str):
             from pandas_spark.functions import callables as C
 
@@ -244,9 +263,29 @@ class GroupBy:
             out.append(c)
         return out
 
-    def _result(self, sdf):
+    def _result(self, sdf, keyed: bool = True):
+        """``keyed=True`` (aggregate-shaped results, one row per group)
+        declares pandas' sort=True key order as lazy order metadata.
+        Row-shaped results (nth/filter/apply) pass ``keyed=False`` —
+        they preserve the source frame's own order in pandas, and a
+        keys-only declared sort could permute rows WITHIN a group."""
         from pandas_spark.frame import DataFrame
 
+        if keyed and self._sort:
+            spec = tuple(
+                (k, True, "last") for k in self._keys if k in sdf.columns
+            )
+            if spec:
+                # one row per group ≤ input rows: the input's proven
+                # row bound still bounds the result, so a footer-proven
+                # small input keeps the NARROW coalesce(1) presentation
+                # sort (no range exchange, no sampling job) — at 100 TB
+                # the bound is absent/huge and the distributed range
+                # sort correctly takes over
+                return DataFrame(
+                    sdf, sort_spec=spec, rows_max=self._frame._rows_max,
+                    order_weak=True,
+                )
         return DataFrame(sdf)
 
     # -- agg spec translation (SURVEY §3.1 step 2) -----------------------------
@@ -471,15 +510,35 @@ class GroupBy:
         if self._dropna:
             sdf = self._drop_null_keys(sdf)
         w = W.partitionBy(*self._kcols()).orderBy(*order_exprs)
-        out = (
-            sdf.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == n + 1)
-            .drop("__rn__")
-        )
+        ns = [n] if isinstance(n, int) else list(n)
+        pos = [k + 1 for k in ns if k >= 0]
+        neg = [k for k in ns if k < 0]
+        rn = F.row_number().over(w)
+        conds = []
+        if pos:
+            conds.append(F.col("__rn__").isin(pos))
+        if neg:
+            # pandas negative nth counts from the group's end
+            # (reference groupby.py GroupByNthSelector): 1-based row
+            # rn matches k<0 when rn == cnt + k + 1
+            conds.append(
+                (F.col("__rn__") - F.col("__cnt__") - 1).isin(neg)
+            )
+        cond = conds[0]
+        for c_ in conds[1:]:
+            cond = cond | c_
+        out = sdf.withColumn("__rn__", rn)
+        if neg:
+            out = out.withColumn(
+                "__cnt__", F.count(F.lit(1)).over(self._part())
+            )
+        out = out.filter(cond).drop("__rn__", "__cnt__")
         from pandas_spark.frame import is_order_col
 
         internal = [c for c in out.columns if is_order_col(c)]
-        return self._result(out.drop(*internal) if internal else out)
+        return self._result(
+            out.drop(*internal) if internal else out, keyed=False
+        )
 
     def ohlc(self, col: str, order_by: str):
         w = W.partitionBy(*self._kcols()).orderBy(order_by)
@@ -506,7 +565,7 @@ class GroupBy:
         if normalize:
             w = W.partitionBy(*self._kcols())
             out = out.withColumn("proportion", F.col("count") / F.sum("count").over(w)).drop("count")
-        return self._result(out)
+        return self._result(out, keyed=False)
 
     def _grouped_with(self, extra: list[str]):
         return self._source().groupBy(*self._kcols(), *[_fcol(c) for c in extra])
@@ -713,21 +772,39 @@ class GroupBy:
         val = self._mask_dropped(F.when(c.isNotNull(), val))
         return frame._with(frame._sdf.withColumn(alias or col, val))
 
-    def cumcount(self, alias: str = "cumcount", order_by: str | None = None):
+    def cumcount(self, alias: str = "cumcount", order_by: str | None = None,
+                 ascending: bool = True):
         frame, w = self._ordered_part(order_by)
-        val = self._mask_dropped(F.row_number().over(w) - 1)
+        if ascending:
+            val = F.row_number().over(w) - 1
+        else:
+            # pandas cumcount(ascending=False) = cnt - 1 - position
+            # (reference groupby.py cumcount) — one extra count over
+            # the same partition, same single window pass
+            val = (
+                F.count(F.lit(1)).over(self._part())
+                - F.row_number().over(w)
+            )
+        val = self._mask_dropped(val)
         return frame._with(frame._sdf.withColumn(alias, val))
 
-    def ngroup(self, alias: str = "ngroup"):
+    def ngroup(self, alias: str = "ngroup", ascending: bool = True):
         # nulls_last so NULL-key groups (masked to NULL under dropna)
         # never shift the numbering of real groups, matching pandas
-        w = W.orderBy(*[_fcol(k).asc_nulls_last() for k in self._keys])
+        order = [
+            (_fcol(k).asc_nulls_last() if ascending else _fcol(k).desc_nulls_last())
+            for k in self._keys
+        ]
+        w = W.orderBy(*order)
         val = self._mask_dropped(F.dense_rank().over(w) - 1)
         return self._frame._with(self._frame._sdf.withColumn(alias, val))
 
-    def shift(self, col: str, periods: int = 1, alias: str | None = None, order_by: str | None = None):
+    def shift(self, col: str, periods: int = 1, alias: str | None = None,
+              order_by: str | None = None, fill_value=None):
         frame, w = self._ordered_part(order_by)
-        val = self._mask_dropped(F.lag(col, periods).over(w))
+        # pandas fill_value= (groupby.shift): out-of-window slots take
+        # the fill instead of NULL — F.lag's default argument, JVM-side
+        val = self._mask_dropped(F.lag(col, periods, fill_value).over(w))
         return frame._with(frame._sdf.withColumn(alias or col, val))
 
     def diff(self, col: str, periods: int = 1, alias: str | None = None, order_by: str | None = None):
@@ -826,11 +903,19 @@ class GroupBy:
 
     def head(self, n: int = 5, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)
-        out = (
-            self._filter_dropped(frame._sdf).withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") <= n)
-            .drop("__rn__")
+        src = self._filter_dropped(frame._sdf).withColumn(
+            "__rn__", F.row_number().over(w)
         )
+        if n < 0:
+            # pandas head(-k): all but the LAST k rows of each group
+            # (reference groupby/groupby.py head) — needs the group
+            # size alongside the row number, same window partition
+            src = src.withColumn("__cnt__", F.count(F.lit(1)).over(self._part()))
+            out = src.filter(F.col("__rn__") <= F.col("__cnt__") + n).drop(
+                "__rn__", "__cnt__"
+            )
+        else:
+            out = src.filter(F.col("__rn__") <= n).drop("__rn__")
         return frame._with(out)
 
     def nlargest(self, col: str, n: int = 5, keep: str = "first"):
@@ -1000,11 +1085,18 @@ class GroupBy:
         else:
             frame, order_exprs = self._frame._ordered(desc=True)
         w = W.partitionBy(*self._kcols()).orderBy(*order_exprs)
-        out = (
-            self._filter_dropped(frame._sdf).withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") <= n)
-            .drop("__rn__")
+        src = self._filter_dropped(frame._sdf).withColumn(
+            "__rn__", F.row_number().over(w)
         )
+        if n < 0:
+            # pandas tail(-k): all but the FIRST k rows of each group —
+            # under the reversed ordering that is rn <= cnt + n
+            src = src.withColumn("__cnt__", F.count(F.lit(1)).over(self._part()))
+            out = src.filter(F.col("__rn__") <= F.col("__cnt__") + n).drop(
+                "__rn__", "__cnt__"
+            )
+        else:
+            out = src.filter(F.col("__rn__") <= n).drop("__rn__")
         return frame._with(out)
 
     def filter(self, cond: Column | Expr | str, agg_exprs: Mapping[str, Column] | None = None):
@@ -1019,7 +1111,7 @@ class GroupBy:
             sdf = sdf.withColumn(name, expr.over(w))
         cond_c = cond.spark if isinstance(cond, Expr) else (F.expr(cond) if isinstance(cond, str) else cond)
         out = sdf.filter(cond_c).drop(*list((agg_exprs or {}).keys()))
-        return self._result(out)
+        return self._result(out, keyed=False)
 
     # -- UDF surface (SURVEY §2.11) ----------------------------------------------
     def get_group(self, key):
@@ -1036,7 +1128,10 @@ class GroupBy:
 
     def apply_in_pandas(self, fn: Callable, schema):
         """pandas ``groupby.apply`` ≙ Spark ``applyInPandas`` (exact model match)."""
-        return self._result(self._grouped().applyInPandas(fn, schema))
+        # keyed=False: pandas apply concatenates group results in key
+        # order but PRESERVES the fn's row order within each group — a
+        # keys-only declared sort could permute within-group rows
+        return self._result(self._grouped().applyInPandas(fn, schema), keyed=False)
 
     apply = apply_in_pandas
 

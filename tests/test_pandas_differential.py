@@ -2076,3 +2076,76 @@ def test_merge_key_dtype_mismatch_raises_like_pandas(spark):
     Rf = ps.from_pandas(spark, pd.DataFrame({"k": [1.0], "rv": [10]}))
     out = merge(L, Rf, on="k").to_pandas()
     assert out.values.tolist() == [[1, 1, 10]]
+
+
+# ---------------------------------------------------------------------------
+# r11 reference sweep: tests/groupby (test_groupby.py core behaviors)
+# ---------------------------------------------------------------------------
+
+def test_groupby_agg_key_order_matches_pandas(spark):
+    """pandas sort=True DEFAULT: aggregated results come back ordered
+    by group key (reference groupby/groupby.py). Before r11 the engine
+    returned partition-arrival order — a silent nondeterministic order
+    divergence for any order-sensitive downstream. sort=False leaves
+    order undeclared (documented: first-occurrence order is not
+    reproduced at cluster scale)."""
+    pdf = pd.DataFrame({"g": ["b", "a", "b", "a", "c"], "v": [1, 2, 3, 4, 5]})
+    f = ps.from_pandas(spark, pdf)
+    got = f.groupby("g").agg(s=("v", "sum")).to_pandas()
+    assert got["g"].tolist() == ["a", "b", "c"]
+    assert got["s"].tolist() == [6, 4, 5]
+    # reductions and describe ride the same declared order
+    got2 = f.groupby("g").sum().to_pandas()
+    assert got2["g"].tolist() == ["a", "b", "c"]
+    # a later order-sensitive op sees the declared order
+    top = f.groupby("g").agg(s=("v", "sum")).head(2).to_pandas()
+    assert top["g"].tolist() == ["a", "b"]
+
+
+def test_groupby_nth_negative_and_list_matches_pandas(spark):
+    """nth(-1)/nth([0,-1]) count from the group's end (reference
+    groupby GroupByNthSelector) — negative n returned EMPTY before
+    r11 (silently wrong)."""
+    pdf = pd.DataFrame({"g": ["b", "a", "b", "a", "c"], "v": [1, 2, 3, 4, 5]})
+    f = ps.from_pandas(spark, pdf)
+    for n in [-1, -2, [0, -1], [1, -1]]:
+        got = sorted(f.groupby("g").nth(n).to_pandas().values.tolist())
+        exp = sorted(pdf.groupby("g").nth(n).values.tolist())
+        assert got == exp, n
+
+
+def test_groupby_head_tail_negative_matches_pandas(spark):
+    """head(-k) = all but the last k rows per group; tail(-k) = all but
+    the first k (reference groupby.py head/tail) — both returned EMPTY
+    before r11."""
+    pdf = pd.DataFrame({"g": ["b", "a", "b", "a", "c"], "v": [1, 2, 3, 4, 5]})
+    f = ps.from_pandas(spark, pdf)
+    for n in [-1, -2]:
+        goth = sorted(f.groupby("g").head(n).to_pandas().values.tolist())
+        exph = sorted(pdf.groupby("g").head(n).values.tolist())
+        assert goth == exph, ("head", n)
+        gott = sorted(f.groupby("g").tail(n).to_pandas().values.tolist())
+        expt = sorted(pdf.groupby("g").tail(n).values.tolist())
+        assert gott == expt, ("tail", n)
+
+
+def test_groupby_shift_fill_value_and_missing_col(spark):
+    pdf = pd.DataFrame({"g": ["b", "a", "b", "a", "c"], "v": [1, 2, 3, 4, 5]})
+    f = ps.from_pandas(spark, pdf)
+    got = f.groupby("g").shift("v", 1, alias="sv", fill_value=0).to_pandas()
+    exp = pdf.assign(sv=pdf.groupby("g")["v"].shift(1, fill_value=0))
+    assert got.sort_values("v")["sv"].tolist() == exp.sort_values("v")["sv"].tolist()
+    with pytest.raises(KeyError, match="do not exist"):
+        f.groupby("g").agg(s=("missing", "sum"))
+
+
+def test_groupby_cumcount_ngroup_ascending_false(spark):
+    """cumcount(ascending=False) = cnt-1-position; ngroup
+    (ascending=False) reverses the group ids (reference groupby.py) —
+    both kwargs were missing before r11."""
+    pdf = pd.DataFrame({"g": ["b", "a", "b", "a", "c"], "v": [1.0, 2, 3, 4, 5]})
+    f = ps.from_pandas(spark, pdf)
+    got = f.groupby("g").cumcount(ascending=False, alias="c").to_pandas()
+    assert got.sort_values("v")["c"].tolist() == pdf.groupby("g").cumcount(ascending=False).tolist()
+    got2 = f.groupby("g").ngroup(alias="n", ascending=False).to_pandas()
+    assert got2.sort_values("v")["n"].tolist() == pdf.groupby("g").ngroup(ascending=False).tolist()
