@@ -26,13 +26,20 @@ class StringMethods:
         return Expr(c)
 
     # -- predicates -----------------------------------------------------
-    def contains(self, pat: str, regex: bool = True, case: bool = True):
+    def contains(self, pat: str, regex: bool = True, case: bool = True,
+                 na=None):
+        """``na=`` (accessor.py contains): fill for NULL inputs —
+        pandas' default NaN is the engine's NULL (no fill)."""
         if regex:
             pat2 = pat if case else f"(?i){pat}"
-            return self._wrap(self._c.rlike(pat2))
-        if not case:
-            return self._wrap(F.lower(self._c).contains(pat.lower()))
-        return self._wrap(self._c.contains(pat))
+            out = self._c.rlike(pat2)
+        elif not case:
+            out = F.lower(self._c).contains(pat.lower())
+        else:
+            out = self._c.contains(pat)
+        if na is not None:
+            out = F.coalesce(out, F.lit(bool(na)))
+        return self._wrap(out)
 
     def startswith(self, pat: str):
         return self._wrap(self._c.startswith(pat))
@@ -51,13 +58,41 @@ class StringMethods:
     def isdigit(self):   return self._wrap(self._c.rlike(r"^[0-9]+$"))
     def isnumeric(self): return self._wrap(self._c.rlike(r"^[0-9]+$"))
     def isspace(self):   return self._wrap(self._c.rlike(r"^\s+$"))
+    def isdecimal(self):
+        # ASCII decimals (accessor.py isdecimal); unicode digit classes
+        # (e.g. '²' false here and in pandas) match — superscripts are
+        # isdigit-only in pandas, excluded by both engines' [0-9]
+        return self._wrap(self._c.rlike(r"^[0-9]+$"))
+
+    def istitle(self):
+        """Python str.istitle: every maximal alpha run is Uppercase
+        followed by lowercase only, and at least one cased char."""
+        return self._wrap(
+            self._c.rlike(r"^(?:[^A-Za-z]*[A-Z][a-z]*(?![A-Za-z]))+[^A-Za-z]*$")
+        )
     def islower(self):   return self._wrap((self._c == F.lower(self._c)) & self._c.rlike("[a-zA-Z]"))
     def isupper(self):   return self._wrap((self._c == F.upper(self._c)) & self._c.rlike("[a-zA-Z]"))
 
     # -- transforms ------------------------------------------------------
     def lower(self):      return self._wrap(F.lower(self._c))
     def upper(self):      return self._wrap(F.upper(self._c))
-    def title(self):      return self._wrap(F.initcap(self._c))
+    def title(self):
+        """Python str.title semantics (any non-alpha is a word
+        boundary: "it\'s" → "It\'S", "hello-world" → "Hello-World") —
+        Spark initcap splits on WHITESPACE only, a silent divergence
+        caught by the r11 sweep. JVM-side: char-sequence transform
+        uppercases every alpha that follows a non-alpha."""
+        return self._wrap(F.expr(
+            f"""array_join(transform(
+                  sequence(1, length({{c}})),
+                  i -> CASE
+                    WHEN substring({{c}}, i, 1) NOT RLIKE '[A-Za-z]'
+                      THEN substring({{c}}, i, 1)
+                    WHEN i = 1 OR substring({{c}}, i-1, 1) NOT RLIKE '[A-Za-z]'
+                      THEN upper(substring({{c}}, i, 1))
+                    ELSE lower(substring({{c}}, i, 1))
+                  END), '')""".replace("{c}", f"({_sql(self._c)})")
+        ))
     def capitalize(self):
         return self._wrap(
             F.concat(F.upper(F.substring(self._c, 1, 1)), F.lower(F.expr(f"substring({_sql(self._c)}, 2)")))
@@ -85,7 +120,25 @@ class StringMethods:
     def rstrip(self, to_strip: str | None = None):
         return self._wrap(F.rtrim(self._c) if to_strip is None else F.expr(f"trim(TRAILING '{to_strip}' FROM {_sql(self._c)})"))
 
-    def replace(self, pat: str, repl: str, regex: bool = True):
+    def replace(self, pat: str, repl: str, regex: bool = True, n: int = -1):
+        """``n=`` (max replacements, Python str.replace/re.sub count):
+        no Catalyst builtin bounds the replacement count, so n>0 takes
+        the Arrow pandas_udf slow path (same pattern as normalize);
+        the default n=-1 stays JVM-side."""
+        if n is not None and n > 0:
+            import re as _re
+
+            if regex:
+                pat_c = _re.compile(pat)
+                fn = lambda x: pat_c.sub(repl, x, count=n)
+            else:
+                fn = lambda x: x.replace(pat, repl, n)
+
+            @F.pandas_udf("string")
+            def _repl(s: pd.Series) -> pd.Series:
+                return s.map(fn, na_action="ignore")
+
+            return self._wrap(_repl(self._c))
         if regex:
             return self._wrap(F.regexp_replace(self._c, pat, repl))
         return self._wrap(F.replace(self._c, F.lit(pat), F.lit(repl)))
@@ -121,7 +174,20 @@ class StringMethods:
         return self.pad(width, "left", fillchar)
 
     def zfill(self, width: int):
-        return self._wrap(self._no_truncate(F.lpad(self._c, width, "0"), width))
+        """Python str.zfill: a leading +/- sign stays AHEAD of the
+        zeros ('-5'.zfill(4) == '-005'); a bare lpad would produce
+        '00-5' (r11 reference sweep catch, accessor.py zfill)."""
+        sign = F.substring(self._c, 1, 1)
+        signed = sign.isin("+", "-")
+        rest = F.substring(self._c, 2, 2_147_483_646)
+        padded_signed = F.concat(
+            sign, self._no_truncate(F.lpad(rest, width - 1, "0"), width - 1)
+        )
+        return self._wrap(
+            F.when(self._c.isNull(), F.lit(None).cast("string"))
+            .when(signed, padded_signed)
+            .otherwise(self._no_truncate(F.lpad(self._c, width, "0"), width))
+        )
 
     def slice(self, start: int | None = None, stop: int | None = None,
               step: int | None = None):
@@ -236,7 +302,24 @@ class StringMethods:
         return self._wrap(F.regexp_extract(self._c, pat, group))
 
     def findall(self, pat: str):
-        return self._wrap(F.regexp_extract_all(self._c, F.lit(pat)))
+        """pandas findall = re.findall per element: a group-less
+        pattern returns FULL matches (idx 0 — the bare
+        regexp_extract_all default of idx 1 ERRORS on such patterns,
+        r11 sweep catch); one group returns that group; multi-group
+        patterns (tuple results) are declared out loudly."""
+        import re as _re
+
+        ngroups = _re.compile(pat).groups
+        if ngroups >= 2:
+            raise NotImplementedError(
+                "findall with 2+ capturing groups returns tuples in "
+                "pandas; wrap the alternation in (?:...) or extract "
+                "groups separately"
+            )
+        idx = 0 if ngroups == 0 else 1
+        return self._wrap(
+            F.regexp_extract_all(self._c, F.lit(pat), F.lit(idx))
+        )
 
     def count(self, pat: str):
         return self._wrap(F.regexp_count(self._c, F.lit(pat)))
@@ -245,7 +328,15 @@ class StringMethods:
         return self._wrap(F.locate(sub, self._c) - 1)
 
     def index(self, sub: str):
-        return self.find(sub)
+        """Python str.index: like find but RAISES when the substring
+        is missing (find returns -1) — surfaced as a runtime error
+        from the executing query, which is exactly pandas' behavior
+        shape (the whole operation fails)."""
+        loc = F.locate(sub, self._c)
+        return self._wrap(
+            F.when(loc == 0, F.raise_error(F.lit("substring not found")))
+            .otherwise(loc - 1)
+        )
 
     def partition(self, sep: str):
         pos = F.locate(sep, self._c)

@@ -2149,3 +2149,59 @@ def test_groupby_cumcount_ngroup_ascending_false(spark):
     assert got.sort_values("v")["c"].tolist() == pdf.groupby("g").cumcount(ascending=False).tolist()
     got2 = f.groupby("g").ngroup(alias="n", ascending=False).to_pandas()
     assert got2.sort_values("v")["n"].tolist() == pdf.groupby("g").ngroup(ascending=False).tolist()
+
+
+# ---------------------------------------------------------------------------
+# r11 reference sweep: tests/strings (accessor edge behaviors)
+# ---------------------------------------------------------------------------
+
+def test_str_zfill_sign_and_title_boundaries_match_pandas(spark):
+    """zfill keeps a leading +/- AHEAD of the zeros ('-5'→'-005'; a
+    bare lpad gave '00-5' before r11); title uppercases after ANY
+    non-alpha boundary ("it's"→"It'S", "hello-world"→"Hello-World";
+    initcap splits on whitespace only) — both silent value
+    divergences caught by the r11 strings sweep."""
+    pdf = pd.DataFrame({"s": ["-5", "+3", "12", "abc", "", None],
+                        "i": [0, 1, 2, 3, 4, 5]})
+    f = ps.from_pandas(spark, pdf)
+    got = f.assign(z=col("s").str.zfill(4)).to_pandas().sort_values("i")["z"]
+    exp = pdf["s"].str.zfill(4)
+    assert got.fillna("<N>").tolist() == exp.fillna("<N>").tolist()
+    tdf = pd.DataFrame({"s": ["it's a test", "hello-world", "HELLO WORLD",
+                              "a1b c", None], "i": [0, 1, 2, 3, 4]})
+    t = ps.from_pandas(spark, tdf)
+    gott = t.assign(z=col("s").str.title()).to_pandas().sort_values("i")["z"]
+    expt = tdf["s"].str.title()
+    assert gott.fillna("<N>").tolist() == expt.fillna("<N>").tolist()
+
+
+def test_str_contains_na_replace_n_predicates_match_pandas(spark):
+    pdf = pd.DataFrame({"s": ["apple", None, "grape"], "i": [0, 1, 2]})
+    f = ps.from_pandas(spark, pdf)
+    got = f.assign(z=col("s").str.contains("ap", na=False)).to_pandas()
+    assert got.sort_values("i")["z"].tolist() == pdf["s"].str.contains("ap", na=False).tolist()
+    r = ps.from_pandas(spark, pd.DataFrame({"s": ["aaab", "xyz"], "i": [0, 1]}))
+    got2 = r.assign(z=col("s").str.replace("a", "b", n=2, regex=False)).to_pandas()
+    assert got2.sort_values("i")["z"].tolist() == ["bbab", "xyz"]
+    got3 = r.assign(z=col("s").str.replace("a+?", "X", n=1, regex=True)).to_pandas()
+    assert got3.sort_values("i")["z"].tolist() == ["Xaab", "xyz"]
+    pdf4 = pd.DataFrame({"s": ["12", "1.2", "Hello World", "hello", "HELLO"],
+                         "i": [0, 1, 2, 3, 4]})
+    d = ps.from_pandas(spark, pdf4)
+    for meth in ["isdecimal", "istitle"]:
+        got4 = d.assign(z=getattr(col("s").str, meth)()).to_pandas()
+        assert got4.sort_values("i")["z"].tolist() == getattr(pdf4["s"].str, meth)().tolist(), meth
+
+
+def test_str_findall_group_arities_match_pandas(spark):
+    """group-less patterns return FULL matches (regexp_extract_all's
+    bare idx=1 default ERRORS on them — r11 catch); one group returns
+    the group; 2+ groups (pandas tuples) raise loudly."""
+    pdf = pd.DataFrame({"s": ["a1b2", "xyz"], "i": [0, 1]})
+    f = ps.from_pandas(spark, pdf)
+    got = f.assign(z=col("s").str.findall(r"\d")).to_pandas().sort_values("i")
+    assert [list(v) for v in got["z"]] == pdf["s"].str.findall(r"\d").tolist()
+    got2 = f.assign(z=col("s").str.findall(r"([a-z])\d")).to_pandas().sort_values("i")
+    assert [list(v) for v in got2["z"]] == pdf["s"].str.findall(r"([a-z])\d").tolist()
+    with pytest.raises(NotImplementedError, match="capturing groups"):
+        col("s").str.findall(r"([a-z])(\d)")
