@@ -263,6 +263,15 @@ class DataFrame:
         never executes a global range-partition sort, and Catalyst's
         EliminateSorts prunes this node under joins/aggregations."""
         if self._sort_spec:
+            if self._order_weak:
+                # weak key order (groupby sort=True): NEVER pay an
+                # in-plan sort — even the narrow coalesce(1) form
+                # measurably degrades the final aggregate stage it
+                # merges into (groupby_stats 3.0 → 3.5 s at sf0.1).
+                # to_pandas applies the order DRIVER-side; ordered ops
+                # window on the spec; to_spark hands over unordered
+                # (Spark's own DataFrame contract).
+                return self._sdf
             _, exprs = self._ordered()
             if (
                 allow_local
@@ -2501,14 +2510,7 @@ class DataFrame:
 
     def to_pandas(self):
         pdf = self.to_spark().toPandas()
-        if (
-            self._order_weak
-            and self._sort_spec
-            and not (
-                self._rows_max is not None
-                and self._rows_max <= _SMALL_SORT_ROWS
-            )
-        ):
+        if self._order_weak and self._sort_spec:
             # weak declared order skipped in-plan (_presented): apply
             # it here, driver-side — anything that reached the driver
             # is driver-sized, so this is O(result) with zero Spark

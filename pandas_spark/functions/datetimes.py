@@ -91,6 +91,20 @@ class DatetimeMethods:
         y = F.year(self._c)
         return self._wrap(((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0))
 
+    def day_name(self, locale=None):
+        """pandas ``dt.day_name()`` (reference datetimelike.py) —
+        JVM date_format 'EEEE'. Non-default locales are declared out
+        (Spark formats in the JVM default locale)."""
+        if locale is not None:
+            raise NotImplementedError("day_name(locale=) — JVM default locale only")
+        return self._wrap(F.date_format(self._c, "EEEE"))
+
+    def month_name(self, locale=None):
+        """pandas ``dt.month_name()`` — JVM date_format 'MMMM'."""
+        if locale is not None:
+            raise NotImplementedError("month_name(locale=) — JVM default locale only")
+        return self._wrap(F.date_format(self._c, "MMMM"))
+
     def isocalendar_week(self):
         return self._wrap(F.weekofyear(self._c))
 

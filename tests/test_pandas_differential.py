@@ -2205,3 +2205,18 @@ def test_str_findall_group_arities_match_pandas(spark):
     assert [list(v) for v in got2["z"]] == pdf["s"].str.findall(r"([a-z])\d").tolist()
     with pytest.raises(NotImplementedError, match="capturing groups"):
         col("s").str.findall(r"([a-z])(\d)")
+
+
+def test_dt_day_month_name_matches_pandas(spark):
+    """dt.day_name()/month_name() (r11 dt-accessor sweep: the only two
+    missing members) — JVM date_format EEEE/MMMM."""
+    pdf = pd.DataFrame({"ts": pd.to_datetime(
+        ["2024-02-29 13:45:30", "2023-12-31 00:00:00", "2020-01-01 23:59:59"]),
+        "i": [0, 1, 2]})
+    f = ps.from_pandas(spark, pdf)
+    got_d = f.assign(z=col("ts").dt.day_name()).to_pandas().sort_values("i")["z"].tolist()
+    got_m = f.assign(z=col("ts").dt.month_name()).to_pandas().sort_values("i")["z"].tolist()
+    assert got_d == pdf["ts"].dt.day_name().tolist()
+    assert got_m == pdf["ts"].dt.month_name().tolist()
+    with pytest.raises(NotImplementedError):
+        col("ts").dt.day_name(locale="fr_FR")
