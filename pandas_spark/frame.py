@@ -957,6 +957,58 @@ class DataFrame:
         ]
         return agg.select(*out_cols)
 
+    def _dedup_key_struct_reduce(self, spec_cols, subset, keep):
+        """keep=first/last dedup as min/max of ONE key struct, or None.
+
+        Applies when every output column is a group key or a USER sort
+        key (same coverage condition as the packed-long path, without
+        its all-integral requirement): the kept row's values are then
+        fully determined by the per-group lexicographic extremum of the
+        sort tuple itself, so ``min(struct(keys))`` + field decode
+        replaces ``min_by(payload_struct, key_struct)`` — half the
+        bytes through the aggregate buffer (no second struct), one
+        fewer struct compare per row, and the internal stable-order id
+        (plus its monotonically_increasing_id projection) drops out
+        entirely: rows tying on ALL user keys are output-identical, so
+        no tiebreak can change an emitted value. Still a SortAggregate
+        (struct buffers are not hash-aggregable), but a measurably
+        narrower one. NULLS-LAST pandas ordering keeps the (isNull, v)
+        field wrapping for columns not footer-proven null-free."""
+        from pandas_spark.dtypes import free_name, is_orderable
+
+        user_spec = [c for c in spec_cols if not is_order_col(c)]
+        if not user_spec or not set(user_spec) <= set(self.columns):
+            return None
+        if not (set(self.columns) <= set(subset) | set(user_spec)):
+            return None
+        dtmap = {f.name: f.dataType for f in self._sdf.schema.fields}
+        if not all(is_orderable(dtmap[c]) for c in user_spec):
+            return None
+        m = free_name(self.columns, "__m__")
+        fields = []
+        for i, c in enumerate(user_spec):
+            if c in self._nonnull:
+                fields.append(_fcol(c).alias(f"k{i}"))
+            else:
+                fields.append(
+                    F.struct(
+                        _fcol(c).isNull().alias("n"), _fcol(c).alias("v")
+                    ).alias(f"k{i}")
+                )
+        lead = F.min if keep == "first" else F.max
+        agg = self._sdf.groupBy(*[_fcol(c) for c in subset]).agg(
+            lead(F.struct(*fields)).alias(m)
+        )
+        sel = []
+        for c in self.columns:
+            if c in user_spec:
+                i = user_spec.index(c)
+                src = f"{m}.k{i}" if c in self._nonnull else f"{m}.k{i}.v"
+                sel.append(F.col(src).alias(c))
+            else:
+                sel.append(_fcol(c))
+        return agg.select(*sel)
+
     def drop_duplicates(
         self, subset: Sequence[str] | None = None, keep: str | bool = "first"
     ) -> "DataFrame":
@@ -985,6 +1037,9 @@ class DataFrame:
 
             spec_cols = [c for c, _, _ in self._sort_spec]
             reduced = self._dedup_spec_reduce(spec_cols, subset, keep)
+            if reduced is not None:
+                return self._with(reduced, rows_max=self._rows_max)
+            reduced = self._dedup_key_struct_reduce(spec_cols, subset, keep)
             if reduced is not None:
                 return self._with(reduced, rows_max=self._rows_max)
             if any(is_order_col(c) for c in spec_cols):

@@ -61,6 +61,7 @@ def minhash_signature(
     num_hashes: int = 64,
     shingle_n: int = 5,
     out_col: str = "minhash",
+    shingles_col: str | None = None,
 ) -> SparkDF:
     """k-permutation MinHash over word shingles — map-only, built-ins.
 
@@ -101,18 +102,46 @@ def minhash_signature(
     # universal hashing, then folded to 32 bits — deterministic and
     # independent of the session's ANSI state (numpy, not Spark SQL,
     # does the arithmetic).
+    M32 = np.uint64((1 << 32) - 1)
+
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            if h is None or len(h) == 0:
-                out.append(EMPTY)
-                continue
-            H = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]  # (m,1)
-            P = ((H * A + B) & np.uint64((1 << 32) - 1)).min(axis=0)  # (k,)
-            out.append(P.astype(np.int64).tolist())
-        return pd.Series(out)
+        # Vectorized across the WHOLE batch (r11): flatten every row's
+        # hash list into one array, one multiply-add per permutation,
+        # then a segmented min (np.minimum.reduceat at the row starts).
+        # The old per-row outer product paid numpy dispatch ~6x per
+        # document; this pays it ~k times per BATCH. Arithmetic is the
+        # identical uint64 mod-2^64 multiply-add folded to 32 bits, so
+        # signatures are bit-identical.
+        lens = np.array(
+            [0 if h is None else len(h) for h in hs], dtype=np.int64
+        )
+        out = np.empty((len(hs), num_hashes), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hs if h is not None and len(h)]
+            ).astype(np.uint64)
+            lens_nz = lens[nz]
+            starts = np.concatenate(([0], np.cumsum(lens_nz)[:-1]))
+            sig_nz = np.empty((len(lens_nz), num_hashes), dtype=np.uint64)
+            for j in range(num_hashes):
+                pj = (flat * A[j] + B[j]) & M32
+                sig_nz[:, j] = np.minimum.reduceat(pj, starts)
+            out[nz] = sig_nz
+        if (~nz).any():
+            out[~nz] = np.asarray(EMPTY, dtype=np.uint64)
+        return pd.Series(list(out.astype(np.int64)))
 
+    if shingles_col is not None:
+        # caller passes PRE-HASHED shingles (array<long> of xxhash64
+        # values, already distinct + spread): fold the same hash to 32
+        # bits — bit-identical to hashing the strings here, without
+        # re-spreading or re-shingling
+        base = F.transform(
+            F.col(shingles_col), lambda h: h.bitwiseAND(mask32)
+        )
+        return sdf.withColumn(out_col, _sig(base))
     base = F.transform(
         shingles_expr(F.col(text_col), shingle_n),
         lambda s: F.xxhash64(s).bitwiseAND(mask32),
@@ -227,10 +256,18 @@ def jaccard_verify(
     if shingle_sets is not None:
         sh = shingle_sets
     else:
+        # hashed shingle sets (see _collapsed_rep_pairs: xxhash64 at
+        # birth — Jaccard over 64-bit hashed sets, collision-free in
+        # practice and oracle-verified equal)
         sh = _cache_once(
             spread(docs).select(
                 F.col(id_col),
-                F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
+                F.array_distinct(
+                    F.transform(
+                        shingles_expr(F.col(text_col), shingle_n),
+                        lambda sh: F.xxhash64(sh),
+                    )
+                ).alias("__s__"),
             )
         )
     j = (
@@ -273,12 +310,31 @@ def _collapsed_rep_pairs(
         )
     )
     reps = groups.select(F.col("__rep__").alias(id_col), text_col)
+    # ONE shingle build feeds both consumers (r11), HASHED at birth:
+    # each shingle string becomes its xxhash64 long immediately, so the
+    # distinct-set build, the cached base rows, the signature fold and
+    # the Jaccard verification all run on array<long> instead of
+    # array<string> (~4x narrower rows, long equality instead of string
+    # equality). Signatures are bit-identical (they always hashed with
+    # this same xxhash64, folded to 32 bits; min over distinct == min
+    # over the raw multiset). Jaccard over hashed sets equals Jaccard
+    # over string sets unless two DISTINCT shingles of a compared pair
+    # collide in 64 bits (P ≈ m²/2⁶⁴ per pair, ~1e-15 at m=10³ —
+    # oracle-verified equal on every SF; the 32-bit fold inside the
+    # SIGNATURE was always allowed to collide, affecting recall only).
+    with_sh = spread(reps).withColumn(
+        "__s__",
+        F.array_distinct(
+            F.transform(
+                shingles_expr(F.col(text_col), shingle_n),
+                lambda sh: F.xxhash64(sh),
+            )
+        ),
+    )
     base = _cache_once(
-        minhash_signature(reps, text_col, num_hashes, shingle_n).select(
-            id_col,
-            "minhash",
-            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__s__"),
-        )
+        minhash_signature(
+            with_sh, text_col, num_hashes, shingle_n, shingles_col="__s__"
+        ).select(id_col, "minhash", "__s__")
     )
     cands = lsh_candidate_pairs(base, id_col, "minhash", bands, rows)
     rep_pairs = jaccard_verify(
@@ -524,15 +580,27 @@ _CACHE_REGISTRY: dict = {}
 
 
 def _cache_once(sdf: SparkDF) -> SparkDF:
-    """cache() that is idempotent across repeated builds of the SAME
-    logical plan (repeated bench runs, pipeline entries sharing a
-    base). Spark's CacheManager already dedups storage, but each
-    extra .cache() call logs an 'already cached' warning and builds a
-    throwaway DataFrame — reuse the registered one instead."""
+    """Within-PLAN cache that never survives into the next build.
+
+    The expensive dedup intermediates (shingle sets, signatures, the
+    md5-collapse) are each consumed by several branches of ONE query
+    plan — cache() computes them once per execution instead of once
+    per branch. But Spark's CacheManager matches plans SEMANTICALLY:
+    a second build of the same query (the next timed bench run, the
+    next oracle invocation) would silently reuse the PREVIOUS run's
+    materialized batches, turning a legitimate within-plan reuse into
+    cross-run result caching — gaming, not optimization (r11). So each
+    fresh build first unpersists the previous registration of the same
+    semantic plan: every invocation recomputes its intermediates from
+    the inputs inside its own timed action, and the cache only
+    amortizes the branches WITHIN that action."""
     key = (id(sdf.sparkSession), sdf.semanticHash())
-    hit = _CACHE_REGISTRY.get(key)
-    if hit is not None and hit.is_cached and hit.sameSemantics(sdf):
-        return hit
+    hit = _CACHE_REGISTRY.pop(key, None)
+    if hit is not None and hit.sameSemantics(sdf):
+        try:
+            hit.unpersist()
+        except Exception:
+            pass
     c = sdf.cache()
     _CACHE_REGISTRY[key] = c
     return c

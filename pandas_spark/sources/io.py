@@ -265,6 +265,50 @@ def _footer_proofs(path: str, max_files: int = 1024) -> tuple[frozenset, dict, i
         return frozenset(), {}, None
 
 
+def _pool_layout(sdf, rows: int | None):
+    """Order-preserving parallel layout for buffer-pool entries.
+
+    A pooled table arrives from a small flat file — usually ONE parquet
+    row group, so its in-memory copy inherits ONE partition and every
+    stage-1 over it (scan + filter + project + partial agg, the
+    dominant slope of most sub-second queries) runs on ONE core.
+    Re-chunk ONCE at cache-fill time: stamp the scan's stable order id,
+    range-partition by it (explicit partition count — REPARTITION_BY_NUM,
+    so AQE never coalesces the layout back), and restore within-partition
+    order, so the cached layout is EXACTLY the scan order split into
+    contiguous chunks. Order semantics are bit-identical: every
+    ``monotonically_increasing_id()`` computed over the pooled scan
+    sorts the same as over the raw scan (partition index follows the
+    range order, offsets follow the within-partition sort), so
+    first-occurrence dedup / head / stable-sort tiebreaks are
+    unchanged — asserted by the pool order-parity test.
+
+    The chunk count is data-derived (rows / SPARK_GRAFT_POOL_PART_ROWS,
+    default 64k ≈ one Arrow batch), never the local core count: at 2
+    cores the same chunks queue; at 32 they run wide. The one-time fill
+    cost is a narrow exchange of a ≤64 MB table inside the first action
+    that touches it."""
+    if not rows:
+        return sdf
+    try:
+        per = int(_os_env("SPARK_GRAFT_POOL_PART_ROWS", "65536"))
+    except ValueError:
+        per = 65536
+    if per <= 0 or rows <= per:
+        return sdf
+    parts = min((rows + per - 1) // per, 64)
+    from pandas_spark import fshim as F
+    from pandas_spark.dtypes import free_name
+
+    ord_c = free_name(sdf.columns, "__pool_ord__")
+    return (
+        sdf.withColumn(ord_c, F.monotonically_increasing_id())
+        .repartitionByRange(parts, F.col(ord_c))
+        .sortWithinPartitions(ord_c)
+        .drop(ord_c)
+    )
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,
@@ -374,6 +418,7 @@ def read_parquet(
                 # than from the columnar cache (measured 2x on text),
                 # and at the 100 TB design point no fact table passes
                 # the size cap anyway
+                sdf = _pool_layout(sdf, rows)
                 sdf = sdf.persist()
             for old in [
                 k for k in _SCAN_CACHE

@@ -887,6 +887,47 @@ def test_buffer_pool_skips_wide_text_tables(spark, tmp_path):
     psio.clear_scan_cache()
 
 
+def test_buffer_pool_parallel_layout_preserves_order(spark, tmp_path):
+    """A pooled table big enough to re-chunk (rows > POOL_PART_ROWS)
+    caches as MULTIPLE partitions (stage-1 parallelism for every query
+    over it) while keeping the scan order BIT-IDENTICAL: the
+    monotonically_increasing_id ordering over the pooled scan must
+    equal the file's row order — first-occurrence dedup / head /
+    stable-sort tiebreaks all hang off that ordering."""
+    import os
+
+    import pandas as pd
+
+    from pandas_spark import fshim as F
+    from pandas_spark.sources import io as psio
+
+    path = str(tmp_path / "wide.parquet")
+    n = 10_000
+    # a deliberately non-monotonic payload so order parity is observable
+    pd.DataFrame(
+        {"k": [(i * 2654435761) % n for i in range(n)], "v": range(n)}
+    ).to_parquet(path)
+    os.environ["SPARK_GRAFT_POOL_PART_ROWS"] = "2048"
+    try:
+        psio.clear_scan_cache()
+        a = ps.read_parquet(spark, path).to_spark()
+        a.write.format("noop").mode("overwrite").save()  # fill the pool
+        assert a.rdd.getNumPartitions() == 5  # ceil(10000 / 2048)
+        got = [
+            r.k
+            for r in a.select(
+                F.monotonically_increasing_id().alias("__i__"), "k"
+            )
+            .orderBy("__i__")
+            .collect()
+        ]
+        want = pd.read_parquet(path)["k"].tolist()
+        assert got == want
+    finally:
+        os.environ.pop("SPARK_GRAFT_POOL_PART_ROWS", None)
+        psio.clear_scan_cache()
+
+
 def test_repetition_signals_hand_cases(spark):
     """Gopher repetition fractions on handcrafted docs: exact expected
     values (the suite oracle re-derives them independently via SQL)."""

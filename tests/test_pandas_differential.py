@@ -173,6 +173,40 @@ def test_drop_duplicates_matches_pandas(spark, keep):
     assert list(got["v"]) == list(want["v"])
 
 
+@pytest.mark.parametrize("keep", ["first", "last"])
+def test_drop_duplicates_key_struct_reduce_matches_pandas(spark, keep):
+    """The r11 min(struct)-of-sort-keys dedup fast path: output columns
+    ⊆ subset ∪ sort keys, MIXED types (double sort key with NULLs — the
+    packed-long path refuses, the key-struct path must apply its
+    (isNull, v) NULLS-LAST wrapping), checked against eager pandas."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "c", "b", "a", "c", "b", "a", "c"],
+            "s1": [3, 1, 1, 2, 1, 1, 2, 1, 3, 2],
+            "s2": [1.5, np.nan, 0.5, 2.0, np.nan, 0.5, 2.0, 7.0, np.nan, 1.0],
+        }
+    )
+    want = (
+        pdf.sort_values(["s1", "s2"], kind="stable")
+        .drop_duplicates(subset=["k"], keep=keep)
+        .sort_values("k")
+    )
+    f = ps.from_pandas(spark, pdf)
+    out = f.sort_values(["s1", "s2"]).drop_duplicates(subset=["k"], keep=keep)
+    # plan shape: the narrow key-struct reduce, not min_by or a window
+    plan = out.to_spark()._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "min_by" not in plan and "max_by" not in plan
+    assert "row_number" not in plan
+    got = out.sort_values("k").to_pandas()
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["s1"]) == list(want["s1"])
+    assert got["s2"].equals(want["s2"].reset_index(drop=True))
+
+
 def test_interpolate_matches_pandas(spark):
     pdf = pd.DataFrame(
         {

@@ -1,0 +1,47 @@
+"""Capture .explain('formatted') output for headline queries.
+
+Usage: python tools/capture_plans.py <outdir-suffix> [query ...]
+Writes plans/<suffix>/<query>.txt for each query (default: the bench
+HEADLINE set). Pure plan construction + EXPLAIN — no jobs run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from pandas_spark import get_spark
+    from pandas_spark import suite
+    from bench import HEADLINE
+
+    suffix = sys.argv[1]
+    names = sys.argv[2:] or HEADLINE
+    outdir = os.path.join(ROOT, "plans", suffix)
+    os.makedirs(outdir, exist_ok=True)
+
+    spark = get_spark("capture_plans")
+    qs = suite.queries()
+    for n in names:
+        if n not in qs:
+            print(f"skip {n}: not in queries()")
+            continue
+        df = qs[n](spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        with open(os.path.join(outdir, f"{n}.txt"), "w") as f:
+            f.write(plan)
+        print(f"wrote {outdir}/{n}.txt ({len(plan)} chars)")
+
+
+if __name__ == "__main__":
+    main()
