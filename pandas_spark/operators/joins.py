@@ -463,16 +463,20 @@ def _tiny_dim_compose(lsdf2, rtag, lk2, rk2, rk_tag, how, indicator,
             return None
         if how == "left_semi":
             klits = [_sql_lit(k, ktype) for k in keys]
-            return lsdf2.where(f"{_qi(lk2[0])} IN ({', '.join(klits)})")
+            recipe = ("where", f"{_qi(lk2[0])} IN ({', '.join(klits)})", None)
+            return _replay_compose(lsdf2, recipe), recipe
         if how == "left_anti":
             # NULL left keys match nothing (right keys proven
             # non-null) — pandas anti KEEPS them; NOT IN over a NULL
             # key is NULL (filtered), so keep NULLs explicitly
             klits = [_sql_lit(k, ktype) for k in keys]
             k_sql = _qi(lk2[0])
-            return lsdf2.where(
-                f"{k_sql} IS NULL OR {k_sql} NOT IN ({', '.join(klits)})"
+            recipe = (
+                "where",
+                f"{k_sql} IS NULL OR {k_sql} NOT IN ({', '.join(klits)})",
+                None,
             )
+            return _replay_compose(lsdf2, recipe), recipe
         # SQL-text construction: the Column-builder form costs 2·rows
         # py4j round trips PER COLUMN (~0.2 s of pure plan build on the
         # 25-row nation dim) — one parsed selectExpr is ~3 calls total
@@ -491,12 +495,34 @@ def _tiny_dim_compose(lsdf2, rtag, lk2, rk2, rk_tag, how, indicator,
         rt = dict(rtag.dtypes)
         for c in ordcols:  # constant: can never break a tie (unique keys)
             exprs.append(f"CAST(0 AS {rt[c]}) AS {_qi(c)}")
-        src = lsdf2
-        if how == "inner":
-            src = lsdf2.where(f"{key_sql} IN ({', '.join(klits)})")
-        return src.selectExpr(*exprs)
+        where_sql = (
+            f"{key_sql} IN ({', '.join(klits)})" if how == "inner" else None
+        )
+        recipe = ("select", where_sql, exprs)
+        return _replay_compose(lsdf2, recipe), recipe
     except Exception:
         return None  # any unliteralizable shape takes the real join
+
+
+def _replay_compose(lsdf2, recipe):
+    """Apply a tiny-dim compose recipe (pure SQL text) to the left side."""
+    kind, where_sql, exprs = recipe
+    if kind == "where":
+        return lsdf2.where(where_sql)
+    src = lsdf2.where(where_sql) if where_sql else lsdf2
+    return src.selectExpr(*exprs)
+
+
+# (weakref(rsdf), recipe) keyed on the join shape: the literal-map SQL
+# of a tiny-dim compose depends only on the memoized driver-local dim
+# (the _SCAN_CACHE object — stable identity until the file changes),
+# the rename map and the join keys/how. Re-deriving it each build cost
+# ~90 ms of py4j (optimizedPlan probe + collect + dtypes) per merge on
+# the star join; replaying the cached SQL is 2 round trips. Plan-TEXT
+# metadata caching, same class as _SCAN_CACHE — results are computed
+# fresh by every action. The weakref guards id() reuse: a dead or
+# different rsdf object misses and re-derives.
+_TINY_COMPOSE_MEMO: dict = {}
 
 
 def _disambiguate_and_join(
@@ -547,33 +573,68 @@ def _disambiguate_and_join(
         for c in rsdf.columns
         if (m := r_ren.get(c, c)) != c or m in rk2set
     }
-    rtag = rsdf.withColumnsRenamed(r_all) if r_all else rsdf
     rsdf2_cols = [r_ren.get(c, c) for c in rsdf.columns]
-    if indicator:
-        lsdf2 = lsdf2.withColumn(lp_col, F.lit(True))
-        rtag = rtag.withColumn(rp_col, F.lit(True))
-    cond = None
-    for (lc0, rc0), (lc, rc) in zip(zip(lk, rk), zip(lk2, rk2)):
-        if lc0 in l_nonnull and rc0 in r_nonnull:
-            # both key columns PROVEN null-free (parquet footer stats,
-            # propagated through null-preserving ops): plain `=` is
-            # row-identical to pandas' NULL-matches-NULL `<=>` here,
-            # and lets Catalyst push IsNotNull into both scans and
-            # skip the null-safe key wrapping in the hash join.
-            term = _it(lsdf2, lc) == _it(rtag, rk_tag + rc)
-        else:
-            # null-safe equality: pandas matches NULL keys (merge.py:177)
-            term = _it(lsdf2, lc).eqNullSafe(_it(rtag, rk_tag + rc))
-        cond = term if cond is None else (cond & term)
+    # tiny-dim compose MEMO probe first: a hit replays the cached SQL
+    # on the left side in two round trips, skipping the right-side
+    # rename, the join-condition Column building, the optimizedPlan
+    # probe and the dim collect (~90 ms of py4j per merge, measured on
+    # the star join's build)
+    joined = None
+    memo_key = None
+    if (
+        not indicator
+        and how in ("inner", "left", "left_semi", "left_anti")
+        and len(lk2) == 1
+        and r_rows_max is not None
+        and 0 < r_rows_max <= _TINY_DIM_ROWS
+    ):
+        memo_key = (
+            tuple(sorted(r_all.items())), tuple(lk2), tuple(rk2),
+            rk_tag, how,
+        )
+        hit = _TINY_COMPOSE_MEMO.get(memo_key)
+        if hit is not None and hit[0]() is rsdf:
+            joined = _replay_compose(lsdf2, hit[1])
+            if semi_like:
+                return joined
+    if joined is None:
+        rtag = rsdf.withColumnsRenamed(r_all) if r_all else rsdf
+        if indicator:
+            lsdf2 = lsdf2.withColumn(lp_col, F.lit(True))
+            rtag = rtag.withColumn(rp_col, F.lit(True))
+        cond = None
+        for (lc0, rc0), (lc, rc) in zip(zip(lk, rk), zip(lk2, rk2)):
+            if lc0 in l_nonnull and rc0 in r_nonnull:
+                # both key columns PROVEN null-free (parquet footer
+                # stats, propagated through null-preserving ops):
+                # plain `=` is row-identical to pandas'
+                # NULL-matches-NULL `<=>` here, and lets Catalyst push
+                # IsNotNull into both scans and skip the null-safe key
+                # wrapping in the hash join.
+                term = _it(lsdf2, lc) == _it(rtag, rk_tag + rc)
+            else:
+                # null-safe equality: pandas matches NULL keys
+                # (merge.py:177)
+                term = _it(lsdf2, lc).eqNullSafe(_it(rtag, rk_tag + rc))
+            cond = term if cond is None else (cond & term)
 
-    if broadcast == "right":
-        rtag = F.broadcast(rtag)
-    if broadcast == "left":
-        lsdf2 = F.broadcast(lsdf2)
+        if broadcast == "right":
+            rtag = F.broadcast(rtag)
+        if broadcast == "left":
+            lsdf2 = F.broadcast(lsdf2)
 
-    joined = _tiny_dim_compose(
-        lsdf2, rtag, lk2, rk2, rk_tag, how, indicator, r_rows_max
-    )
+        res = _tiny_dim_compose(
+            lsdf2, rtag, lk2, rk2, rk_tag, how, indicator, r_rows_max
+        )
+        if res is not None:
+            joined, recipe = res
+            if memo_key is not None:
+                import weakref
+
+                if len(_TINY_COMPOSE_MEMO) > 256:
+                    _TINY_COMPOSE_MEMO.clear()
+                _TINY_COMPOSE_MEMO[memo_key] = (weakref.ref(rsdf), recipe)
+
     if joined is not None:
         if semi_like:
             return joined
