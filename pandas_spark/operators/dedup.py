@@ -302,27 +302,33 @@ def _collapsed_rep_pairs(
     callers expand to document pairs (quadratic in clones by
     definition); clustering callers must stay at the rep level."""
     sdf = frame.spark
-    groups = _cache_once(
-        sdf.groupBy(F.md5(F.col(text_col)).alias("__k__")).agg(
-            F.min(id_col).alias("__rep__"),
-            F.sort_array(F.collect_list(F.col(id_col))).alias("__members__"),
-            F.first(F.col(text_col)).alias(text_col),
-        )
+    # ONE cached table carries the whole unique-text base (r11; was two
+    # sequential cache fills — md5-collapse, then signatures): the
+    # exact-collapse aggregate, the parallelism spread, the shingle
+    # build and the signature UDF compose into a single plan whose one
+    # materialization serves every downstream branch. The text and the
+    # md5 key are dropped AFTER the shingle projection — the cached
+    # rows are (rep, members, signature, hashed shingle set), about
+    # half the bytes of the old two-table layout.
+    #
+    # Shingles are HASHED at birth: each shingle string becomes its
+    # xxhash64 long immediately, so the distinct-set build, the cached
+    # rows, the signature fold and the Jaccard verification all run on
+    # array<long> instead of array<string> (~4x narrower, long equality
+    # instead of string equality). Signatures are bit-identical (they
+    # always hashed with this same xxhash64, folded to 32 bits; min
+    # over distinct == min over the raw multiset). Jaccard over hashed
+    # sets equals Jaccard over string sets unless two DISTINCT shingles
+    # of a compared pair collide in 64 bits (P ≈ m²/2⁶⁴ per pair,
+    # ~1e-15 at m=10³ — oracle-verified equal on every SF; the 32-bit
+    # fold inside the SIGNATURE was always allowed to collide,
+    # affecting recall only).
+    collapsed = sdf.groupBy(F.md5(F.col(text_col)).alias("__k__")).agg(
+        F.min(id_col).alias("__rep__"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__members__"),
+        F.first(F.col(text_col)).alias(text_col),
     )
-    reps = groups.select(F.col("__rep__").alias(id_col), text_col)
-    # ONE shingle build feeds both consumers (r11), HASHED at birth:
-    # each shingle string becomes its xxhash64 long immediately, so the
-    # distinct-set build, the cached base rows, the signature fold and
-    # the Jaccard verification all run on array<long> instead of
-    # array<string> (~4x narrower rows, long equality instead of string
-    # equality). Signatures are bit-identical (they always hashed with
-    # this same xxhash64, folded to 32 bits; min over distinct == min
-    # over the raw multiset). Jaccard over hashed sets equals Jaccard
-    # over string sets unless two DISTINCT shingles of a compared pair
-    # collide in 64 bits (P ≈ m²/2⁶⁴ per pair, ~1e-15 at m=10³ —
-    # oracle-verified equal on every SF; the 32-bit fold inside the
-    # SIGNATURE was always allowed to collide, affecting recall only).
-    with_sh = spread(reps).withColumn(
+    with_sh = spread(collapsed).withColumn(
         "__s__",
         F.array_distinct(
             F.transform(
@@ -331,14 +337,15 @@ def _collapsed_rep_pairs(
             )
         ),
     )
-    base = _cache_once(
+    groups = _cache_once(
         minhash_signature(
             with_sh, text_col, num_hashes, shingle_n, shingles_col="__s__"
-        ).select(id_col, "minhash", "__s__")
+        ).select("__rep__", "__members__", "minhash", "__s__")
     )
+    base = groups.select(F.col("__rep__").alias(id_col), "minhash", "__s__")
     cands = lsh_candidate_pairs(base, id_col, "minhash", bands, rows)
     rep_pairs = jaccard_verify(
-        cands, reps, id_col, text_col, shingle_n, threshold,
+        cands, base, id_col, text_col, shingle_n, threshold,
         shingle_sets=base.select(id_col, "__s__"),
     )
     return groups, rep_pairs
