@@ -28,18 +28,49 @@ inputs.
 from __future__ import annotations
 
 import math
+import re
 
 _FIN = float("inf")
 
+# (node.sql(), sorted bounds) -> interval. The AST walk below costs a
+# py4j round trip per node visit (~40 on q1's two assigned exprs,
+# re-paid on every plan build); node.sql() is ONE round trip and
+# uniquely serializes the tree PROVIDED every bounded column name is a
+# plain identifier — a bare digit token could otherwise be either a
+# literal or a column named "1" (quoteIfNeeded leaves [a-zA-Z0-9_]+
+# unquoted), so non-identifier bound names skip the memo and take the
+# full walk. Proof metadata caching only — never affects values.
+_IV_MEMO: dict = {}
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
-def column_interval(column, bounds: dict) -> tuple | None:
+
+def column_interval(column, bounds: dict, columns=()) -> tuple | None:
     """``(lo, hi, nan_free)`` for a pyspark Column under per-column
     input bounds, via interval arithmetic over its unresolved
-    ColumnNode AST. ``None`` = unprovable (any unsupported node)."""
+    ColumnNode AST. ``None`` = unprovable (any unsupported node).
+    ``columns`` — the frame's column names; any name that could render
+    unquoted yet not as a plain identifier (digit-leading) disables
+    the memo, since its sql() token would be ambiguous with a literal."""
     if not bounds:
         return None
     try:
-        return _node_interval(column._jc.node(), bounds)
+        node = column._jc.node()
+        key = None
+        if all(_IDENT_RE.match(k) for k in bounds) and all(
+            _IDENT_RE.match(c) or not re.match(r"^[0-9]", c) for c in columns
+        ):
+            try:
+                key = (str(node.sql()), tuple(sorted(bounds.items())))
+            except Exception:
+                key = None
+            if key is not None and key in _IV_MEMO:
+                return _IV_MEMO[key]
+        iv = _node_interval(node, bounds)
+        if key is not None:
+            if len(_IV_MEMO) > 4096:
+                _IV_MEMO.clear()
+            _IV_MEMO[key] = iv
+        return iv
     except Exception:
         return None
 

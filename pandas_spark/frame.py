@@ -393,7 +393,7 @@ class DataFrame:
         # expression proves finite bounds from the inputs' proofs
         bd = {c: b for c, b in self._bounds.items() if c not in cols}
         for name, c in cols.items():
-            iv = column_interval(c, self._bounds)
+            iv = column_interval(c, self._bounds, self.columns)
             if iv is not None:
                 bd[name] = iv
         return self._with(self._sdf.withColumns(cols), bounds=bd)
