@@ -1,8 +1,8 @@
 """Capture .explain('formatted') output for headline queries.
 
-Usage: python tools/capture_plans.py <outdir-suffix> [query ...]
-Writes plans/<suffix>/<query>.txt for each query (default: the bench
-HEADLINE set). Pure plan construction + EXPLAIN — no jobs run.
+Usage: python tools/capture_plans.py <dir> <suffix> [query ...]
+Writes plans/<dir>/<query>_<suffix>.txt for each query (default: the
+bench HEADLINE set). Pure plan construction + EXPLAIN - no jobs run.
 """
 
 from __future__ import annotations
@@ -21,9 +21,9 @@ def main() -> None:
     from pandas_spark import suite
     from bench import HEADLINE
 
-    suffix = sys.argv[1]
-    names = sys.argv[2:] or HEADLINE
-    outdir = os.path.join(ROOT, "plans", suffix)
+    outdir = os.path.join(ROOT, "plans", sys.argv[1])
+    suffix = sys.argv[2]
+    names = sys.argv[3:] or HEADLINE
     os.makedirs(outdir, exist_ok=True)
 
     spark = get_spark("capture_plans")
@@ -38,9 +38,9 @@ def main() -> None:
                 "formatted"
             )
         )
-        with open(os.path.join(outdir, f"{n}.txt"), "w") as f:
+        with open(os.path.join(outdir, f"{n}_{suffix}.txt"), "w") as f:
             f.write(plan)
-        print(f"wrote {outdir}/{n}.txt ({len(plan)} chars)")
+        print(f"wrote {outdir}/{n}_{suffix}.txt ({len(plan)} chars)")
 
 
 if __name__ == "__main__":
