@@ -14,6 +14,10 @@ Design decisions (SURVEY.md §7.0):
   * NaN→NULL at the boundary; ns→µs timestamps; categorical→string
 """
 
+from pandas_spark import _driverpath
+
+_driverpath.install()  # py4j handle caching — before any Column building
+
 from pandas_spark.session import get_spark
 from pandas_spark.expr import col, lit
 from pandas_spark.frame import DataFrame

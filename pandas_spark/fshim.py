@@ -40,10 +40,65 @@ def _well_formed_quoted(name: str) -> bool:
     return name[1:-1].replace("``", "").count("`") == 0
 
 
+# ---------------------------------------------------------------------------
+# Column/literal interning (guide §1.2 — the fixed plan-build floor)
+# ---------------------------------------------------------------------------
+# A Column wraps an immutable unresolved Catalyst expression: col("x")
+# and lit(5) denote the same expression wherever they appear, so the
+# JVM handle can be built once per session and reused across every
+# plan — one py4j round trip the first time, a dict hit after (the
+# engine builds the same few hundred col/lit nodes thousands of times
+# across a session's plan constructions). This interns EXPRESSION
+# HANDLES, never plans or results. Keyed on the live SparkContext's
+# JVM view so a restarted JVM starts clean; bounded so adversarial
+# streams of distinct literals (fuzz tests) can't grow it unboundedly.
+
+_INTERN_MAX = 8192
+_intern: dict = {"epoch": None, "lit": {}, "col": {}}
+# literal types whose (type, value) key is hashable, immutable, and
+# equality-faithful for Catalyst literal construction. float NaN never
+# equals itself → always misses, harmlessly. bool/int disambiguated by
+# the type in the key.
+_LIT_TYPES = (bool, int, float, str, type(None))
+
+
+def _intern_maps():
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    epoch = id(sc._jvm) if sc is not None else None
+    if _intern["epoch"] != epoch:
+        _intern["epoch"] = epoch
+        _intern["lit"] = {}
+        _intern["col"] = {}
+    return _intern["lit"], _intern["col"]
+
+
+def lit(value):
+    if type(value) not in _LIT_TYPES:
+        return _F.lit(value)
+    lits, _ = _intern_maps()
+    key = (type(value), value)
+    c = lits.get(key)
+    if c is None:
+        if len(lits) >= _INTERN_MAX:
+            lits.clear()
+        c = lits[key] = _F.lit(value)
+    return c
+
+
 def col(name):
     if isinstance(name, str) and "`" in name and not _well_formed_quoted(name):
         return _F.col("`" + name.replace("`", "``") + "`")
-    return _F.col(name)
+    if not isinstance(name, str):
+        return _F.col(name)
+    _, cols = _intern_maps()
+    c = cols.get(name)
+    if c is None:
+        if len(cols) >= _INTERN_MAX:
+            cols.clear()
+        c = cols[name] = _F.col(name)
+    return c
 
 
 def _coerce(arg):

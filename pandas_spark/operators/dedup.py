@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame as SparkDF, Window as W
 from pandas_spark import fshim as F  # backtick-safe F.col facade
+from pandas_spark._exprmemo import memo_column
 from pyspark.sql import types as T
 
 from pandas_spark.frame import DataFrame
@@ -80,28 +81,59 @@ def minhash_signature(
     verification follows, so collisions cost a little precision in the
     candidate set, never correctness.
     """
+    if shingles_col is not None:
+        # caller passes PRE-HASHED shingles (array<long> of xxhash64
+        # values, already distinct + spread): fold the same hash to 32
+        # bits — bit-identical to hashing the strings here, without
+        # re-spreading or re-shingling
+        sig = memo_column(
+            ("minhash_sig", num_hashes, "pre", shingles_col),
+            lambda: _sig_udf(num_hashes)(
+                F.transform(
+                    F.col(shingles_col),
+                    lambda h: h.bitwiseAND(F.lit((1 << 32) - 1)),
+                )
+            ),
+        )
+        return sdf.withColumn(out_col, sig)
+    sig = memo_column(
+        ("minhash_sig", num_hashes, "text", text_col, shingle_n),
+        lambda: _sig_udf(num_hashes)(
+            F.transform(
+                shingles_expr(F.col(text_col), shingle_n),
+                lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1)),
+            )
+        ),
+    )
+    from pandas_spark.operators.text import spread
+
+    return spread(sdf).withColumn(out_col, sig)
+
+
+def _sig_udf(num_hashes: int):
+    """The k-permutation MinHash pandas_udf for ``num_hashes`` — built
+    (and its body cloudpickled to the JVM) once per session per k.
+
+    Shingle hashing stays JVM-side (xxhash64 — one hash per shingle);
+    only the k-permutation min-reduction crosses to Arrow: per batch
+    it's one uint64 outer multiply-add + column-min in numpy SIMD,
+    versus k interpreted HOF ops per shingle in the Catalyst fold
+    (the fold dominated the whole dedup pipeline's CPU — same 10×
+    story as similarity._banded). uint64 wraparound is mod-2⁶⁴
+    universal hashing, then folded to 32 bits — deterministic and
+    independent of the session's ANSI state (numpy, not Spark SQL,
+    does the arithmetic)."""
     import random
 
     from pyspark.sql.types import ArrayType, LongType
 
     rng = random.Random(0x5EED)  # deterministic permutation constants
-    mask32 = F.lit((1 << 32) - 1)
     # same interleaved draw order as always — signatures stay
     # bit-identical across engine versions
     _ab = [(rng.randrange(1, 1 << 30) | 1, rng.randrange(0, 1 << 32)) for _ in range(num_hashes)]
     A = np.array([a for a, _ in _ab], dtype=np.uint64)
     B = np.array([b for _, b in _ab], dtype=np.uint64)
     EMPTY = [int((1 << 63) - 1)] * num_hashes
-
-    # shingle hashing stays JVM-side (xxhash64 — one hash per shingle);
-    # only the k-permutation min-reduction crosses to Arrow: per batch
-    # it's one uint64 outer multiply-add + column-min in numpy SIMD,
-    # versus k interpreted HOF ops per shingle in the Catalyst fold
-    # (the fold dominated the whole dedup pipeline's CPU — same 10×
-    # story as similarity._banded). uint64 wraparound is mod-2⁶⁴
-    # universal hashing, then folded to 32 bits — deterministic and
-    # independent of the session's ANSI state (numpy, not Spark SQL,
-    # does the arithmetic).
     M32 = np.uint64((1 << 32) - 1)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -133,22 +165,7 @@ def minhash_signature(
             out[~nz] = np.asarray(EMPTY, dtype=np.uint64)
         return pd.Series(list(out.astype(np.int64)))
 
-    if shingles_col is not None:
-        # caller passes PRE-HASHED shingles (array<long> of xxhash64
-        # values, already distinct + spread): fold the same hash to 32
-        # bits — bit-identical to hashing the strings here, without
-        # re-spreading or re-shingling
-        base = F.transform(
-            F.col(shingles_col), lambda h: h.bitwiseAND(mask32)
-        )
-        return sdf.withColumn(out_col, _sig(base))
-    base = F.transform(
-        shingles_expr(F.col(text_col), shingle_n),
-        lambda s: F.xxhash64(s).bitwiseAND(mask32),
-    )
-    from pandas_spark.operators.text import spread
-
-    return spread(sdf).withColumn(out_col, _sig(base))
+    return _sig
 
 
 def lsh_candidate_pairs(
@@ -183,9 +200,9 @@ def lsh_candidate_pairs(
     ObjectHashAggregate falls back to sort-based spill, and at the
     default cap the kept buffers are <1 MB).
     """
-    banded = sdf.select(
-        F.col(id_col),
-        F.explode(
+    bb = memo_column(
+        ("lsh_banded", sig_col, bands, rows),
+        lambda: F.explode(
             F.array(
                 *[
                     F.struct(
@@ -200,7 +217,8 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    )
+    banded = sdf.select(F.col(id_col), bb).select(id_col, "bb.band", "bb.bucket")
     return bucket_pairs(banded, id_col, bucket_cap)
 
 
@@ -221,14 +239,17 @@ def bucket_pairs(banded: SparkDF, id_col: str, bucket_cap: int | None) -> SparkD
     # enumerate ordered pairs inside each bucket: for the i-th id, pair
     # it with every later id (ids sorted, so id1 < id2 holds and the
     # output is deterministic)
-    pair_structs = F.flatten(
-        F.transform(
-            "__ids__",
-            lambda x, i: F.transform(
-                F.slice(F.col("__ids__"), i + F.lit(2), F.size("__ids__")),
-                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-            ),
-        )
+    pair_structs = memo_column(
+        ("bucket_pair_structs",),
+        lambda: F.flatten(
+            F.transform(
+                "__ids__",
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ids__"), i + F.lit(2), F.size("__ids__")),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                ),
+            )
+        ),
     )
     return (
         buckets.filter(cond)
@@ -262,11 +283,14 @@ def jaccard_verify(
         sh = _cache_once(
             spread(docs).select(
                 F.col(id_col),
-                F.array_distinct(
-                    F.transform(
-                        shingles_expr(F.col(text_col), shingle_n),
-                        lambda sh: F.xxhash64(sh),
-                    )
+                memo_column(
+                    ("hashed_shingles", text_col, shingle_n),
+                    lambda: F.array_distinct(
+                        F.transform(
+                            shingles_expr(F.col(text_col), shingle_n),
+                            lambda sh: F.xxhash64(sh),
+                        )
+                    ),
                 ).alias("__s__"),
             )
         )
@@ -275,8 +299,11 @@ def jaccard_verify(
         .join(sh.withColumnsRenamed({id_col: "id2", "__s__": "__s2__"}), "id2")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("__s1__", "__s2__"))
-            / F.size(F.array_union("__s1__", "__s2__")),
+            memo_column(
+                ("jaccard_expr",),
+                lambda: F.size(F.array_intersect("__s1__", "__s2__"))
+                / F.size(F.array_union("__s1__", "__s2__")),
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
@@ -323,18 +350,23 @@ def _collapsed_rep_pairs(
     # ~1e-15 at m=10³ — oracle-verified equal on every SF; the 32-bit
     # fold inside the SIGNATURE was always allowed to collide,
     # affecting recall only).
-    collapsed = sdf.groupBy(F.md5(F.col(text_col)).alias("__k__")).agg(
+    collapsed = sdf.groupBy(
+        memo_column(("collapse_key", text_col), lambda: F.md5(F.col(text_col)).alias("__k__"))
+    ).agg(
         F.min(id_col).alias("__rep__"),
         F.sort_array(F.collect_list(F.col(id_col))).alias("__members__"),
         F.first(F.col(text_col)).alias(text_col),
     )
     with_sh = spread(collapsed).withColumn(
         "__s__",
-        F.array_distinct(
-            F.transform(
-                shingles_expr(F.col(text_col), shingle_n),
-                lambda sh: F.xxhash64(sh),
-            )
+        memo_column(
+            ("hashed_shingles", text_col, shingle_n),
+            lambda: F.array_distinct(
+                F.transform(
+                    shingles_expr(F.col(text_col), shingle_n),
+                    lambda sh: F.xxhash64(sh),
+                )
+            ),
         ),
     )
     groups = _cache_once(
@@ -391,13 +423,16 @@ def minhash_dedup_pairs(
     m = F.col("__members__")
     n = F.size(m)
     # within-group pairs (i < j over the sorted member list), jaccard 1.0
-    pair_structs = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + 2, n), lambda y: F.struct(x.alias("a"), y.alias("b"))
-            ),
-        )
+    pair_structs = memo_column(
+        ("member_pair_structs",),
+        lambda: F.flatten(
+            F.transform(
+                m,
+                lambda x, i: F.transform(
+                    F.slice(m, i + 2, n), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
     )
     within = (
         groups.filter(n > 1)

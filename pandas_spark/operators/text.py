@@ -15,6 +15,7 @@ from typing import Sequence
 
 from pyspark.sql import Column
 from pandas_spark import fshim as F  # backtick-safe F.col facade
+from pandas_spark._exprmemo import memo_column
 from pandas_spark.dtypes import qi
 
 from pandas_spark.frame import DataFrame
@@ -209,61 +210,60 @@ def add_text_stats(frame: DataFrame, text_col: str = "text") -> DataFrame:
       match (~len/3 small strings per document) just to take the
       length, and alpha_ratio built a full stripped copy of the text
     """
-    t = F.col(text_col)
-    toks = F.col("__toks__")
     langs = list(STOPWORDS)
-    base = (
-        spread(frame._sdf)
-        .withColumn("__norm__", normalize_expr(t))
-        .withColumn("__toks__", F.split(F.col("__norm__"), " "))
-    )
-    # two packed folds instead of one fold per language (see
-    # _packed_hits_expr); unpacked into the same __hits_<lang>__
-    # columns the statistics below read
-    mid = base.withColumns(
-        {
+
+    # Every expression below is STATIC per text_col — memoized as
+    # Column handles so repeated builds (the per-run plan construction
+    # of a long-lived service, and every timed bench run) skip the
+    # ~500 py4j round trips of re-building identical subtrees
+    # (guide §1.2 fixed-cost floor; see _exprmemo).
+    def _mid_cols():
+        toks = F.col("__toks__")
+        return {
             "__ntok__": F.size(toks),
             "__pk0__": _packed_hits_expr(toks, langs[0], langs[1]),
             "__pk1__": _packed_hits_expr(toks, langs[2], langs[3]),
         }
-    ).withColumns(
-        {
+
+    def _unpack_cols():
+        return {
             f"__hits_{langs[0]}__": F.col("__pk0__").bitwiseAND(F.lit(4294967295)).cast("int"),
             f"__hits_{langs[1]}__": F.shiftright(F.col("__pk0__"), 32).cast("int"),
             f"__hits_{langs[2]}__": F.col("__pk1__").bitwiseAND(F.lit(4294967295)).cast("int"),
             f"__hits_{langs[3]}__": F.shiftright(F.col("__pk1__"), 32).cast("int"),
         }
-    )
-    ntok = F.col("__ntok__")
-    n1 = F.greatest(ntok, F.lit(1))
-    n_chars = F.length(t)
-    # ASCII-letter count by translate-delete — identical values to the
-    # regexp_count('[A-Za-z]') form but a plain char-map pass instead
-    # of a regex scan (4.8 -> 1.9 s at the 1000x decade); shared by
-    # alpha_ratio and the BPE decomposition below
-    n_alpha = n_chars - F.length(F.translate(t, _ASCII_ALPHA, ""))
-    n_ws = n_chars - F.length(F.translate(t, _JAVA_WS, ""))
-    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
-    mean_word_len = n_chars / n1
-    sw_ratio = F.col("__hits_en__") / n1
-    len_ok = (ntok >= 10) & (ntok <= 100000)
-    word_len_ok = (mean_word_len >= 3) & (mean_word_len <= 12)
-    quality = (
-        len_ok.cast("double") * 0.25
-        + word_len_ok.cast("double") * 0.25
-        + F.least(alpha_ratio * 0.5, F.lit(0.25)) * 2
-        + F.least(sw_ratio * 2.5, F.lit(0.25))
-    )
-    pairs = F.array(
-        *[
-            F.struct((F.col(f"__hits_{lang}__") / n1).alias("s"), F.lit(lang).alias("l"))
-            for lang in langs
-        ]
-    )
-    best = F.array_max(pairs)  # struct compare: by s, then l
-    lang_pred = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
-    out = mid.withColumns(
-        {
+
+    def _out_cols():
+        t = F.col(text_col)
+        ntok = F.col("__ntok__")
+        n1 = F.greatest(ntok, F.lit(1))
+        n_chars = F.length(t)
+        # ASCII-letter count by translate-delete — identical values to
+        # the regexp_count('[A-Za-z]') form but a plain char-map pass
+        # instead of a regex scan (4.8 -> 1.9 s at the 1000x decade);
+        # shared by alpha_ratio and the BPE decomposition below
+        n_alpha = n_chars - F.length(F.translate(t, _ASCII_ALPHA, ""))
+        n_ws = n_chars - F.length(F.translate(t, _JAVA_WS, ""))
+        alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+        mean_word_len = n_chars / n1
+        sw_ratio = F.col("__hits_en__") / n1
+        len_ok = (ntok >= 10) & (ntok <= 100000)
+        word_len_ok = (mean_word_len >= 3) & (mean_word_len <= 12)
+        quality = (
+            len_ok.cast("double") * 0.25
+            + word_len_ok.cast("double") * 0.25
+            + F.least(alpha_ratio * 0.5, F.lit(0.25)) * 2
+            + F.least(sw_ratio * 2.5, F.lit(0.25))
+        )
+        pairs = F.array(
+            *[
+                F.struct((F.col(f"__hits_{lang}__") / n1).alias("s"), F.lit(lang).alias("l"))
+                for lang in langs
+            ]
+        )
+        best = F.array_max(pairs)  # struct compare: by s, then l
+        lang_pred = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+        return {
             "n_tokens": ntok,
             # exact decomposition of regexp_count('[A-Za-z]{1,4}|[0-9]|
             # [^A-Za-z0-9\s]'): alpha runs split greedily into <=4-char
@@ -281,6 +281,26 @@ def add_text_stats(frame: DataFrame, text_col: str = "text") -> DataFrame:
             "quality": quality,
             "fingerprint": F.xxhash64(F.col("__norm__")),
         }
+
+    base = (
+        spread(frame._sdf)
+        .withColumn(
+            "__norm__",
+            memo_column(("ts_norm", text_col), lambda: normalize_expr(F.col(text_col))),
+        )
+        .withColumn(
+            "__toks__",
+            memo_column(("ts_toks",), lambda: F.split(F.col("__norm__"), " ")),
+        )
+    )
+    # two packed folds instead of one fold per language (see
+    # _packed_hits_expr); unpacked into the same __hits_<lang>__
+    # columns the statistics below read
+    mid = base.withColumns(
+        memo_column(("ts_mid",) + tuple(langs), _mid_cols)
+    ).withColumns(memo_column(("ts_unpack",) + tuple(langs), _unpack_cols))
+    out = mid.withColumns(
+        memo_column(("ts_out", text_col) + tuple(langs), _out_cols)
     ).drop(
         "__norm__", "__toks__", "__ntok__", "__pk0__", "__pk1__",
         *[f"__hits_{lang}__" for lang in langs],
