@@ -1,71 +1,78 @@
-"""Per-query job/stage/task profile of the headline set at sf0.1.
+"""Decompose the per-job fixed floor (guide §1.1 empirical loop).
 
-For each headline query: run once untimed (warmup), then run again and
-report wall seconds plus how many Spark jobs / stages / tasks the single
-materialization triggered (statusTracker before/after deltas). A query
-whose wall is dominated by job COUNT (3+ jobs for a sub-second result)
-is floor-bound on scheduling, not data — the round-8 target list.
+A headline query's exec_s at sf0.1 is ~85-95% fixed cost (FLOOR_DECOMP
+floor_fraction ≈ 1). This probe splits the trivial-job wall into its
+layers so config work (guide §1.2 step 3) targets the right one:
 
-Usage: python tools/profile_floor.py [query ...]
+* ``rdd_job_s``   — pure scheduler: ``sc.runJob`` on a prebuilt
+  1-partition RDD (no SQL, no py4j beyond the call).
+* ``plan_only_s`` — Catalyst analysis+optimization+physical planning of
+  ``range(1)`` via ``queryExecution().executedPlan()`` (no job).
+* ``noop_write_s``— the full ``df.write.format("noop")`` action on a
+  PREBUILT df: planning + SQLExecution bookkeeping (eager plan-string
+  render + listener events) + job + commit.
+* ``noop_write_32part_s`` — same but 32 tasks, isolates per-task cost.
+
+Usage: python tools/profile_floor.py [--conf k=v ...]
 """
 from __future__ import annotations
 
-import json
 import os
+import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-HEADLINE = [
-    "q1_groupby_agg", "join_inner", "join_left", "join_multi_star",
-    "merge_asof_backward", "topk_orders", "dedup_keep_first",
-    "window_cumsum", "rolling_time_mean", "resample_1h", "string_ops",
-    "value_counts", "query_dialect", "pivot_sum", "melt_unpivot",
-    "groupby_skew_kurt", "ewm_mean",
-]
+def med(fn, runs=15):
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
 
 
 def main() -> None:
+    extra = {}
+    for a in sys.argv[1:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            extra[k.lstrip("-").replace("conf:", "")] = v
     from pandas_spark import get_spark
-    from pandas_spark import suite
 
-    spark = get_spark("profile_floor")
+    spark = get_spark("profile_floor", **extra)
     sc = spark.sparkContext
-    qs = suite.queries()
-    names = sys.argv[1:] or HEADLINE
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from bench import _box_calibration_ms
 
-    # warm everything once at target sf
-    for n in names:
-        qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # warm everything once
+    rdd = sc.parallelize([0], 1)
+    sc.runJob(rdd, lambda it: [sum(1 for _ in it)])
+    df1 = spark.range(1)
+    df32 = spark.range(0, 32, 1, 32)
+    for d in (df1, df32):
+        d.write.format("noop").mode("overwrite").save()
 
-    tracker = sc.statusTracker()
-    out = {}
-    for n in names:
-        j0 = sc._jsc.sc().dagScheduler().nextJobId()
-        t0 = time.perf_counter()
-        qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        wall = time.perf_counter() - t0
-        j1 = sc._jsc.sc().dagScheduler().nextJobId()
-        njobs = (j1 - j0) if j0 is not None else -1
-        # stage/task counts from the job ids in the delta window
-        nstages = ntasks = 0
-        if j0 is not None:
-            for jid in range(j0, j1):
-                ji = tracker.getJobInfo(jid)
-                if ji is None:
-                    continue
-                for sid in ji.stageIds:
-                    si = tracker.getStageInfo(sid)
-                    if si is not None:
-                        nstages += 1
-                        ntasks += si.numTasks
-        out[n] = {"wall_s": round(wall, 3), "jobs": njobs,
-                  "stages": nstages, "tasks": ntasks}
-        print(json.dumps({n: out[n]}), flush=True)
-    print(json.dumps({"profile": out, "sf_dir": SF_DIR}))
+    out = {
+        "box_calib_ms": _box_calibration_ms(),
+        "rdd_job_s": round(
+            med(lambda: sc.runJob(rdd, lambda it: [sum(1 for _ in it)])), 4
+        ),
+        "plan_only_s": round(
+            med(lambda: spark.range(1)._jdf.queryExecution().executedPlan()), 4
+        ),
+        "noop_write_s": round(
+            med(lambda: df1.write.format("noop").mode("overwrite").save()), 4
+        ),
+        "noop_write_32part_s": round(
+            med(lambda: df32.write.format("noop").mode("overwrite").save()), 4
+        ),
+    }
+    for k, v in out.items():
+        print(f"{k:22s} {v}")
 
 
 if __name__ == "__main__":
