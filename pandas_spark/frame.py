@@ -29,6 +29,7 @@ from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.expr import Expr, _lit_col, _unwrap
 from pandas_spark.dtypes import to_spark_type
+from pandas_spark._planmemo import plan_memo
 
 ORDER_COL = "__ord__"
 
@@ -201,12 +202,22 @@ class DataFrame:
             rows_max=rows_max,
         )
 
+    def _order_stamp_sdf(self) -> SparkDF:
+        """``_sdf`` plus the mono-id ORDER_COL — memoized (per-action
+        evaluation semantics, see _planmemo)."""
+        return plan_memo(
+            self._sdf, "order_stamp", ORDER_COL, None,
+            lambda: self._sdf.withColumn(
+                ORDER_COL, F.monotonically_increasing_id()
+            ),
+        )
+
     def _ensure_order(self) -> "DataFrame":
         """Materialize an order key if no order definition exists."""
         if self._order_col or self._sort_spec:
             return self
         return DataFrame(
-            self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
+            self._order_stamp_sdf(),
             order_col=ORDER_COL,
             index_cols=self._index_cols,
         )
@@ -226,7 +237,7 @@ class DataFrame:
                 exprs.append(_sort_key(_fcol(c), a2, p2))
             return self, exprs
         this = self if self._order_col else DataFrame(
-            self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
+            self._order_stamp_sdf(),
             order_col=ORDER_COL,
             index_cols=self._index_cols,
         )
@@ -245,7 +256,7 @@ class DataFrame:
                 pairs.append((_fcol(c), a2, p2))
             return self, pairs
         this = self if self._order_col else DataFrame(
-            self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
+            self._order_stamp_sdf(),
             order_col=ORDER_COL,
             index_cols=self._index_cols,
         )
@@ -253,7 +264,12 @@ class DataFrame:
 
     def _drop_internal(self, sdf: SparkDF) -> SparkDF:
         internal = [c for c in sdf.columns if is_order_col(c)]
-        return sdf.drop(*internal) if internal else sdf
+        if not internal:
+            return sdf
+        return plan_memo(
+            sdf, "drop", tuple(internal), None,
+            lambda: sdf.drop(*internal),
+        )
 
     def _presented(self, allow_local: bool = True) -> SparkDF:
         """The plan with presentation order applied (pandas shows sorted
@@ -286,13 +302,21 @@ class DataFrame:
                 # sort of ≤1M proven rows is bounded work — the same
                 # receipt class as the nlargest boundary collect.
                 # Unknown or large frames keep the distributed sort.
-                return self._sdf.coalesce(1).sortWithinPartitions(*exprs)
+                return plan_memo(
+                    self._sdf, "local_sort", None, exprs,
+                    lambda: self._sdf.coalesce(1).sortWithinPartitions(
+                        *exprs
+                    ),
+                )
             if self._order_weak:
                 # weak key order (groupby sort=True) without a proven
                 # bound: skip the range exchange — to_pandas re-sorts
                 # driver-side, ordered ops window on the spec directly
                 return self._sdf
-            return self._sdf.orderBy(*exprs)
+            return plan_memo(
+                self._sdf, "orderBy", None, exprs,
+                lambda: self._sdf.orderBy(*exprs),
+            )
         return self._sdf
 
     @property
@@ -353,19 +377,31 @@ class DataFrame:
             # per column (plan construction is py4j-bound at small sf)
             from pandas_spark.dtypes import qi as q
             names = list(cols) + ([self._order_col] if self._order_col else [])
-            sdf = self._sdf.selectExpr(*[q(c) for c in names])
+            qnames = [q(c) for c in names]
+            sdf = plan_memo(
+                self._sdf, "selectExpr", tuple(qnames), None,
+                lambda: self._sdf.selectExpr(*qnames),
+            )
             bd = {c: self._bounds[c] for c in cols if c in self._bounds}
             return self._with(sdf, nonnull=self._nonnull, bounds=bd,
                               rows_max=self._rows_max)
         exprs = [self._to_col(c) for c in cols]
         if self._order_col:
             exprs = exprs + [F.col(self._order_col)]
-        return self._with(self._sdf.select(*exprs), nonnull=frozenset(), bounds=None)
+        sdf = plan_memo(
+            self._sdf, "select", None, exprs,
+            lambda: self._sdf.select(*exprs),
+        )
+        return self._with(sdf, nonnull=frozenset(), bounds=None)
 
     def filter(self, cond) -> "DataFrame":
         # removing rows can't introduce NULLs — null-free proofs survive
         # (and the row-count upper bound trivially holds)
-        return self._with(self._sdf.filter(_cond(cond)), nonnull=self._nonnull,
+        c = _cond(cond)
+        sdf = plan_memo(
+            self._sdf, "filter", None, (c,), lambda: self._sdf.filter(c)
+        )
+        return self._with(sdf, nonnull=self._nonnull,
                           bounds=self._bounds, rows_max=self._rows_max)
 
     where = filter
@@ -374,8 +410,12 @@ class DataFrame:
         """pandas query dialect (``and``/``&``, ``@var``, chained cmp) → Spark SQL."""
         from pandas_spark.computation.eval import translate_query
 
+        sql = translate_query(expr, scope)
         return self._with(
-            self._sdf.filter(F.expr(translate_query(expr, scope))),
+            plan_memo(
+                self._sdf, "filter_sql", sql, None,
+                lambda: self._sdf.filter(F.expr(sql)),
+            ),
             nonnull=self._nonnull,
             bounds=self._bounds,
         )
@@ -396,7 +436,11 @@ class DataFrame:
             iv = column_interval(c, self._bounds, self.columns)
             if iv is not None:
                 bd[name] = iv
-        return self._with(self._sdf.withColumns(cols), bounds=bd)
+        sdf = plan_memo(
+            self._sdf, "withColumns", tuple(cols), tuple(cols.values()),
+            lambda: self._sdf.withColumns(cols),
+        )
+        return self._with(sdf, bounds=bd)
 
     def withColumn(self, name: str, value) -> "DataFrame":
         return self.assign(**{name: value})
@@ -409,13 +453,24 @@ class DataFrame:
 
     def drop(self, cols: str | Sequence[str]) -> "DataFrame":
         cols = [cols] if isinstance(cols, str) else list(cols)
-        return self._with(self._sdf.drop(*cols))
+        return self._with(
+            plan_memo(
+                self._sdf, "drop", tuple(cols), None,
+                lambda: self._sdf.drop(*cols),
+            )
+        )
 
     def rename(self, columns: Mapping[str, str] | Callable[[str], str]) -> "DataFrame":
         # frame.py:12039 rename: a mapping or a callable applied per label
         if callable(columns):
             columns = {c: columns(c) for c in self.columns}
-        return self._with(self._sdf.withColumnsRenamed(dict(columns)))
+        ren = dict(columns)
+        return self._with(
+            plan_memo(
+                self._sdf, "renamed", tuple(sorted(ren.items())), None,
+                lambda: self._sdf.withColumnsRenamed(ren),
+            )
+        )
 
     def add_prefix(self, prefix: str) -> "DataFrame":
         return self.rename({c: prefix + c for c in self.columns})
@@ -996,8 +1051,12 @@ class DataFrame:
                     ).alias(f"k{i}")
                 )
         lead = F.min if keep == "first" else F.max
-        agg = self._sdf.groupBy(*[_fcol(c) for c in subset]).agg(
-            lead(F.struct(*fields)).alias(m)
+        kcols = [_fcol(c) for c in subset]
+        lead_col = lead(F.struct(*fields)).alias(m)
+        agg = plan_memo(
+            self._sdf, "groupby_agg", tuple(subset),
+            kcols + [lead_col],
+            lambda: self._sdf.groupBy(*kcols).agg(lead_col),
         )
         sel = []
         for c in self.columns:
@@ -1007,7 +1066,9 @@ class DataFrame:
                 sel.append(F.col(src).alias(c))
             else:
                 sel.append(_fcol(c))
-        return agg.select(*sel)
+        return plan_memo(
+            agg, "select", None, sel, lambda: agg.select(*sel)
+        )
 
     def drop_duplicates(
         self, subset: Sequence[str] | None = None, keep: str | bool = "first"
@@ -1321,10 +1382,16 @@ class DataFrame:
         # TakeOrderedAndProject (no full sort materialization) — so
         # force the GLOBAL sort form here; the local small-frame sort
         # would defeat the fusion and pay a full single-task sort
-        return self._with(self._presented(allow_local=False).limit(n))
+        src = self._presented(allow_local=False)
+        return self._with(
+            plan_memo(src, "limit", n, None, lambda: src.limit(n))
+        )
 
     def limit(self, n: int) -> "DataFrame":
-        return self._with(self._presented(allow_local=False).limit(n))
+        src = self._presented(allow_local=False)
+        return self._with(
+            plan_memo(src, "limit", n, None, lambda: src.limit(n))
+        )
 
     def tail(self, n: int = 5) -> "DataFrame":
         this, order_exprs = self._ordered(desc=True)
@@ -2074,7 +2141,11 @@ class DataFrame:
         cols = [subset] if isinstance(subset, str) else list(subset or self.columns)
         sdf = self.spark
         if dropna:
-            sdf = sdf.na.drop(subset=cols)
+            base0 = sdf
+            sdf = plan_memo(
+                base0, "na_drop", tuple(cols), None,
+                lambda: base0.na.drop(subset=cols),
+            )
         if bins is not None:
             # Series.value_counts(bins=n) (base.py:834 → tile.py): equal-
             # width bins over [min, max], leftmost edge extended by 0.1%
@@ -2099,16 +2170,27 @@ class DataFrame:
             )
             sdf = binned.spark.select(F.col("__bin__").alias(c))
             cols = [c]
-        out = sdf.groupBy(*cols).agg(F.count("*").alias("count"))
+        cnt_col = F.count("*").alias("count")
+        src = sdf
+        out = plan_memo(
+            src, "groupby_agg", tuple(cols), (cnt_col,),
+            lambda: src.groupBy(*cols).agg(cnt_col),
+        )
         if normalize:
             total = W.partitionBy()
-            out = out.withColumn(
-                "proportion", F.col("count") / F.sum("count").over(total)
-            ).drop("count")
+            prop = F.col("count") / F.sum("count").over(total)
+            base = out
+            out = plan_memo(
+                base, "vc_norm", None, (prop,),
+                lambda: base.withColumn("proportion", prop).drop("count"),
+            )
         if sort:
             target = "proportion" if normalize else "count"
-            out = out.orderBy(
-                F.col(target).asc() if ascending else F.col(target).desc(), *cols
+            okey = F.col(target).asc() if ascending else F.col(target).desc()
+            base2 = out
+            out = plan_memo(
+                base2, "orderBy", tuple(cols), (okey,),
+                lambda: base2.orderBy(okey, *cols),
             )
         return DataFrame(out)
 

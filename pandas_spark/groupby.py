@@ -237,15 +237,25 @@ class GroupBy:
 
     def _drop_null_keys(self, sdf):
         """na.drop(subset=keys) twin that survives adversarial names."""
+        from pandas_spark._planmemo import plan_memo
+
         cond = F.lit(True)
         for k in self._keys:
             cond = cond & _fcol(k).isNotNull()
-        return sdf.filter(cond)
+        return plan_memo(
+            sdf, "dropna_keys", tuple(self._keys), None,
+            lambda: sdf.filter(cond),
+        )
 
     def _source(self):
         sdf = self._frame._sdf
-        if self._dropna:
-            # pandas drops NA group keys by default (frame.py:12936 dropna=)
+        if self._dropna and not all(
+            k in self._frame._nonnull for k in self._keys
+        ):
+            # pandas drops NA group keys by default (frame.py:12936
+            # dropna=); keys footer-PROVEN null-free skip the filter —
+            # one fewer eagerly-analyzed Dataset per groupby build, and
+            # the executed plan loses a no-op Filter
             sdf = self._drop_null_keys(sdf)
         return sdf
 
@@ -321,7 +331,16 @@ class GroupBy:
             raise ValueError("agg requires a spec or named aggregations")
         else:
             raise TypeError(f"unsupported agg spec {type(spec).__name__}")
-        return self._result(self._grouped().agg(*exprs))
+        from pandas_spark._planmemo import plan_memo
+
+        src = self._source()
+        kcols = self._kcols()
+        sdf = plan_memo(
+            src, "groupby_agg", tuple(self._keys),
+            kcols + exprs,
+            lambda: src.groupBy(*kcols).agg(*exprs),
+        )
+        return self._result(sdf)
 
     aggregate = agg
 
@@ -736,12 +755,20 @@ class GroupBy:
         return res
 
     def cumsum(self, col: str, alias: str | None = None, order_by: str | None = None):
+        from pandas_spark._planmemo import plan_memo
+
         frame, w = self._ordered_part(order_by)
         wf = w.rowsBetween(W.unboundedPreceding, 0)
         # pandas cum* leave NaN at missing rows while the running value
         # skips them (nanops skipna) — mask the window result
         val = self._mask_dropped(F.when(F.col(col).isNotNull(), F.sum(col).over(wf)))
-        return frame._with(frame._sdf.withColumn(alias or col, val))
+        name = alias or col
+        return frame._with(
+            plan_memo(
+                frame._sdf, "withColumn", name, (val,),
+                lambda: frame._sdf.withColumn(name, val),
+            )
+        )
 
     def cummax(self, col: str, alias: str | None = None, order_by: str | None = None):
         frame, w = self._ordered_part(order_by)

@@ -25,6 +25,7 @@ from pandas_spark import fshim as F  # backtick-safe F.col facade
 
 from pandas_spark.dtypes import ordinal_seconds
 from pandas_spark.frame import DataFrame, ORDER_COL
+from pandas_spark._planmemo import plan_memo
 
 _HOWS = {
     "inner": "inner",
@@ -81,14 +82,34 @@ def _side_slots(frame: DataFrame, prefix: str):
                 slots.append(("val", c, a, p))
         extra = [c for c in sdf.columns if is_order_col(c) and c not in ren]
         if ren:
-            sdf = sdf.withColumnsRenamed(ren)
+            sdf = plan_memo(
+                sdf, "renamed", tuple(sorted(ren.items())), None,
+                lambda s=sdf: s.withColumnsRenamed(ren),
+            )
         if extra:
-            sdf = sdf.drop(*extra)
+            sdf = plan_memo(
+                sdf, "drop", tuple(extra), None,
+                lambda s=sdf: s.drop(*extra),
+            )
         return sdf, slots
     name = f"{prefix}0__"
     if frame._order_col and frame._order_col in sdf.columns:
-        return sdf.withColumnRenamed(frame._order_col, name), [("id", name)]
-    return sdf.withColumn(name, F.monotonically_increasing_id()), [("id", name)]
+        return (
+            plan_memo(
+                sdf, "renamed", ((frame._order_col, name),), None,
+                lambda: sdf.withColumnRenamed(frame._order_col, name),
+            ),
+            [("id", name)],
+        )
+    # mono-id is per-action evaluation: fingerprint-stable reuse across
+    # builds is exactly the scan-cache semantics (_planmemo docstring)
+    return (
+        plan_memo(
+            sdf, "order_stamp", name, None,
+            lambda: sdf.withColumn(name, F.monotonically_increasing_id()),
+        ),
+        [("id", name)],
+    )
 
 
 def _merged_order(out: SparkDF, spark_how: str, l_slots, r_slots,
@@ -155,9 +176,13 @@ def _merged_order(out: SparkDF, spark_how: str, l_slots, r_slots,
             + f") AS {_qi(name)}"
             for name, run in structs
         ]
-        out = out.selectExpr(
-            *[_qi(c) for c in out.columns if c not in dropped],
-            *struct_exprs,
+        mo_exprs = [
+            _qi(c) for c in out.columns if c not in dropped
+        ] + struct_exprs
+        src = out
+        out = plan_memo(
+            src, "selectExpr", tuple(mo_exprs), None,
+            lambda: src.selectExpr(*mo_exprs),
         )
     first_internal = structs[0][0] if structs else None
     if len(spec) == 1 and first_internal:
@@ -334,6 +359,11 @@ def merge(
     out = _disambiguate_and_join(
         lsdf, rsdf, lk, rk, _HOWS[how], suffixes, indicator, broadcast,
         left._nonnull, right._nonnull, right._rows_max,
+        r_anchor=(
+            right._sdf,
+            right._order_col,
+            tuple(tuple(s) for s in (right._sort_spec or ())),
+        ),
     )
     l_ren, r_ren = _suffix_renames(lsdf, rsdf, lk, rk, suffixes)
     out_keys: list[str] = []
@@ -508,9 +538,22 @@ def _replay_compose(lsdf2, recipe):
     """Apply a tiny-dim compose recipe (pure SQL text) to the left side."""
     kind, where_sql, exprs = recipe
     if kind == "where":
-        return lsdf2.where(where_sql)
-    src = lsdf2.where(where_sql) if where_sql else lsdf2
-    return src.selectExpr(*exprs)
+        return plan_memo(
+            lsdf2, "filter_sql", where_sql, None,
+            lambda: lsdf2.where(where_sql),
+        )
+    src = (
+        plan_memo(
+            lsdf2, "filter_sql", where_sql, None,
+            lambda: lsdf2.where(where_sql),
+        )
+        if where_sql
+        else lsdf2
+    )
+    return plan_memo(
+        src, "selectExpr", tuple(exprs), None,
+        lambda: src.selectExpr(*exprs),
+    )
 
 
 # (weakref(rsdf), recipe) keyed on the join shape: the literal-map SQL
@@ -537,6 +580,7 @@ def _disambiguate_and_join(
     l_nonnull: frozenset = frozenset(),
     r_nonnull: frozenset = frozenset(),
     r_rows_max: int | None = None,
+    r_anchor: tuple | None = None,
 ) -> SparkDF:
     semi_like = how in ("left_semi", "left_anti")
     # pandas indicator=: True -> '_merge', a string names the column
@@ -560,7 +604,14 @@ def _disambiguate_and_join(
     # internal aliases for the join keys to build explicit conditions
     # (skip empty/batched renames — each withColumnRenamed is a py4j
     # round trip and analysis pass; chains of merges add them up)
-    lsdf2 = lsdf.withColumnsRenamed(l_ren) if l_ren else lsdf
+    lsdf2 = (
+        plan_memo(
+            lsdf, "renamed", tuple(sorted(l_ren.items())), None,
+            lambda: lsdf.withColumnsRenamed(l_ren),
+        )
+        if l_ren
+        else lsdf
+    )
     lk2 = [l_ren.get(c, c) for c in lk]
     rk2 = [r_ren.get(c, c) for c in rk]
     # right side: suffix renames AND the __rk_ key tags in ONE rename
@@ -587,18 +638,33 @@ def _disambiguate_and_join(
         and len(lk2) == 1
         and r_rows_max is not None
         and 0 < r_rows_max <= _TINY_DIM_ROWS
+        and r_anchor is not None
     ):
+        # key on the STABLE underlying right sdf (the _SCAN_CACHE
+        # object) plus the right frame's order fingerprint — NOT on
+        # rsdf, which _side_slots rebuilds per query build (a fresh
+        # mono-id withColumn each time), so an rsdf-identity memo can
+        # never hit across builds. The recipe is a pure function of
+        # (right rows+dtypes ⇐ stable sdf identity, order slots ⇐
+        # fingerprint, rename map, keys, how) — all in the key.
         memo_key = (
             tuple(sorted(r_all.items())), tuple(lk2), tuple(rk2),
-            rk_tag, how,
+            rk_tag, how, r_anchor[1], r_anchor[2],
         )
         hit = _TINY_COMPOSE_MEMO.get(memo_key)
-        if hit is not None and hit[0]() is rsdf:
+        if hit is not None and hit[0]() is r_anchor[0]:
             joined = _replay_compose(lsdf2, hit[1])
             if semi_like:
                 return joined
     if joined is None:
-        rtag = rsdf.withColumnsRenamed(r_all) if r_all else rsdf
+        rtag = (
+            plan_memo(
+                rsdf, "renamed", tuple(sorted(r_all.items())), None,
+                lambda: rsdf.withColumnsRenamed(r_all),
+            )
+            if r_all
+            else rsdf
+        )
         if indicator:
             lsdf2 = lsdf2.withColumn(lp_col, F.lit(True))
             rtag = rtag.withColumn(rp_col, F.lit(True))
@@ -619,9 +685,13 @@ def _disambiguate_and_join(
             cond = term if cond is None else (cond & term)
 
         if broadcast == "right":
-            rtag = F.broadcast(rtag)
+            rtag = plan_memo(
+                rtag, "bcast", None, None, lambda: F.broadcast(rtag)
+            )
         if broadcast == "left":
-            lsdf2 = F.broadcast(lsdf2)
+            lsdf2 = plan_memo(
+                lsdf2, "bcast", None, None, lambda: F.broadcast(lsdf2)
+            )
 
         res = _tiny_dim_compose(
             lsdf2, rtag, lk2, rk2, rk_tag, how, indicator, r_rows_max
@@ -633,7 +703,9 @@ def _disambiguate_and_join(
 
                 if len(_TINY_COMPOSE_MEMO) > 256:
                     _TINY_COMPOSE_MEMO.clear()
-                _TINY_COMPOSE_MEMO[memo_key] = (weakref.ref(rsdf), recipe)
+                _TINY_COMPOSE_MEMO[memo_key] = (
+                    weakref.ref(r_anchor[0]), recipe
+                )
 
     if joined is not None:
         if semi_like:
@@ -711,7 +783,11 @@ def _disambiguate_and_join(
             )
         return joined.selectExpr(*out_exprs)
     else:
-        joined = lsdf2.join(rtag, cond, how)
+        joined = plan_memo(
+            (lsdf2, rtag), "join", how,
+            (cond,) if cond is not None else None,
+            lambda: lsdf2.join(rtag, cond, how),
+        )
 
     if semi_like:
         return joined
@@ -739,7 +815,11 @@ def _disambiguate_and_join(
             f"THEN 'both' WHEN coalesce({_qi(lp_col)}, false) THEN 'left_only' "
             f"ELSE 'right_only' END AS {_qi(ind_name)}"
         )
-    return joined.selectExpr(*out_exprs)
+    out = joined
+    return plan_memo(
+        out, "selectExpr", tuple(out_exprs), None,
+        lambda: out.selectExpr(*out_exprs),
+    )
 
 
 def _validate(lsdf: SparkDF, rsdf: SparkDF, lk: list[str], rk: list[str], rule: str) -> None:
@@ -783,26 +863,42 @@ def _asof_broadcast(
     # strategy the size-estimate gate selected). Materialized BEFORE
     # the groupBy: nondeterministic exprs are illegal inside
     # aggregates.
-    rsdf = rsdf.withColumn("__pos__", F.monotonically_increasing_id())
+    r0 = rsdf
+    rsdf = plan_memo(
+        r0, "order_stamp", "__pos__", None,
+        lambda: r0.withColumn("__pos__", F.monotonically_increasing_id()),
+    )
     entry = F.struct(
         F.col(on).alias("__t__"),
         F.col("__pos__").alias("__pos__"),
         *[F.col(c) for c in payload],
     )
-    grouped = rsdf.groupBy(*by_keys).agg(
-        F.array_sort(F.collect_list(entry)).alias("__arr__")
+    arr_col = F.array_sort(F.collect_list(entry)).alias("__arr__")
+    grouped = plan_memo(
+        rsdf, "groupby_agg", tuple(by_keys), (arr_col,),
+        lambda: rsdf.groupBy(*by_keys).agg(arr_col),
     )
     if by_keys:
-        g2 = grouped.withColumnsRenamed({k: "__rby_" + k for k in by_keys})
+        ren = {k: "__rby_" + k for k in by_keys}
+        g2 = plan_memo(
+            grouped, "renamed", tuple(sorted(ren.items())), None,
+            lambda: grouped.withColumnsRenamed(ren),
+        )
         cond = None
         for k in by_keys:
             t = _it(lsdf, k).eqNullSafe(_it(g2, "__rby_" + k))
             cond = t if cond is None else (cond & t)
-        joined = lsdf.join(F.broadcast(g2), cond, "left").drop(
-            *["__rby_" + k for k in by_keys]
+        joined = plan_memo(
+            (lsdf, g2), "asof_bjoin", tuple(by_keys), (cond,),
+            lambda: lsdf.join(F.broadcast(g2), cond, "left").drop(
+                *["__rby_" + k for k in by_keys]
+            ),
         )
     else:
-        joined = lsdf.crossJoin(F.broadcast(grouped))
+        joined = plan_memo(
+            (lsdf, grouped), "asof_cross", None, None,
+            lambda: lsdf.crossJoin(F.broadcast(grouped)),
+        )
     lt = F.col(on)
     if direction == "backward":
         pred = (lambda e: e["__t__"] <= lt) if allow_exact_matches else (
@@ -814,7 +910,10 @@ def _asof_broadcast(
             lambda e: e["__t__"] > lt
         )
         m = F.try_element_at(F.filter(F.col("__arr__"), pred), F.lit(1))
-    out = joined.withColumn("__m__", m).drop("__arr__")
+    out = plan_memo(
+        joined, "asof_match", None, (m,),
+        lambda: joined.withColumn("__m__", m).drop("__arr__"),
+    )
     keep = F.lit(True)
     if tolerance is not None:
         if hasattr(tolerance, "total_seconds"):
@@ -827,7 +926,12 @@ def _asof_broadcast(
             tol = tolerance
         keep = F.abs(_num(lt) - _num(F.col("__m__")["__t__"])) <= F.lit(tol)
     cols = {c: F.when(keep, F.col("__m__")[c]) for c in payload}
-    return DataFrame(out.withColumns(cols).drop("__m__"))
+    return DataFrame(
+        plan_memo(
+            out, "asof_payload", tuple(cols), list(cols.values()),
+            lambda: out.withColumns(cols).drop("__m__"),
+        )
+    )
 
 
 # every internal tag the asof strategies materialize; user columns

@@ -111,11 +111,20 @@ def melt(
     # Spark's native unpivot needs a common type — cast numerics to double
     types = dict(sdf.dtypes)
     num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
-    if all(types[v].split("(")[0] in num for v in vals):
-        sdf = sdf.withColumns({v: F.col(v).cast("double") for v in vals})
-    else:
-        sdf = sdf.withColumns({v: F.col(v).cast("string") for v in vals})
-    out = sdf.unpivot(ids, vals, var_name, value_name)
+    from pandas_spark._planmemo import plan_memo
+
+    tgt = "double" if all(types[v].split("(")[0] in num for v in vals) else "string"
+    base = sdf
+    sdf = plan_memo(
+        base, "melt_cast", (tgt, tuple(vals)), None,
+        lambda: base.withColumns({v: F.col(v).cast(tgt) for v in vals}),
+    )
+    src = sdf
+    out = plan_memo(
+        src, "unpivot", (tuple(ids), tuple(vals), var_name, value_name),
+        None,
+        lambda: src.unpivot(ids, vals, var_name, value_name),
+    )
     return DataFrame(out)
 
 
@@ -177,12 +186,17 @@ def _pivot_compiled(sdf, idx, columns, pvals, vals, fns, dtmap, bounds,
                 if f in _PIVOT_EMPTY_WRAP:
                     expr = F.when(F.count(F.col(mname)) > 0, expr)
                 cells.append(expr.alias(label))
-    grouped = (
-        sdf.withColumns(proj).groupBy(*[F.col(c) for c in idx])
-        if idx
-        else sdf.withColumns(proj).groupBy()
+    from pandas_spark._planmemo import plan_memo
+
+    projected = plan_memo(
+        sdf, "withColumns", tuple(proj), list(proj.values()),
+        lambda: sdf.withColumns(proj),
     )
-    return grouped.agg(*cells)
+    kcols = [F.col(c) for c in idx]
+    return plan_memo(
+        projected, "groupby_agg", tuple(idx), kcols + cells,
+        lambda: projected.groupBy(*kcols).agg(*cells),
+    )
 
 
 def pivot_table(

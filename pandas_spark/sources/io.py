@@ -72,7 +72,7 @@ def clear_scan_cache() -> None:
     unpersisting any buffer-pool-cached small scans."""
     for sdf, *_ in _SCAN_CACHE.values():
         try:
-            sdf.unpersist()
+            _unpersist_pool_entry(sdf)
         except Exception:
             pass
     _SCAN_CACHE.clear()
@@ -309,6 +309,46 @@ def _pool_layout(sdf, rows: int | None):
     )
 
 
+def _reanchor_on_cache(spark, sdf):
+    """Re-anchor a freshly persisted pool entry on its InMemoryRelation
+    LEAF so every later transform analyzes against one node.
+
+    The pool-layout plan (mono-id → repartitionByRange → sort → drop)
+    stays the persisted df's logical plan, and classic-mode Datasets
+    eagerly analyze + checkAnalysis the WHOLE tree on EVERY transform —
+    measured ~+10 ms per transform vs a raw scan base, paid by every op
+    of every query over a pooled table (guide §1.2: fixed driver cost).
+    CacheManager registers the plan at persist() time; wrapping its
+    InMemoryRelation (the same object every later scan would be
+    swapped to at execution) collapses the analyzed subtree to a leaf.
+    Execution is unchanged: same relation, same columnar batches, same
+    InMemoryTableScan. The original df rides along as ``_pool_origin``
+    so eviction unpersists through the plan CacheManager actually
+    registered (uncache matches by sameResult on the ORIGINAL plan, not
+    the relation leaf)."""
+    try:
+        jdf = sdf._jdf
+        jspark = jdf.sparkSession()
+        cd = jspark.sharedState().cacheManager().lookupCachedData(jdf)
+        if not cd.isDefined():
+            return sdf
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        jleaf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            jspark, cd.get().cachedRepresentation()
+        )
+        leaf = _CDF(jleaf, sdf.sparkSession)
+        leaf._pool_origin = sdf
+        return leaf
+    except Exception:
+        return sdf
+
+
+def _unpersist_pool_entry(sdf) -> None:
+    """Unpersist a _SCAN_CACHE entry through its registered plan."""
+    getattr(sdf, "_pool_origin", sdf).unpersist()
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,
@@ -338,7 +378,7 @@ def read_parquet(
             k for k in _SCAN_CACHE if k[0] == id(spark) and k[1] == path
         ]:
             try:
-                _SCAN_CACHE.pop(old)[0].unpersist()
+                _unpersist_pool_entry(_SCAN_CACHE.pop(old)[0])
             except Exception:
                 pass
     key = (id(spark), path, _path_signature(path) if cache else None)
@@ -420,12 +460,13 @@ def read_parquet(
                 # the size cap anyway
                 sdf = _pool_layout(sdf, rows)
                 sdf = sdf.persist()
+                sdf = _reanchor_on_cache(spark, sdf)
             for old in [
                 k for k in _SCAN_CACHE
                 if k[0] == key[0] and k[1] == key[1] and k != key
             ]:
                 try:
-                    _SCAN_CACHE.pop(old)[0].unpersist()
+                    _unpersist_pool_entry(_SCAN_CACHE.pop(old)[0])
                 except Exception:
                     pass
             if len(_SCAN_CACHE) > 256:

@@ -361,7 +361,15 @@ class Rolling:
         if self._min_periods and self._min_periods > 1:
             cnt = F.count(F.col(col)).over(w)
             val = F.when(cnt >= self._min_periods, val)
-        out = frame._with(frame._sdf.withColumn(name, self._mask_by(val)))
+        from pandas_spark._planmemo import plan_memo
+
+        mval = self._mask_by(val)
+        out = frame._with(
+            plan_memo(
+                frame._sdf, "withColumn", name, (mval,),
+                lambda: frame._sdf.withColumn(name, mval),
+            )
+        )
         if self._step:
             # keep frame positions 0, step, 2·step, … (pandas step=
             # semantics — positional, so this is a whole-frame ordered
@@ -892,12 +900,22 @@ class Resampler:
     def _label_col(self):
         return F.col("__win__.end" if self._label == "right" else "__win__.start")
 
-    def _bucketed(self):
+    def _bucket_src(self):
         # pandas drops NaT index rows before binning (resample tests
         # test_resample_with_nat) — a NULL ts must not become a
         # NULL-labeled bucket
-        src = self._frame.spark.where(F.col(self._on).isNotNull())
-        return src.groupBy(*self._by, self._win().alias("__win__"))
+        from pandas_spark._planmemo import plan_memo
+
+        base = self._frame.spark
+        cond = F.col(self._on).isNotNull()
+        return plan_memo(
+            base, "filter", None, (cond,), lambda: base.where(cond)
+        )
+
+    def _bucketed(self):
+        return self._bucket_src().groupBy(
+            *self._by, self._win().alias("__win__")
+        )
 
     def agg(self, spec) -> DataFrame:
         from pandas_spark.groupby import resolve_agg
@@ -922,13 +940,29 @@ class Resampler:
             for c, t in self._frame.dtypes:
                 if c != self._on and c not in self._by and t in num:
                     exprs.append(resolve_agg(spec, c, t, bounds).alias(c))
-        out = self._bucketed().agg(*exprs)
-        out = out.select(
+        from pandas_spark._planmemo import plan_memo
+
+        src = self._bucket_src()
+        gcols = [F.col(c) for c in self._by] + [self._win().alias("__win__")]
+        out = plan_memo(
+            src, "groupby_agg", tuple(self._by),
+            gcols + exprs,
+            lambda: src.groupBy(*gcols).agg(*exprs),
+        )
+        sel = [
             *self._by,
             self._label_col().alias(self._on),
             *[c for c in out.columns if c not in (*self._by, "__win__")],
+        ]
+        # key keeps positions: static names at their indices, Columns
+        # fingerprint-matched in order
+        out2 = plan_memo(
+            out, "select",
+            tuple(c if isinstance(c, str) else i for i, c in enumerate(sel)),
+            [c for c in sel if not isinstance(c, str)],
+            lambda: out.select(*sel),
         )
-        return DataFrame(out)
+        return DataFrame(out2)
 
     def sum(self):   return self.agg("sum")
     def mean(self):  return self.agg("mean")
