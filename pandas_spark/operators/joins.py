@@ -724,7 +724,11 @@ def _disambiguate_and_join(
         # Catalyst picks broadcast-right on its own from the leaf
         # stats; at 100 TB rows_max is absent/huge and the rewrite
         # keeps the fact streaming.
-        joined = lsdf2.join(rtag, cond, "left")
+        joined = plan_memo(
+            (lsdf2, rtag), "join", "left",
+            (cond,) if cond is not None else None,
+            lambda: lsdf2.join(rtag, cond, "left"),
+        )
     elif how == "left" and broadcast == "left" and lk2:
         # Spark cannot broadcast the PRESERVED side of an outer join
         # (BroadcastHashJoin LeftOuter only supports BuildRight), so a
@@ -1062,8 +1066,20 @@ def merge_asof(
             raise ValueError("tolerance must be positive")
 
     overlap = (set(lsdf.columns) & set(rsdf.columns)) - {on} - set(by_keys)
-    lsdf = lsdf.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
-    rsdf = rsdf.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+    l_over = {c: c + suffixes[0] for c in overlap}
+    r_over = {c: c + suffixes[1] for c in overlap}
+    if l_over:
+        l0 = lsdf
+        lsdf = plan_memo(
+            l0, "renamed", tuple(sorted(l_over.items())), None,
+            lambda: l0.withColumnsRenamed(l_over),
+        )
+    if r_over:
+        r0 = rsdf
+        rsdf = plan_memo(
+            r0, "renamed", tuple(sorted(r_over.items())), None,
+            lambda: r0.withColumnsRenamed(r_over),
+        )
     # boundary shield (dtypes.collision_renames): the window and
     # broadcast strategies below weave fixed tags through SQL text;
     # user columns named like them must survive, so rename collisions
@@ -1166,7 +1182,10 @@ def merge_asof(
         + ["CAST(NULL AS BIGINT) AS `__rpos__`"]
         + [f"CAST(NULL AS {r_types[c]}) AS {_qi(c)}" for c in payload]
     )
-    l_tag = lsdf.selectExpr(*l_exprs)
+    l_tag = plan_memo(
+        lsdf, "selectExpr", tuple(l_exprs), None,
+        lambda: lsdf.selectExpr(*l_exprs),
+    )
     # after the suffix renames the sides share ONLY (on, by_keys), so
     # every left payload column needs a typed-NULL pad on the right
     pad_r = [c for c in l_cols if c not in rsdf.columns] + (
@@ -1180,8 +1199,14 @@ def merge_asof(
             for c in pad_r
         ]
     )
-    r_tag = rsdf.selectExpr(*r_exprs)
-    unioned = l_tag.unionByName(r_tag)
+    r_tag = plan_memo(
+        rsdf, "selectExpr", tuple(r_exprs), None,
+        lambda: rsdf.selectExpr(*r_exprs),
+    )
+    unioned = plan_memo(
+        (l_tag, r_tag), "unionByName", None, None,
+        lambda: l_tag.unionByName(r_tag),
+    )
 
     def one_direction(u: SparkDF, forward: bool, with_ts: bool = True) -> SparkDF:
         # SQL-text window (one selectExpr parse instead of ~8 py4j
@@ -1216,7 +1241,14 @@ def merge_asof(
                 f"last(CASE WHEN `__side__` = 0 THEN {_qi(on)} END, true) "
                 f"{win} AS `__m_ts__`"
             )
-        return u.selectExpr("*", *matched).filter("`__side__` = 1")
+        win_sel = plan_memo(
+            u, "selectExpr", ("*",) + tuple(matched), None,
+            lambda: u.selectExpr("*", *matched),
+        )
+        return plan_memo(
+            win_sel, "filter_sql", "`__side__` = 1", None,
+            lambda: win_sel.filter("`__side__` = 1"),
+        )
 
     def apply_tolerance(sdf: SparkDF, forward: bool) -> SparkDF:
         if tolerance is None:
@@ -1234,7 +1266,10 @@ def merge_asof(
         for c in payload:
             cols["__m_" + c] = F.when(gap <= tol, F.col("__m_" + c))
         cols["__m_ts__"] = F.when(gap <= tol, F.col("__m_ts__"))
-        return sdf.withColumns(cols)
+        return plan_memo(
+            sdf, "withColumns", tuple(cols), tuple(cols.values()),
+            lambda: sdf.withColumns(cols),
+        )
 
     if direction in ("backward", "forward"):
         matched = apply_tolerance(
@@ -1245,7 +1280,10 @@ def merge_asof(
             [_qi(c) for c in by_keys + [on] + l_cols]
             + [f"{_qi('__m_' + c)} AS {_qi(c)}" for c in payload]
         )
-        return _unshield(DataFrame(matched.selectExpr(*final_exprs)))
+        return _unshield(DataFrame(plan_memo(
+            matched, "selectExpr", tuple(final_exprs), None,
+            lambda: matched.selectExpr(*final_exprs),
+        )))
 
     if direction == "nearest" and allow_exact_matches:
         # Both directions over ONE ordering (on asc, right-before-left

@@ -1377,16 +1377,35 @@ def ewm_mean(
         yield pdf
 
     from pandas_spark.dtypes import safe_map_in_pandas
+    from pandas_spark._planmemo import plan_memo
 
-    out = safe_map_in_pandas(
-        sdf.repartition(*keys_eff)
-        .sortWithinPartitions(*[F.col(k) for k in keys_eff], *order_spark),
-        fn,
-        schema,
+    part = plan_memo(
+        sdf, "repartition", tuple(keys_eff), None,
+        lambda: sdf.repartition(*keys_eff),
+    )
+    sort_all = [F.col(k) for k in keys_eff] + order_spark
+    base = plan_memo(
+        part, "sortWithin", None, sort_all,
+        lambda: part.sortWithinPartitions(*sort_all),
+    )
+    # the kernel closure is rebuilt per call but is a pure function of
+    # these params — key on them so a repeated build replays the same
+    # MapInPandas Dataset (same semantics, same schema)
+    out = plan_memo(
+        base, "ewm_map",
+        (col, a, adjust_, stat_, tuple(keys_eff), times_, str(halflife_),
+         name, schema),
+        None,
+        lambda: safe_map_in_pandas(base, fn, schema),
     )
     from pandas_spark.frame import is_order_col
     drop = [c for c in out.columns if (c == "__g__" or is_order_col(c)) and c not in frame.columns]
-    return DataFrame(out.drop(*drop))
+    out2 = (
+        plan_memo(out, "drop", tuple(drop), None, lambda: out.drop(*drop))
+        if drop
+        else out
+    )
+    return DataFrame(out2)
 
 
 def ewm_std(frame, col, alpha=None, span=None, halflife=None, adjust=True,

@@ -155,6 +155,10 @@ def test_pool_reanchor_leaf_preserves_rows_and_unpersists(spark, tmp_path):
            a.select(F.monotonically_increasing_id().alias("__i__"), "k")
             .orderBy("__i__").collect()]
     assert got == pdf["k"].tolist()
-    assert not jcm.isEmpty()
+    # this table's registration is present, and clear_scan_cache removes
+    # exactly it (other suites may hold unrelated cache entries, so
+    # assert on THIS plan, not on cache emptiness)
+    origin = getattr(a, "_pool_origin", a)
+    assert jcm.lookupCachedData(origin._jdf).isDefined()
     psio.clear_scan_cache()
-    assert jcm.isEmpty()  # unpersist matched the registered plan
+    assert not jcm.lookupCachedData(origin._jdf).isDefined()
