@@ -350,14 +350,36 @@ def _collapsed_rep_pairs(
     # ~1e-15 at m=10³ — oracle-verified equal on every SF; the 32-bit
     # fold inside the SIGNATURE was always allowed to collide,
     # affecting recall only).
-    collapsed = sdf.groupBy(
+    # Fuse the parallelism spread INTO the collapse exchange (guide
+    # §2.4 "two operations keyed the same way share one exchange"): a
+    # single-file scan used to pay Exchange(md5, shuffle_parts) for the
+    # groupBy and then a RoundRobin(cores) spread of the collapsed rows
+    # so the signature UDF ran wide. Hash-spreading the RAW rows on the
+    # collapse key up front satisfies the groupBy's required
+    # distribution, so ONE exchange does both jobs and the aggregate
+    # output is already `cores` wide. Gated to the few-files case the
+    # spread targeted; at production scale (many splits) both the old
+    # spread and this pre-partition are no-ops. Trade-off, measured:
+    # raw rows cross instead of partially-collapsed ones — on a
+    # clone-light corpus that HALVES total shuffle bytes (the spread
+    # re-shipped every unique text anyway); a clone-heavy small corpus
+    # ships the clones once, still bounded by the (tiny) gated input.
+    pre = sdf
+    try:
+        _target = sdf.sparkSession.sparkContext.defaultParallelism
+        _nf = len(sdf.inputFiles())
+        if 0 < _nf < _target:
+            pre = sdf.repartition(_target, F.md5(F.col(text_col)))
+    except Exception:
+        pass
+    collapsed = pre.groupBy(
         memo_column(("collapse_key", text_col), lambda: F.md5(F.col(text_col)).alias("__k__"))
     ).agg(
         F.min(id_col).alias("__rep__"),
         F.sort_array(F.collect_list(F.col(id_col))).alias("__members__"),
         F.first(F.col(text_col)).alias(text_col),
     )
-    with_sh = spread(collapsed).withColumn(
+    with_sh = collapsed.withColumn(
         "__s__",
         memo_column(
             ("hashed_shingles", text_col, shingle_n),
