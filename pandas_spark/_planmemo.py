@@ -101,6 +101,25 @@ def plan_memo(parent, op: str, static_key, cols, builder):
         _memo["m"] = {}
     m = _memo["m"]
 
+    pids = tuple(id(p) for p in parents)
+    # Object-identity fast path: interned/static Column objects (the
+    # expression-subtree memo returns the SAME handle across builds)
+    # match by `is` — zero JVM calls; the fingerprint path below costs
+    # 4 py4j round trips per Column (node/normalized/hashCode/equals),
+    # which measured as HALF the residual build chatter of the widest
+    # query. A dead weakref (id reuse) fails the `is` check and falls
+    # through to a fresh fingerprint lookup.
+    idkey = None
+    if cols:
+        idkey = (pids, op, static_key, tuple(id(c) for c in cols), "ids")
+        hit = m.get(idkey)
+        if hit is not None:
+            prefs, crefs, out = hit
+            if all(r() is p for r, p in zip(prefs, parents)) and all(
+                r() is c for r, c in zip(crefs, cols)
+            ):
+                return out
+
     fps = []
     for c in cols or ():
         fp = _col_fp(c)
@@ -108,7 +127,7 @@ def plan_memo(parent, op: str, static_key, cols, builder):
             return builder()  # unfingerprintable arg: never memo
         fps.append(fp)
     key = (
-        tuple(id(p) for p in parents),
+        pids,
         op,
         static_key,
         tuple(h for _, h in fps),
@@ -119,6 +138,7 @@ def plan_memo(parent, op: str, static_key, cols, builder):
         if all(r() is p for r, p in zip(prefs, parents)) and all(
             pn.equals(n) for pn, (n, _) in zip(pnodes, fps)
         ):
+            _store_idkey(m, idkey, parents, cols, out)
             return out
     out = builder()
     if len(m) > _MEMO_MAX:
@@ -129,6 +149,20 @@ def plan_memo(parent, op: str, static_key, cols, builder):
             tuple(n for n, _ in fps),
             out,
         )
+        _store_idkey(m, idkey, parents, cols, out)
     except TypeError:
         pass  # unweakrefable parent: skip memoization
     return out
+
+
+def _store_idkey(m, idkey, parents, cols, out) -> None:
+    if idkey is None:
+        return
+    try:
+        m[idkey] = (
+            tuple(weakref.ref(p) for p in parents),
+            tuple(weakref.ref(c) for c in cols),
+            out,
+        )
+    except TypeError:
+        pass  # unweakrefable column: identity path unavailable

@@ -93,7 +93,8 @@ _AGG_EMPTY_IDENTITY: dict[str, Callable[[], Column]] = {
 
 
 def resolve_agg(func: str, col: str, dtype: str | None = None,
-                bounds: dict | None = None) -> Column:
+                bounds: dict | None = None,
+                alias: str | None = None) -> Column:
     """One pandas agg name + column → aliased Spark aggregate expression.
 
     ``dtype`` (Spark simple string) routes float/double columns to the
@@ -101,10 +102,32 @@ def resolve_agg(func: str, col: str, dtype: str | None = None,
     ``bounds`` (frame._bounds: {col: (lo, hi, nan_free)}, parquet
     footer proofs — see bounds.py) drops the kernels' non-finite
     gating when the column provably contains no ±inf / no NaN.
+
+    The returned Column is a pure function of its arguments (the only
+    bounds field read is ``bounds[col]``), so the handle is interned
+    per session (_exprmemo): repeated builds of the same agg spec —
+    every timed bench run, every call of a long-lived service — skip
+    the expression-tree py4j construction entirely. ``alias`` bakes the
+    output name into the memoized handle (an .alias() per build is one
+    py4j round trip per aggregate).
     """
+    from pandas_spark._exprmemo import memo_column
+
+    b = (bounds or {}).get(col)
+    return memo_column(
+        ("resolve_agg", func, col, dtype, b, alias),
+        lambda: (
+            _resolve_agg_build(func, col, dtype, b).alias(alias)
+            if alias is not None
+            else _resolve_agg_build(func, col, dtype, b)
+        ),
+    )
+
+
+def _resolve_agg_build(func: str, col: str, dtype: str | None,
+                       b: tuple | None) -> Column:
     if dtype is not None and dtype in _FLOAT_TYPES and func in _EXACT_AGG:
         kw = {}
-        b = (bounds or {}).get(col)
         if b is not None:
             lo, hi, nan_free = b
             if func in ("var", "std", "sem"):
@@ -212,7 +235,7 @@ class GroupBy:
             self._dtmap = dict(self._frame.dtypes)
         return self._dtmap.get(col)
 
-    def _resolve(self, func, col: str) -> Column:
+    def _resolve(self, func, col: str, alias: str | None = None) -> Column:
         """String agg name → builtin expression; callable → GROUPED_AGG
         pandas_udf (Series → scalar, Arrow-batched; SURVEY §2.11
         agg-UDAF; reference core/apply.py GroupByApply)."""
@@ -224,8 +247,10 @@ class GroupBy:
             from pandas_spark.functions import callables as C
 
             dtype = C.infer_scalar_dtype(func, self._frame._infer_sample()[col])
-            return C.grouped_agg_udf(func, dtype)(F.col(col))
-        return resolve_agg(func, col, self._dt(col), self._frame._bounds)
+            out = C.grouped_agg_udf(func, dtype)(F.col(col))
+            return out.alias(alias) if alias is not None else out
+        return resolve_agg(func, col, self._dt(col), self._frame._bounds,
+                           alias=alias)
 
     # -- plumbing -----------------------------------------------------------
     def _kcols(self) -> list[Column]:
@@ -310,21 +335,21 @@ class GroupBy:
         if named:
             for out_name, pair in named.items():
                 col, func = pair if isinstance(pair, tuple) else (pair, "sum")
-                exprs.append(self._resolve(func, col).alias(out_name))
+                exprs.append(self._resolve(func, col, alias=out_name))
         elif isinstance(spec, str):
             for c in self._value_cols():
-                exprs.append(resolve_agg(spec, c, self._dt(c), self._frame._bounds).alias(c))
+                exprs.append(resolve_agg(spec, c, self._dt(c), self._frame._bounds, alias=c))
         elif isinstance(spec, Mapping):
             for col, funcs in spec.items():
                 if isinstance(funcs, str) or callable(funcs):
-                    exprs.append(self._resolve(funcs, col).alias(col))
+                    exprs.append(self._resolve(funcs, col, alias=col))
                 else:
                     for f_ in funcs:
-                        exprs.append(self._resolve(f_, col).alias(f"{col}_{_fname(f_)}"))
+                        exprs.append(self._resolve(f_, col, alias=f"{col}_{_fname(f_)}"))
         elif isinstance(spec, (list, tuple)):
             for c in self._value_cols():
                 for f_ in spec:
-                    exprs.append(self._resolve(f_, c).alias(f"{c}_{_fname(f_)}"))
+                    exprs.append(self._resolve(f_, c, alias=f"{c}_{_fname(f_)}"))
         elif isinstance(spec, (Expr, Column)):
             exprs.append(spec.spark if isinstance(spec, Expr) else spec)
         elif spec is None:

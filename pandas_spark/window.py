@@ -927,19 +927,19 @@ class Resampler:
             for col, funcs in spec.items():
                 if isinstance(funcs, str):
                     exprs.append(
-                        resolve_agg(funcs, col, dtmap.get(col), bounds).alias(col)
+                        resolve_agg(funcs, col, dtmap.get(col), bounds, alias=col)
                     )
                 else:
                     for fn in funcs:
                         exprs.append(
-                            resolve_agg(fn, col, dtmap.get(col), bounds)
-                            .alias(f"{col}_{fn}")
+                            resolve_agg(fn, col, dtmap.get(col), bounds,
+                                        alias=f"{col}_{fn}")
                         )
         elif isinstance(spec, str):
             num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
             for c, t in self._frame.dtypes:
                 if c != self._on and c not in self._by and t in num:
-                    exprs.append(resolve_agg(spec, c, t, bounds).alias(c))
+                    exprs.append(resolve_agg(spec, c, t, bounds, alias=c))
         from pandas_spark._planmemo import plan_memo
 
         src = self._bucket_src()
