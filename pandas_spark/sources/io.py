@@ -118,6 +118,7 @@ def _max_cell_bytes(path: str) -> float:
             return float("inf")
         md = pq.ParquetFile(files[0]).metadata
         per_col: dict[str, int] = {}
+        stat_w = 0.0
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
@@ -127,8 +128,24 @@ def _max_cell_bytes(path: str) -> float:
                         per_col.get(col.path_in_schema, 0)
                         + col.total_uncompressed_size
                     )
+                    # page-bytes/rows UNDERSTATES the logical width on
+                    # dictionary-encoded duplicates (a 100x-replicated
+                    # corpus stores each unique text once — measured
+                    # 302 -> 3.0 "bytes/cell" on the same texts, which
+                    # let a text corpus into the pool at the 100x
+                    # decade and cost 2.5x per run). The column
+                    # statistics' extreme VALUES are logical, so their
+                    # length is a duplication-proof width floor.
+                    st = col.statistics
+                    for v in (
+                        (st.min, st.max) if st and st.has_min_max else ()
+                    ):
+                        if v is not None:
+                            stat_w = max(stat_w, float(len(v)))
         rows = md.num_rows or 1
-        return max(per_col.values()) / rows if per_col else 0.0
+        return max(
+            max(per_col.values()) / rows if per_col else 0.0, stat_w
+        )
     except Exception:
         return float("inf")
 

@@ -887,6 +887,35 @@ def test_buffer_pool_skips_wide_text_tables(spark, tmp_path):
     psio.clear_scan_cache()
 
 
+def test_buffer_pool_skips_dictionary_duplicated_text(spark, tmp_path):
+    """A REPLICATED text corpus (the crossover decades clone every doc
+    N times) dictionary-encodes to tiny pages, so page-bytes/rows
+    understated the cell width ~N× and let a 100×-decade corpus into
+    the pool (measured 2.5× per-run loss: pool-layout shuffle + slow
+    wide-cell columnar decode). The gate now also reads the column
+    statistics' extreme-value LENGTH, which is logical and
+    duplication-proof."""
+    import pandas as pd
+
+    from pandas_spark.sources import io as psio
+
+    path = str(tmp_path / "clones.parquet")
+    wide = "lorem ipsum dolor sit amet " * 10  # 270 chars/cell
+    # 2500 rows, only 5 DISTINCT texts: dictionary page holds 5 values,
+    # so page-bytes/rows is tiny while the logical cell width is 270
+    pd.DataFrame(
+        {"doc_id": range(2500), "text": [wide + str(i % 5) for i in range(2500)]}
+    ).to_parquet(path)
+    assert psio._max_cell_bytes(path) > 64.0  # statistics-length floor
+    a = ps.read_parquet(spark, path)
+    plan = a.to_spark()._sc._jvm.PythonSQLUtils.explainString(
+        a.to_spark()._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryRelation" not in plan and "Scan parquet" in plan
+    assert "__pool_ord__" not in plan  # no pool layout either
+    psio.clear_scan_cache()
+
+
 def test_buffer_pool_parallel_layout_preserves_order(spark, tmp_path):
     """A pooled table big enough to re-chunk (rows > POOL_PART_ROWS)
     caches as MULTIPLE partitions (stage-1 parallelism for every query
