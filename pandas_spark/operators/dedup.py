@@ -364,12 +364,36 @@ def _collapsed_rep_pairs(
     # clone-light corpus that HALVES total shuffle bytes (the spread
     # re-shipped every unique text anyway); a clone-heavy small corpus
     # ships the clones once, still bounded by the (tiny) gated input.
+    # Partition count for the fused exchange is DATA-sized (r12; guide
+    # §2.4 "partition counts from data, not cores"): defaultParallelism
+    # fanned a 5 000-doc corpus into 32 Arrow-stage partitions of ~150
+    # docs — 32 Python-worker round trips per run for ~ms of kernel
+    # work each, and every downstream stage over the cached base
+    # (banding, bucket agg, verify joins, member expansion) inherited
+    # the 32-way width. Swept at local[32] over {1,2,4,8,16,32}
+    # partitions, idle AND under a 24-thread contention load (the
+    # driver-box regime that blew r11 up to 6.6 s): 32-wide is best
+    # idle (1.50 s) but degrades worst contended (3.02 s); ≤4 loses
+    # everywhere (5.5 s at 1); 16 is the robustness optimum (1.78 idle
+    # / 2.04 contended / 2.14 at local[8] — all within the ±20%
+    # cross-core band). 320 rows/partition lands this corpus at 16 and
+    # scales with the data, not the master string. Rows come from the
+    # parquet footer via the frame's proven row bound; unknown row
+    # counts keep the core-count spread (production-scale many-file
+    # inputs never enter this gate at all).
     pre = sdf
     try:
         _target = sdf.sparkSession.sparkContext.defaultParallelism
         _nf = len(sdf.inputFiles())
         if 0 < _nf < _target:
-            pre = sdf.repartition(_target, F.md5(F.col(text_col)))
+            from pandas_spark._sizing import _env_int, rows_sized_parts
+
+            parts = rows_sized_parts(
+                getattr(frame, "_rows_max", None),
+                _env_int("SPARK_GRAFT_PY_PART_ROWS", 320),
+                _target,
+            )
+            pre = sdf.repartition(parts or _target, F.md5(F.col(text_col)))
     except Exception:
         pass
     collapsed = pre.groupBy(

@@ -141,6 +141,46 @@ def cosine_topk(
     return DataFrame(out)
 
 
+def _arrow_stage_coalesce(sdf, rows_max=None):
+    """Cap a PROVEN-tiny input's execution fan-out before an Arrow
+    kernel stage (r12; guide §2.4/§4.2).
+
+    A ≤2 000-row dimension table becomes a LocalRelation at the scan
+    layer, and LocalTableScan slices itself ``defaultParallelism`` ways
+    at execution — 32 ``mapInArrow`` workers of 62 rows each at
+    local[32], each paying the JVM↔Python round trip for one
+    microsecond matmul (driver-measured 4x anti-scaling 8c→32c).
+    Partition count must follow DATA size: one Arrow batch (~64 k rows
+    / ~32 MB of leaf bytes) per partition, the buffer pool's own rule.
+    ``coalesce`` is a NARROW dependency (no exchange), and the gate
+    only fires when the computed count is BELOW the core ceiling — a
+    production-scale scan (leaf bytes >> cap) is never touched, so no
+    large input can ever be squeezed onto few cores by this path."""
+    from pandas_spark._sizing import (
+        _env_int,
+        bytes_sized_parts,
+        plan_input_bytes,
+        rows_sized_parts,
+    )
+
+    try:
+        ceiling = sdf.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext — keep layout
+        return sdf
+    parts = rows_sized_parts(
+        rows_max, _env_int("SPARK_GRAFT_ARROW_PART_ROWS", 65536), ceiling
+    )
+    if parts is None:
+        parts = bytes_sized_parts(
+            plan_input_bytes(sdf),
+            _env_int("SPARK_GRAFT_ARROW_PART_BYTES", 32 << 20),
+            ceiling,
+        )
+    if parts is not None and parts < ceiling:
+        return sdf.coalesce(parts)
+    return sdf
+
+
 def _vec_matrix(va):
     """Arrow list-of-float column → (n, dim) float64 matrix, zero-copy
     from the flat values buffer. The mapInPandas/pandas_udf form
@@ -188,6 +228,7 @@ def _cosine_topk_matmul(
         ]
     )
     c = corpus.spark.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    c = _arrow_stage_coalesce(c, getattr(corpus, "_rows_max", None))
     if not qrows:
         mapped = spark.createDataFrame([], part_schema)
     else:

@@ -378,8 +378,13 @@ def test_cosine_topk_shuffles_partial_topk_not_cross_product(spark):
     plan = plan_of(cosine_topk(emb, q, k=10).to_spark())
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "MapInArrow" in plan  # round-5 zero-copy rewrite (was MapInPandas)
-    # exactly one exchange: the per-query window over the partial top-k
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # the per-query top-k must stay bounded by a WindowGroupLimit
+    assert "WindowGroupLimit" in plan
+    # at most one exchange (the per-query window over the partial
+    # top-k); for this PROVEN-TINY corpus the r12 data-sized coalesce
+    # makes the kernel input a single partition, which satisfies the
+    # window's ClusteredDistribution outright — ZERO exchanges
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
 
 
 def test_plan_report_counts_join_plan(spark):
