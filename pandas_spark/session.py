@@ -155,7 +155,43 @@ _SMALL_PLAN_BYTES = int(
 # 20 MB plan keeps ~10-way parallelism for compute-heavy stages
 # (windows) that AQE would otherwise have run wide
 _SMALL_PLAN_PART_BYTES = 2 << 20
+# large-mode initial shuffle partitions scale with the proven source
+# bytes too (r12; guide §2.2/§2.5 "fewer, larger reduce partitions" via
+# AQE coalescing from a data-sized INITIAL count): the default 32-way
+# exchange gives a 900 MB sort-aggregate ~2 M rows per sort task, whose
+# in-memory/spill boundary is a per-run memory-race lottery (r11
+# measured dedup_keep_first 2.9-66 s across identical-code runs at the
+# 100x decade). Seeding AQE's initialPartitionNum at ~one partition per
+# 4 MiB of proven input lets the coalescer pick the final layout from
+# ACTUAL shuffle bytes instead of inheriting the core-count default
+# (measured at 100x, interleaved same-session A/B: median 4.84 -> 4.14 s).
+# The cap bounds shuffle-block growth (M x R); at 100 TB the cap is what
+# applies, and AQE still owns the final count. Small plans never see
+# this (AQE is off below _SMALL_PLAN_BYTES).
+_LARGE_INIT_PART_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LARGE_INIT_PART_BYTES", str(4 << 20))
+)
+_LARGE_INIT_PART_CAP = int(
+    os.environ.get("SPARK_GRAFT_LARGE_INIT_PART_CAP", "1024")
+)
+_INIT_PARTS_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 _tune_state: dict = {}
+
+
+def _conf_get(spark, key):
+    """Session conf value or None when unset (typed confs reject a
+    string sentinel default, so absence is modeled as None)."""
+    try:
+        return spark.conf.get(key)
+    except Exception:
+        return None
+
+
+def _conf_put(spark, key, value) -> None:
+    if value is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, value)
 
 
 def tune_for_plan(sdf) -> None:
@@ -176,21 +212,18 @@ def tune_for_plan(sdf) -> None:
             total, small = 0, False
         else:
             leaves = sdf._jdf.queryExecution().analyzed().collectLeaves()
+            # full sum (no early break): large mode sizes its initial
+            # shuffle-partition count from the exact byte total
             total = 0
             for i in range(leaves.size()):
                 total += int(leaves.apply(i).stats().sizeInBytes())
-                if total >= _SMALL_PLAN_BYTES:
-                    break
             small = total < _SMALL_PLAN_BYTES
-        keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-        cur = {
-            "spark.sql.adaptive.enabled": spark.conf.get(
-                "spark.sql.adaptive.enabled", "true"
-            ),
-            "spark.sql.shuffle.partitions": spark.conf.get(
-                "spark.sql.shuffle.partitions"
-            ),
-        }
+        keys = (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            _INIT_PARTS_KEY,
+        )
+        cur = {k: _conf_get(spark, k) for k in keys}
         # `applied` = the values WE set when entering small mode (None
         # when in default mode); `baseline` = the user's conf as of
         # small-mode entry, refreshed with any key the user changed
@@ -201,33 +234,54 @@ def tune_for_plan(sdf) -> None:
         applied = _tune_state.get("applied")
         if applied is not None:
             for k in keys:
-                if cur[k] != applied[k]:  # user override while small
+                if cur[k] != applied[k]:  # user override while a mode was live
                     _tune_state["baseline"][k] = cur[k]
         if small:
             if applied is None:
                 _tune_state["baseline"] = dict(cur)
-            default_parts = int(
-                _tune_state["baseline"]["spark.sql.shuffle.partitions"]
-            )
+            base = _tune_state["baseline"]
+            default_parts = int(base["spark.sql.shuffle.partitions"])
             parts = max(4, min(default_parts, total // _SMALL_PLAN_PART_BYTES))
             want = {
                 "spark.sql.adaptive.enabled": "false",
                 "spark.sql.shuffle.partitions": str(parts),
+                _INIT_PARTS_KEY: base[_INIT_PARTS_KEY],
             }
-            if applied == want:
-                return
-            for k, v in want.items():
-                spark.conf.set(k, v)
-            _tune_state["applied"] = want
+        elif total >= _SMALL_PLAN_BYTES and _LARGE_INIT_PART_BYTES > 0:
+            # large mode: AQE stays on; seed its coalescer with a
+            # byte-derived initial partition count so per-task sort/agg
+            # state stays bounded (spill-lottery fix, header comment)
+            if applied is None:
+                _tune_state["baseline"] = dict(cur)
+            base = _tune_state["baseline"]
+            default_parts = int(base["spark.sql.shuffle.partitions"])
+            init = max(
+                default_parts,
+                min(total // _LARGE_INIT_PART_BYTES, _LARGE_INIT_PART_CAP),
+            )
+            want = {
+                "spark.sql.adaptive.enabled": base["spark.sql.adaptive.enabled"],
+                "spark.sql.shuffle.partitions": base[
+                    "spark.sql.shuffle.partitions"
+                ],
+                _INIT_PARTS_KEY: str(init),
+            }
         else:
+            # unknown size (streaming / statless leaves): full restore
             if applied is None:
                 return  # already in default mode — never touch user conf
-            for k in keys:
-                # restore only keys still holding OUR value; a user
-                # override made during small mode wins
-                if cur[k] == applied[k]:
-                    spark.conf.set(k, _tune_state["baseline"][k])
-            _tune_state["applied"] = None
+            want = dict(_tune_state["baseline"])
+        if applied == want:
+            return
+        for k, v in want.items():
+            # skip keys already at the wanted value — this also lets a
+            # user override made while a mode was live win (the
+            # baseline fold-in above recorded it as the restore target)
+            if cur[k] != v:
+                _conf_put(spark, k, v)
+        _tune_state["applied"] = (
+            None if want == _tune_state.get("baseline") else want
+        )
     except Exception:
         # tuning is best-effort: any plan shape it can't read (e.g. a
         # pure LocalRelation with no stats bridge) runs under whatever

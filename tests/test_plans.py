@@ -155,7 +155,8 @@ def test_small_plan_exec_mode(spark):
     S._SMALL_PLAN_BYTES = 1  # everything is now "large"
     try:
         li.to_spark()
-        assert S._tune_state["applied"] is None
+        # large mode: AQE + shuffle partitions back to the adaptive
+        # defaults...
         assert (
             spark.conf.get("spark.sql.adaptive.enabled")
             == baseline0["spark.sql.adaptive.enabled"]
@@ -164,9 +165,20 @@ def test_small_plan_exec_mode(spark):
             spark.conf.get("spark.sql.shuffle.partitions")
             == baseline0["spark.sql.shuffle.partitions"]
         )
+        # ...plus a byte-derived seed for AQE's partition coalescer
+        # (r12 spill-proofing): never below the session default, never
+        # above the cap, and restored when leaving large mode
+        init = int(spark.conf.get(S._INIT_PARTS_KEY))
+        assert (
+            int(baseline0["spark.sql.shuffle.partitions"])
+            <= init
+            <= S._LARGE_INIT_PART_CAP
+        )
+        assert S._tune_state["applied"][S._INIT_PARTS_KEY] == str(init)
     finally:
         S._SMALL_PLAN_BYTES = old
         li.to_spark()  # restore small mode for subsequent tests
+    assert S._conf_get(spark, S._INIT_PARTS_KEY) == baseline0[S._INIT_PARTS_KEY]
 
 
 def test_exec_mode_retunes_at_every_consumption_boundary(spark):
@@ -183,7 +195,10 @@ def test_exec_mode_retunes_at_every_consumption_boundary(spark):
     S._SMALL_PLAN_BYTES = 1  # the same plan is now "large"
     try:
         li.head(1).to_pandas()  # a mere ACTION must re-tune
-        assert S._tune_state["applied"] is None
+        # large mode restores the adaptive defaults (and, r12, seeds
+        # the AQE coalescer — so "applied" records the large mode)
+        applied = S._tune_state["applied"]
+        assert applied is None or "false" not in applied.values()
         assert spark.conf.get("spark.sql.adaptive.enabled") != "false"
     finally:
         S._SMALL_PLAN_BYTES = old
@@ -206,7 +221,12 @@ def test_exec_mode_respects_user_conf_overrides(spark):
     try:
         li.to_spark()  # leave small mode
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
-        assert S._tune_state["applied"] is None
+        # r12: large mode applies the AQE coalescer seed; the user's
+        # override is the floor it builds on, never clobbered
+        applied = S._tune_state["applied"]
+        assert applied is None or (
+            applied["spark.sql.shuffle.partitions"] == "7"
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
         S._SMALL_PLAN_BYTES = old
