@@ -716,6 +716,87 @@ def blocked_neardup_pairs(
     return DataFrame(out)
 
 
+def _pair_cosine_broadcast(
+    cand: SparkDF, sdf: SparkDF, id_col: str, vec_col: str
+) -> SparkDF:
+    """Score candidate pairs against a BROADCAST id→vector matrix
+    instead of two wide joins (r12; guide §8 "move heavy bytes once"):
+    the join form ships every candidate pair's TWO 64-double vectors
+    through two exchanges (1.9M pairs ≈ 2 GB of vector payload on the
+    near-dup corpus) so each pair can be scored; with a footer-proven
+    small corpus the vectors fit in one broadcast matrix and only the
+    (id1, id2) longs flow. The kernel gathers V[i1], V[i2] and runs
+    the IDENTICAL einsum/norm expression as ``pair_cosine_col`` on the
+    same 8192-row slices — per-pair cosine depends only on that pair's
+    two float64 rows, so values are bit-identical (differential test).
+    Pairs with a NULL vector on either side are dropped here, exactly
+    as their NULL cosine fails every downstream threshold filter."""
+    import pyarrow as pa
+
+    tbl = sdf.select(F.col(id_col), F.col(vec_col)).toArrow()
+    ids_np = tbl.column(0).to_numpy(zero_copy_only=False)
+    vcol = tbl.column(1)
+    if isinstance(vcol, pa.ChunkedArray):
+        vcol = vcol.combine_chunks()
+    valid = ~np.asarray(vcol.is_null())
+    rows = [
+        np.asarray(v.as_py(), dtype=np.float64) if ok else None
+        for v, ok in zip(vcol, valid)
+    ]
+    dim = next((len(r) for r in rows if r is not None), 0)
+    V = np.zeros((len(rows), dim), dtype=np.float64)
+    for i, r in enumerate(rows):
+        if r is not None and len(r) == dim:
+            V[i] = r
+        else:
+            valid[i] = False
+    order = np.argsort(ids_np, kind="stable")
+    sids, V, valid = ids_np[order], V[order], valid[order]
+    bc = sdf.sparkSession.sparkContext.broadcast((sids, V, valid))
+    id_t = next(f for f in sdf.schema.fields if f.name == id_col)
+    out_schema = (
+        f"id1 {id_t.dataType.simpleString()}, "
+        f"id2 {id_t.dataType.simpleString()}, cosine double"
+    )
+
+    def gen(batches):
+        sids, V, valid = bc.value
+        n_ids = len(sids)
+        for b in batches:
+            i1 = b.column(0).to_numpy(zero_copy_only=False)
+            i2 = b.column(1).to_numpy(zero_copy_only=False)
+            p1 = np.searchsorted(sids, i1).clip(max=max(n_ids - 1, 0))
+            p2 = np.searchsorted(sids, i2).clip(max=max(n_ids - 1, 0))
+            ok = (
+                (n_ids > 0)
+                & (sids[p1] == i1)
+                & (sids[p2] == i2)
+                & valid[p1]
+                & valid[p2]
+            )
+            idx = np.flatnonzero(ok)
+            if len(idx) == 0:
+                continue
+            cos = np.empty(len(idx), dtype=np.float64)
+            step = 8192
+            for lo in range(0, len(idx), step):
+                sl = idx[lo : lo + step]
+                A = V[p1[sl]]
+                B = V[p2[sl]]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d = np.einsum("ij,ij->i", A, B)
+                    c = d / (
+                        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                    )
+                cos[lo : lo + len(sl)] = c
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(i1[idx]), pa.array(i2[idx]), pa.array(cos)],
+                names=["id1", "id2", "cosine"],
+            )
+
+    return cand.select("id1", "id2").mapInArrow(gen, out_schema)
+
+
 def embedding_neardup_pairs(
     frame: DataFrame,
     id_col: str = "vec_id",
@@ -738,20 +819,45 @@ def embedding_neardup_pairs(
     and deduped BEFORE the two vector-fetch joins, so each distinct
     pair computes cosine once; oversized buckets are capped by the
     same aggregation's size filter."""
+    from pandas_spark._sizing import _env_int
     from pandas_spark.operators.dedup import bucket_pairs
 
     planes = _hyperplanes(dim, bands * rows, seed)
     sdf = frame.spark.select(F.col(id_col), F.col(vec_col).alias("__v__"))
+    # sign-LSH at a LOW threshold has dense buckets (2^rows buckets per
+    # band — the near-dup corpus expands to ~1.9M candidate pairs from
+    # 2k vectors), so integral-id corpora expand pairs with the numpy
+    # kernel instead of the interpreted HOF (dedup._expand_pairs_arrow)
+    id_integral = next(
+        f for f in sdf.schema.fields if f.name == id_col
+    ).dataType.simpleString() in ("bigint", "int", "smallint")
     banded = _banded(sdf, id_col, "__v__", planes, bands, rows)
-    cand = bucket_pairs(banded, id_col, bucket_cap)
-    v1 = sdf.select(F.col(id_col).alias("id1"), F.col("__v__").alias("__v1__"))
-    v2 = sdf.select(F.col(id_col).alias("id2"), F.col("__v__").alias("__v2__"))
-    out = (
-        cand.join(v1, "id1")
-        .join(v2, "id2")
-        .withColumn("cosine", pair_cosine_col(F.col("__v1__"), F.col("__v2__")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
+    cand = bucket_pairs(
+        banded, id_col, bucket_cap, engine="arrow" if id_integral else "hof"
+    )
+    # verify strategy: a footer-PROVEN small corpus broadcasts its
+    # vectors once and only (id1, id2) longs flow into the scorer;
+    # anything unproven or large keeps the scale path (two vector
+    # fetch joins — at 100 TB the broadcast obviously cannot exist)
+    rows_max = getattr(frame, "_rows_max", None)
+    if (
+        id_integral
+        and rows_max
+        and 0 < rows_max <= _env_int("SPARK_GRAFT_BCAST_VERIFY_ROWS", 65536)
+    ):
+        scored = _pair_cosine_broadcast(cand, sdf, id_col, "__v__")
+    else:
+        v1 = sdf.select(F.col(id_col).alias("id1"), F.col("__v__").alias("__v1__"))
+        v2 = sdf.select(F.col(id_col).alias("id2"), F.col("__v__").alias("__v2__"))
+        scored = (
+            cand.join(v1, "id1")
+            .join(v2, "id2")
+            .withColumn(
+                "cosine", pair_cosine_col(F.col("__v1__"), F.col("__v2__"))
+            )
+        )
+    out = scored.filter(F.col("cosine") >= threshold).select(
+        "id1", "id2", "cosine"
     )
     return DataFrame(out)
 

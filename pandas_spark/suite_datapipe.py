@@ -62,7 +62,13 @@ def _t_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
-    return DataFrame(f.spark.withColumn("embedding", F.col("embedding").cast("array<double>")))
+    # withColumn is row-preserving, so the scan's footer row bound
+    # carries through (the similarity verify-strategy gates key on it)
+    out = DataFrame(
+        f.spark.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    out._rows_max = f._rows_max
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1730,10 +1736,22 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> SparkDF:
     seeded kmeans++, hash-ordered sample, stable argmin)."""
     emb = _emb(spark, sf_dir)
     nrm = similarity.norm_expr(F.col("embedding"))
+    # normalize with the norm evaluated ONCE per row (array_repeat's
+    # argument), not once per ELEMENT: `transform(v, x -> x / nrm)`
+    # re-evaluates the O(dim) aggregate inside the lambda for every
+    # element (O(dim^2) interpreted work per row - higher-order
+    # functions are CodegenFallback), and ConvertToLocalRelation
+    # re-runs that projection DRIVER-SIDE at every action's
+    # re-optimization for this LocalRelation-sized table. Same
+    # division ops, bit-identical output (probed cell-for-cell).
     nemb = DataFrame(
         emb.spark.select(
             "vec_id",
-            F.transform(F.col("embedding"), lambda x: x / nrm).alias("embedding"),
+            F.zip_with(
+                F.col("embedding"),
+                F.array_repeat(nrm, F.size(F.col("embedding"))),
+                lambda x, n: x / n,
+            ).alias("embedding"),
         )
     )
     queries = DataFrame(
@@ -1781,10 +1799,22 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> SparkDF:
     brute force clears 0.6 (measured 0.86, deterministic)."""
     emb = _emb(spark, sf_dir)
     nrm = similarity.norm_expr(F.col("embedding"))
+    # normalize with the norm evaluated ONCE per row (array_repeat's
+    # argument), not once per ELEMENT: `transform(v, x -> x / nrm)`
+    # re-evaluates the O(dim) aggregate inside the lambda for every
+    # element (O(dim^2) interpreted work per row - higher-order
+    # functions are CodegenFallback), and ConvertToLocalRelation
+    # re-runs that projection DRIVER-SIDE at every action's
+    # re-optimization for this LocalRelation-sized table. Same
+    # division ops, bit-identical output (probed cell-for-cell).
     nemb = DataFrame(
         emb.spark.select(
             "vec_id",
-            F.transform(F.col("embedding"), lambda x: x / nrm).alias("embedding"),
+            F.zip_with(
+                F.col("embedding"),
+                F.array_repeat(nrm, F.size(F.col("embedding"))),
+                lambda x, n: x / n,
+            ).alias("embedding"),
         )
     )
     queries = DataFrame(

@@ -1557,3 +1557,62 @@ def test_read_csv_well_formed_unaffected_by_failfast(tmp_path, spark):
     pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_csv(p, index=False)
     got = read_csv(spark, str(p)).to_pandas().sort_values("a").reset_index(drop=True)
     assert got["a"].tolist() == [1, 2, 3] and got["b"].tolist() == ["x", "y", "z"]
+
+
+def test_bucket_pairs_arrow_engine_matches_hof(spark):
+    """r12: the vectorized in-bucket pair expansion emits exactly the
+    HOF form's distinct ordered pair set (dense buckets, a singleton
+    bucket, an over-cap bucket, and cross-band duplicate pairs)."""
+    from pandas_spark.operators.dedup import bucket_pairs
+
+    rows = []
+    # band 0: one dense bucket (ids 0..5), one singleton (id 9)
+    rows += [(i, 0, 7) for i in range(6)] + [(9, 0, 1)]
+    # band 1: the same ids re-collide pairwise (duplicates for distinct)
+    rows += [(0, 1, 3), (1, 1, 3), (4, 1, 3), (5, 1, 3)]
+    # band 2: an over-cap bucket that must be dropped entirely
+    rows += [(i, 2, 5) for i in range(8)]
+    banded = spark.createDataFrame(rows, "doc_id long, band int, bucket int")
+    hof = bucket_pairs(banded, "doc_id", bucket_cap=6, engine="hof")
+    arrow = bucket_pairs(banded, "doc_id", bucket_cap=6, engine="arrow")
+    assert "MapInArrow" in arrow._jdf.queryExecution().executedPlan().toString()
+    got_h = {(r["id1"], r["id2"]) for r in hof.collect()}
+    got_a = {(r["id1"], r["id2"]) for r in arrow.collect()}
+    assert got_a == got_h and len(got_a) == 15  # C(6,2) from band 0
+
+
+def test_neardup_broadcast_verify_matches_join_path(spark):
+    """r12: the broadcast-matrix pair scorer is BIT-identical to the
+    two-join + pair_cosine_col path. (NULL vectors are out of scope:
+    the banding kernel upstream of BOTH paths has never accepted
+    them; the broadcast scorer's null guard is defensive only.)"""
+    import math
+    import random
+
+    import pandas_spark as ps
+    from pandas_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = random.Random(3)
+    data = []
+    for i in range(60):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        data.append((i, base))
+        if i % 7 == 0:  # near-clone → true pairs exist
+            data.append((1000 + i, [x + rng.gauss(0, 0.01) for x in base]))
+    f = ps.DataFrame(
+        spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    )
+    args = dict(
+        id_col="vec_id", vec_col="embedding", threshold=0.2, dim=8,
+        bands=12, rows=2,
+    )
+    f._rows_max = len(data)  # proven-small → broadcast verify
+    bc = {(r["id1"], r["id2"]): r["cosine"]
+          for r in embedding_neardup_pairs(f, **args).spark.collect()}
+    f2 = ps.DataFrame(f._sdf)  # proof dropped → join path
+    assert getattr(f2, "_rows_max", None) is None
+    jn = {(r["id1"], r["id2"]): r["cosine"]
+          for r in embedding_neardup_pairs(f2, **args).spark.collect()}
+    assert bc.keys() == jn.keys() and len(bc) > 0
+    for k in bc:
+        assert bc[k] == jn[k] or (math.isnan(bc[k]) and math.isnan(jn[k]))
