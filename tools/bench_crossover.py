@@ -71,6 +71,24 @@ def ensure_data(spark):
     done = f"{DIR}/.complete_v2" if REPS == 10 else f"{DIR}/.complete_v2_r{REPS}"
     if os.path.exists(done):
         return
+    # refuse to silently overwrite a DIFFERENT replication's data: the
+    # dir's completion marker encodes the REPS it was generated at, and
+    # regenerating (e.g. running sf10ish without the explicit `100`
+    # arg, which defaults REPS=10) destroys the larger decade. Delete
+    # the stale markers first if a rebuild is really intended.
+    import glob as _glob
+
+    others = [
+        m
+        for m in _glob.glob(f"{DIR}/.complete_v2*")
+        if os.path.basename(m) != os.path.basename(done)
+    ]
+    if others:
+        sys.exit(
+            f"REFUSED: {DIR} holds data generated at a different replication "
+            f"({', '.join(os.path.basename(m) for m in others)}); rerun with the "
+            f"matching REPS arg, or delete the markers to force a rebuild"
+        )
     for t, shifts in SHIFTS.items():
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
         cols = set(src.columns)
