@@ -1616,3 +1616,22 @@ def test_neardup_broadcast_verify_matches_join_path(spark):
     assert bc.keys() == jn.keys() and len(bc) > 0
     for k in bc:
         assert bc[k] == jn[k] or (math.isnan(bc[k]) and math.isnan(jn[k]))
+
+
+def test_suite_neardup_takes_broadcast_verify_path(spark):
+    """r12 guard: the suite's `_emb` must forward the scan's footer row
+    bound through its row-preserving cast — without it the
+    embedding_neardup_pairs broadcast-verify gate silently falls back
+    to the two vector-fetch joins (the exact regression found when the
+    optimization first shipped). Pin the plan shape as built FROM THE
+    SUITE: no joins, pair expansion + scoring as Arrow kernels."""
+    import os
+
+    from pandas_spark import suite
+
+    sdf = suite.queries()["sim_neardup_lsh"](
+        spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    )
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "MapInArrow" in plan
