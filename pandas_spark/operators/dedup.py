@@ -110,6 +110,19 @@ def minhash_signature(
     return spread(sdf).withColumn(out_col, sig)
 
 
+def _perm_constants(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """The k-permutation multiply-add constants. ONE draw order for
+    every consumer (``_sig_udf`` and ``_shingle_sig_udf``) — signatures
+    stay bit-identical across engine versions and kernel choices."""
+    import random
+
+    rng = random.Random(0x5EED)  # deterministic permutation constants
+    _ab = [(rng.randrange(1, 1 << 30) | 1, rng.randrange(0, 1 << 32)) for _ in range(num_hashes)]
+    A = np.array([a for a, _ in _ab], dtype=np.uint64)
+    B = np.array([b for _, b in _ab], dtype=np.uint64)
+    return A, B
+
+
 def _sig_udf(num_hashes: int):
     """The k-permutation MinHash pandas_udf for ``num_hashes`` — built
     (and its body cloudpickled to the JVM) once per session per k.
@@ -123,16 +136,9 @@ def _sig_udf(num_hashes: int):
     universal hashing, then folded to 32 bits — deterministic and
     independent of the session's ANSI state (numpy, not Spark SQL,
     does the arithmetic)."""
-    import random
-
     from pyspark.sql.types import ArrayType, LongType
 
-    rng = random.Random(0x5EED)  # deterministic permutation constants
-    # same interleaved draw order as always — signatures stay
-    # bit-identical across engine versions
-    _ab = [(rng.randrange(1, 1 << 30) | 1, rng.randrange(0, 1 << 32)) for _ in range(num_hashes)]
-    A = np.array([a for a, _ in _ab], dtype=np.uint64)
-    B = np.array([b for _, b in _ab], dtype=np.uint64)
+    A, B = _perm_constants(num_hashes)
     EMPTY = [int((1 << 63) - 1)] * num_hashes
     M32 = np.uint64((1 << 32) - 1)
 
@@ -166,6 +172,225 @@ def _sig_udf(num_hashes: int):
         return pd.Series(list(out.astype(np.int64)))
 
     return _sig
+
+
+def _build_xxh64():
+    """Vectorized xxHash64(seed=42) over variable-length byte slices of
+    one buffer — bit-identical to Spark's ``xxhash64`` on strings
+    (differential-tested over the corpus and a unicode/length fuzz in
+    tests/test_shingle_kernel.py). Returned as a NESTED function so
+    cloudpickle ships it by value (Python workers cannot import
+    pandas_spark — the same reason every other kernel here is a
+    closure)."""
+    U64 = np.uint64
+    P1 = U64(0x9E3779B185EBCA87)
+    P2 = U64(0xC2B2AE3D27D4EB4F)
+    P3 = U64(0x165667B19E3779F9)
+    P4 = U64(0x85EBCA77C2B2AE63)
+    P5 = U64(0x27D4EB2F165667C5)
+    SEED = U64(42)
+    # precomputed mod-2^64 lane seeds (python-int arithmetic: no numpy
+    # scalar overflow warnings)
+    V1_0 = U64((42 + int(P1) + int(P2)) % (1 << 64))
+    V2_0 = U64((42 + int(P2)) % (1 << 64))
+    V3_0 = SEED
+    V4_0 = U64((42 - int(P1)) % (1 << 64))
+
+    def _rot(x, r):
+        r = U64(r)
+        return (x << r) | (x >> (U64(64) - r))
+
+    def _u64_at(buf, off):
+        # gather 8 little-endian bytes per offset → uint64
+        b = buf[off[:, None] + np.arange(8)].astype(np.uint64)
+        out = b[:, 0]
+        for i in range(1, 8):
+            out = out | (b[:, i] << U64(8 * i))
+        return out
+
+    def _u32_at(buf, off):
+        b = buf[off[:, None] + np.arange(4)].astype(np.uint64)
+        out = b[:, 0]
+        for i in range(1, 4):
+            out = out | (b[:, i] << U64(8 * i))
+        return out
+
+    def xxh64(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """Hash of ``buf[starts[i] : starts[i]+lengths[i]]`` for all i.
+        ``buf`` must be uint8 with ≥32 zero bytes of padding past the
+        last slice end (stripe-lane gathers read whole words)."""
+        n = len(starts)
+        starts = starts.astype(np.int64)
+        L = lengths.astype(np.int64)
+        h = np.empty(n, dtype=np.uint64)
+
+        big = L >= 32
+        if big.any():
+            sb = starts[big]
+            nstripes = L[big] >> 5
+            m_all = int(big.sum())
+            v1 = np.full(m_all, V1_0, dtype=np.uint64)
+            v2 = np.full(m_all, V2_0, dtype=np.uint64)
+            v3 = np.full(m_all, V3_0, dtype=np.uint64)
+            v4 = np.full(m_all, V4_0, dtype=np.uint64)
+            for s in range(int(nstripes.max())):
+                m = nstripes > s
+                off = sb[m] + 32 * s
+                for v, lane in ((v1, 0), (v2, 8), (v3, 16), (v4, 24)):
+                    acc = v[m]
+                    acc = acc + _u64_at(buf, off + lane) * P2
+                    v[m] = _rot(acc, 31) * P1
+            hb = _rot(v1, 1) + _rot(v2, 7) + _rot(v3, 12) + _rot(v4, 18)
+            for v in (v1, v2, v3, v4):
+                hb = (hb ^ (_rot(v * P2, 31) * P1)) * P1 + P4
+            h[big] = hb
+        if (~big).any():
+            h[~big] = SEED + P5
+        h += L.astype(np.uint64)
+
+        # tail from offset (L//32)*32: up to three 8-byte words, one
+        # 4-byte word, up to three bytes — masked vector passes
+        toff = starts + ((L >> 5) << 5)
+        rem = L & 31
+        n8 = rem >> 3
+        for s in range(3):
+            m = n8 > s
+            if m.any():
+                k1 = _rot(_u64_at(buf, toff[m] + 8 * s) * P2, 31) * P1
+                h[m] = _rot(h[m] ^ k1, 27) * P1 + P4
+        o4 = toff + (n8 << 3)
+        rem4 = rem & 7
+        m = rem4 >= 4
+        if m.any():
+            h[m] = _rot(h[m] ^ (_u32_at(buf, o4[m]) * P1), 23) * P2 + P3
+        ob = o4 + ((rem4 >> 2) << 2)
+        nb = rem4 & 3
+        for s in range(3):
+            m = nb > s
+            if m.any():
+                h[m] = _rot(h[m] ^ (buf[ob[m] + s].astype(np.uint64) * P5), 11) * P1
+        h ^= h >> U64(33)
+        h *= P2
+        h ^= h >> U64(29)
+        h *= P3
+        h ^= h >> U64(32)
+        return h
+
+    return xxh64
+
+
+def _shingle_sig_udf(num_hashes: int, shingle_n: int):
+    """Shingle + hash + distinct + MinHash in ONE Arrow kernel (r12;
+    guide §4.2 "do the heavy lifting in native code inside the UDF").
+
+    The JVM chain this replaces — ``array_distinct(transform(
+    shingles_expr(text), xxhash64))`` — built every shingle STRING
+    through interpreted HOFs (``transform``/``slice``/``array_join``
+    are CodegenFallback): measured 0.43 s of the 1.33 s query at sf0.1,
+    entirely the per-shingle string allocation (the xxhash64 and
+    array_distinct on top were free — tools/probe_shingle_cost.py).
+    Here the kernel receives the NORMALIZED text (regex stays JVM-side,
+    codegen, measured free) and, because tokens are space-joined,
+    every word n-gram is a contiguous byte slice of it: token offsets
+    come from one vectorized space scan, shingle hashes from the
+    bit-exact vectorized xxHash64 above, per-doc distinct from one
+    lexsort, and the k-permutation fold is the identical multiply-add
+    + segmented-min of ``_sig_udf``. Signatures and shingle SETS are
+    bit-identical to the JVM chain (``__s__`` order becomes sorted —
+    every consumer is set-based: array_intersect/union sizes, min
+    folds); differential-tested per doc in tests/test_shingle_kernel.py.
+
+    Returns struct<s: array<bigint>, minhash: array<bigint>>.
+    Edge semantics replicated exactly: NULL text → s=[42] (Spark's
+    xxhash64(NULL)=seed); empty/whitespace text → s=[xxh64('')];
+    fewer than ``shingle_n`` tokens → one whole-string shingle."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    A, B = _perm_constants(num_hashes)
+    M32 = np.uint64((1 << 32) - 1)
+    SHN = int(shingle_n)
+    NH = int(num_hashes)
+    xxh = _build_xxh64()
+
+    out_type = StructType(
+        [
+            StructField("s", ArrayType(LongType())),
+            StructField("minhash", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _pack(norm: pd.Series) -> pd.DataFrame:
+        vals = norm.tolist()
+        nrows = len(vals)
+        s_out: list = [None] * nrows
+        mh_out: list = [None] * nrows
+
+        enc = [v.encode("utf-8") if v is not None else None for v in vals]
+        docs = [e for e in enc if e is not None]
+        doc_rows = [i for i, e in enumerate(enc) if e is not None]
+        if docs:
+            dlens = np.array([len(e) for e in docs], dtype=np.int64)
+            dstarts = np.concatenate(([0], np.cumsum(dlens)[:-1]))
+            dends = dstarts + dlens
+            total = int(dlens.sum())
+            buf = np.frombuffer(b"".join(docs) + b"\0" * 32, dtype=np.uint8)
+            spaces = np.flatnonzero(buf[:total] == 0x20)
+            # normalized text is trimmed/single-spaced: every 0x20 is a
+            # token separator of the doc whose [start, end) contains it
+            sdoc = np.searchsorted(dends, spaces, side="right")
+            k = np.bincount(sdoc, minlength=len(docs)) + 1  # tokens/doc
+            T = np.sort(np.concatenate((dstarts, spaces + 1)))  # token starts
+            K0 = np.concatenate(([0], np.cumsum(k)))
+            n_sh = np.where(k >= SHN, k - SHN + 1, 1)
+            S0 = np.concatenate(([0], np.cumsum(n_sh)))
+            tot_sh = int(S0[-1])
+            shdoc = np.repeat(np.arange(len(docs)), n_sh)
+            i_in = np.arange(tot_sh) - S0[shdoc]
+            big_k = k[shdoc] >= SHN
+            g = K0[shdoc] + i_in
+            Tpad = np.concatenate((T, [0]))  # g+SHN == total tokens on last shingle
+            start = np.where(big_k, Tpad[g], dstarts[shdoc])
+            is_last = i_in == (k[shdoc] - SHN)
+            end = np.where(
+                big_k & ~is_last,
+                Tpad[np.minimum(g + SHN, len(T))] - 1,  # byte before next token's space
+                dends[shdoc],
+            )
+            hashes = xxh(buf, start, end - start)
+            # per-doc distinct (sorted — consumers are set-based)
+            order = np.lexsort((hashes, shdoc))
+            hs = hashes[order]
+            ds = shdoc[order]
+            keep = np.ones(tot_sh, dtype=bool)
+            keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+            dh = hs[keep]
+            dd = ds[keep]
+            cnt = np.bincount(dd, minlength=len(docs))  # ≥1 every doc
+            st = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            h32 = dh & M32
+            sig = np.empty((len(docs), NH), dtype=np.uint64)
+            for j in range(NH):
+                pj = (h32 * A[j] + B[j]) & M32
+                sig[:, j] = np.minimum.reduceat(pj, st)
+            sig64 = sig.astype(np.int64)
+            dh64 = dh.astype(np.int64)
+            for d, row in enumerate(doc_rows):
+                s_out[row] = dh64[st[d] : st[d] + cnt[d]]
+                mh_out[row] = sig64[d]
+        if len(docs) < nrows:
+            # NULL text: the JVM chain produced __s__ = [xxhash64(NULL)]
+            # = [42] (hash functions return the seed for NULL input)
+            null_h32 = np.uint64(42) & M32
+            null_sig = ((null_h32 * A + B) & M32).astype(np.int64)
+            null_s = np.array([42], dtype=np.int64)
+            for row, e in enumerate(enc):
+                if e is None:
+                    s_out[row] = null_s
+                    mh_out[row] = null_sig
+        return pd.DataFrame({"s": s_out, "minhash": mh_out})
+
+    return _pack
 
 
 def lsh_candidate_pairs(
@@ -463,23 +688,53 @@ def _collapsed_rep_pairs(
         F.sort_array(F.collect_list(F.col(id_col))).alias("__members__"),
         F.first(F.col(text_col)).alias(text_col),
     )
-    with_sh = collapsed.withColumn(
-        "__s__",
-        memo_column(
-            ("hashed_shingles", text_col, shingle_n),
-            lambda: F.array_distinct(
-                F.transform(
-                    shingles_expr(F.col(text_col), shingle_n),
-                    lambda sh: F.xxhash64(sh),
-                )
+    # Shingle build + hash + distinct + signature in ONE Arrow kernel
+    # (r12; guide §4.2): the JVM form — array_distinct(transform(
+    # shingles_expr, xxhash64)) then the signature UDF — paid ~0.43 s
+    # of interpreted per-shingle STRING construction per run
+    # (tools/probe_shingle_cost.py; transform/slice/array_join are
+    # CodegenFallback). The kernel consumes the codegen'd NORMALIZED
+    # text and emits bit-identical shingle sets and signatures (see
+    # _shingle_sig_udf). SPARK_GRAFT_SHINGLE_KERNEL=0 restores the
+    # JVM chain (differential-tested equal).
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SHINGLE_KERNEL", "1") == "0":
+        with_sh = collapsed.withColumn(
+            "__s__",
+            memo_column(
+                ("hashed_shingles", text_col, shingle_n),
+                lambda: F.array_distinct(
+                    F.transform(
+                        shingles_expr(F.col(text_col), shingle_n),
+                        lambda sh: F.xxhash64(sh),
+                    )
+                ),
             ),
-        ),
-    )
-    groups = _cache_once(
-        minhash_signature(
-            with_sh, text_col, num_hashes, shingle_n, shingles_col="__s__"
-        ).select("__rep__", "__members__", "minhash", "__s__")
-    )
+        )
+        groups = _cache_once(
+            minhash_signature(
+                with_sh, text_col, num_hashes, shingle_n, shingles_col="__s__"
+            ).select("__rep__", "__members__", "minhash", "__s__")
+        )
+    else:
+        packed = collapsed.withColumn(
+            "__p__",
+            memo_column(
+                ("shingle_sig_pack", text_col, num_hashes, shingle_n),
+                lambda: _shingle_sig_udf(num_hashes, shingle_n)(
+                    normalize_expr(F.col(text_col))
+                ),
+            ),
+        )
+        groups = _cache_once(
+            packed.select(
+                "__rep__",
+                "__members__",
+                F.col("__p__")["minhash"].alias("minhash"),
+                F.col("__p__")["s"].alias("__s__"),
+            )
+        )
     base = groups.select(F.col("__rep__").alias(id_col), "minhash", "__s__")
     cands = lsh_candidate_pairs(base, id_col, "minhash", bands, rows)
     rep_pairs = jaccard_verify(
