@@ -44,10 +44,17 @@ def test_xxh64_matches_spark_on_edges_and_fuzz(spark):
     # word / byte-tail boundaries
     cases += ["x" * n for n in (7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 65, 127, 128)]
     cases += ["héllo wörld ünïcode テスト 漢字", "mixed tail é", "ß" * 20]
-    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 éüößテ漢"
+    # 4-byte UTF-8 (surrogate-pair chars) and multi-stripe lengths —
+    # a 2000-byte input runs ~60 stripe iterations of the main loop
+    cases += ["𝕒𝕓𝕔😀🎉" * k for k in (1, 2, 7, 40, 100)]
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 éüößテ漢𝕒😀"
     cases += [
         "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 200)))
         for _ in range(300)
+    ]
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(200, 3000)))
+        for _ in range(30)
     ]
     mine = _np_xxh64(cases)
     df = spark.createDataFrame(
